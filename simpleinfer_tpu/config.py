@@ -1,0 +1,65 @@
+"""Engine configuration.
+
+The reference hardcodes its runtime knobs (Eigen pool = 16 threads at
+/root/reference/src/engine_impl.cpp:133, CGraph pool = 2 at :421-423,
+"TODO: add runtime options" at :534). Here they are a real config object:
+dtype policy, weight-only quantization, device mesh, and I/O layout.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical device mesh: data-parallel x model(tensor)-parallel axes.
+
+    The reference has no distributed story (SURVEY.md §2.5); this is the
+    TPU-native replacement: axis sizes multiply to the device count,
+    `data` shards the batch dim of activations, `model` shards conv/linear
+    output channels. Collectives ride ICI within a slice.
+    """
+
+    data: int = 1
+    model: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # "float32" (bit-parity with the CPU reference) or "bfloat16" (MXU native)
+    compute_dtype: str = "float32"
+    # None (keep weights at compute dtype) or "int8w" (weight-only int8,
+    # per-output-channel scales)
+    quant: Optional[str] = None
+    # layout of arrays the USER passes to input()/gets from extract():
+    # "nhwc" (like the reference's Tensor, tensor.h) or "nchw" (PyTorch
+    # habit; engine transposes at the boundary)
+    io_layout: str = "nhwc"
+    # device mesh; None = single device
+    mesh: Optional[MeshConfig] = None
+    # use Pallas kernels for eligible ops (1x1 int8 convs, linear);
+    # None = auto (on TPU backends only)
+    use_pallas: Optional[bool] = None
+    # donate input buffers to the jitted call
+    donate_inputs: bool = False
+
+    def __post_init__(self):
+        if self.compute_dtype not in _DTYPES:
+            raise ValueError(f"compute_dtype must be one of {list(_DTYPES)}")
+        if self.quant not in (None, "int8w"):
+            raise ValueError("quant must be None or 'int8w'")
+        if self.io_layout not in ("nhwc", "nchw"):
+            raise ValueError("io_layout must be 'nhwc' or 'nchw'")
+
+    @property
+    def compute_jnp_dtype(self):
+        return _DTYPES[self.compute_dtype]

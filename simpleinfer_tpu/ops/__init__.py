@@ -1,0 +1,24 @@
+"""Operator lowerings: pnnx type string -> OpImpl (weights + jax fn).
+
+Importing this package registers every lowering (the analog of the
+DEFINE_LAYER_REGISTRY static registrations in the reference,
+/root/reference/src/layer_registry.cpp:33-49).
+"""
+from . import activation, binary, conv, linear, norm, pool, shape, yolo  # noqa: F401
+from .registry import (
+    OpImpl,
+    UnsupportedOpError,
+    get_lowering,
+    lower_operator,
+    register_op,
+    registered_ops,
+)
+
+__all__ = [
+    "OpImpl",
+    "UnsupportedOpError",
+    "get_lowering",
+    "lower_operator",
+    "register_op",
+    "registered_ops",
+]

@@ -1,0 +1,88 @@
+"""Operator lowering registry.
+
+The TPU-native analog of the reference's layer creator registry
+(/root/reference/src/layer_registry.cpp:33-57): pnnx type strings map to
+*lowering functions* instead of C++ object factories. A lowering inspects
+a pnnx Operator at load time (the analog of Layer::Init), performs weight
+layout transforms (e.g. OIHW->HWIO), and returns an OpImpl — a pure
+function plus its weight pytree — which the executor stitches into one
+jit-compiled XLA program (the analog of the CGraph pipeline,
+engine_impl.cpp:336-437, collapsed into compilation).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from ..ir.graph import Operator
+
+
+@dataclass
+class OpImpl:
+    """A lowered operator: weights + a pure apply function.
+
+    apply(weights_dict, *input_arrays) -> output array (or tuple when
+    n_outputs > 1). Must be traceable by jax (static shapes only).
+    """
+
+    name: str
+    type: str
+    apply: Callable
+    weights: dict = field(default_factory=dict)
+    n_outputs: int = 1
+    # weight key -> axis holding output channels, for per-channel
+    # weight-only int8 quantization (quant/tensor.py)
+    quantizable: dict = field(default_factory=dict)
+    # weight key -> PartitionSpec-style tuple for tensor-parallel sharding
+    # (None entries = replicated dims); consumed by parallel/mesh.py
+    shard_hints: dict = field(default_factory=dict)
+    # estimated flops per forward at batch=1 (roofline accounting)
+    flops_per_item: int = 0
+
+
+class UnsupportedOpError(Exception):
+    """Raised when a graph references an op type with no lowering."""
+
+
+_LOWERINGS: dict[str, Callable] = {}
+
+
+def register_op(pnnx_type: str):
+    def deco(fn: Callable):
+        _LOWERINGS[pnnx_type] = fn
+        return fn
+    return deco
+
+
+def get_lowering(pnnx_type: str) -> Callable:
+    fn = _LOWERINGS.get(pnnx_type)
+    if fn is None:
+        raise UnsupportedOpError(
+            f"no lowering registered for op type {pnnx_type!r}; "
+            f"known: {sorted(_LOWERINGS)}")
+    return fn
+
+
+def registered_ops() -> list[str]:
+    return sorted(_LOWERINGS)
+
+
+def lower_operator(op: Operator, cfg) -> OpImpl:
+    return get_lowering(op.type)(op, cfg)
+
+
+# ---- param helpers (analog of CheckParam/CheckAttr strictness,
+#      /root/reference/src/pnnx/pnnx_helper.cpp:5-39) --------------------
+def require_param(op: Operator, key: str, ptype: Optional[int] = None):
+    if not op.has_param(key, ptype):
+        raise ValueError(
+            f"{op.type} {op.name!r}: missing/mistyped param {key!r} "
+            f"(expected type {ptype})")
+    return op.params[key]
+
+
+def require_attr(op: Operator, key: str, atype: Optional[int] = None):
+    if not op.has_attr(key, atype):
+        raise ValueError(
+            f"{op.type} {op.name!r}: missing/mistyped attr {key!r}")
+    return op.attrs[key]

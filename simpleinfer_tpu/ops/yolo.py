@@ -1,0 +1,106 @@
+"""models.yolo.Detect lowering — fused YOLOv5 detection head.
+
+Parity with /root/reference/src/layer/yolo_detect.cpp: three feature
+levels (P3/P4/P5), each passed through its own 1x1 conv (weights from
+attrs ``m.{0,1,2}.weight/bias``, yolo_detect.cpp:31-76), sigmoid, reshaped
+to [N, H*W*A, n_info], decoded as
+
+    xy = (sig(xy) * 2 + grid) * stride          (yolo_detect.cpp:258-260)
+    wh = (sig(wh) * 2)^2 * anchor_grid          (:261-263)
+
+then concatenated along the box dim. Strides come from attr ``pnnx_5``,
+anchor grids from attrs ``pnnx_{4,2,0}`` and grids from ``pnnx_{6,3,1}``
+(level order per anchor_index/grid_index, yolo_detect.h:28-29), each
+stored [1, A, H, W, 2] and pre-reshaped at load to [1, H*W*A, 2] via the
+(0,2,3,1,4) shuffle (yolo_detect.cpp:109-112).
+
+The decode is kept in plain jnp (bandwidth-trivial vs the convs) per
+SURVEY.md §7 hard-parts note.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+import jax
+
+from .conv import conv2d_nhwc
+from .registry import OpImpl, register_op, require_attr
+
+_ANCHOR_ATTR_INDEX = (4, 2, 0)  # yolo_detect.h:28
+_GRID_ATTR_INDEX = (6, 3, 1)  # yolo_detect.h:29
+_NUM_LEVELS = 3
+
+
+@register_op("models.yolo.Detect")
+def lower_yolo_detect(op, cfg):
+    strides = require_attr(op, "pnnx_5", 1).array().astype(np.float32)
+    if strides.shape != (_NUM_LEVELS,):
+        raise ValueError(f"YoloDetect {op.name}: bad strides {strides.shape}")
+
+    weights: dict = {}
+    num_anchors = None
+    num_info = None
+    for i in range(_NUM_LEVELS):
+        w = require_attr(op, f"m.{i}.weight", 1).array()  # [E, C, 1, 1] OIHW
+        b = require_attr(op, f"m.{i}.bias", 1).array()
+        if w.shape[2] != 1 or w.shape[3] != 1:
+            raise ValueError(f"YoloDetect {op.name}: head conv m.{i} must be "
+                             f"1x1, got {w.shape}")
+        weights[f"w{i}"] = np.ascontiguousarray(
+            np.transpose(w, (2, 3, 1, 0))).astype(np.float32)  # HWIO
+        weights[f"b{i}"] = b.astype(np.float32)
+
+        ag = require_attr(op, f"pnnx_{_ANCHOR_ATTR_INDEX[i]}", 1).array()
+        gr = require_attr(op, f"pnnx_{_GRID_ATTR_INDEX[i]}", 1).array()
+        for name, t in (("anchor_grid", ag), ("grid", gr)):
+            if t.ndim != 5 or t.shape[0] != 1 or t.shape[4] != 2:
+                raise ValueError(f"YoloDetect {op.name}: bad {name} shape "
+                                 f"{t.shape} at level {i}")
+        if ag.shape != gr.shape:
+            raise ValueError(f"YoloDetect {op.name}: grid/anchor shape "
+                             f"mismatch at level {i}")
+        a = ag.shape[1]
+        if num_anchors is None:
+            num_anchors = a
+        elif num_anchors != a:
+            raise ValueError(f"YoloDetect {op.name}: anchor count varies")
+        e = w.shape[0]
+        if num_info is None:
+            if e % a != 0:
+                raise ValueError(f"YoloDetect {op.name}: head width {e} not "
+                                 f"divisible by anchors {a}")
+            num_info = e // a
+        elif num_info != e // a:
+            raise ValueError(f"YoloDetect {op.name}: head width varies")
+        # [1,A,H,W,2] -> [1,H,W,A,2] -> [1, H*W*A, 2]
+        weights[f"anchor{i}"] = np.ascontiguousarray(
+            np.transpose(ag, (0, 2, 3, 1, 4))).reshape(1, -1, 2).astype(
+                np.float32)
+        weights[f"grid{i}"] = np.ascontiguousarray(
+            np.transpose(gr, (0, 2, 3, 1, 4))).reshape(1, -1, 2).astype(
+                np.float32)
+
+    strides_list = [float(s) for s in strides]
+    na, ni = num_anchors, num_info
+
+    def apply(weights, *features):
+        if len(features) != _NUM_LEVELS:
+            raise ValueError("YoloDetect expects 3 feature maps")
+        outs = []
+        for i, x in enumerate(features):
+            y = conv2d_nhwc(x, weights[f"w{i}"], weights[f"b{i}"])
+            n, h, w_, _ = y.shape
+            y = jax.nn.sigmoid(y)
+            # NHWC [N,H,W,A*ni] -> [N, H*W*A, ni] (row-major H,W,A order,
+            # consistent with the grid (0,2,3,1,4) pre-shuffle)
+            y = y.reshape(n, h * w_ * na, ni)
+            xy = (y[..., 0:2] * 2.0 + weights[f"grid{i}"]) * strides_list[i]
+            wh = jnp.square(y[..., 2:4] * 2.0) * weights[f"anchor{i}"]
+            outs.append(jnp.concatenate([xy, wh, y[..., 4:]], axis=-1))
+        return jnp.concatenate(outs, axis=1)
+
+    return OpImpl(
+        name=op.name, type=op.type, apply=apply, weights=weights,
+        quantizable={},  # head convs are accuracy-critical; keep fp
+    )

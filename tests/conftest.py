@@ -1,13 +1,21 @@
 """Test harness config: run JAX on a simulated 8-device CPU mesh.
 
 This is the CI-testable analog of a multi-chip TPU slice (SURVEY.md §4.4):
-sharding/collective tests validate DP/TP placement without real hardware.
-Must run before jax initializes its backends, hence module-level.
+sharding/collective tests validate DP/TP placement without real hardware,
+and numeric tests get deterministic fp32 (the real-TPU MXU runs fp32
+matmuls as bf16 passes unless asked otherwise). Must run before jax
+initializes its backends, hence module-level. Set SI_TPU_TESTS=1 to run
+the suite on the real chip instead.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if not os.environ.get("SI_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
