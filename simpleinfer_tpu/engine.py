@@ -1,0 +1,229 @@
+"""Public Engine API — capability parity with the reference Engine.
+
+Reference surface (/root/reference/include/engine.h:12-38):
+
+    Engine::LoadModel(parampath, binpath)   -> Engine.load_model
+    Engine::Release()                       -> Engine.release
+    Engine::InputNames()/OutputNames()      -> Engine.input_names/output_names
+    Engine::Input(name, tensor)             -> Engine.input(name, array)
+    Engine::Forward()                       -> Engine.forward
+    Engine::Extract(name, tensor&)          -> Engine.extract(name)
+    InitializeContext()                     -> initialize_context
+
+plus the pythonic one-shot `Engine.run(**inputs)`. Where the reference's
+Input/Extract pass non-owning aliases into malloc'd buffers
+(src/tensor.cpp:28-45), here Input stages a host array onto the device
+(sharded over the mesh's `data` axis when configured) and Extract fetches
+the jitted program's output.
+
+Execution model: `load_model` lowers the pnnx graph once
+(executor.build_program) and wraps it in `jax.jit`. The first `forward`
+per batch shape compiles; later calls replay the cached executable —
+batch is the one re-jit axis (SURVEY.md §7 hard parts), which is what the
+continuous-batching service layer relies on.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EngineConfig
+from .executor import GraphError, Program, build_program
+from .ir.graph import Graph
+from .parallel.mesh import (
+    build_mesh,
+    input_sharding,
+    replicated,
+    weight_shardings,
+)
+from .quant.tensor import QuantizedTensor
+
+logger = logging.getLogger("simpleinfer_tpu")
+
+
+def initialize_context() -> None:
+    """Logging init; parity with InitializeContext (src/engine.cpp:46-49),
+    which also only initializes logging."""
+    if not logging.getLogger().handlers:
+        logging.basicConfig(
+            level=logging.INFO,
+            format="%(asctime)s %(levelname).1s %(name)s] %(message)s")
+
+
+class EngineStateError(RuntimeError):
+    """Operation requires a loaded model (analog of Status::kEmptyGraph /
+    kEmptyPipeline early-outs, engine_impl.cpp:522-555)."""
+
+
+class Engine:
+    """Load a pnnx model and run batched NHWC inference on TPU."""
+
+    def __init__(self, config: Optional[EngineConfig] = None):
+        self.config = config or EngineConfig()
+        self._program: Optional[Program] = None
+        self._jitted = None
+        self._mesh = None
+        self._device_weights = None
+        self._staged: dict = {}
+        self._outputs: dict = {}
+
+    # ---- lifecycle -----------------------------------------------------
+    def load_model(self, parampath: str, binpath: Optional[str] = None,
+                   graph: Optional[Graph] = None) -> "Engine":
+        """Lower + prepare a model. Idempotent re-load like the reference
+        (EngineImpl::LoadModel starts with Release(), engine_impl.cpp:19).
+        Pass `graph` to load an already-parsed/constructed Graph."""
+        self.release()
+        t0 = time.perf_counter()
+        if graph is None:
+            graph = Graph.load(parampath, binpath)
+        program = build_program(graph, self.config)
+        self._mesh = build_mesh(self.config.mesh)
+        self._device_weights = self._place_weights(program)
+        self._program = program
+
+        def run_fn(weights, inputs):
+            return program.fn(weights, inputs)
+
+        self._jitted = jax.jit(run_fn)
+        logger.info(
+            "loaded model %s: %d ops, %d inputs %s, %d outputs %s, "
+            "%.1f MFLOP/item, %.0f ms",
+            parampath, len(program.impls), len(program.inputs),
+            program.input_names, len(program.outputs), program.output_names,
+            program.flops_per_item / 1e6, (time.perf_counter() - t0) * 1e3)
+        return self
+
+    def release(self) -> None:
+        self._program = None
+        self._jitted = None
+        self._mesh = None
+        self._device_weights = None
+        self._staged = {}
+        self._outputs = {}
+
+    @property
+    def loaded(self) -> bool:
+        return self._program is not None
+
+    # ---- introspection ---------------------------------------------------
+    @property
+    def input_names(self) -> list:
+        self._require_loaded()
+        return self._program.input_names
+
+    @property
+    def output_names(self) -> list:
+        self._require_loaded()
+        return self._program.output_names
+
+    @property
+    def program(self) -> Program:
+        self._require_loaded()
+        return self._program
+
+    @property
+    def mesh(self):
+        return self._mesh
+
+    # ---- run-time calls --------------------------------------------------
+    def input(self, name: str, array) -> None:
+        """Stage one named input (host numpy or jax array).
+
+        Arrays are NHWC by default; with io_layout='nchw' rank-4 arrays
+        are transposed at this boundary. The array lands on device(s)
+        here, sharded batch-over-`data` when a mesh is configured — the
+        host->TPU edge of the reference's alias-into-the-engine Input
+        (engine_impl.cpp:522-528)."""
+        self._require_loaded()
+        if name not in self._program.input_names:
+            raise KeyError(
+                f"unknown input {name!r}; inputs are {self._program.input_names}")
+        x = jnp.asarray(array, dtype=self.config.compute_jnp_dtype)
+        if self.config.io_layout == "nchw" and x.ndim == 4:
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        spec = next(s for s in self._program.inputs if s.name == name)
+        if spec.shape and len(spec.shape) != x.ndim:
+            raise ValueError(
+                f"input {name!r}: rank {x.ndim} does not match declared "
+                f"shape {spec.shape}")
+        if self._mesh is not None:
+            x = jax.device_put(x, input_sharding(self._mesh, x.ndim))
+        self._staged[name] = x
+
+    def forward(self) -> None:
+        """Run the jitted program on the staged inputs."""
+        self._require_loaded()
+        missing = [n for n in self._program.input_names
+                   if n not in self._staged]
+        if missing:
+            raise EngineStateError(f"inputs not set: {missing}")
+        self._outputs = self._jitted(self._device_weights, self._staged)
+
+    def block_until_ready(self) -> None:
+        for v in self._outputs.values():
+            v.block_until_ready()
+
+    def extract(self, name: str, as_numpy: bool = True):
+        """Fetch a named output of the last forward()."""
+        self._require_loaded()
+        if name not in self._outputs:
+            if name in self._program.output_names:
+                raise EngineStateError("forward() has not been run")
+            raise KeyError(
+                f"unknown output {name!r}; outputs are "
+                f"{self._program.output_names}")
+        out = self._outputs[name]
+        if as_numpy and self.config.io_layout == "nchw" and out.ndim == 4:
+            out = jnp.transpose(out, (0, 3, 1, 2))
+        return np.asarray(out) if as_numpy else out
+
+    def run(self, inputs: Optional[dict] = None, **named) -> dict:
+        """One-shot: stage inputs, forward, return all outputs (numpy)."""
+        feeds = dict(inputs or {})
+        feeds.update(named)
+        for k, v in feeds.items():
+            self.input(k, v)
+        self.forward()
+        return {n: self.extract(n) for n in self.output_names}
+
+    # ---- internals ---------------------------------------------------
+    def _require_loaded(self) -> None:
+        if self._program is None:
+            raise EngineStateError("no model loaded")
+
+    def _place_weights(self, program: Program):
+        """Move weights to device, sharded per each OpImpl's shard_hints
+        when a model-parallel mesh is configured."""
+        if self._mesh is None:
+            return jax.tree_util.tree_map(
+                lambda w: w if isinstance(w, QuantizedTensor)
+                else jnp.asarray(w),
+                program.weights,
+                is_leaf=lambda x: isinstance(x, QuantizedTensor))
+        placed = {}
+        hints = {impl.name: impl.shard_hints for impl in program.impls}
+        for opname, wdict in program.weights.items():
+            shardings = weight_shardings(self._mesh, wdict,
+                                         hints.get(opname, {}))
+            placed[opname] = {
+                k: self._put(w, shardings[k]) for k, w in wdict.items()}
+        return placed
+
+    def _put(self, w, sharding):
+        if isinstance(w, QuantizedTensor):
+            # shard the int8 payload per hint; scales follow the same
+            # output-channel axis (1-D vector)
+            data = jax.device_put(jnp.asarray(w.data), sharding)
+            axis_spec = sharding.spec[w.axis] if w.axis < len(
+                sharding.spec) else None
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            scale_sh = NamedSharding(self._mesh, P(axis_spec))
+            scale = jax.device_put(jnp.asarray(w.scale), scale_sh)
+            return QuantizedTensor(data=data, scale=scale, axis=w.axis)
+        return jax.device_put(jnp.asarray(w), sharding)

@@ -1,0 +1,228 @@
+"""Graph executor: pnnx graph -> one jit-compiled XLA program.
+
+This is the TPU-native replacement for the reference's entire runtime
+layer (/root/reference/src/engine_impl.cpp): where the reference builds a
+CGraph dataflow pipeline with one PipelineNode per layer and executes it
+on a 2-thread pool (engine_impl.cpp:336-437), here the graph is lowered
+once into a single pure JAX function and handed to `jax.jit`. XLA then
+provides everything the reference's runtime did by hand or left as TODO:
+
+- inter-op scheduling (CGraph STATIC engine -> XLA program order),
+- operator fusion (conv+bias+activation epilogues; the reference has none),
+- memory planning/reuse (the reference mallocs every intermediate eagerly,
+  engine_impl.cpp:465-482, "TODO: memory pool" at tensor.cpp:54),
+- multi-core parallelism (Eigen ThreadPool(16) -> MXU/VPU + GSPMD).
+
+Lifecycle parity with EngineImpl::LoadModel (engine_impl.cpp:16-75):
+
+    CreateContext        -> (jax runtime, implicit)
+    CreateGraph          -> ir.Graph.load + expand_expression
+    CreateTensorNodes    -> operand table + NCHW->NHWC shape conversion
+                            (engine_impl.cpp:182-189) + input/output
+                            discovery by producer/consumer degree
+                            (engine_impl.cpp:196-211)
+    CreateLayers         -> ops.lower_operator per op (Init+Validate)
+    CreatePipeline       -> build_program (trace order = topo order)
+    AllocateTensorMemory -> (XLA buffer assignment, implicit)
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EngineConfig
+from .ir.expression import expand_expression
+from .ir.graph import Graph, Operand
+from .ops import OpImpl, lower_operator
+from .quant.tensor import quantize_per_channel
+
+
+def nchw_shape_to_nhwc(shape: list) -> list:
+    """Declared pnnx shapes are NCHW; runtime tensors are NHWC.
+
+    Mirrors the conversion at engine_impl.cpp:182-189 (rank-4 only).
+    """
+    if len(shape) == 4:
+        n, c, h, w = shape
+        return [n, h, w, c]
+    return list(shape)
+
+
+@dataclass
+class TensorSpec:
+    """Runtime metadata for one operand (the analog of TensorNode,
+    /root/reference/src/tensor_node.h:9-12, minus the eager buffer)."""
+
+    name: str
+    shape: list  # NHWC for rank-4, -1 = dynamic (batch)
+    dtype: object = jnp.float32
+
+
+@dataclass
+class Program:
+    """A lowered model: pure function + weights, ready to jit."""
+
+    inputs: list  # list[TensorSpec] in declaration order
+    outputs: list  # list[TensorSpec]
+    impls: list  # list[OpImpl] in topo order
+    weights: dict  # op name -> {weight key -> np/jax array | QuantizedTensor}
+    fn: Callable  # fn(weights, inputs_dict) -> outputs_dict
+    flops_per_item: int = 0  # forward FLOPs at batch=1 (roofline accounting)
+
+    @property
+    def input_names(self) -> list:
+        return [s.name for s in self.inputs]
+
+    @property
+    def output_names(self) -> list:
+        return [s.name for s in self.outputs]
+
+
+class GraphError(ValueError):
+    pass
+
+
+def _toposort(graph: Graph) -> list:
+    """Topological order over operators (producer before consumer).
+
+    pnnx files are serialized in topo order already, but the expression
+    expander inserts ops in place; re-sorting keeps the executor
+    independent of serialization order (the analog of CGraph's dependency
+    resolution at engine_impl.cpp:396-404).
+    """
+    indeg = {}
+    consumers = {}
+    for op in graph.ops:
+        produced = set()
+        for r in op.outputs:
+            produced.add(r.name)
+        indeg[id(op)] = 0
+    name_to_producer = {}
+    for op in graph.ops:
+        for r in op.outputs:
+            name_to_producer[r.name] = op
+    edges = {id(op): [] for op in graph.ops}
+    for op in graph.ops:
+        for r in op.inputs:
+            p = name_to_producer.get(r.name)
+            if p is not None and p is not op:
+                edges[id(p)].append(op)
+                indeg[id(op)] += 1
+    from collections import deque
+
+    ready = deque(op for op in graph.ops if indeg[id(op)] == 0)
+    order = []
+    while ready:
+        op = ready.popleft()
+        order.append(op)
+        for c in edges[id(op)]:
+            indeg[id(c)] -= 1
+            if indeg[id(c)] == 0:
+                ready.append(c)
+    if len(order) != len(graph.ops):
+        raise GraphError("graph contains a cycle")
+    return order
+
+
+def discover_io(graph: Graph) -> tuple:
+    """Input/output operands, by op type first then by degree.
+
+    pnnx graphs mark graph I/O with pnnx.Input/pnnx.Output operators; the
+    degree-based classification (no producer -> input, no consumer ->
+    output) matches engine_impl.cpp:196-211 and covers hand-built graphs.
+    """
+    inputs, outputs = [], []
+    for op in graph.ops:
+        if op.type == "pnnx.Input":
+            inputs.extend(op.outputs)
+        elif op.type == "pnnx.Output":
+            outputs.extend(op.inputs)
+    if not inputs:
+        inputs = [r for r in graph.operands if r.producer is None]
+    if not outputs:
+        outputs = [r for r in graph.operands if not r.consumers]
+    if not inputs:
+        raise GraphError("graph has no inputs")
+    if not outputs:
+        raise GraphError("graph has no outputs")
+    return inputs, outputs
+
+
+def _spec_for(operand: Operand) -> TensorSpec:
+    return TensorSpec(name=operand.name,
+                      shape=nchw_shape_to_nhwc(operand.shape))
+
+
+def _estimate_flops(impl: OpImpl, out_shapes: list) -> int:
+    """flops_per_item holds the per-output-pixel term for convs (see
+    ops/conv.py); multiply by spatial extent of the first output."""
+    if impl.flops_per_item == 0 or not out_shapes:
+        return 0
+    s = out_shapes[0]
+    if len(s) == 4:
+        return impl.flops_per_item * int(s[1]) * int(s[2])
+    return impl.flops_per_item
+
+
+def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
+    """Lower a pnnx graph to a Program (pure fn + weights pytree)."""
+    cfg = cfg or EngineConfig()
+    expand_expression(graph)
+    order = _toposort(graph)
+    input_operands, output_operands = discover_io(graph)
+    input_names = {r.name for r in input_operands}
+
+    impls: list[OpImpl] = []
+    weights: dict = {}
+    plan: list[tuple] = []  # (impl, in_names, out_names)
+    flops = 0
+    for op in order:
+        if op.type in ("pnnx.Input", "pnnx.Output"):
+            continue
+        impl = lower_operator(op, cfg)
+        if cfg.quant == "int8w" and impl.quantizable:
+            for key, axis in impl.quantizable.items():
+                if key in impl.weights:
+                    impl.weights[key] = quantize_per_channel(
+                        impl.weights[key], axis)
+        impls.append(impl)
+        weights[impl.name] = impl.weights
+        in_names = [r.name for r in op.inputs]
+        out_names = [r.name for r in op.outputs]
+        plan.append((impl, in_names, out_names))
+        flops += _estimate_flops(
+            impl, [nchw_shape_to_nhwc(r.shape) for r in op.outputs])
+
+    output_names = [r.name for r in output_operands]
+
+    def fn(weights, inputs):
+        env = dict(inputs)
+        for impl, in_names, out_names in plan:
+            args = []
+            for n in in_names:
+                if n not in env:
+                    raise GraphError(
+                        f"op {impl.name!r} consumes operand {n!r} before it "
+                        f"is produced")
+                args.append(env[n])
+            out = impl.apply(weights[impl.name], *args)
+            if impl.n_outputs == 1:
+                env[out_names[0]] = out
+            else:
+                for n, o in zip(out_names, out):
+                    env[n] = o
+        return {n: env[n] for n in output_names}
+
+    return Program(
+        inputs=[_spec_for(r) for r in input_operands],
+        outputs=[_spec_for(r) for r in output_operands],
+        impls=impls,
+        weights=weights,
+        fn=fn,
+        flops_per_item=flops,
+    )

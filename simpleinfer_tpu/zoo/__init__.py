@@ -1,0 +1,12 @@
+"""Model zoo: synthetic pnnx model builders + detection/classify demos.
+
+The reference ships its model fixtures as an out-of-repo git submodule of
+pre-exported .pnnx.param/.bin files (yolov5s/n, mobilenet, resnet —
+SURVEY.md §1.6) which is not available here; instead the zoo *builds*
+those architectures directly as pnnx graphs (ir.Graph) with seeded random
+weights, exercising the exact same op surface. `Graph.save` writes them
+to real .pnnx.param/.bin files when on-disk fixtures are wanted.
+"""
+from .builders import build_mobilenet_like, build_resnet18, build_yolov5
+
+__all__ = ["build_mobilenet_like", "build_resnet18", "build_yolov5"]

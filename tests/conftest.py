@@ -9,12 +9,19 @@ the suite on the real chip instead.
 """
 import os
 
-if not os.environ.get("SI_TPU_TESTS"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+if not os.environ.get("SI_TPU_TESTS"):
+    # The TPU PJRT plugin (when present) registers itself at interpreter
+    # start and wins over the JAX_PLATFORMS env var, so force the choice
+    # through jax.config before any backend initializes.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 

@@ -1,0 +1,176 @@
+"""End-to-end Engine tests: zoo models vs the independent torch oracle.
+
+The analog of the reference's integration binaries (test-engine,
+test-yolo2, test-classify — SURVEY.md §4.2), upgraded from "doesn't
+crash / eyeball the printout" to actual numeric parity against a second
+implementation (tests/torch_ref.py, torch CPU NCHW).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from simpleinfer_tpu import Engine, EngineConfig, MeshConfig
+from simpleinfer_tpu.zoo import (
+    build_mobilenet_like,
+    build_resnet18,
+    build_yolov5,
+)
+from torch_ref import run_graph_torch
+
+RNG = np.random.default_rng(7)
+
+
+def _parity(build_fn, feed_shape_nchw, tol=2e-3, cfg=None, **kwargs):
+    graph, in_name, out_name = build_fn(**kwargs)
+    x_nchw = RNG.standard_normal(feed_shape_nchw).astype(np.float32)
+    want = run_graph_torch(graph, {in_name: x_nchw})  # before expansion
+    eng = Engine(cfg).load_model(None, graph=graph)
+    x_nhwc = np.transpose(x_nchw, (0, 2, 3, 1))
+    got = eng.run({in_name: x_nhwc})
+    assert eng.output_names == [out_name]
+    g, w = got[out_name], want[out_name]
+    if g.ndim == 4:
+        w = np.transpose(w, (0, 2, 3, 1))
+    assert g.shape == w.shape
+    scale = max(1.0, float(np.abs(w).max()))
+    np.testing.assert_allclose(g, w, atol=tol * scale, rtol=1e-3)
+    return eng, got
+
+
+def test_resnet18_parity():
+    _parity(build_resnet18, (2, 3, 64, 64), batch=2, image_size=64,
+            num_classes=17, width=16)
+
+
+def test_mobilenet_parity():
+    _parity(build_mobilenet_like, (1, 3, 64, 64), batch=1, image_size=64,
+            num_classes=11, width_mult=0.5)
+
+
+def test_yolov5n_parity():
+    eng, got = _parity(build_yolov5, (1, 3, 64, 64), variant="n", batch=1,
+                       image_size=64)
+    out = got[eng.output_names[0]]
+    assert out.shape == (1, (64 + 16 + 4) * 3, 85)
+
+
+def test_yolov5_file_roundtrip(tmp_path):
+    """save -> .pnnx.param/.bin -> load_model, like a real pnnx export."""
+    graph, in_name, _ = build_yolov5("n", batch=1, image_size=32)
+    x = RNG.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    want = run_graph_torch(graph, {in_name: x})
+
+    graph2, _, _ = build_yolov5("n", batch=1, image_size=32)
+    param, binf = str(tmp_path / "y.pnnx.param"), str(tmp_path / "y.pnnx.bin")
+    graph2.save(param, binf)
+    eng = Engine().load_model(param, binf)
+    got = eng.run({in_name: np.transpose(x, (0, 2, 3, 1))})
+    (wname,) = want.keys()
+    (gname,) = got.keys()
+    np.testing.assert_allclose(got[gname], want[wname], atol=2e-3, rtol=1e-3)
+
+
+# ------------------------------------------------------------- API surface
+def test_engine_api_errors():
+    eng = Engine()
+    with pytest.raises(Exception):
+        eng.forward()
+    graph, in_name, _ = build_resnet18(batch=1, image_size=32,
+                                       num_classes=4, width=8)
+    eng.load_model(None, graph=graph)
+    with pytest.raises(KeyError):
+        eng.input("nope", np.zeros((1, 32, 32, 3), np.float32))
+    with pytest.raises(Exception):
+        eng.forward()  # input not staged
+    eng.input(in_name, np.zeros((1, 32, 32, 3), np.float32))
+    eng.forward()
+    with pytest.raises(KeyError):
+        eng.extract("nope")
+    out = eng.extract(eng.output_names[0])
+    assert out.shape == (1, 4)
+    eng.release()
+    assert not eng.loaded
+
+
+def test_engine_reload_is_idempotent():
+    g1, in_name, _ = build_resnet18(batch=1, image_size=32, num_classes=4,
+                                    width=8)
+    g2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=6, width=8)
+    eng = Engine().load_model(None, graph=g1)
+    eng.load_model(None, graph=g2)
+    out = eng.run({in_name: np.zeros((1, 32, 32, 3), np.float32)})
+    assert next(iter(out.values())).shape == (1, 6)
+
+
+def test_nchw_io_layout():
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    want = run_graph_torch(graph, {
+        in_name: np.ones((1, 3, 32, 32), np.float32)})
+    cfg = EngineConfig(io_layout="nchw")
+    eng = Engine(cfg).load_model(None, graph=graph)
+    got = eng.run({in_name: np.ones((1, 3, 32, 32), np.float32)})
+    np.testing.assert_allclose(got[out_name], want[out_name], atol=1e-2,
+                               rtol=1e-3)
+
+
+def test_batch_is_the_only_rejit_axis():
+    graph, in_name, _ = build_resnet18(batch=1, image_size=32,
+                                       num_classes=4, width=8)
+    eng = Engine().load_model(None, graph=graph)
+    for bs in (1, 3):
+        out = eng.run({in_name: np.zeros((bs, 32, 32, 3), np.float32)})
+        assert next(iter(out.values())).shape == (bs, 4)
+
+
+# ------------------------------------------------------------ quantization
+def test_int8_weight_only_close_to_fp32():
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=8, width=16)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    fp = Engine().load_model(None, graph=graph).run({in_name: x})[out_name]
+
+    graph2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=8,
+                                  width=16)
+    q = Engine(EngineConfig(quant="int8w")).load_model(
+        None, graph=graph2).run({in_name: x})[out_name]
+    # int8 weight-only: small relative error, identical argmax ranking
+    scale = float(np.abs(fp).max())
+    assert np.abs(q - fp).max() < 0.05 * scale
+    assert np.argmax(q) == np.argmax(fp)
+
+
+# --------------------------------------------------------------- sharding
+def test_data_parallel_mesh_cpu():
+    """Batch-sharded DP over the 8-device simulated mesh (SURVEY.md §4.4)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    graph, in_name, out_name = build_resnet18(batch=8, image_size=32,
+                                              num_classes=4, width=8)
+    ref_graph, _, _ = build_resnet18(batch=8, image_size=32, num_classes=4,
+                                     width=8)
+    x = RNG.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref_graph).run({in_name: x})
+    cfg = EngineConfig(mesh=MeshConfig(data=8, model=1))
+    eng = Engine(cfg).load_model(None, graph=graph)
+    got = eng.run({in_name: x})
+    np.testing.assert_allclose(got[out_name], want[out_name], atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_tensor_parallel_mesh_cpu():
+    """Channel-sharded TP (model axis) matches single-device output."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    graph, in_name, out_name = build_resnet18(batch=2, image_size=32,
+                                              num_classes=4, width=8)
+    ref_graph, _, _ = build_resnet18(batch=2, image_size=32, num_classes=4,
+                                     width=8)
+    x = RNG.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref_graph).run({in_name: x})
+    cfg = EngineConfig(mesh=MeshConfig(data=2, model=4))
+    eng = Engine(cfg).load_model(None, graph=graph)
+    got = eng.run({in_name: x})
+    np.testing.assert_allclose(got[out_name], want[out_name], atol=1e-4,
+                               rtol=1e-4)

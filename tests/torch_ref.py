@@ -1,0 +1,149 @@
+"""Independent pnnx-graph interpreter in torch (CPU, NCHW).
+
+The whole-model analog of the reference's naive-loop oracles (SURVEY.md
+§4.1): every op is re-implemented through torch.nn.functional on NCHW
+tensors — a completely separate code path from the framework's NHWC
+jax/XLA lowering — so an end-to-end match validates layout conversion,
+weight transforms, expression expansion and executor wiring at once.
+Test-only; the framework itself never imports torch.
+"""
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def _t(a):
+    return torch.from_numpy(np.ascontiguousarray(a)).float()
+
+
+def _conv2d(op, x):
+    w = _t(op.attrs["weight"].array())
+    b = _t(op.attrs["bias"].array()) if op.params["bias"].b else None
+    if op.params["padding_mode"].s != "zeros":
+        pad = op.params["padding"].ai
+        x = F.pad(x, (pad[1], pad[1], pad[0], pad[0]),
+                  mode={"replicate": "replicate",
+                        "reflect": "reflect"}[op.params["padding_mode"].s])
+        padding = [0, 0]
+    else:
+        padding = op.params["padding"].ai
+    return F.conv2d(x, w, b, stride=op.params["stride"].ai,
+                    padding=padding, dilation=op.params["dilation"].ai,
+                    groups=op.params["groups"].i)
+
+
+def _bn(op, x):
+    return F.batch_norm(
+        x, _t(op.attrs["running_mean"].array()),
+        _t(op.attrs["running_var"].array()),
+        _t(op.attrs["weight"].array()), _t(op.attrs["bias"].array()),
+        training=False, eps=op.params["eps"].f)
+
+
+def _maxpool(op, x):
+    return F.max_pool2d(
+        x, kernel_size=op.params["kernel_size"].ai,
+        stride=op.params["stride"].ai, padding=op.params["padding"].ai,
+        dilation=op.params["dilation"].ai,
+        ceil_mode=op.params["ceil_mode"].b)
+
+
+def _upsample(op, x):
+    if op.has_param("scale_factor", 6) or op.has_param("scale_factor", 3):
+        p = op.params["scale_factor"]
+        scale = p.af if p.type == 6 else [p.f, p.f]
+        return F.interpolate(x, scale_factor=scale, mode="nearest")
+    p = op.params["size"]
+    size = p.ai if p.type == 5 else [p.i, p.i]
+    return F.interpolate(x, size=size, mode="nearest")
+
+
+def _linear(op, x):
+    b = _t(op.attrs["bias"].array()) if op.params["bias"].b else None
+    return F.linear(x, _t(op.attrs["weight"].array()), b)
+
+
+def _expression(op, args):
+    expr = op.params["expr"].s
+    if expr == "add(@0,@1)":
+        return args[0] + args[1]
+    if expr == "mul(@0,@1)":
+        return args[0] * args[1]
+    raise NotImplementedError(f"torch oracle: expression {expr!r}")
+
+
+def _yolo_detect(op, features):
+    strides = op.attrs["pnnx_5"].array()
+    anchor_idx, grid_idx = (4, 2, 0), (6, 3, 1)
+    outs = []
+    for i, x in enumerate(features):
+        w = _t(op.attrs[f"m.{i}.weight"].array())
+        b = _t(op.attrs[f"m.{i}.bias"].array())
+        ag = op.attrs[f"pnnx_{anchor_idx[i]}"].array()  # [1,A,H,W,2]
+        gr = op.attrs[f"pnnx_{grid_idx[i]}"].array()
+        na = ag.shape[1]
+        y = torch.sigmoid(F.conv2d(x, w, b))
+        n, c, h, wd = y.shape
+        no = c // na
+        # NCHW [N, A*no, H, W] -> [N, H*W*A, no] in (h, w, a) order,
+        # matching the engine's NHWC reshape
+        y = (y.view(n, na, no, h, wd).permute(0, 3, 4, 1, 2)
+             .reshape(n, h * wd * na, no))
+        grid = _t(np.transpose(gr, (0, 2, 3, 1, 4)).reshape(1, -1, 2))
+        anch = _t(np.transpose(ag, (0, 2, 3, 1, 4)).reshape(1, -1, 2))
+        xy = (y[..., 0:2] * 2.0 + grid) * float(strides[i])
+        wh = (y[..., 2:4] * 2.0) ** 2 * anch
+        outs.append(torch.cat([xy, wh, y[..., 4:]], dim=-1))
+    return torch.cat(outs, dim=1)
+
+
+_ACTS = {
+    "nn.ReLU": F.relu, "F.relu": F.relu,
+    "nn.Sigmoid": torch.sigmoid, "F.sigmoid": torch.sigmoid,
+    "nn.SiLU": F.silu, "F.silu": F.silu,
+    "nn.Hardsigmoid": F.hardsigmoid, "F.hardsigmoid": F.hardsigmoid,
+    "nn.Hardswish": F.hardswish, "F.hardswish": F.hardswish,
+}
+
+
+@torch.no_grad()
+def run_graph_torch(graph, feeds_nchw):
+    """Execute a pnnx ir.Graph on torch CPU. feeds/results are NCHW
+    numpy arrays keyed by operand name."""
+    env = {k: _t(v) for k, v in feeds_nchw.items()}
+    outputs = []
+    for op in graph.ops:
+        if op.type == "pnnx.Input":
+            continue
+        if op.type == "pnnx.Output":
+            outputs.extend(r.name for r in op.inputs)
+            continue
+        args = [env[r.name] for r in op.inputs]
+        t = op.type
+        if t == "nn.Conv2d":
+            out = _conv2d(op, args[0])
+        elif t == "nn.BatchNorm2d":
+            out = _bn(op, args[0])
+        elif t in _ACTS:
+            out = _ACTS[t](args[0])
+        elif t == "nn.MaxPool2d":
+            out = _maxpool(op, args[0])
+        elif t == "nn.AdaptiveAvgPool2d":
+            out = F.adaptive_avg_pool2d(args[0], op.params["output_size"].ai)
+        elif t in ("nn.Upsample", "nn.UpsamplingNearest2d"):
+            out = _upsample(op, args[0])
+        elif t == "torch.cat":
+            out = torch.cat(args, dim=op.params["dim"].i)
+        elif t == "torch.flatten":
+            out = torch.flatten(args[0], op.params["start_dim"].i,
+                                op.params["end_dim"].i)
+        elif t == "nn.Linear":
+            out = _linear(op, args[0])
+        elif t == "pnnx.Expression":
+            out = _expression(op, args)
+        elif t == "models.yolo.Detect":
+            out = _yolo_detect(op, args)
+        else:
+            raise NotImplementedError(f"torch oracle: op type {t!r}")
+        env[op.outputs[0].name] = out
+    return {n: env[n].numpy() for n in outputs}
