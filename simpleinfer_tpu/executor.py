@@ -73,6 +73,9 @@ class Program:
     weights: dict  # op name -> {weight key -> np/jax array | QuantizedTensor}
     fn: Callable  # fn(weights, inputs_dict) -> outputs_dict
     flops_per_item: int = 0  # forward FLOPs at batch=1 (roofline accounting)
+    # op name -> list of inferred output shapes at batch=1 (NHWC), from
+    # abstract evaluation; {} when graph input shapes are undeclared
+    op_output_shapes: dict = field(default_factory=dict)
 
     @property
     def input_names(self) -> list:
@@ -158,14 +161,34 @@ def _spec_for(operand: Operand) -> TensorSpec:
                       shape=nchw_shape_to_nhwc(operand.shape))
 
 
+def _infer_op_shapes(plan: list, input_specs: list) -> dict:
+    """Abstract-evaluate the plan (jax.eval_shape — no FLOPs spent) to
+    get every op's output shapes at batch=1. The shape-propagation
+    analog of the reference's per-layer ValidateShape during load
+    (engine_impl.cpp:232-310), and the input to roofline accounting.
+    Returns {} when any graph input lacks a declared shape."""
+    env: dict = {}
+    for s in input_specs:
+        if not s.shape:
+            return {}
+        shape = tuple(1 if d == -1 else int(d) for d in s.shape)
+        env[s.name] = jax.ShapeDtypeStruct(shape, s.dtype)
+    shapes: dict = {}
+    for impl, in_names, out_names in plan:
+        out = jax.eval_shape(impl.apply, impl.weights,
+                             *[env[n] for n in in_names])
+        outs = [out] if impl.n_outputs == 1 else list(out)
+        for n, o in zip(out_names, outs):
+            env[n] = o
+        shapes[impl.name] = [list(o.shape) for o in outs]
+    return shapes
+
+
 def _estimate_flops(impl: OpImpl, out_shapes: list) -> int:
-    """flops_per_item holds the per-output-pixel term for convs (see
-    ops/conv.py); multiply by spatial extent of the first output."""
-    if impl.flops_per_item == 0 or not out_shapes:
-        return 0
-    s = out_shapes[0]
-    if len(s) == 4:
-        return impl.flops_per_item * int(s[1]) * int(s[2])
+    if impl.flops_per_pixel and out_shapes:
+        s = out_shapes[0]
+        if len(s) == 4:
+            return impl.flops_per_pixel * int(s[1]) * int(s[2])
     return impl.flops_per_item
 
 
@@ -180,7 +203,6 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
     impls: list[OpImpl] = []
     weights: dict = {}
     plan: list[tuple] = []  # (impl, in_names, out_names)
-    flops = 0
     for op in order:
         if op.type in ("pnnx.Input", "pnnx.Output"):
             continue
@@ -195,8 +217,11 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         in_names = [r.name for r in op.inputs]
         out_names = [r.name for r in op.outputs]
         plan.append((impl, in_names, out_names))
-        flops += _estimate_flops(
-            impl, [nchw_shape_to_nhwc(r.shape) for r in op.outputs])
+
+    input_specs = [_spec_for(r) for r in input_operands]
+    op_shapes = _infer_op_shapes(plan, input_specs)
+    flops = sum(_estimate_flops(impl, op_shapes.get(impl.name, []))
+                for impl in impls)
 
     output_names = [r.name for r in output_operands]
 
@@ -219,10 +244,11 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         return {n: env[n] for n in output_names}
 
     return Program(
-        inputs=[_spec_for(r) for r in input_operands],
+        inputs=input_specs,
         outputs=[_spec_for(r) for r in output_operands],
         impls=impls,
         weights=weights,
         fn=fn,
         flops_per_item=flops,
+        op_output_shapes=op_shapes,
     )

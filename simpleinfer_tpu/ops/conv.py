@@ -110,8 +110,8 @@ def lower_conv2d(op, cfg):
             stride=stride_t, padding=pad, dilation=dilation_t,
             groups=groups, padding_mode=padding_mode)
 
-    # flops at batch 1: 2 * OH*OW * OC * (IC/g) * KH*KW (filled by executor
-    # once output shape is known; store the per-pixel term here)
+    # flops at batch 1: 2 * OH*OW * OC * (IC/g) * KH*KW; the executor
+    # multiplies the per-pixel term by OH*OW after shape inference
     per_pixel = 2 * out_channels * (in_channels // groups) * kernel[0] * kernel[1]
 
     return OpImpl(
@@ -119,5 +119,5 @@ def lower_conv2d(op, cfg):
         quantizable={"weight": 3},  # HWIO: out channels on axis 3
         shard_hints={"weight": (None, None, None, "model"),
                      "bias": ("model",)},
-        flops_per_item=per_pixel,
+        flops_per_pixel=per_pixel,
     )

@@ -36,8 +36,12 @@ class OpImpl:
     # weight key -> PartitionSpec-style tuple for tensor-parallel sharding
     # (None entries = replicated dims); consumed by parallel/mesh.py
     shard_hints: dict = field(default_factory=dict)
-    # estimated flops per forward at batch=1 (roofline accounting)
+    # estimated flops per forward at batch=1 (roofline accounting):
+    # flops_per_item is a complete per-batch-item count (linear), while
+    # flops_per_pixel is multiplied by the op's output H*W once shapes
+    # are inferred (conv — spatial extent unknown at lowering time)
     flops_per_item: int = 0
+    flops_per_pixel: int = 0
 
 
 class UnsupportedOpError(Exception):

@@ -1,0 +1,165 @@
+"""Tests for the demo layer: letterbox, NMS, decode, classify pipeline.
+
+Oracle discipline follows the reference's app-level checks
+(test_yolo.cpp pre/postprocess, SURVEY.md §3.4): scalar reference
+implementations inline in the tests.
+"""
+import numpy as np
+import pytest
+
+from simpleinfer_tpu.zoo.classify import preprocess_classify, softmax, top_k
+from simpleinfer_tpu.zoo.detect import (
+    Letterbox,
+    decode_predictions,
+    detect_images,
+    iou_xyxy,
+    letterbox,
+    nms,
+)
+
+RNG = np.random.default_rng(3)
+
+
+# -------------------------------------------------------------- letterbox
+def test_letterbox_geometry():
+    img = np.full((100, 200, 3), 255, np.uint8)  # wide image
+    canvas, lb = letterbox(img, size=64, normalize=False)
+    assert canvas.shape == (64, 64, 3)
+    assert lb.scale == pytest.approx(64 / 200)
+    # vertical padding: scaled height = 32, so 16 px gray top and bottom
+    assert lb.pad_y == 16 and lb.pad_x == 0
+    assert (canvas[:16] == 114.0).all() and (canvas[-16:] == 114.0).all()
+    assert (canvas[16:48] == 255.0).all()
+
+
+def test_letterbox_unmap_roundtrip():
+    lb = Letterbox(scale=0.5, pad_x=10, pad_y=20)
+    boxes = np.asarray([[10.0, 20.0, 110.0, 120.0]])
+    back = lb.unmap(boxes)
+    np.testing.assert_allclose(back, [[0.0, 0.0, 200.0, 200.0]])
+
+
+def test_letterbox_bgr_to_rgb():
+    img = np.zeros((10, 10, 3), np.uint8)
+    img[..., 0] = 200  # blue channel (BGR)
+    canvas, _ = letterbox(img, size=10, normalize=False)
+    assert (canvas[..., 2] == 200).all() and (canvas[..., 0] == 0).all()
+
+
+# -------------------------------------------------------------------- nms
+def test_iou_exact():
+    a = np.asarray([0.0, 0, 10, 10])
+    b = np.asarray([[5.0, 5, 15, 15], [20, 20, 30, 30], [0, 0, 10, 10]])
+    got = iou_xyxy(a, b)
+    np.testing.assert_allclose(got, [25 / 175, 0.0, 1.0], atol=1e-6)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = np.asarray([[0.0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]])
+    scores = np.asarray([0.9, 0.8, 0.7])
+    keep = nms(boxes, scores, iou_thresh=0.45)
+    assert list(keep) == [0, 2]
+
+
+def test_nms_keeps_all_when_disjoint():
+    boxes = np.asarray([[i * 20.0, 0, i * 20 + 10, 10] for i in range(5)])
+    scores = RNG.uniform(0.1, 1.0, 5)
+    keep = nms(boxes, scores, iou_thresh=0.45)
+    assert sorted(keep) == list(range(5))
+    # keep is ordered by descending score
+    assert (np.diff(scores[keep]) <= 1e-9).all()
+
+
+# ------------------------------------------------------------------ decode
+def _pred_row(cx, cy, w, h, obj, cls_probs):
+    return np.asarray([cx, cy, w, h, obj, *cls_probs], np.float32)
+
+
+def test_decode_thresholds_and_classes():
+    nc = 3
+    pred = np.stack([
+        _pred_row(100, 100, 20, 20, 0.9, [0.9, 0.05, 0.05]),  # class 0
+        _pred_row(100, 100, 22, 22, 0.8, [0.0, 0.9, 0.1]),    # class 1 overlap
+        _pred_row(300, 300, 40, 40, 0.9, [0.0, 0.1, 0.9]),    # class 2
+        _pred_row(50, 50, 10, 10, 0.1, [0.9, 0.05, 0.05]),    # below thresh
+    ])
+    dets = decode_predictions(pred, conf_thresh=0.25, iou_thresh=0.45)
+    # class-wise NMS: overlapping boxes of DIFFERENT classes both survive
+    assert len(dets) == 3
+    assert sorted(d.class_id for d in dets) == [0, 1, 2]
+    d0 = next(d for d in dets if d.class_id == 0)
+    assert d0.box == pytest.approx((90, 90, 110, 110))
+    assert d0.score == pytest.approx(0.9 * 0.9)
+
+
+def test_decode_class_agnostic_suppresses_cross_class():
+    pred = np.stack([
+        _pred_row(100, 100, 20, 20, 0.9, [0.9, 0.05]),
+        _pred_row(100, 100, 22, 22, 0.8, [0.0, 0.9]),
+    ])
+    dets = decode_predictions(pred, conf_thresh=0.25, class_agnostic=True)
+    assert len(dets) == 1 and dets[0].class_id == 0
+
+
+def test_decode_unmap_and_clip():
+    pred = np.stack([_pred_row(5, 5, 20, 20, 0.9, [1.0])])
+    lb = Letterbox(scale=1.0, pad_x=0, pad_y=0)
+    dets = decode_predictions(pred, lb, image_shape=(100, 100))
+    assert dets[0].box == pytest.approx((0, 0, 15, 15))  # clipped at 0
+
+
+def test_decode_empty():
+    pred = np.zeros((10, 85), np.float32)
+    assert decode_predictions(pred) == []
+
+
+# ---------------------------------------------------------------- classify
+def test_preprocess_classify_shape_and_norm():
+    img = RNG.integers(0, 255, (300, 400, 3)).astype(np.uint8)
+    x = preprocess_classify(img, size=64)
+    assert x.shape == (64, 64, 3)
+    # un-normalized variant stays in [0,1]
+    x2 = preprocess_classify(img, size=64, normalize=False)
+    assert 0.0 <= x2.min() and x2.max() <= 1.0
+
+
+def test_softmax_topk():
+    logits = np.asarray([[0.0, 2.0, 1.0]])
+    p = softmax(logits)
+    np.testing.assert_allclose(p.sum(), 1.0, atol=1e-6)
+    tk = top_k(logits, k=2)
+    assert tk[0][0][0] == 1 and tk[0][1][0] == 2
+
+
+# ------------------------------------------------------- end-to-end demo
+def test_detect_images_end_to_end():
+    """Full demo path through a real (tiny) yolov5 engine."""
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    graph, in_name, _ = build_yolov5("n", batch=2, image_size=64)
+    eng = Engine().load_model(None, graph=graph)
+    imgs = [RNG.integers(0, 255, (48, 80, 3)).astype(np.uint8),
+            RNG.integers(0, 255, (80, 48, 3)).astype(np.uint8)]
+    results = detect_images(eng, imgs, size=64)
+    assert len(results) == 2
+    for dets, img in zip(results, imgs):
+        for d in dets:
+            x1, y1, x2, y2 = d.box
+            assert 0 <= x1 <= img.shape[1] and 0 <= y2 <= img.shape[0]
+            assert 0.0 < d.score <= 1.0
+            assert isinstance(d.class_name, str)
+
+
+def test_classify_images_end_to_end():
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_resnet18
+    from simpleinfer_tpu.zoo.classify import classify_images
+
+    graph, in_name, _ = build_resnet18(batch=1, image_size=64,
+                                       num_classes=10, width=8)
+    eng = Engine().load_model(None, graph=graph)
+    img = RNG.integers(0, 255, (100, 120, 3)).astype(np.uint8)
+    tk = classify_images(eng, [img], size=64, k=3)
+    assert len(tk) == 1 and len(tk[0]) == 3
+    assert abs(sum(p for _, p in tk[0])) <= 1.0 + 1e-6
