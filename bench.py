@@ -1,14 +1,21 @@
-"""Headline benchmark: YOLOv5s 640x640 INT8 images/sec on one chip.
+"""Headline benchmark: YOLOv5s 640x640 batch-8 throughput on one chip.
 
 The reference's benchmark is BM_Yolov5s_Batch8_640x640 — wall-ms per
 Engine::Forward() at batch 8 (/root/reference/bench/bench_yolo.cpp:7-34).
-The reference publishes no numbers (BASELINE.md), so `vs_baseline` is
-reported against this framework's own FP32 single-chip run — the
-"beat-your-own-fp32" discipline BASELINE.json asks for (INT8 ≥ FP32).
+The reference publishes no numbers (BASELINE.md), so `vs_baseline`
+reports INT8(bf16 activations) vs this framework's own FP32 single-chip
+run — the BASELINE.json discipline (INT8 must not lose to FP32).
+
+Measurement notes: on the remote-attached TPU, per-dispatch round-trip
+latency (~25 ms) can exceed kernel time and Array.block_until_ready is
+unreliable over the relay, so throughput is measured by enqueueing
+`iters` forwards (they execute in order on the device stream) and
+fetching a tiny scalar summary of the LAST output — one RTT amortized
+over the whole queue.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
-plus optional detail lines on stderr.
+plus per-config detail on stderr.
 """
 import json
 import os
@@ -18,20 +25,24 @@ import time
 import numpy as np
 
 
-def _bench_engine(eng, in_name, batch, image_size, warmup=2, iters=10):
-    x = np.random.default_rng(0).standard_normal(
-        (batch, image_size, image_size, 3)).astype(np.float32) / 4.0
+def _throughput(eng, in_name, out_name, batch, image_size, dtype,
+                warmup=2, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    x = (np.random.default_rng(0)
+         .standard_normal((batch, image_size, image_size, 3))
+         .astype(np.float32) / 4.0)
     eng.input(in_name, x)
+    summarize = jax.jit(lambda o: jnp.sum(o[0, :4, :4]).astype(jnp.float32))
     for _ in range(warmup):
         eng.forward()
-        eng.block_until_ready()
-    times = []
+        np.asarray(summarize(eng._outputs[out_name]))  # full sync
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         eng.forward()
-        eng.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    np.asarray(summarize(eng._outputs[out_name]))  # sync once at the end
+    dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
 
 
@@ -43,25 +54,29 @@ def main():
     image_size = int(os.environ.get("SI_BENCH_IMG", "640"))
     variant = os.environ.get("SI_BENCH_VARIANT", "s")
 
-    graph_fp, in_name, _ = build_yolov5(variant, batch=batch,
-                                        image_size=image_size)
-    eng_fp = Engine(EngineConfig()).load_model(None, graph=graph_fp)
-    fp_ips, fp_dt = _bench_engine(eng_fp, in_name, batch, image_size)
-    print(f"fp32:  {fp_ips:8.1f} img/s  ({fp_dt * 1e3:.2f} ms / batch "
-          f"{batch})", file=sys.stderr)
-    eng_fp.release()
-
-    graph_q, _, _ = build_yolov5(variant, batch=batch, image_size=image_size)
-    eng_q = Engine(EngineConfig(quant="int8w")).load_model(None, graph=graph_q)
-    q_ips, q_dt = _bench_engine(eng_q, in_name, batch, image_size)
-    print(f"int8w: {q_ips:8.1f} img/s  ({q_dt * 1e3:.2f} ms / batch "
-          f"{batch})", file=sys.stderr)
+    results = {}
+    configs = [
+        ("fp32", EngineConfig()),
+        ("bf16", EngineConfig(compute_dtype="bfloat16")),
+        ("int8w", EngineConfig(compute_dtype="bfloat16", quant="int8w")),
+    ]
+    for label, cfg in configs:
+        graph, in_name, out_name = build_yolov5(variant, batch=batch,
+                                                image_size=image_size)
+        eng = Engine(cfg).load_model(None, graph=graph)
+        ips, dt = _throughput(eng, in_name, out_name, batch, image_size,
+                              cfg.compute_jnp_dtype)
+        gflops = eng.program.flops_per_item * batch / 1e9
+        print(f"{label:6s} {ips:9.1f} img/s  {dt * 1e3:7.2f} ms/batch{batch}"
+              f"  {gflops / dt / 1e3:6.1f} TFLOP/s", file=sys.stderr)
+        results[label] = ips
+        eng.release()
 
     print(json.dumps({
         "metric": f"yolov5{variant}_{image_size}_b{batch}_int8w_throughput",
-        "value": round(q_ips, 2),
+        "value": round(results["int8w"], 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(q_ips / fp_ips, 3),
+        "vs_baseline": round(results["int8w"] / results["fp32"], 3),
     }))
 
 

@@ -10,16 +10,20 @@ from .config import EngineConfig, MeshConfig
 from .engine import Engine, EngineStateError, initialize_context
 from .executor import Program, build_program
 from .ir.graph import Graph
+from .tensor import DataType, Status, Tensor
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "DataType",
     "Engine",
     "EngineConfig",
     "EngineStateError",
     "Graph",
     "MeshConfig",
     "Program",
+    "Status",
+    "Tensor",
     "build_program",
     "initialize_context",
     "__version__",

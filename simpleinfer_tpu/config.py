@@ -46,8 +46,14 @@ class EngineConfig:
     io_layout: str = "nhwc"
     # device mesh; None = single device
     mesh: Optional[MeshConfig] = None
-    # use Pallas kernels for eligible ops (1x1 int8 convs, linear);
-    # None = auto (on TPU backends only)
+    # run load-time graph fusions (conv+bn fold, conv+activation tagging;
+    # ir/passes.py). Off = every op runs standalone like the reference.
+    fuse: bool = True
+    # use Pallas kernels for eligible ops (1x1 int8 convs, int8 linear).
+    # None = auto, currently OFF: measured on v5e, XLA's implicit-GEMM
+    # convs + fusion beat the standalone int8 kernel end-to-end
+    # (1155 vs 854 img/s yolov5s-640-b8; pallas_call is a fusion
+    # barrier). Set True to force the Pallas path (single-device only).
     use_pallas: Optional[bool] = None
     # donate input buffers to the jitted call
     donate_inputs: bool = False

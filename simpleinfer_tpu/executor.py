@@ -76,6 +76,9 @@ class Program:
     # op name -> list of inferred output shapes at batch=1 (NHWC), from
     # abstract evaluation; {} when graph input shapes are undeclared
     op_output_shapes: dict = field(default_factory=dict)
+    # execution plan: [(OpImpl, input operand names, output operand names)]
+    # in topo order — consumed by profiling.timed_run and debug tooling
+    plan: list = field(default_factory=list)
 
     @property
     def input_names(self) -> list:
@@ -196,6 +199,10 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
     """Lower a pnnx graph to a Program (pure fn + weights pytree)."""
     cfg = cfg or EngineConfig()
     expand_expression(graph)
+    if cfg.fuse:
+        from .ir.passes import run_inference_fusions
+
+        run_inference_fusions(graph)
     order = _toposort(graph)
     input_operands, output_operands = discover_io(graph)
     input_names = {r.name for r in input_operands}
@@ -251,4 +258,5 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         fn=fn,
         flops_per_item=flops,
         op_output_shapes=op_shapes,
+        plan=plan,
     )

@@ -1,0 +1,130 @@
+"""Load-time graph rewrite passes (inference fusions).
+
+The reference has exactly one graph pass — expand_expression
+(SURVEY.md §2.2 #12) — and leaves op fusion to nobody (each layer runs
+standalone; conv+bn+relu is three pipeline nodes). Here two classic
+inference fusions run on the IR before lowering:
+
+- fuse_conv_bn: Conv2d (bias optional) followed by BatchNorm2d folds the
+  BN affine into the conv weights/bias (f64 arithmetic at load). Besides
+  saving an op, this is REQUIRED for int8 weight-only accuracy: quantizing
+  pre-BN weights and applying BN after dequant would double the effective
+  quantization noise; folding first keeps per-channel scales meaningful.
+  (BASELINE.json config 4: "fused conv+bn+relu".)
+- fuse_conv_activation: Conv2d followed by ReLU/SiLU/Hardswish/... tags
+  the conv with a `si_fused_act` param and deletes the activation op, so
+  the lowering can run the activation inside the conv epilogue (the
+  Pallas int8 kernel applies it on the VPU before writeback; the lax path
+  applies it inline and XLA fuses).
+
+Both passes only fire when the intermediate operand has exactly one
+consumer and is not a graph output.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .graph import Graph, Operator, Parameter
+
+# pnnx activation type -> epilogue name understood by kernels/matmul.py
+FUSABLE_ACTIVATIONS = {
+    "nn.ReLU": "relu",
+    "F.relu": "relu",
+    "nn.SiLU": "silu",
+    "F.silu": "silu",
+    "nn.Sigmoid": "sigmoid",
+    "F.sigmoid": "sigmoid",
+    "nn.Hardsigmoid": "hardsigmoid",
+    "F.hardsigmoid": "hardsigmoid",
+    "nn.Hardswish": "hardswish",
+    "F.hardswish": "hardswish",
+}
+
+FUSED_ACT_PARAM = "si_fused_act"
+
+
+def _single_consumer(graph: Graph, op: Operator):
+    """The unique consumer of op's single output, or None (also None when
+    the output is a graph output via pnnx.Output)."""
+    if len(op.outputs) != 1:
+        return None
+    operand = op.outputs[0]
+    if len(operand.consumers) != 1:
+        return None
+    nxt = operand.consumers[0]
+    if nxt.type == "pnnx.Output":
+        return None
+    return nxt
+
+
+def _splice_out(graph: Graph, producer: Operator, dead: Operator) -> None:
+    """Rewire producer to take over dead's output operand and delete dead
+    and the intermediate operand."""
+    mid = producer.outputs[0]
+    out = dead.outputs[0]
+    out.producer = producer
+    producer.outputs[0] = out
+    graph.remove_operand(mid)
+    graph.remove_operator(dead)
+
+
+def fuse_conv_bn(graph: Graph) -> int:
+    """Fold BatchNorm2d into the preceding Conv2d. Returns #fusions."""
+    n = 0
+    for op in list(graph.ops):
+        if op.type != "nn.Conv2d":
+            continue
+        nxt = _single_consumer(graph, op)
+        if nxt is None or nxt.type != "nn.BatchNorm2d":
+            continue
+        eps = nxt.params["eps"].f
+        mean = nxt.attrs["running_mean"].array().astype(np.float64)
+        var = nxt.attrs["running_var"].array().astype(np.float64)
+        gamma = nxt.attrs["weight"].array().astype(np.float64)
+        beta = nxt.attrs["bias"].array().astype(np.float64)
+        scale = gamma / np.sqrt(var + eps)  # per out-channel
+        shift = beta - mean * scale
+
+        w = op.attrs["weight"].array().astype(np.float64)  # OIHW
+        w = w * scale[:, None, None, None]
+        from .graph import Attribute
+
+        op.attrs["weight"] = Attribute.from_array(w.astype(np.float32))
+        if op.params["bias"].b:
+            b = op.attrs["bias"].array().astype(np.float64)
+        else:
+            b = np.zeros(w.shape[0], np.float64)
+            op.params["bias"] = Parameter.from_value(True)
+        op.attrs["bias"] = Attribute.from_array(
+            (b * scale + shift).astype(np.float32))
+        _splice_out(graph, op, nxt)
+        n += 1
+    return n
+
+
+def fuse_conv_activation(graph: Graph) -> int:
+    """Tag convs (and linears) whose sole consumer is a fusable
+    activation; delete the activation op. Returns #fusions."""
+    n = 0
+    for op in list(graph.ops):
+        if op.type not in ("nn.Conv2d", "nn.Linear"):
+            continue
+        if FUSED_ACT_PARAM in op.params:
+            continue
+        nxt = _single_consumer(graph, op)
+        if nxt is None:
+            continue
+        act = FUSABLE_ACTIVATIONS.get(nxt.type)
+        if act is None:
+            continue
+        op.params[FUSED_ACT_PARAM] = Parameter.from_value(act)
+        _splice_out(graph, op, nxt)
+        n += 1
+    return n
+
+
+def run_inference_fusions(graph: Graph) -> dict:
+    """conv+bn first (so conv+bn+act chains end as one fused conv)."""
+    stats = {"conv_bn": fuse_conv_bn(graph),
+             "conv_act": fuse_conv_activation(graph)}
+    return stats

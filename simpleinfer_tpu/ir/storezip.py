@@ -41,9 +41,14 @@ class StoreZipReader:
         if path is not None:
             self.open(path)
 
+    # archives larger than this try the native index walker first
+    _NATIVE_THRESHOLD = 1 << 20
+
     def open(self, path: str) -> None:
         self.close()
         self._fp = open(path, "rb")
+        if self._try_native_index(path):
+            return
         fp = self._fp
         while True:
             sig_bytes = fp.read(4)
@@ -94,6 +99,32 @@ class StoreZipReader:
                     fp.seek(12, 1)
                 else:
                     fp.seek(8, 1)
+
+    def _try_native_index(self, path: str) -> bool:
+        """Index via the C library (csrc/si_host.cpp) when built and the
+        archive is big enough to matter; False -> python walker."""
+        import os
+
+        try:
+            if os.path.getsize(path) < self._NATIVE_THRESHOLD:
+                return False
+            from .. import host
+
+            if not host.available():
+                return False
+            import mmap
+
+            with mmap.mmap(self._fp.fileno(), 0,
+                           access=mmap.ACCESS_READ) as mm:
+                idx = host.storezip_index(bytes(mm))
+            if not idx:
+                return False
+            for name, (off, size) in idx.items():
+                self._index[name] = _FileMeta(offset=off, size=size)
+            return True
+        except Exception:
+            self._index.clear()
+            return False
 
     def namelist(self) -> list[str]:
         return list(self._index)

@@ -1,0 +1,179 @@
+"""Tiled MXU matmul kernels with fused epilogues (Pallas).
+
+The TPU analog of the reference's register-blocked GEMM
+(`GemmPack4F32`, /root/reference/src/layer/simd/gemm.cpp:295-385: 4x12
+f32 register tiles over 128-bit vectors) and its bias epilogue
+(`AddBiasNHWC`, simd/binary.cpp:38-53). Here a tile is 128x128 on the
+systolic array, K is streamed through VMEM via the grid pipeline, and
+the epilogue — per-output-channel int8 dequant scale, bias add,
+activation — runs on the VPU in the same kernel, so quantized weights
+are never materialized in HBM at full precision.
+
+Two entry points:
+- matmul(x, w, ...)        — dense weights [K, N]
+- matmul_int8w(x, wq, scale, ...) — int8 weights + per-column f32 scale
+  (per-OUTPUT-channel symmetric quantization, quant/tensor.py); the
+  product is computed in the activation dtype on the MXU with f32
+  accumulation, and `acc * scale[col]` folds the dequant into the
+  epilogue (valid because the scale is constant along K).
+
+Both pad to tile multiples internally (XLA pads are fused/cheap) and
+accept any M, N, K.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ACTIVATIONS: dict = {
+    None: lambda x: x,
+    "relu": lambda x: jnp.maximum(x, 0),
+    "silu": lambda x: x * jax.nn.sigmoid(x),
+    "sigmoid": jax.nn.sigmoid,
+    "hardsigmoid": lambda x: jnp.clip(x * (1.0 / 6.0) + 0.5, 0.0, 1.0),
+    "hardswish": lambda x: x * jnp.clip(x * (1.0 / 6.0) + 0.5, 0.0, 1.0),
+}
+
+
+def pallas_supported() -> bool:
+    """True when the default backend can run Mosaic kernels."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _matmul_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, *,
+                   n_k: int, act: Callable, dequant: bool, has_bias: bool,
+                   out_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[:]
+    wb = w_ref[:]
+    if wb.dtype != xb.dtype:
+        wb = wb.astype(xb.dtype)  # int8 -> activation dtype for the MXU
+    acc_ref[:] += jnp.dot(xb, wb, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        acc = acc_ref[:]
+        if dequant:
+            acc = acc * scale_ref[:].astype(jnp.float32)  # [1, TN] broadcast
+        if has_bias:
+            acc = acc + bias_ref[:].astype(jnp.float32)
+        o_ref[:] = act(acc).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "block_m", "block_n", "block_k",
+                     "out_dtype"))
+def _matmul_impl(x, w, scale, bias, *, activation, block_m, block_n,
+                 block_k, out_dtype):
+    m, k = x.shape
+    _, n = w.shape
+    mp, kp, np_ = _round_up(m, block_m), _round_up(k, block_k), _round_up(
+        n, block_n)
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+    dequant = scale is not None
+    has_bias = bias is not None
+    scale2d = jnp.pad(scale, (0, np_ - n)).reshape(1, np_) if dequant \
+        else jnp.zeros((1, np_), jnp.float32)
+    bias2d = jnp.pad(bias, (0, np_ - n)).reshape(1, np_) if has_bias \
+        else jnp.zeros((1, np_), jnp.float32)
+
+    n_k = kp // block_k
+    grid = (mp // block_m, np_ // block_n, n_k)
+    kernel = functools.partial(
+        _matmul_kernel, n_k=n_k, act=_ACTIVATIONS[activation],
+        dequant=dequant, has_bias=has_bias, out_dtype=out_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * x.dtype.itemsize
+            + kp * np_ * w.dtype.itemsize + mp * np_ * 4,
+            transcendentals=0),
+    )(x, w, scale2d, bias2d)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def _pick_blocks(m, k, n, block_m, block_n, block_k):
+    """Clamp tile sizes to the (padded) problem, respecting MXU/VPU
+    alignment (sublane 8, lane 128)."""
+    bm = min(block_m, _round_up(m, 8))
+    bn = min(block_n, _round_up(n, 128))
+    bk = min(block_k, _round_up(k, 128))
+    return bm, bn, bk
+
+
+def matmul(x, w, bias=None, activation: Optional[str] = None, *,
+           block_m: int = 256, block_n: int = 256, block_k: int = 512,
+           out_dtype=None):
+    """out = act(x[M,K] @ w[K,N] + bias[N]); f32 accumulation on the MXU."""
+    bm, bn, bk = _pick_blocks(x.shape[0], x.shape[1], w.shape[1],
+                              block_m, block_n, block_k)
+    return _matmul_impl(x, w, None, bias, activation=activation,
+                        block_m=bm, block_n=bn, block_k=bk,
+                        out_dtype=out_dtype or x.dtype)
+
+
+def matmul_int8w(x, w_q, scale, bias=None, activation: Optional[str] = None,
+                 *, block_m: int = 256, block_n: int = 256,
+                 block_k: int = 512, out_dtype=None):
+    """out = act((x @ w_q) * scale + bias) with w_q int8 [K, N], scale
+    f32 [N] — weight-only dequant fused into the epilogue."""
+    bm, bn, bk = _pick_blocks(x.shape[0], x.shape[1], w_q.shape[1],
+                              block_m, block_n, block_k)
+    return _matmul_impl(x, w_q, scale, bias, activation=activation,
+                        block_m=bm, block_n=bn, block_k=bk,
+                        out_dtype=out_dtype or x.dtype)
+
+
+# ---- jnp reference implementations (the GemmPack4F32Ref analog) --------
+def matmul_ref(x, w, bias=None, activation: Optional[str] = None):
+    out = jnp.dot(x.astype(jnp.float32), w.astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return _ACTIVATIONS[activation](out).astype(x.dtype)
+
+
+def matmul_int8w_ref(x, w_q, scale, bias=None,
+                     activation: Optional[str] = None):
+    out = jnp.dot(x.astype(jnp.float32), w_q.astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    out = out * scale.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return _ACTIVATIONS[activation](out).astype(x.dtype)

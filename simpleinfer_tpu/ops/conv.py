@@ -29,6 +29,7 @@ from jax import lax
 
 import numpy as np
 
+from ..kernels.matmul import pallas_supported
 from ..quant.tensor import QuantizedTensor, resolve_weight
 from .registry import OpImpl, register_op, require_attr, require_param
 from ..ir.graph import (
@@ -40,11 +41,12 @@ _DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
 def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
                 dilation=(1, 1), groups=1, padding_mode="zeros",
-                accum_dtype=jnp.float32):
+                accum_dtype=jnp.float32, activation=None):
     """Functional NHWC conv used by both the engine and the model zoo.
 
     `w` is HWIO (or a QuantizedTensor of it); `padding` is
-    ((top, bottom), (left, right)).
+    ((top, bottom), (left, right)); `activation` is an optional fused
+    epilogue name (kernels/matmul._ACTIVATIONS).
     """
     w = resolve_weight(w, x.dtype)
     if padding_mode == "zeros":
@@ -70,6 +72,10 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
     )
     if bias is not None:
         out = out + bias.astype(accum_dtype)
+    if activation is not None:
+        from ..kernels.matmul import _ACTIVATIONS
+
+        out = _ACTIVATIONS[activation](out)
     return out.astype(x.dtype)
 
 
@@ -102,13 +108,35 @@ def lower_conv2d(op, cfg):
 
     pad = ((padding[0], padding[0]), (padding[1], padding[1]))
     stride_t, dilation_t = tuple(stride), tuple(dilation)
+    fused_act = (op.params["si_fused_act"].s
+                 if op.has_param("si_fused_act") else None)
+
+    # Pallas int8 dispatch: pointwise (1x1 s1 p0 g1) convs ARE matmuls —
+    # the int8 weight stream + dequant/bias/act epilogue runs in one
+    # kernel. Opt-in (see EngineConfig.use_pallas: XLA currently wins
+    # e2e); never under a mesh (GSPMD cannot partition the custom call).
+    pointwise = (tuple(kernel) == (1, 1) and stride_t == (1, 1)
+                 and pad == ((0, 0), (0, 0)) and dilation_t == (1, 1)
+                 and groups == 1)
+    allow_pallas = bool(cfg.use_pallas) and cfg.mesh is None
 
     def apply(weights, x):
-        bias = weights.get("bias")
+        w, bias = weights["weight"], weights.get("bias")
+        if (pointwise and allow_pallas and isinstance(w, QuantizedTensor)
+                and pallas_supported()):
+            from ..kernels.matmul import matmul_int8w
+
+            n, h, wd, c = x.shape
+            out = matmul_int8w(
+                x.reshape(n * h * wd, c),
+                w.data.reshape(c, out_channels),  # HWIO 1x1 -> [K, N]
+                w.scale, bias, fused_act)
+            return out.reshape(n, h, wd, out_channels)
         return conv2d_nhwc(
-            x, weights["weight"], bias,
+            x, w, bias,
             stride=stride_t, padding=pad, dilation=dilation_t,
-            groups=groups, padding_mode=padding_mode)
+            groups=groups, padding_mode=padding_mode,
+            activation=fused_act)
 
     # flops at batch 1: 2 * OH*OW * OC * (IC/g) * KH*KW; the executor
     # multiplies the per-pixel term by OH*OW after shape inference

@@ -17,17 +17,25 @@ from .registry import OpImpl, register_op, require_attr, require_param
 from ..ir.graph import PARAM_BOOL, PARAM_INT
 
 
-def linear(x, w, bias=None, accum_dtype=jnp.float32):
-    """x [..., in] @ w [out, in] (or QuantizedTensor) + bias [out]."""
+def linear(x, w, bias=None, accum_dtype=jnp.float32, activation=None):
+    """x [..., in] @ w [in, out] (or QuantizedTensor) + bias [out].
+
+    The pnnx weight is [out, in]; the lowering transposes it once at load
+    so both the einsum and the int8 kernel stream it in [K, N] order.
+    """
     w = resolve_weight(w, x.dtype)
 
     precision = (lax.Precision.HIGHEST if x.dtype == jnp.float32
                  else lax.Precision.DEFAULT)
-    out = jnp.einsum("...i,oi->...o", x, w,
+    out = jnp.einsum("...i,io->...o", x, w,
                      preferred_element_type=accum_dtype,
                      precision=precision)
     if bias is not None:
         out = out + bias.astype(accum_dtype)
+    if activation is not None:
+        from ..kernels.matmul import _ACTIVATIONS
+
+        out = _ACTIVATIONS[activation](out)
     return out.astype(x.dtype)
 
 
@@ -41,16 +49,34 @@ def lower_linear(op, cfg):
     if list(w.shape) != [out_features, in_features]:
         raise ValueError(f"Linear {op.name}: weight shape {w.shape} does not "
                          f"match params")
-    weights = {"weight": w.astype(np.float32)}
+    # [out, in] -> [in, out] at load (see `linear`)
+    weights = {"weight": np.ascontiguousarray(w.T).astype(np.float32)}
     if use_bias:
         weights["bias"] = require_attr(op, "bias", 1).array().astype(np.float32)
 
+    fused_act = (op.params["si_fused_act"].s
+                 if op.has_param("si_fused_act") else None)
+    # opt-in, like conv (see EngineConfig.use_pallas)
+    allow_pallas = bool(cfg.use_pallas) and cfg.mesh is None
+
     def apply(weights, x):
-        return linear(x, weights["weight"], weights.get("bias"))
+        from ..kernels.matmul import pallas_supported
+        from ..quant.tensor import QuantizedTensor
+
+        w, bias = weights["weight"], weights.get("bias")
+        if (allow_pallas and isinstance(w, QuantizedTensor)
+                and pallas_supported()):
+            from ..kernels.matmul import matmul_int8w
+
+            lead = x.shape[:-1]
+            out = matmul_int8w(x.reshape(-1, in_features), w.data, w.scale,
+                               bias, fused_act)
+            return out.reshape(*lead, out_features)
+        return linear(x, w, bias, activation=fused_act)
 
     return OpImpl(
         name=op.name, type=op.type, apply=apply, weights=weights,
-        quantizable={"weight": 0},  # [out, in]: out channels on axis 0
-        shard_hints={"weight": ("model", None), "bias": ("model",)},
+        quantizable={"weight": 1},  # [in, out]: out channels on axis 1
+        shard_hints={"weight": (None, "model"), "bias": ("model",)},
         flops_per_item=2 * in_features * out_features,
     )

@@ -1,0 +1,161 @@
+"""Observability: roofline accounting, device tracing, instrumented runs.
+
+The reference's entire instrumentation is a per-layer LOG(INFO) line
+(/root/reference/src/layer.cpp:46) plus a google-benchmark harness
+(SURVEY.md §5 "Tracing/profiling: none"). Here, as BASELINE.json demands
+("per-kernel roofline accounting"):
+
+- roofline_report(program): per-op FLOPs, weight/activation bytes,
+  arithmetic intensity, and the compute-vs-bandwidth bound verdict for a
+  given chip spec (defaults: TPU v5e).
+- trace(): context manager around jax.profiler for real device timelines.
+- timed_run(): op-by-op execution with a sync per op — the analog of the
+  reference's per-layer log, for attributing time on backends where the
+  profiler is unavailable. (Per-op dispatch overhead dominates on
+  remote-attached chips; prefer trace() there.)
+"""
+from __future__ import annotations
+
+import contextlib
+import math
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ChipSpec:
+    """Peak numbers used for roofline ratios."""
+
+    name: str = "tpu-v5e"
+    peak_bf16_tflops: float = 394.0
+    peak_fp32_tflops: float = 197.0  # 3-pass emulation halves-ish bf16
+    hbm_gbps: float = 819.0
+    vmem_mb: float = 128.0
+
+    def peak_tflops(self, dtype: str) -> float:
+        return (self.peak_fp32_tflops if dtype == "float32"
+                else self.peak_bf16_tflops)
+
+
+V5E = ChipSpec()
+
+
+@dataclass
+class OpCost:
+    name: str
+    type: str
+    flops: int
+    weight_bytes: int
+    out_bytes: int
+    out_shape: list
+
+    @property
+    def bytes_total(self) -> int:
+        return self.weight_bytes + self.out_bytes
+
+    @property
+    def intensity(self) -> float:
+        """FLOPs per byte moved (weights + outputs; inputs are usually a
+        prior op's output already counted once)."""
+        return self.flops / max(self.bytes_total, 1)
+
+    def bound(self, spec: ChipSpec = V5E, dtype: str = "bfloat16") -> str:
+        ridge = spec.peak_tflops(dtype) * 1e12 / (spec.hbm_gbps * 1e9)
+        return "compute" if self.intensity >= ridge else "bandwidth"
+
+    def min_time_us(self, spec: ChipSpec = V5E,
+                    dtype: str = "bfloat16") -> float:
+        """Speed-of-light time: max of compute and bandwidth floors."""
+        t_c = self.flops / (spec.peak_tflops(dtype) * 1e12)
+        t_b = self.bytes_total / (spec.hbm_gbps * 1e9)
+        return max(t_c, t_b) * 1e6
+
+
+def _nbytes(tree) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        total += getattr(leaf, "nbytes",
+                         np.asarray(leaf).nbytes if np.isscalar(leaf) else 0)
+    return int(total)
+
+
+def roofline_report(program, batch: int = 1, dtype_bytes: int = 2) -> list:
+    """Per-op cost table from the lowered Program (executor.Program).
+
+    Uses the shapes inferred at load (program.op_output_shapes, batch=1)
+    scaled by `batch`; output element size = dtype_bytes (2 for bf16).
+    """
+    from .executor import _estimate_flops
+
+    out = []
+    for impl in program.impls:
+        shapes = program.op_output_shapes.get(impl.name, [])
+        flops = _estimate_flops(impl, shapes) * batch
+        out_bytes = sum(
+            batch * int(math.prod(s[1:])) * dtype_bytes if s else 0
+            for s in shapes)
+        out.append(OpCost(
+            name=impl.name, type=impl.type, flops=flops,
+            weight_bytes=_nbytes(impl.weights), out_bytes=out_bytes,
+            out_shape=shapes[0] if shapes else []))
+    return out
+
+
+def summarize_roofline(program, batch: int = 1, spec: ChipSpec = V5E,
+                       dtype: str = "bfloat16", top: int = 10) -> str:
+    """Human-readable roofline table + speed-of-light total."""
+    costs = roofline_report(
+        program, batch, dtype_bytes=4 if dtype == "float32" else 2)
+    costs.sort(key=lambda c: -c.min_time_us(spec, dtype))
+    sol_us = sum(c.min_time_us(spec, dtype) for c in costs)
+    total_flops = sum(c.flops for c in costs)
+    lines = [
+        f"model: {len(costs)} ops, {total_flops / 1e9:.2f} GFLOP/batch{batch},"
+        f" speed-of-light {sol_us / 1e3:.3f} ms on {spec.name} ({dtype})",
+        f"{'op':28s} {'type':18s} {'GFLOP':>8s} {'MB':>8s} {'int.':>7s} "
+        f"{'bound':>9s} {'SoL us':>8s}",
+    ]
+    for c in costs[:top]:
+        lines.append(
+            f"{c.name[:28]:28s} {c.type[:18]:18s} {c.flops / 1e9:8.3f} "
+            f"{c.bytes_total / 1e6:8.2f} {c.intensity:7.1f} "
+            f"{c.bound(spec, dtype):>9s} {c.min_time_us(spec, dtype):8.1f}")
+    return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/si_trace"):
+    """jax.profiler trace around a block; view in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timed_run(program, weights, inputs, sync: bool = True) -> list:
+    """Execute the program op-by-op (eager, unfused), timing each op.
+    Returns [(op_name, op_type, seconds)] in execution order.
+
+    The analog of the reference's per-layer forward logging
+    (layer.cpp:46), and an upper bound on fused whole-program time. Debug
+    tool for local backends — per-op sync is meaningless over a
+    remote-attached device, and eager per-op execution forgoes XLA
+    fusion, so treat results as relative weights, not absolute times."""
+    env = dict(inputs)
+    rows = []
+    for impl, in_names, out_names in program.plan:
+        args = [env[n] for n in in_names]
+        t0 = time.perf_counter()
+        out = impl.apply(weights[impl.name], *args)
+        leaves = [out] if impl.n_outputs == 1 else list(out)
+        if sync:
+            for v in leaves:
+                jax.block_until_ready(v)
+        rows.append((impl.name, impl.type, time.perf_counter() - t0))
+        for n, o in zip(out_names, leaves):
+            env[n] = o
+    return rows

@@ -1,0 +1,189 @@
+"""Continuous batching scheduler over an Engine.
+
+Design (TPU-first, nothing like this exists in the reference):
+
+- Static shapes: XLA compiles one executable per batch size, so arriving
+  requests are packed into the smallest BUCKET >= queue depth and the
+  batch is padded to that bucket (pad rows are computed and discarded —
+  cheaper than a recompile). Buckets default to powers of two up to
+  `max_batch`; each bucket compiles once, then is replayed forever.
+- The scheduler thread drains the queue continuously: while the device
+  works on batch N, batch N+1 is being gathered and staged (host work
+  overlaps device work; the device stream serializes execution).
+- Each request resolves a concurrent.futures.Future with its output row,
+  so callers get per-request latency out of a batched backend.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Request:
+    array: np.ndarray  # one item, engine input layout (e.g. HWC)
+    future: Future = field(default_factory=Future)
+    enqueue_t: float = field(default_factory=time.perf_counter)
+
+
+@dataclass
+class ServiceStats:
+    requests: int = 0
+    batches: int = 0
+    padded_items: int = 0
+    total_latency_s: float = 0.0
+    total_batch_time_s: float = 0.0
+
+    @property
+    def mean_latency_ms(self) -> float:
+        return 1e3 * self.total_latency_s / max(self.requests, 1)
+
+    @property
+    def mean_batch_occupancy(self) -> float:
+        done = self.requests
+        return done / max(done + self.padded_items, 1)
+
+
+def _default_buckets(max_batch: int) -> list:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
+class BatchingService:
+    """Continuous batching front-end for one Engine.
+
+    Usage:
+        svc = BatchingService(engine, input_name, out_name, max_batch=32)
+        svc.start()
+        fut = svc.submit(image_nhwc_row)      # -> Future
+        result = fut.result()
+        svc.stop()
+    """
+
+    def __init__(self, engine, input_name: str | None = None,
+                 output_name: str | None = None, max_batch: int = 32,
+                 buckets: list | None = None,
+                 max_wait_ms: float = 2.0):
+        self.engine = engine
+        self.input_name = input_name or engine.input_names[0]
+        self.output_name = output_name or engine.output_names[0]
+        self.max_batch = max_batch
+        self.buckets = sorted(buckets or _default_buckets(max_batch))
+        self.max_wait_s = max_wait_ms / 1e3
+        self.stats = ServiceStats()
+        self._q: queue.Queue = queue.Queue()
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    # ---- client side -----------------------------------------------------
+    def submit(self, array: np.ndarray) -> Future:
+        if self._thread is None:
+            raise RuntimeError("service not started")
+        req = Request(np.asarray(array))
+        self._q.put(req)
+        return req.future
+
+    def warmup(self) -> None:
+        """Compile every bucket up front (avoids first-request stalls)."""
+        item_shape = None
+        spec = next(s for s in self.engine.program.inputs
+                    if s.name == self.input_name)
+        if spec.shape:
+            item_shape = tuple(spec.shape[1:])
+        if item_shape is None:
+            return
+        for b in self.buckets:
+            x = np.zeros((b, *item_shape), np.float32)
+            self.engine.input(self.input_name, x)
+            self.engine.forward()
+        for v in self.engine._outputs.values():
+            np.asarray(v)  # sync
+
+    # ---- lifecycle -------------------------------------------------------
+    def start(self) -> "BatchingService":
+        if self._thread is not None:
+            return self
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="si-batcher")
+        self._thread.start()
+        return self
+
+    def stop(self, drain: bool = True) -> None:
+        if self._thread is None:
+            return
+        if drain:
+            self._q.join()
+        self._stop.set()
+        self._thread.join()
+        self._thread = None
+
+    # ---- scheduler -------------------------------------------------------
+    def _gather(self) -> list:
+        """Block for one request, then drain whatever arrived (up to
+        max_batch), waiting at most max_wait_s for stragglers."""
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            # a fuller bucket is always better; only wait when the
+            # current size would pad heavily
+            try:
+                batch.append(self._q.get(block=remaining > 0,
+                                         timeout=max(remaining, 0)))
+            except queue.Empty:
+                break
+        return batch
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._gather()
+            if not batch:
+                continue
+            t0 = time.perf_counter()
+            n = len(batch)
+            bucket = self._bucket_for(n)
+            x = np.stack([r.array for r in batch])
+            if bucket > n:
+                pad = np.zeros((bucket - n, *x.shape[1:]), x.dtype)
+                x = np.concatenate([x, pad])
+            try:
+                self.engine.input(self.input_name, x)
+                self.engine.forward()
+                out = np.asarray(
+                    self.engine.extract(self.output_name, as_numpy=False))
+                for i, r in enumerate(batch):
+                    r.future.set_result(out[i])
+            except Exception as e:  # propagate to all waiters
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            finally:
+                now = time.perf_counter()
+                self.stats.requests += n
+                self.stats.batches += 1
+                self.stats.padded_items += bucket - n
+                self.stats.total_batch_time_s += now - t0
+                self.stats.total_latency_s += sum(
+                    now - r.enqueue_t for r in batch)
+                for _ in batch:
+                    self._q.task_done()

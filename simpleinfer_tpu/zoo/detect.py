@@ -89,11 +89,21 @@ class Letterbox:
 
 
 def letterbox(img: np.ndarray, size: int = 640, pad_value: float = 114.0,
-              bgr_to_rgb: bool = True, normalize: bool = True):
+              bgr_to_rgb: bool = True, normalize: bool = True,
+              use_native: bool = True):
     """HWC image -> (NHWC-ready float32 [size,size,3], Letterbox info)."""
     h, w = img.shape[:2]
     scale = min(size / h, size / w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
+    if use_native:
+        # fused native path (csrc/si_host.cpp); same sampling/pad math
+        from .. import host
+
+        native = host.letterbox_one(img, size, pad_value, bgr_to_rgb,
+                                    normalize)
+        if native is not None:
+            return native, Letterbox(scale=scale, pad_x=(size - nw) // 2,
+                                     pad_y=(size - nh) // 2)
     resized = _resize_bilinear(img, nh, nw)
     if bgr_to_rgb:
         resized = resized[..., ::-1]

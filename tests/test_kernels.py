@@ -1,0 +1,103 @@
+"""Pallas kernel tests vs jnp references.
+
+The analog of the reference's GemmPack4F32-vs-GemmPack4F32Ref tests over
+odd M/N/K shapes including tails (/root/reference/test/test_3rdparty/
+test_gemm.cpp:19-91). On CPU the kernels run under the Pallas TPU
+interpreter (SURVEY.md §4.4's "mock backend" role); set SI_TPU_TESTS=1
+to run them compiled on a real chip.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from simpleinfer_tpu.kernels.matmul import (
+    matmul,
+    matmul_int8w,
+    matmul_int8w_ref,
+    matmul_ref,
+)
+from simpleinfer_tpu.quant.tensor import quantize_per_channel
+
+ON_TPU = bool(os.environ.get("SI_TPU_TESTS"))
+RNG = np.random.default_rng(11)
+
+
+def run_kernel(fn, *args, **kw):
+    if ON_TPU:
+        return np.asarray(fn(*args, **kw))
+    with pltpu.force_tpu_interpret_mode():
+        return np.asarray(fn(*args, **kw))
+
+
+# M, K, N shapes: aligned, odd tails, tiny (all the gemm.cpp tail cases)
+SHAPES = [
+    (128, 128, 128),
+    (256, 512, 256),
+    (100, 60, 50),      # every dim unaligned
+    (1, 256, 255),      # single row, N tail (yolo head 256->255)
+    (37, 129, 131),     # just over tile boundaries
+    (8, 16, 8),         # tiny (yolov5n first layers)
+]
+
+
+@pytest.mark.parametrize("m,k,n", SHAPES)
+def test_matmul_fp32(m, k, n):
+    x = RNG.standard_normal((m, k), dtype=np.float32)
+    w = RNG.standard_normal((k, n), dtype=np.float32)
+    got = run_kernel(matmul, jnp.asarray(x), jnp.asarray(w))
+    want = np.asarray(matmul_ref(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.sqrt(k), rtol=1e-5)
+
+
+@pytest.mark.parametrize("m,k,n", [(128, 128, 128), (100, 60, 50)])
+@pytest.mark.parametrize("activation", [None, "relu", "silu", "hardswish"])
+def test_matmul_bias_activation(m, k, n, activation):
+    x = RNG.standard_normal((m, k), dtype=np.float32)
+    w = RNG.standard_normal((k, n), dtype=np.float32)
+    b = RNG.standard_normal(n).astype(np.float32)
+    got = run_kernel(matmul, jnp.asarray(x), jnp.asarray(w),
+                     jnp.asarray(b), activation)
+    want = np.asarray(matmul_ref(jnp.asarray(x), jnp.asarray(w),
+                                 jnp.asarray(b), activation))
+    np.testing.assert_allclose(got, want, atol=3e-4 * np.sqrt(k), rtol=1e-5)
+
+
+@pytest.mark.parametrize("m,k,n", SHAPES)
+def test_matmul_int8w(m, k, n):
+    x = RNG.standard_normal((m, k), dtype=np.float32)
+    w = RNG.standard_normal((k, n), dtype=np.float32)
+    q = quantize_per_channel(w, axis=1)  # [K,N], out channels on axis 1
+    got = run_kernel(matmul_int8w, jnp.asarray(x), q.data, q.scale)
+    want = np.asarray(matmul_int8w_ref(jnp.asarray(x), q.data, q.scale))
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.sqrt(k), rtol=1e-5)
+
+
+def test_matmul_int8w_dequant_accuracy():
+    """Fused-dequant kernel vs the FP32 matmul on the ORIGINAL weights:
+    error bounded by the quantization step (the reference's tolerance
+    discipline, test_conv_2d.cpp:127)."""
+    m, k, n = 64, 128, 96
+    x = RNG.standard_normal((m, k), dtype=np.float32)
+    w = RNG.standard_normal((k, n), dtype=np.float32)
+    q = quantize_per_channel(w, axis=1)
+    got = run_kernel(matmul_int8w, jnp.asarray(x), q.data, q.scale)
+    want = x @ w
+    # per-element error <= sum_k |x| * scale/2; use a statistical bound
+    bound = np.abs(x).sum(1, keepdims=True) * np.asarray(q.scale)[None, :] / 2
+    assert (np.abs(got - want) <= np.maximum(bound * 0.5, 1e-3)).mean() > 0.99
+
+
+def test_matmul_bf16():
+    m, k, n = 128, 256, 128
+    x = RNG.standard_normal((m, k)).astype(jnp.bfloat16)
+    w = RNG.standard_normal((k, n)).astype(jnp.bfloat16)
+    got = run_kernel(matmul, jnp.asarray(x), jnp.asarray(w))
+    want = np.asarray(
+        jnp.dot(x, w, preferred_element_type=jnp.float32)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=0.05 * np.sqrt(k), rtol=0.02)

@@ -1,0 +1,105 @@
+"""Tests for load-time graph fusions (ir/passes.py)."""
+import numpy as np
+
+from simpleinfer_tpu import Engine, EngineConfig
+from simpleinfer_tpu.ir.passes import (
+    FUSED_ACT_PARAM,
+    fuse_conv_activation,
+    fuse_conv_bn,
+    run_inference_fusions,
+)
+from simpleinfer_tpu.zoo.builders import GraphBuilder
+from torch_ref import run_graph_torch
+
+RNG = np.random.default_rng(23)
+
+
+def _conv_bn_act_graph(act="relu"):
+    b = GraphBuilder(seed=1)
+    x = b.input([1, 3, 16, 16], name="0")
+    x = b.conv(x, 8, 3, 1, 1, bias=False)
+    x = b.bn(x)
+    x = getattr(b, act)(x)
+    b.output(x)
+    return b.build(), x
+
+
+def test_fuse_conv_bn_counts_and_math():
+    graph, out_name = _conv_bn_act_graph()
+    x = RNG.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    want = run_graph_torch(graph, {"0": x})[out_name]
+
+    n_bn = fuse_conv_bn(graph)
+    assert n_bn == 1
+    types = [op.type for op in graph.ops]
+    assert "nn.BatchNorm2d" not in types
+    # conv gained a bias
+    conv = next(op for op in graph.ops if op.type == "nn.Conv2d")
+    assert conv.params["bias"].b and "bias" in conv.attrs
+
+    n_act = fuse_conv_activation(graph)
+    assert n_act == 1
+    assert conv.params[FUSED_ACT_PARAM].s == "relu"
+    assert not any(op.type == "nn.ReLU" for op in graph.ops)
+
+    # fused graph computes the same function
+    eng = Engine(EngineConfig(fuse=False)).load_model(None, graph=graph)
+    got = eng.run({"0": np.transpose(x, (0, 2, 3, 1))})[out_name]
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_no_fuse_when_intermediate_has_two_consumers():
+    b = GraphBuilder(seed=2)
+    x = b.input([1, 3, 8, 8], name="0")
+    c = b.conv(x, 4, 3, 1, 1)
+    r = b.relu(c)
+    s = b.sigmoid(c)  # second consumer of the conv output
+    b.output(b.add(r, s))
+    g = b.build()
+    stats = run_inference_fusions(g)
+    assert stats["conv_act"] == 0
+
+
+def test_no_fuse_into_graph_output():
+    b = GraphBuilder(seed=3)
+    x = b.input([1, 3, 8, 8], name="0")
+    c = b.conv(x, 4, 3, 1, 1)
+    b.output(c, b.relu(c))  # conv output IS a graph output
+    g = b.build()
+    stats = run_inference_fusions(g)
+    assert stats["conv_act"] == 0
+
+
+def test_fusion_on_off_same_results():
+    from simpleinfer_tpu.zoo import build_resnet18
+
+    g1, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                           num_classes=5, width=8)
+    g2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=5, width=8)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    fused = Engine(EngineConfig(fuse=True)).load_model(None, graph=g1)
+    plain = Engine(EngineConfig(fuse=False)).load_model(None, graph=g2)
+    a = fused.run({in_name: x})[out_name]
+    c = plain.run({in_name: x})[out_name]
+    scale = max(1.0, np.abs(c).max())
+    np.testing.assert_allclose(a, c, atol=1e-4 * scale, rtol=1e-4)
+    # and the fused program really has fewer ops
+    assert len(fused.program.impls) < len(plain.program.impls)
+
+
+def test_fused_int8_accuracy_vs_unfused_fp32():
+    """BN fold + int8w: error still bounded like plain int8w (the
+    'quantize after folding' requirement in ir/passes.py)."""
+    from simpleinfer_tpu.zoo import build_resnet18
+
+    g1, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                           num_classes=5, width=16)
+    g2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=5,
+                              width=16)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    fp = Engine(EngineConfig()).load_model(None, graph=g1).run(
+        {in_name: x})[out_name]
+    q = Engine(EngineConfig(quant="int8w")).load_model(
+        None, graph=g2).run({in_name: x})[out_name]
+    assert np.abs(q - fp).max() < 0.05 * max(1.0, np.abs(fp).max())

@@ -1,0 +1,112 @@
+"""Continuous batching service tests (CPU, tiny models)."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from simpleinfer_tpu import Engine
+from simpleinfer_tpu.serving import BatchingService
+from simpleinfer_tpu.zoo import build_resnet18
+
+RNG = np.random.default_rng(31)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    graph, _, _ = build_resnet18(batch=1, image_size=32, num_classes=6,
+                                 width=8)
+    return Engine().load_model(None, graph=graph)
+
+
+def _ref_outputs(engine, items):
+    out = engine.run({engine.input_names[0]: np.stack(items)})
+    return out[engine.output_names[0]]
+
+
+def test_single_request(engine):
+    svc = BatchingService(engine, max_batch=4).start()
+    try:
+        x = RNG.standard_normal((32, 32, 3)).astype(np.float32)
+        got = svc.submit(x).result(timeout=60)
+        want = _ref_outputs(engine, [x])[0]
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    finally:
+        svc.stop()
+
+
+def test_requests_batched_and_correct(engine):
+    svc = BatchingService(engine, max_batch=8, max_wait_ms=50).start()
+    try:
+        xs = [RNG.standard_normal((32, 32, 3)).astype(np.float32)
+              for _ in range(16)]
+        futs = [svc.submit(x) for x in xs]
+        got = np.stack([f.result(timeout=120) for f in futs])
+        want = _ref_outputs(engine, xs)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+        assert svc.stats.requests == 16
+        # 16 requests at max_batch 8 with a 50ms gather window should use
+        # far fewer than 16 batches
+        assert svc.stats.batches < 16
+    finally:
+        svc.stop()
+
+
+def test_bucket_padding_accounting(engine):
+    svc = BatchingService(engine, max_batch=8, buckets=[1, 4, 8],
+                          max_wait_ms=100).start()
+    try:
+        xs = [RNG.standard_normal((32, 32, 3)).astype(np.float32)
+              for _ in range(3)]
+        futs = [svc.submit(x) for x in xs]
+        for f in futs:
+            f.result(timeout=120)
+        svc.stop()
+        # 3 requests can't exceed one bucket-4 batch (plus maybe splits);
+        # padding must be recorded whenever a bucket was not exactly full
+        assert svc.stats.requests == 3
+        assert svc.stats.padded_items >= 1
+        assert 0 < svc.stats.mean_batch_occupancy <= 1.0
+    finally:
+        svc.stop()
+
+
+def test_concurrent_submitters(engine):
+    """Many client threads submit concurrently; the engine itself is
+    owned solely by the service thread (submit() is the thread-safe
+    surface), so references are computed after the service drains."""
+    svc = BatchingService(engine, max_batch=8, max_wait_ms=10).start()
+    results: dict = {}
+    errs = []
+
+    def client(seed):
+        try:
+            rng = np.random.default_rng(seed)
+            x = rng.standard_normal((32, 32, 3)).astype(np.float32)
+            results[seed] = (x, svc.submit(x).result(timeout=120))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    svc.stop()
+    assert not errs, errs
+    assert len(results) == 12
+    xs = [results[i][0] for i in sorted(results)]
+    want = _ref_outputs(engine, xs)
+    got = np.stack([results[i][1] for i in sorted(results)])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_error_propagates_to_future(engine):
+    svc = BatchingService(engine, max_batch=2).start()
+    try:
+        bad = np.zeros((7, 7), np.float32)  # wrong rank -> engine raises
+        with pytest.raises(Exception):
+            svc.submit(bad).result(timeout=60)
+    finally:
+        svc.stop(drain=False)
