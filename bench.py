@@ -26,23 +26,26 @@ import numpy as np
 
 
 def _throughput(eng, in_name, out_name, batch, image_size, dtype,
-                warmup=2, iters=20):
-    import jax
+                iters=20):
+    """Device-time throughput via a chained on-device loop
+    (profiling.measure_device_time) — robust to the 1-3 ms per-dispatch
+    host overhead of remote-attached chips, which would otherwise
+    dominate sub-10ms forwards."""
     import jax.numpy as jnp
 
-    x = (np.random.default_rng(0)
-         .standard_normal((batch, image_size, image_size, 3))
-         .astype(np.float32) / 4.0)
-    eng.input(in_name, x)
-    summarize = jax.jit(lambda o: jnp.sum(o[0, :4, :4]).astype(jnp.float32))
-    for _ in range(warmup):
-        eng.forward()
-        np.asarray(summarize(eng._outputs[out_name]))  # full sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        eng.forward()
-    np.asarray(summarize(eng._outputs[out_name]))  # sync once at the end
-    dt = (time.perf_counter() - t0) / iters
+    from simpleinfer_tpu.profiling import measure_device_time
+
+    x = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal((batch, image_size, image_size, 3))
+        .astype(np.float32) / 4.0, eng.config.compute_jnp_dtype)
+    weights = eng._device_weights
+    program = eng.program
+
+    def fwd(xi):
+        return program.fn(weights, {in_name: xi})[out_name]
+
+    dt = measure_device_time(fwd, x, iters=iters)
     return batch / dt, dt
 
 

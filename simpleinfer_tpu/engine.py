@@ -197,22 +197,37 @@ class Engine:
         if self._program is None:
             raise EngineStateError("no model loaded")
 
+    def _cast(self, w, key: str, fp32_keys: tuple):
+        """Store float weights at the compute dtype so forward passes
+        read half the HBM bytes and skip per-call converts; fp32_keys
+        (e.g. YOLO grids) and quantized tensors are left alone."""
+        if isinstance(w, QuantizedTensor):
+            return w
+        w = jnp.asarray(w)
+        dtype = self.config.compute_jnp_dtype
+        if (w.dtype == jnp.float32 and dtype != jnp.float32
+                and key not in fp32_keys):
+            return w.astype(dtype)
+        return w
+
     def _place_weights(self, program: Program):
-        """Move weights to device, sharded per each OpImpl's shard_hints
-        when a model-parallel mesh is configured."""
+        """Move weights to device — cast to the compute dtype, sharded
+        per each OpImpl's shard_hints when a mesh is configured."""
+        fp32_keys = {impl.name: impl.fp32_keys for impl in program.impls}
         if self._mesh is None:
-            return jax.tree_util.tree_map(
-                lambda w: w if isinstance(w, QuantizedTensor)
-                else jnp.asarray(w),
-                program.weights,
-                is_leaf=lambda x: isinstance(x, QuantizedTensor))
+            return {
+                opname: {k: self._cast(w, k, fp32_keys.get(opname, ()))
+                         for k, w in wdict.items()}
+                for opname, wdict in program.weights.items()}
         placed = {}
         hints = {impl.name: impl.shard_hints for impl in program.impls}
         for opname, wdict in program.weights.items():
             shardings = weight_shardings(self._mesh, wdict,
                                          hints.get(opname, {}))
             placed[opname] = {
-                k: self._put(w, shardings[k]) for k, w in wdict.items()}
+                k: self._put(self._cast(w, k, fp32_keys.get(opname, ())),
+                             shardings[k])
+                for k, w in wdict.items()}
         return placed
 
     def _put(self, w, sharding):

@@ -4,7 +4,17 @@ Importing this package registers every lowering (the analog of the
 DEFINE_LAYER_REGISTRY static registrations in the reference,
 /root/reference/src/layer_registry.cpp:33-49).
 """
-from . import activation, binary, conv, linear, norm, pool, shape, yolo  # noqa: F401
+from . import (  # noqa: F401
+    activation,
+    binary,
+    conv,
+    extra,
+    linear,
+    norm,
+    pool,
+    shape,
+    yolo,
+)
 from .registry import (
     OpImpl,
     UnsupportedOpError,

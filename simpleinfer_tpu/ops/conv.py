@@ -79,6 +79,42 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
     return out.astype(x.dtype)
 
 
+def _space_to_depth_weights(w_hwio: np.ndarray) -> np.ndarray:
+    """Rearrange an HWIO kernel for a stride-(*,2) conv into its
+    W-axis space-to-depth equivalent: [kh,kw,ic,oc] ->
+    [kh, ceil(kw/2), 2*ic, oc] (odd kw zero-padded at the tail).
+
+    Why: stride-2 stem convs on 3-channel images run the MXU at ~2%
+    (the input-feature dim is 3 of 128 lanes; measured ~30% of a
+    YOLOv5s-640-b8 bf16 forward on v5e). Packing W-adjacent pixel pairs
+    into channels doubles the input features and makes the W stride 1 —
+    same FLOPs, better MXU occupancy. ONLY the W axis is packed: packing
+    H too needs a (h,2,w,2,c)->(h,w,2,2,c) transpose that XLA executes
+    slower than the bad conv it saves (measured: direct 3.8 ms, full
+    2x2 s2d 5.5 ms, W-only 2.4 ms), whereas the W pack is a pure
+    row-major reshape — zero data movement.
+    """
+    kh, kw, ic, oc = w_hwio.shape
+    kw2 = -(-kw // 2) * 2
+    w2 = np.zeros((kh, kw2, ic, oc), w_hwio.dtype)
+    w2[:, :kw] = w_hwio
+    # (kh, bw, dx, ic, oc) -> merge (dx, ic): channel index dx*ic + c,
+    # matching the input reshape [., w/2, 2*ic] — contiguous, no copy
+    return np.ascontiguousarray(w2.reshape(kh, kw2 // 2, 2 * ic, oc))
+
+
+def _space_to_depth_w_nhwc(x):
+    """[N,H,W,C] -> [N,H,W/2,2C] by pure reshape (row-major: channel
+    index = dx*C + c)."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+# input-channel threshold under which the space-to-depth stem rewrite
+# fires (stem convs: ic=3; beyond ~8 the lane packing is fine already)
+_S2D_MAX_IC = 8
+
+
 @register_op("nn.Conv2d")
 def lower_conv2d(op, cfg):
     padding_mode = require_param(op, "padding_mode", PARAM_STR).s
@@ -111,6 +147,14 @@ def lower_conv2d(op, cfg):
     fused_act = (op.params["si_fused_act"].s
                  if op.has_param("si_fused_act") else None)
 
+    # W-stride-2 small-ic stem: pre-build the space-to-depth kernel
+    s2d_eligible = (stride_t[1] == 2 and dilation_t == (1, 1)
+                    and groups == 1 and padding_mode == "zeros"
+                    and in_channels <= _S2D_MAX_IC)
+    weights_s2d = _space_to_depth_weights(w_hwio) if s2d_eligible else None
+    if weights_s2d is not None:
+        weights["weight_s2d"] = weights_s2d.astype(np.float32)
+
     # Pallas int8 dispatch: pointwise (1x1 s1 p0 g1) convs ARE matmuls —
     # the int8 weight stream + dequant/bias/act epilogue runs in one
     # kernel. Opt-in (see EngineConfig.use_pallas: XLA currently wins
@@ -122,6 +166,27 @@ def lower_conv2d(op, cfg):
 
     def apply(weights, x):
         w, bias = weights["weight"], weights.get("bias")
+        if "weight_s2d" in weights:
+            n, h, wd, c = x.shape
+            pl = pad[1][0]
+            if (wd + 2 * pl) % 2 == 0:
+                ws = resolve_weight(weights["weight_s2d"], x.dtype)
+                xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
+                out = lax.conv_general_dilated(
+                    _space_to_depth_w_nhwc(xp), ws,
+                    window_strides=(stride_t[0], 1), padding="VALID",
+                    dimension_numbers=_DIMENSION_NUMBERS,
+                    preferred_element_type=jnp.float32,
+                    precision=(lax.Precision.HIGHEST
+                               if x.dtype == jnp.float32
+                               else lax.Precision.DEFAULT))
+                if bias is not None:
+                    out = out + bias.astype(jnp.float32)
+                if fused_act is not None:
+                    from ..kernels.matmul import _ACTIVATIONS
+
+                    out = _ACTIVATIONS[fused_act](out)
+                return out.astype(x.dtype)
         if (pointwise and allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w
@@ -142,10 +207,14 @@ def lower_conv2d(op, cfg):
     # multiplies the per-pixel term by OH*OW after shape inference
     per_pixel = 2 * out_channels * (in_channels // groups) * kernel[0] * kernel[1]
 
+    quantizable = {"weight": 3}  # HWIO: out channels on axis 3
+    if weights_s2d is not None:
+        quantizable["weight_s2d"] = 3
     return OpImpl(
         name=op.name, type=op.type, apply=apply, weights=weights,
-        quantizable={"weight": 3},  # HWIO: out channels on axis 3
+        quantizable=quantizable,
         shard_hints={"weight": (None, None, None, "model"),
-                     "bias": ("model",)},
+                     "bias": ("model",),
+                     "weight_s2d": (None, None, None, "model")},
         flops_per_pixel=per_pixel,
     )

@@ -1,0 +1,316 @@
+"""Extended op coverage beyond the reference's 15 layers.
+
+The reference registry stops at what YOLOv5/ResNet/MobileNet need
+(/root/reference/src/layer_registry.cpp:33-49). Real pnnx exports of
+nearby models also use these; all follow the same NHWC storage with
+NCHW-logical dim/shape arguments remapped at the boundary (see
+ops/shape.py docstring).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ir.graph import PARAM_AINT, PARAM_BOOL, PARAM_FLOAT, PARAM_INT
+from .registry import OpImpl, register_op, require_attr, require_param
+
+_NCHW_TO_NHWC_DIM = {0: 0, 1: 3, 2: 1, 3: 2}
+
+
+def _to_logical(x):
+    """Physical NHWC -> logical NCHW for rank-4 (no-op otherwise)."""
+    return jnp.transpose(x, (0, 3, 1, 2)) if x.ndim == 4 else x
+
+
+def _to_physical(x):
+    return jnp.transpose(x, (0, 2, 3, 1)) if x.ndim == 4 else x
+
+
+# ------------------------------------------------------------- avg pool
+def avg_pool_2d(x, kernel, stride, padding, ceil_mode=False,
+                count_include_pad=True):
+    """NHWC average pool with torch semantics."""
+    from .pool import _pool_out_dim
+
+    kh, kw = kernel
+    sh, sw = stride
+    ph, pw = padding
+    h, w = x.shape[1], x.shape[2]
+    oh = _pool_out_dim(h, kh, sh, ph, 1, ceil_mode)
+    ow = _pool_out_dim(w, kw, sw, pw, 1, ceil_mode)
+    pad_b = max((oh - 1) * sh + kh - h - ph, ph)
+    pad_r = max((ow - 1) * sw + kw - w - pw, pw)
+    summed = lax.reduce_window(
+        x, jnp.zeros((), x.dtype), lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, pad_b), (pw, pad_r), (0, 0)))
+    if count_include_pad:
+        return summed / jnp.asarray(kh * kw, x.dtype)
+    ones = jnp.ones((1, h, w, 1), x.dtype)
+    counts = lax.reduce_window(
+        ones, jnp.zeros((), x.dtype), lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, pad_b), (pw, pad_r), (0, 0)))
+    return summed / counts
+
+
+@register_op("nn.AvgPool2d")
+def lower_avg_pool_2d(op, cfg):
+    kernel = tuple(require_param(op, "kernel_size", PARAM_AINT).ai)
+    stride = tuple(op.params["stride"].ai) if op.has_param(
+        "stride", PARAM_AINT) else kernel
+    padding = tuple(op.params["padding"].ai) if op.has_param(
+        "padding", PARAM_AINT) else (0, 0)
+    ceil_mode = (op.params["ceil_mode"].b
+                 if op.has_param("ceil_mode", PARAM_BOOL) else False)
+    cip = (op.params["count_include_pad"].b
+           if op.has_param("count_include_pad", PARAM_BOOL) else True)
+
+    def apply(weights, x):
+        return avg_pool_2d(x, kernel, stride, padding, ceil_mode, cip)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+# -------------------------------------------------------- chunk / split
+@register_op("torch.chunk")
+def lower_chunk(op, cfg):
+    chunks = require_param(op, "chunks", PARAM_INT).i
+    dim = require_param(op, "dim", PARAM_INT).i
+
+    def apply(weights, x):
+        d = dim + x.ndim if dim < 0 else dim
+        if x.ndim == 4:
+            d = _NCHW_TO_NHWC_DIM[d]
+        size = x.shape[d]
+        per = -(-size // chunks)  # torch: ceil split
+        return tuple(
+            lax.slice_in_dim(x, i * per, min((i + 1) * per, size), axis=d)
+            for i in range(chunks))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply,
+                  n_outputs=len(op.outputs) or chunks)
+
+
+@register_op("torch.split")
+def lower_split(op, cfg):
+    dim = require_param(op, "dim", PARAM_INT).i
+    p = op.params.get("split_size_or_sections")
+    if p is None:
+        raise ValueError(f"split {op.name}: missing split_size_or_sections")
+    sections = p.ai if p.type == 5 else p.i
+
+    def apply(weights, x):
+        d = dim + x.ndim if dim < 0 else dim
+        if x.ndim == 4:
+            d = _NCHW_TO_NHWC_DIM[d]
+        size = x.shape[d]
+        if isinstance(sections, int):
+            bounds = list(range(sections, size, sections))
+        else:
+            bounds = np.cumsum(sections)[:-1].tolist()
+        starts = [0] + bounds
+        ends = bounds + [size]
+        return tuple(lax.slice_in_dim(x, s, e, axis=d)
+                     for s, e in zip(starts, ends))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply,
+                  n_outputs=len(op.outputs))
+
+
+# ----------------------------------------------------- permute / reshape
+@register_op("torch.permute")
+def lower_permute(op, cfg):
+    dims = tuple(require_param(op, "dims", PARAM_AINT).ai)
+
+    def apply(weights, x):
+        y = jnp.transpose(_to_logical(x), dims)
+        return _to_physical(y)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("torch.transpose")
+def lower_transpose(op, cfg):
+    d0 = require_param(op, "dim0", PARAM_INT).i
+    d1 = require_param(op, "dim1", PARAM_INT).i
+
+    def apply(weights, x):
+        y = _to_logical(x)
+        perm = list(range(y.ndim))
+        a = d0 + y.ndim if d0 < 0 else d0
+        b = d1 + y.ndim if d1 < 0 else d1
+        perm[a], perm[b] = perm[b], perm[a]
+        return _to_physical(jnp.transpose(y, perm))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+def _reshape_logical(x, shape):
+    y = _to_logical(x)
+    shape = [int(s) for s in shape]
+    y = jnp.reshape(y, shape)
+    return _to_physical(y)
+
+
+for _t in ("torch.reshape", "Tensor.reshape", "Tensor.view"):
+    @register_op(_t)
+    def lower_reshape(op, cfg, _t=_t):
+        shape = require_param(op, "shape", PARAM_AINT).ai
+
+        def apply(weights, x):
+            return _reshape_logical(x, shape)
+
+        return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("torch.unsqueeze")
+def lower_unsqueeze(op, cfg):
+    dim = require_param(op, "dim", PARAM_INT).i
+
+    def apply(weights, x):
+        y = jnp.expand_dims(_to_logical(x), dim)
+        return _to_physical(y)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("torch.squeeze")
+def lower_squeeze(op, cfg):
+    def apply(weights, x):
+        y = _to_logical(x)
+        if op.has_param("dim", PARAM_INT):
+            y = jnp.squeeze(y, op.params["dim"].i)
+        else:
+            y = jnp.squeeze(y)
+        return _to_physical(y)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+# ------------------------------------------------------- more activations
+@register_op("nn.LeakyReLU")
+def lower_leaky_relu(op, cfg):
+    slope = (op.params["negative_slope"].f
+             if op.has_param("negative_slope", PARAM_FLOAT) else 0.01)
+
+    def apply(weights, x):
+        return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("nn.ELU")
+def lower_elu(op, cfg):
+    alpha = (op.params["alpha"].f
+             if op.has_param("alpha", PARAM_FLOAT) else 1.0)
+
+    def apply(weights, x):
+        return jnp.where(x > 0, x,
+                         jnp.asarray(alpha, x.dtype) * jnp.expm1(x))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("nn.GELU")
+def lower_gelu(op, cfg):
+    def apply(weights, x):
+        return jax.nn.gelu(x, approximate=False)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("nn.Tanh")
+def lower_tanh(op, cfg):
+    def apply(weights, x):
+        return jnp.tanh(x)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("nn.PReLU")
+def lower_prelu(op, cfg):
+    require_param(op, "num_parameters", PARAM_INT)
+    w = require_attr(op, "weight", 1).array().astype(np.float32)
+
+    def apply(weights, x):
+        a = weights["slope"].astype(x.dtype)  # [C] broadcast on NHWC last
+        return jnp.where(x >= 0, x, x * a)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply,
+                  weights={"slope": w})
+
+
+# -------------------------------------------------------- conv transpose
+@register_op("nn.ConvTranspose2d")
+def lower_conv_transpose_2d(op, cfg):
+    in_channels = require_param(op, "in_channels", PARAM_INT).i
+    out_channels = require_param(op, "out_channels", PARAM_INT).i
+    kernel = require_param(op, "kernel_size", PARAM_AINT).ai
+    stride = tuple(require_param(op, "stride", PARAM_AINT).ai)
+    padding = require_param(op, "padding", PARAM_AINT).ai
+    output_padding = (op.params["output_padding"].ai
+                      if op.has_param("output_padding", PARAM_AINT)
+                      else [0, 0])
+    dilation = tuple(op.params["dilation"].ai
+                     if op.has_param("dilation", PARAM_AINT) else (1, 1))
+    groups = require_param(op, "groups", PARAM_INT).i
+    use_bias = require_param(op, "bias", PARAM_BOOL).b
+    if groups != 1:
+        raise ValueError(f"ConvTranspose2d {op.name}: groups>1 unsupported")
+
+    w = require_attr(op, "weight", 1).array()  # IOHW [ic, oc, kh, kw]
+    if list(w.shape) != [in_channels, out_channels, *kernel]:
+        raise ValueError(f"ConvTranspose2d {op.name}: weight shape "
+                         f"{w.shape} does not match params")
+    # flip spatially, to HWIO with the transpose-conv channel swap
+    w_t = np.ascontiguousarray(
+        np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))).astype(np.float32)
+
+    weights = {"weight": w_t}
+    if use_bias:
+        weights["bias"] = require_attr(op, "bias", 1).array().astype(
+            np.float32)
+
+    kh, kw = kernel
+    dh, dw = dilation
+    pads = tuple(
+        (d * (k - 1) - p, d * (k - 1) - p + opad)
+        for k, p, opad, d in zip(kernel, padding, output_padding, dilation))
+
+    def apply(weights, x):
+        wt = weights["weight"].astype(x.dtype)
+        out = lax.conv_general_dilated(
+            x, wt, window_strides=(1, 1), padding=pads,
+            lhs_dilation=stride, rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        bias = weights.get("bias")
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights,
+                  flops_per_pixel=2 * in_channels * out_channels * kh * kw)
+
+
+# ----------------------------------------------------------- mean/concat
+@register_op("torch.mean")
+def lower_mean(op, cfg):
+    dims = require_param(op, "dim", PARAM_AINT).ai
+    keepdim = (op.params["keepdim"].b
+               if op.has_param("keepdim", PARAM_BOOL) else False)
+
+    def apply(weights, x):
+        ds = [d + x.ndim if d < 0 else d for d in dims]
+        if x.ndim == 4:
+            ds = [_NCHW_TO_NHWC_DIM[d] for d in ds]
+        return jnp.mean(x, axis=tuple(ds), keepdims=keepdim)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)

@@ -42,6 +42,10 @@ class OpImpl:
     # are inferred (conv — spatial extent unknown at lowering time)
     flops_per_item: int = 0
     flops_per_pixel: int = 0
+    # weight keys that must STAY float32 even when the engine casts
+    # weights to a lower compute dtype (e.g. YOLO grids: box coordinates
+    # lose pixels in bf16)
+    fp32_keys: tuple = ()
 
 
 class UnsupportedOpError(Exception):

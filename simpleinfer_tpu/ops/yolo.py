@@ -73,16 +73,32 @@ def lower_yolo_detect(op, cfg):
             num_info = e // a
         elif num_info != e // a:
             raise ValueError(f"YoloDetect {op.name}: head width varies")
-        # [1,A,H,W,2] -> [1,H,W,A,2] -> [1, H*W*A, 2]
-        weights[f"anchor{i}"] = np.ascontiguousarray(
-            np.transpose(ag, (0, 2, 3, 1, 4))).reshape(1, -1, 2).astype(
-                np.float32)
-        weights[f"grid{i}"] = np.ascontiguousarray(
-            np.transpose(gr, (0, 2, 3, 1, 4))).reshape(1, -1, 2).astype(
-                np.float32)
+        ni = e // a
+        # Decode constants in the CHANNEL-PACKED [H*W, A*ni] domain (see
+        # apply): gridc[p, a*ni+j] = grid[a, p, j] for j<2; anchorc[p,
+        # a*ni+2+j] = anchor[a, p, j]. Keeping the decode in the packed
+        # layout lets XLA fuse it into the head conv's epilogue instead
+        # of re-tiling [N,HW,A*ni] -> [N,HWA,ni] twice (a measured
+        # ~0.7 ms copy per forward at 640); the one re-tile happens at
+        # the very end.
+        hw = ag.shape[2] * ag.shape[3]
+        gridc = np.zeros((hw, e), np.float32)
+        anchorc = np.zeros((hw, e), np.float32)
+        gr2 = gr.reshape(a, hw, 2)  # [A,H,W,2] -> [A, H*W, 2]
+        ag2 = ag.reshape(a, hw, 2)
+        for ai in range(a):
+            gridc[:, ai * ni + 0] = gr2[ai, :, 0]
+            gridc[:, ai * ni + 1] = gr2[ai, :, 1]
+            anchorc[:, ai * ni + 2] = ag2[ai, :, 0]
+            anchorc[:, ai * ni + 3] = ag2[ai, :, 1]
+        weights[f"gridc{i}"] = gridc
+        weights[f"anchorc{i}"] = anchorc
 
     strides_list = [float(s) for s in strides]
     na, ni = num_anchors, num_info
+    chan = np.arange(na * ni) % ni
+    xy_mask = jnp.asarray(chan < 2)
+    wh_mask = jnp.asarray((chan >= 2) & (chan < 4))
 
     def apply(weights, *features):
         if len(features) != _NUM_LEVELS:
@@ -90,17 +106,23 @@ def lower_yolo_detect(op, cfg):
         outs = []
         for i, x in enumerate(features):
             y = conv2d_nhwc(x, weights[f"w{i}"], weights[f"b{i}"])
-            n, h, w_, _ = y.shape
-            y = jax.nn.sigmoid(y)
-            # NHWC [N,H,W,A*ni] -> [N, H*W*A, ni] (row-major H,W,A order,
-            # consistent with the grid (0,2,3,1,4) pre-shuffle)
-            y = y.reshape(n, h * w_ * na, ni)
-            xy = (y[..., 0:2] * 2.0 + weights[f"grid{i}"]) * strides_list[i]
-            wh = jnp.square(y[..., 2:4] * 2.0) * weights[f"anchor{i}"]
-            outs.append(jnp.concatenate([xy, wh, y[..., 4:]], axis=-1))
+            n, h, w_, c = y.shape
+            y = jax.nn.sigmoid(y).astype(jnp.float32)
+            y = y.reshape(n, h * w_, c)  # free: lane dim unchanged
+            xy = (y * 2.0 + weights[f"gridc{i}"]) * strides_list[i]
+            wh = jnp.square(y * 2.0) * weights[f"anchorc{i}"]
+            dec = jnp.where(xy_mask, xy, jnp.where(wh_mask, wh, y))
+            # the single re-tile: [N, H*W, A*ni] -> [N, H*W*A, ni]
+            outs.append(dec.reshape(n, h * w_ * na, ni))
         return jnp.concatenate(outs, axis=1)
 
     return OpImpl(
         name=op.name, type=op.type, apply=apply, weights=weights,
         quantizable={},  # head convs are accuracy-critical; keep fp
+        # decode constants and head biases stay f32: grid coords up to
+        # ~80 would quantize to 0.25-cell steps in bf16 (8-px boxes at
+        # stride 32); the decode arithmetic runs in f32 via the explicit
+        # astype above
+        fp32_keys=tuple(k for k in weights
+                        if k[0] in "gab"),  # gridc*/anchorc*/b*
     )

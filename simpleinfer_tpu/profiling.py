@@ -126,6 +126,44 @@ def summarize_roofline(program, batch: int = 1, spec: ChipSpec = V5E,
     return "\n".join(lines)
 
 
+def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True):
+    """Wall-accurate DEVICE time per fn(*args) call, robust to host
+    dispatch overhead: runs `iters` iterations inside one jitted
+    lax.fori_loop, chaining each iteration's input on a scalar of the
+    previous output (so XLA cannot hoist or parallelize them), and
+    divides one dispatch's wall time by `iters`.
+
+    Needed because on remote-attached TPUs per-dispatch overhead
+    (~1-3 ms) exceeds many kernels' runtime, making enqueue-loop timing
+    meaningless below that floor. fn's first argument must be a float
+    array; remaining args are passed through."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def scalar_of(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.sum(leaf).astype(jnp.float32)
+
+    @jax.jit
+    def loop(x0, *rest):
+        def body(i, carry):
+            x, acc = carry
+            out = fn(x, *rest)
+            s = scalar_of(out)
+            # dependency chain: adds 0*s (not foldable: s could be NaN)
+            x = x + (s * 0.0).astype(x.dtype)
+            return (x, acc + s)
+
+        _, acc = lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))
+        return acc
+
+    if warmup:
+        np.asarray(loop(*args))
+    t0 = time.perf_counter()
+    np.asarray(loop(*args))
+    return (time.perf_counter() - t0) / iters
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/si_trace"):
     """jax.profiler trace around a block; view in TensorBoard/Perfetto."""

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from simpleinfer_tpu import Engine, EngineConfig, MeshConfig
 from simpleinfer_tpu.zoo import (
@@ -122,6 +123,34 @@ def test_batch_is_the_only_rejit_axis():
     for bs in (1, 3):
         out = eng.run({in_name: np.zeros((bs, 32, 32, 3), np.float32)})
         assert next(iter(out.values())).shape == (bs, 4)
+
+
+def test_bf16_compute_mode():
+    """Production dtype: weights cast to bf16 at load, loose parity."""
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=6, width=16)
+    ref, _, _ = build_resnet18(batch=1, image_size=32, num_classes=6,
+                               width=16)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    fp = Engine().load_model(None, graph=ref).run({in_name: x})[out_name]
+    bf = Engine(EngineConfig(compute_dtype="bfloat16")).load_model(
+        None, graph=graph).run({in_name: x})[out_name]
+    scale = max(1.0, np.abs(fp).max())
+    assert np.abs(bf.astype(np.float32) - fp).max() < 0.08 * scale
+    assert np.argmax(bf) == np.argmax(fp)
+
+
+def test_bf16_yolo_grids_stay_fp32():
+    """YOLO decode constants must not be quantized to bf16 (box drift)."""
+    graph, in_name, out_name = build_yolov5("n", batch=1, image_size=64)
+    eng = Engine(EngineConfig(compute_dtype="bfloat16")).load_model(
+        None, graph=graph)
+    det = next(i for i in eng.program.impls
+               if i.type == "models.yolo.Detect")
+    placed = eng._device_weights[det.name]
+    assert placed["gridc0"].dtype == np.float32
+    assert placed["anchorc2"].dtype == np.float32
+    assert placed["w0"].dtype == jnp.bfloat16
 
 
 # ------------------------------------------------------------ quantization

@@ -77,6 +77,25 @@ def test_conv2d_6x6_s2_g2_batch8():
     _conv_case(8, 13, 13, 4, 6, (6, 6), (2, 2), (2, 2), groups=2)
 
 
+def test_conv2d_stem_s2d_yolo():
+    """6x6 s2 p2 ic=3 — triggers the space-to-depth stem rewrite."""
+    _conv_case(2, 64, 64, 3, 16, (6, 6), (2, 2), (2, 2))
+
+
+def test_conv2d_stem_s2d_resnet():
+    """7x7 s2 p3 ic=3 — odd kernel, zero-padded to 8 in the rewrite."""
+    _conv_case(1, 32, 32, 3, 8, (7, 7), (2, 2), (3, 3))
+
+
+def test_conv2d_stem_s2d_odd_input_falls_back():
+    """odd H+2p cannot be space-to-depth'd; the lax path must fire."""
+    _conv_case(1, 13, 13, 3, 8, (6, 6), (2, 2), (2, 2))
+
+
+def test_conv2d_stem_s2d_no_bias_stride2():
+    _conv_case(1, 16, 16, 4, 8, (4, 4), (2, 2), (1, 1), bias=False)
+
+
 def test_conv2d_dilated():
     _conv_case(1, 10, 10, 3, 5, (3, 3), (1, 1), (2, 2), dilation=(2, 2))
 

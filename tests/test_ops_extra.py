@@ -1,0 +1,204 @@
+"""Tests for the extended op set (ops/extra.py) vs torch oracles.
+
+Torch is the oracle here (CPU, NCHW): inputs are transposed NHWC<->NCHW
+at the boundary exactly as the engine does, so these tests also pin the
+logical-dim remapping rules.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from simpleinfer_tpu.config import EngineConfig
+from simpleinfer_tpu.ir.graph import Attribute, Operator, Parameter
+from simpleinfer_tpu.ops import lower_operator
+
+CFG = EngineConfig()
+RNG = np.random.default_rng(71)
+
+
+def make_op(type_, name="t0", params=None, attrs=None, n_out=1):
+    op = Operator(type=type_, name=name)
+    for k, v in (params or {}).items():
+        op.params[k] = Parameter.from_value(v)
+    for k, v in (attrs or {}).items():
+        op.attrs[k] = Attribute.from_array(np.asarray(v))
+    for i in range(n_out):
+        from simpleinfer_tpu.ir.graph import Operand
+
+        op.outputs.append(Operand(name=f"o{i}"))
+    return op
+
+
+def run(impl, *inputs):
+    weights = {k: jnp.asarray(v) for k, v in impl.weights.items()}
+    out = impl.apply(weights, *[jnp.asarray(x) for x in inputs])
+    if impl.n_outputs == 1:
+        return np.asarray(out)
+    return [np.asarray(o) for o in out]
+
+
+def nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def nchw(x_nhwc):
+    return np.transpose(x_nhwc, (0, 3, 1, 2))
+
+
+# ---------------------------------------------------------------- pooling
+@pytest.mark.parametrize("cip", [True, False])
+@pytest.mark.parametrize("ceil_mode", [False, True])
+def test_avg_pool2d(ceil_mode, cip):
+    x = RNG.standard_normal((2, 3, 9, 9)).astype(np.float32)
+    impl = lower_operator(make_op("nn.AvgPool2d", params=dict(
+        kernel_size=[3, 3], stride=[2, 2], padding=[1, 1],
+        ceil_mode=ceil_mode, count_include_pad=cip)), CFG)
+    got = run(impl, nhwc(x))
+    want = F.avg_pool2d(torch.from_numpy(x), 3, 2, 1, ceil_mode=ceil_mode,
+                        count_include_pad=cip).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-5)
+
+
+# ----------------------------------------------------------- chunk/split
+def test_chunk_on_channel_dim():
+    x = RNG.standard_normal((1, 6, 4, 4)).astype(np.float32)
+    impl = lower_operator(make_op("torch.chunk", params=dict(
+        chunks=2, dim=1), n_out=2), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.chunk(torch.from_numpy(x), 2, dim=1)
+    assert len(got) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, nhwc(w.numpy()), atol=1e-6)
+
+
+def test_split_sections():
+    x = RNG.standard_normal((1, 7, 4, 4)).astype(np.float32)
+    impl = lower_operator(make_op("torch.split", params=dict(
+        split_size_or_sections=[3, 4], dim=1), n_out=2), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.split(torch.from_numpy(x), [3, 4], dim=1)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, nhwc(w.numpy()), atol=1e-6)
+
+
+# ------------------------------------------------------ permute/reshape
+def test_permute_matches_torch():
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    impl = lower_operator(make_op("torch.permute", params=dict(
+        dims=[0, 2, 1, 3])), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.permute(torch.from_numpy(x), (0, 2, 1, 3)).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-6)
+
+
+def test_transpose_matches_torch():
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    impl = lower_operator(make_op("torch.transpose", params=dict(
+        dim0=1, dim1=2)), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.transpose(torch.from_numpy(x), 1, 2).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-6)
+
+
+def test_reshape_matches_torch():
+    x = RNG.standard_normal((2, 6, 4, 4)).astype(np.float32)
+    impl = lower_operator(make_op("torch.reshape", params=dict(
+        shape=[2, 3, 2, 16])), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.reshape(torch.from_numpy(x), (2, 3, 2, 16)).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-6)
+
+
+def test_view_to_rank2():
+    x = RNG.standard_normal((2, 6, 4, 4)).astype(np.float32)
+    impl = lower_operator(make_op("Tensor.view", params=dict(
+        shape=[2, 96])), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.from_numpy(x).reshape(2, 96).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_unsqueeze_squeeze():
+    x = RNG.standard_normal((2, 3)).astype(np.float32)
+    impl = lower_operator(make_op("torch.unsqueeze", params=dict(dim=1)),
+                          CFG)
+    got = run(impl, x)
+    assert got.shape == (2, 1, 3)
+    impl2 = lower_operator(make_op("torch.squeeze", params=dict(dim=1)),
+                           CFG)
+    got2 = run(impl2, got)
+    assert got2.shape == (2, 3)
+
+
+# ------------------------------------------------------------ activations
+@pytest.mark.parametrize("typ,fn", [
+    ("nn.LeakyReLU", lambda t: F.leaky_relu(t, 0.1)),
+    ("nn.ELU", lambda t: F.elu(t, 1.5)),
+    ("nn.GELU", F.gelu),
+    ("nn.Tanh", torch.tanh),
+])
+def test_extra_activations(typ, fn):
+    x = RNG.standard_normal((2, 3, 4, 4)).astype(np.float32)
+    params = {}
+    if typ == "nn.LeakyReLU":
+        params["negative_slope"] = 0.1
+    if typ == "nn.ELU":
+        params["alpha"] = 1.5
+    impl = lower_operator(make_op(typ, params=params), CFG)
+    got = run(impl, nhwc(x))
+    want = fn(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-5)
+
+
+def test_prelu():
+    x = RNG.standard_normal((2, 4, 3, 3)).astype(np.float32)
+    slope = RNG.uniform(0.0, 0.5, 4).astype(np.float32)
+    impl = lower_operator(make_op("nn.PReLU", params=dict(
+        num_parameters=4), attrs={"weight": slope}), CFG)
+    got = run(impl, nhwc(x))
+    want = F.prelu(torch.from_numpy(x), torch.from_numpy(slope)).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-6)
+
+
+# ---------------------------------------------------------- convtranspose
+@pytest.mark.parametrize("stride,pad,opad", [
+    ((2, 2), (1, 1), (1, 1)), ((2, 2), (0, 0), (0, 0)),
+    ((1, 1), (1, 1), (0, 0)), ((3, 2), (2, 1), (1, 0)),
+])
+def test_conv_transpose_2d(stride, pad, opad):
+    ic, oc, k = 4, 6, 3
+    x = RNG.standard_normal((2, ic, 7, 8)).astype(np.float32)
+    w = RNG.standard_normal((ic, oc, k, k)).astype(np.float32)
+    b = RNG.standard_normal(oc).astype(np.float32)
+    impl = lower_operator(make_op("nn.ConvTranspose2d", params=dict(
+        in_channels=ic, out_channels=oc, kernel_size=[k, k],
+        stride=list(stride), padding=list(pad), output_padding=list(opad),
+        dilation=[1, 1], groups=1, bias=True),
+        attrs={"weight": w, "bias": b}), CFG)
+    got = run(impl, nhwc(x))
+    want = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                              torch.from_numpy(b), stride=stride,
+                              padding=pad, output_padding=opad).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=2e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------------------ mean
+def test_mean_spatial_keepdim():
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    impl = lower_operator(make_op("torch.mean", params=dict(
+        dim=[2, 3], keepdim=True)), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.from_numpy(x).mean(dim=(2, 3), keepdim=True).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-5)
+
+
+def test_mean_no_keepdim():
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    impl = lower_operator(make_op("torch.mean", params=dict(
+        dim=[2, 3], keepdim=False)), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.from_numpy(x).mean(dim=(2, 3)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
