@@ -90,7 +90,12 @@ class Engine:
         def run_fn(weights, inputs):
             return program.fn(weights, inputs)
 
-        self._jitted = jax.jit(run_fn)
+        if self.config.donate_inputs:
+            # donated input buffers are consumed by the call; forward()
+            # clears the staging dict so reuse requires a fresh input()
+            self._jitted = jax.jit(run_fn, donate_argnums=(1,))
+        else:
+            self._jitted = jax.jit(run_fn)
         logger.info(
             "loaded model %s: %d ops, %d inputs %s, %d outputs %s, "
             "%.1f MFLOP/item, %.0f ms",
@@ -164,6 +169,8 @@ class Engine:
         if missing:
             raise EngineStateError(f"inputs not set: {missing}")
         self._outputs = self._jitted(self._device_weights, self._staged)
+        if self.config.donate_inputs:
+            self._staged = {}
 
     def block_until_ready(self) -> None:
         for v in self._outputs.values():

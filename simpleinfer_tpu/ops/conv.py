@@ -79,35 +79,46 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
     return out.astype(x.dtype)
 
 
-def _space_to_depth_weights(w_hwio: np.ndarray) -> np.ndarray:
-    """Rearrange an HWIO kernel for a stride-(*,2) conv into its
-    W-axis space-to-depth equivalent: [kh,kw,ic,oc] ->
-    [kh, ceil(kw/2), 2*ic, oc] (odd kw zero-padded at the tail).
+def _packed_stem_weights(w_hwio: np.ndarray, f: int,
+                         sw: int = 2) -> np.ndarray:
+    """Block-Toeplitz repack of an HWIO kernel for a W-stride-`sw` conv
+    whose input W axis is packed by factor `f` (pure reshape: channel
+    index dx*ic + c) and whose output W axis is packed by `f//sw`
+    (undone by a pure reshape: channel index jo*oc + o).
 
-    Why: stride-2 stem convs on 3-channel images run the MXU at ~2%
-    (the input-feature dim is 3 of 128 lanes; measured ~30% of a
-    YOLOv5s-640-b8 bf16 forward on v5e). Packing W-adjacent pixel pairs
-    into channels doubles the input features and makes the W stride 1 —
-    same FLOPs, better MXU occupancy. ONLY the W axis is packed: packing
-    H too needs a (h,2,w,2,c)->(h,w,2,2,c) transpose that XLA executes
-    slower than the bad conv it saves (measured: direct 3.8 ms, full
-    2x2 s2d 5.5 ms, W-only 2.4 ms), whereas the W pack is a pure
-    row-major reshape — zero data movement.
+    Result: [kh, taps, f*ic, (f//sw)*oc] where
+    taps = ((f//sw - 1)*sw + kw - 1)//f + 1.
+
+    Why: stem convs on 3-channel images run the MXU at ~2% — the
+    input-feature dim is 3 of 128 lanes (measured ~30% of a
+    YOLOv5s-640-b8 bf16 forward on v5e). A full 2x2 space-to-depth
+    needs an interleaving transpose that XLA executes SLOWER than the
+    bad conv it saves (direct 3.8 ms, 2x2-s2d 5.5 ms on v5e); packing
+    only the W axis is a zero-cost row-major reshape. Packing by f=8
+    with 4 output pixels folded into channels turns the yolov5 stem
+    into a K=kh*taps*f*ic=288, N=128 implicit-im2col matmul — MXU
+    shaped — at the price of ~2.7x zero-padding FLOPs (free: the op is
+    bandwidth-bound). w_pack[kh, bw, dx*ic+c, jo*oc+o] = w[kh, kx, c, o]
+    with kx = f*bw + dx - sw*jo (zero where out of range).
     """
     kh, kw, ic, oc = w_hwio.shape
-    kw2 = -(-kw // 2) * 2
-    w2 = np.zeros((kh, kw2, ic, oc), w_hwio.dtype)
-    w2[:, :kw] = w_hwio
-    # (kh, bw, dx, ic, oc) -> merge (dx, ic): channel index dx*ic + c,
-    # matching the input reshape [., w/2, 2*ic] — contiguous, no copy
-    return np.ascontiguousarray(w2.reshape(kh, kw2 // 2, 2 * ic, oc))
+    jo_count = f // sw
+    span = (jo_count - 1) * sw + kw
+    taps = (span - 1) // f + 1
+    w_pack = np.zeros((kh, taps, f * ic, jo_count * oc), w_hwio.dtype)
+    for jo in range(jo_count):
+        for kx in range(kw):
+            col = sw * jo + kx
+            bw, dx = col // f, col % f
+            w_pack[:, bw, dx * ic:(dx + 1) * ic,
+                   jo * oc:(jo + 1) * oc] = w_hwio[:, kx]
+    return np.ascontiguousarray(w_pack)
 
 
-def _space_to_depth_w_nhwc(x):
-    """[N,H,W,C] -> [N,H,W/2,2C] by pure reshape (row-major: channel
-    index = dx*C + c)."""
-    n, h, w, c = x.shape
-    return x.reshape(n, h, w // 2, 2 * c)
+# W-packing factors tried largest-first at trace time (divisibility of
+# the output width decides which applies; f=2 always applies when the
+# padded input width is even)
+_STEM_PACK_FACTORS = (8, 4, 2)
 
 
 # input-channel threshold under which the space-to-depth stem rewrite
@@ -147,13 +158,14 @@ def lower_conv2d(op, cfg):
     fused_act = (op.params["si_fused_act"].s
                  if op.has_param("si_fused_act") else None)
 
-    # W-stride-2 small-ic stem: pre-build the space-to-depth kernel
+    # W-stride-2 small-ic stem: pre-build the packed kernels
     s2d_eligible = (stride_t[1] == 2 and dilation_t == (1, 1)
                     and groups == 1 and padding_mode == "zeros"
                     and in_channels <= _S2D_MAX_IC)
-    weights_s2d = _space_to_depth_weights(w_hwio) if s2d_eligible else None
-    if weights_s2d is not None:
-        weights["weight_s2d"] = weights_s2d.astype(np.float32)
+    if s2d_eligible:
+        for f in _STEM_PACK_FACTORS:
+            weights[f"stem_pack{f}"] = _packed_stem_weights(
+                w_hwio, f).astype(np.float32)
 
     # Pallas int8 dispatch: pointwise (1x1 s1 p0 g1) convs ARE matmuls —
     # the int8 weight stream + dequant/bias/act epilogue runs in one
@@ -166,27 +178,38 @@ def lower_conv2d(op, cfg):
 
     def apply(weights, x):
         w, bias = weights["weight"], weights.get("bias")
-        if "weight_s2d" in weights:
+        if "stem_pack2" in weights:
             n, h, wd, c = x.shape
-            pl = pad[1][0]
-            if (wd + 2 * pl) % 2 == 0:
-                ws = resolve_weight(weights["weight_s2d"], x.dtype)
-                xp = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)))
-                out = lax.conv_general_dilated(
-                    _space_to_depth_w_nhwc(xp), ws,
-                    window_strides=(stride_t[0], 1), padding="VALID",
-                    dimension_numbers=_DIMENSION_NUMBERS,
-                    preferred_element_type=jnp.float32,
-                    precision=(lax.Precision.HIGHEST
-                               if x.dtype == jnp.float32
-                               else lax.Precision.DEFAULT))
-                if bias is not None:
-                    out = out + bias.astype(jnp.float32)
-                if fused_act is not None:
-                    from ..kernels.matmul import _ACTIVATIONS
+            pt, pl = pad[0][0], pad[1][0]
+            kh_, kw_ = kernel
+            oh = (h + 2 * pt - kh_) // stride_t[0] + 1
+            ow = (wd + 2 * pl - kw_) // 2 + 1
+            f = next(ff for ff in _STEM_PACK_FACTORS if ow % (ff // 2) == 0)
+            jo_count = f // 2
+            span = (jo_count - 1) * 2 + kw_
+            taps = (span - 1) // f + 1
+            wp_target = (ow // jo_count + taps - 1) * f
+            wpk = resolve_weight(weights[f"stem_pack{f}"], x.dtype)
+            xp = jnp.pad(
+                x, ((0, 0), pad[0], (pl, wp_target - wd - pl), (0, 0)))
+            xb = xp.reshape(n, h + 2 * pt, wp_target // f, f * c)
+            out = lax.conv_general_dilated(
+                xb, wpk,
+                window_strides=(stride_t[0], 1), padding="VALID",
+                dimension_numbers=_DIMENSION_NUMBERS,
+                preferred_element_type=jnp.float32,
+                precision=(lax.Precision.HIGHEST
+                           if x.dtype == jnp.float32
+                           else lax.Precision.DEFAULT))
+            # [N, OH, OW/jo, jo*OC] -> [N, OH, OW, OC]: pure reshape
+            out = out.reshape(n, oh, ow, out_channels)
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            if fused_act is not None:
+                from ..kernels.matmul import _ACTIVATIONS
 
-                    out = _ACTIVATIONS[fused_act](out)
-                return out.astype(x.dtype)
+                out = _ACTIVATIONS[fused_act](out)
+            return out.astype(x.dtype)
         if (pointwise and allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w
@@ -207,14 +230,13 @@ def lower_conv2d(op, cfg):
     # multiplies the per-pixel term by OH*OW after shape inference
     per_pixel = 2 * out_channels * (in_channels // groups) * kernel[0] * kernel[1]
 
-    quantizable = {"weight": 3}  # HWIO: out channels on axis 3
-    if weights_s2d is not None:
-        quantizable["weight_s2d"] = 3
+    # stem packs are not quantized: stems hold <0.1% of model weight
+    # bytes, and the packed layout interleaves output pixels with
+    # channels (per-channel scales would not broadcast)
     return OpImpl(
         name=op.name, type=op.type, apply=apply, weights=weights,
-        quantizable=quantizable,
+        quantizable={"weight": 3},  # HWIO: out channels on axis 3
         shard_hints={"weight": (None, None, None, "model"),
-                     "bias": ("model",),
-                     "weight_s2d": (None, None, None, "model")},
+                     "bias": ("model",)},
         flops_per_pixel=per_pixel,
     )

@@ -154,36 +154,65 @@ class BatchingService:
                 return b
         return self.buckets[-1]
 
+    def _dispatch(self, batch: list):
+        """Stage + forward one batch; returns (batch, device_out, t0,
+        bucket) with the output still on device (NOT fetched)."""
+        t0 = time.perf_counter()
+        n = len(batch)
+        bucket = self._bucket_for(n)
+        x = np.stack([r.array for r in batch])
+        if bucket > n:
+            pad = np.zeros((bucket - n, *x.shape[1:]), x.dtype)
+            x = np.concatenate([x, pad])
+        self.engine.input(self.input_name, x)
+        self.engine.forward()
+        out = self.engine.extract(self.output_name, as_numpy=False)
+        return batch, out, t0, bucket
+
+    def _resolve(self, inflight) -> None:
+        """Fetch a dispatched batch's output and complete its futures."""
+        batch, out, t0, bucket = inflight
+        n = len(batch)
+        try:
+            host = np.asarray(out)  # blocks until the device finishes
+            for i, r in enumerate(batch):
+                r.future.set_result(host[i])
+        except Exception as e:  # noqa: BLE001 — propagate to all waiters
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+        finally:
+            now = time.perf_counter()
+            self.stats.requests += n
+            self.stats.batches += 1
+            self.stats.padded_items += bucket - n
+            self.stats.total_batch_time_s += now - t0
+            self.stats.total_latency_s += sum(
+                now - r.enqueue_t for r in batch)
+            for _ in batch:
+                self._q.task_done()
+
     def _loop(self) -> None:
+        """Double-buffered schedule: while the device computes batch N,
+        the host gathers/stages batch N+1 and only then fetches N — the
+        continuous-batching pipeline overlap of BASELINE.json config 5."""
+        inflight = None
         while not self._stop.is_set():
             batch = self._gather()
-            if not batch:
-                continue
-            t0 = time.perf_counter()
-            n = len(batch)
-            bucket = self._bucket_for(n)
-            x = np.stack([r.array for r in batch])
-            if bucket > n:
-                pad = np.zeros((bucket - n, *x.shape[1:]), x.dtype)
-                x = np.concatenate([x, pad])
-            try:
-                self.engine.input(self.input_name, x)
-                self.engine.forward()
-                out = np.asarray(
-                    self.engine.extract(self.output_name, as_numpy=False))
-                for i, r in enumerate(batch):
-                    r.future.set_result(out[i])
-            except Exception as e:  # propagate to all waiters
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
-            finally:
-                now = time.perf_counter()
-                self.stats.requests += n
-                self.stats.batches += 1
-                self.stats.padded_items += bucket - n
-                self.stats.total_batch_time_s += now - t0
-                self.stats.total_latency_s += sum(
-                    now - r.enqueue_t for r in batch)
-                for _ in batch:
-                    self._q.task_done()
+            nxt = None
+            if batch:
+                try:
+                    nxt = self._dispatch(batch)
+                except Exception as e:  # noqa: BLE001 — staging failed
+                    for r in batch:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+                    for _ in batch:
+                        self._q.task_done()
+                    self.stats.requests += len(batch)
+                    self.stats.batches += 1
+            if inflight is not None:
+                self._resolve(inflight)
+            inflight = nxt
+        if inflight is not None:
+            self._resolve(inflight)

@@ -11,7 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from simpleinfer_tpu import Engine, EngineConfig, MeshConfig
+from simpleinfer_tpu import Engine, EngineConfig, EngineStateError, MeshConfig
 from simpleinfer_tpu.zoo import (
     build_mobilenet_like,
     build_resnet18,
@@ -114,6 +114,25 @@ def test_nchw_io_layout():
     got = eng.run({in_name: np.ones((1, 3, 32, 32), np.float32)})
     np.testing.assert_allclose(got[out_name], want[out_name], atol=1e-2,
                                rtol=1e-3)
+
+
+def test_donate_inputs_mode():
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    ref, _, _ = build_resnet18(batch=1, image_size=32, num_classes=4,
+                               width=8)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref).run({in_name: x})[out_name]
+    eng = Engine(EngineConfig(donate_inputs=True)).load_model(
+        None, graph=graph)
+    got = eng.run({in_name: x})[out_name]
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    # staged buffer was consumed: forward() without input() must fail
+    with pytest.raises(EngineStateError):
+        eng.forward()
+    # re-staging works
+    got2 = eng.run({in_name: x})[out_name]
+    np.testing.assert_allclose(got2, want, atol=1e-4, rtol=1e-4)
 
 
 def test_batch_is_the_only_rejit_axis():
