@@ -128,15 +128,16 @@ def summarize_roofline(program, batch: int = 1, spec: ChipSpec = V5E,
 
 def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True):
     """Wall-accurate DEVICE time per fn(*args) call, robust to host
-    dispatch overhead: runs `iters` iterations inside one jitted
-    lax.fori_loop, chaining each iteration's input on a scalar of the
-    previous output (so XLA cannot hoist or parallelize them), and
-    divides one dispatch's wall time by `iters`.
+    dispatch overhead: runs iterations inside one jitted lax.fori_loop,
+    chaining each iteration's input on a scalar of the previous output
+    (so XLA cannot hoist or parallelize them), and uses a TWO-POINT
+    measurement — (T(2*iters) - T(iters)) / iters — so the fixed
+    per-dispatch cost (~28 ms on a remote-attached chip: RTT + launch)
+    cancels exactly. The trip count is a traced argument, so both
+    points share one compilation.
 
-    Needed because on remote-attached TPUs per-dispatch overhead
-    (~1-3 ms) exceeds many kernels' runtime, making enqueue-loop timing
-    meaningless below that floor. fn's first argument must be a float
-    array; remaining args are passed through."""
+    fn's first argument must be a float array; remaining args pass
+    through."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -145,7 +146,7 @@ def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True):
         return jnp.sum(leaf).astype(jnp.float32)
 
     @jax.jit
-    def loop(x0, *rest):
+    def loop(n, x0, *rest):
         def body(i, carry):
             x, acc = carry
             out = fn(x, *rest)
@@ -154,14 +155,18 @@ def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True):
             x = x + (s * 0.0).astype(x.dtype)
             return (x, acc + s)
 
-        _, acc = lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))
+        _, acc = lax.fori_loop(0, n, body, (x0, jnp.float32(0.0)),
+                               unroll=False)
         return acc
 
     if warmup:
-        np.asarray(loop(*args))
+        np.asarray(loop(iters, *args))
     t0 = time.perf_counter()
-    np.asarray(loop(*args))
-    return (time.perf_counter() - t0) / iters
+    np.asarray(loop(iters, *args))
+    t1 = time.perf_counter()
+    np.asarray(loop(2 * iters, *args))
+    t2 = time.perf_counter()
+    return max((t2 - t1) - (t1 - t0), 1e-9) / iters
 
 
 @contextlib.contextmanager
