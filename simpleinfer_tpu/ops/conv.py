@@ -201,15 +201,18 @@ def lower_conv2d(op, cfg):
                 precision=(lax.Precision.HIGHEST
                            if x.dtype == jnp.float32
                            else lax.Precision.DEFAULT))
-            # [N, OH, OW/jo, jo*OC] -> [N, OH, OW, OC]: pure reshape
-            out = out.reshape(n, oh, ow, out_channels)
+            # bias + activation in the PACKED domain (bias tiled per
+            # output-pixel slot) so they fuse into the conv epilogue;
+            # the unpack reshape is then the only layout op, on bf16
             if bias is not None:
-                out = out + bias.astype(jnp.float32)
+                out = out + jnp.tile(bias.astype(jnp.float32), jo_count)
             if fused_act is not None:
                 from ..kernels.matmul import _ACTIVATIONS
 
                 out = _ACTIVATIONS[fused_act](out)
-            return out.astype(x.dtype)
+            out = out.astype(x.dtype)
+            # [N, OH, OW/jo, jo*OC] -> [N, OH, OW, OC]: row-major reshape
+            return out.reshape(n, oh, ow, out_channels)
         if (pointwise and allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w

@@ -1,0 +1,138 @@
+"""Command-line tools: model inspection and demo pipelines.
+
+The analog of the reference's utility binaries:
+- `dump`      ~ test-pnnx-ir (prints every operator/operand/param/attr,
+               /root/reference/test/test_pnnx/test_pnnx_ir.cpp)
+- `detect`    ~ test-yolo (letterbox -> engine -> NMS -> annotated image,
+               test/test_yolo/test_yolo.cpp)
+- `classify`  ~ test-classify (argmax/top-k printout,
+               test/test_classify/test_classify.cpp)
+- `roofline`  ~ (new) per-op cost table from profiling.py
+
+Usage: python -m simpleinfer_tpu <command> [args]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def cmd_dump(args) -> int:
+    from .ir.dtypes import type_to_string
+    from .ir.graph import Graph
+
+    g = Graph.load(args.param, args.bin)
+    print(f"{len(g.ops)} operators, {len(g.operands)} operands")
+    for op in g.ops:
+        print(f"\n{op.type} {op.name}")
+        for r in op.inputs:
+            print(f"  in:  {r.name} {type_to_string(r.type)}{r.shape}")
+        for r in op.outputs:
+            print(f"  out: {r.name} {type_to_string(r.type)}{r.shape}")
+        for k, p in op.params.items():
+            print(f"  param {k} = {p.encode()}")
+        for k, a in op.attrs.items():
+            print(f"  attr {k}: {type_to_string(a.type)}{a.shape}"
+                  f" ({a.nbytes} bytes)")
+    return 0
+
+
+def _load_engine(args):
+    from . import Engine, EngineConfig
+
+    cfg = EngineConfig(
+        compute_dtype=args.dtype,
+        quant="int8w" if args.int8 else None)
+    return Engine(cfg).load_model(args.param, args.bin)
+
+
+def cmd_detect(args) -> int:
+    from .zoo.detect import detect_images
+    from .zoo.imageio import draw_detections, imread, imwrite
+
+    eng = _load_engine(args)
+    images = [imread(p) for p in args.images]
+    results = detect_images(eng, images, size=args.size,
+                            conf_thresh=args.conf, iou_thresh=args.iou)
+    for path, img, dets in zip(args.images, images, results):
+        print(f"{path}: {len(dets)} detections")
+        for d in dets:
+            x1, y1, x2, y2 = (int(v) for v in d.box)
+            print(f"  {d.class_name:16s} {d.score:.3f} "
+                  f"[{x1},{y1},{x2},{y2}]")
+        if args.out:
+            out_path = f"{args.out}/{path.split('/')[-1]}"
+            imwrite(out_path, draw_detections(img, dets))
+            print(f"  -> {out_path}")
+    return 0
+
+
+def cmd_classify(args) -> int:
+    from .zoo.classify import classify_images
+    from .zoo.imageio import imread
+
+    eng = _load_engine(args)
+    images = [imread(p, bgr=False) for p in args.images]
+    for path, topk in zip(args.images,
+                          classify_images(eng, images, size=args.size,
+                                          k=args.topk)):
+        print(f"{path}:")
+        for cls, prob in topk:
+            print(f"  class {cls}: {prob:.4f}")
+    return 0
+
+
+def cmd_roofline(args) -> int:
+    from .config import EngineConfig
+    from .executor import build_program
+    from .ir.graph import Graph
+    from .profiling import summarize_roofline
+
+    g = Graph.load(args.param, args.bin)
+    program = build_program(g, EngineConfig())
+    print(summarize_roofline(program, batch=args.batch,
+                             dtype=args.dtype, top=args.top))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="simpleinfer_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("dump", help="print the pnnx IR of a model")
+    p.add_argument("param")
+    p.add_argument("bin", nargs="?")
+    p.set_defaults(fn=cmd_dump)
+
+    for name, fn in (("detect", cmd_detect), ("classify", cmd_classify)):
+        p = sub.add_parser(name, help=f"{name} demo pipeline")
+        p.add_argument("param")
+        p.add_argument("bin")
+        p.add_argument("images", nargs="+")
+        p.add_argument("--size", type=int,
+                       default=640 if name == "detect" else 224)
+        p.add_argument("--dtype", default="bfloat16",
+                       choices=["float32", "bfloat16"])
+        p.add_argument("--int8", action="store_true")
+        if name == "detect":
+            p.add_argument("--conf", type=float, default=0.25)
+            p.add_argument("--iou", type=float, default=0.45)
+            p.add_argument("--out", help="directory for annotated images")
+        else:
+            p.add_argument("--topk", type=int, default=5)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("roofline", help="per-op roofline cost table")
+    p.add_argument("param")
+    p.add_argument("bin", nargs="?")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--top", type=int, default=20)
+    p.set_defaults(fn=cmd_roofline)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
