@@ -63,9 +63,33 @@ def _matmul_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, *,
 
     xb = x_ref[:]
     wb = w_ref[:]
-    if wb.dtype != xb.dtype:
-        wb = wb.astype(xb.dtype)  # int8 -> activation dtype for the MXU
-    acc_ref[:] += jnp.dot(xb, wb, preferred_element_type=jnp.float32)
+    # f32 operands need multi-pass MXU emulation done BY HAND: the MXU
+    # multiplies in bf16, and Mosaic ignores lax precision hints here
+    # (caught by the real-chip tests at ~2e-3 relative error; the CPU
+    # interpreter is exact and hides it). Split each f32 operand into
+    # hi+lo bf16 parts and accumulate the significant cross terms
+    # (hi*hi + hi*lo + lo*hi; lo*lo is below f32 ulp). int8 weights are
+    # exact in bf16 — no split needed.
+    def split(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    if xb.dtype == jnp.float32 and wb.dtype == jnp.float32:
+        xh, xl = split(xb)
+        wh, wl = split(wb)
+        acc_ref[:] += mm(xh, wh) + mm(xh, wl) + mm(xl, wh)
+    elif xb.dtype == jnp.float32:
+        xh, xl = split(xb)
+        wb = wb.astype(jnp.bfloat16)
+        acc_ref[:] += mm(xh, wb) + mm(xl, wb)
+    else:
+        if wb.dtype != xb.dtype:
+            wb = wb.astype(xb.dtype)  # int8 -> bf16 for the MXU
+        acc_ref[:] += mm(xb, wb)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -161,9 +185,13 @@ def matmul_int8w(x, w_q, scale, bias=None, activation: Optional[str] = None,
 
 
 # ---- jnp reference implementations (the GemmPack4F32Ref analog) --------
+# precision=HIGHEST so the reference is truly f32 on TPU too (the MXU's
+# default single bf16 pass would make the oracle as sloppy as the thing
+# under test)
 def matmul_ref(x, w, bias=None, activation: Optional[str] = None):
     out = jnp.dot(x.astype(jnp.float32), w.astype(jnp.float32),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return _ACTIVATIONS[activation](out).astype(x.dtype)
@@ -172,7 +200,8 @@ def matmul_ref(x, w, bias=None, activation: Optional[str] = None):
 def matmul_int8w_ref(x, w_q, scale, bias=None,
                      activation: Optional[str] = None):
     out = jnp.dot(x.astype(jnp.float32), w_q.astype(jnp.float32),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     out = out * scale.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
