@@ -123,8 +123,86 @@ def fuse_conv_activation(graph: Graph) -> int:
     return n
 
 
+def _conv_param(op, key):
+    p = op.params.get(key)
+    return p.value if p is not None else None
+
+
+def _plain_conv(op) -> bool:
+    return (op.type == "nn.Conv2d"
+            and _conv_param(op, "groups") == 1
+            and _conv_param(op, "dilation") == [1, 1]
+            and _conv_param(op, "padding_mode") == "zeros")
+
+
+def _pack_consumers(op):
+    """The packed-handoff consumer set: op's single output must have
+    exactly ONE consumer, a plain non-pointwise conv. (Measured on v5e:
+    fanning packed tensors out to multiple consumers, or into 1x1 convs
+    whose block-Toeplitz form is block-diagonal — g x the MACs for the
+    same work — regresses; the win is conv->conv relay with kw > 1.)"""
+    if len(op.outputs) != 1:
+        return None
+    consumers = op.outputs[0].consumers
+    if len(consumers) != 1:
+        return None
+    c = consumers[0]
+    if c.type == "pnnx.Output" or not _plain_conv(c):
+        return None
+    kernel = _conv_param(c, "kernel_size") or [1, 1]
+    stride = _conv_param(c, "stride") or [1, 1]
+    if stride[1] not in (1, 2) or kernel[1] == 1:
+        return None
+    return [c]
+
+
+def mark_packed_conv_chains(graph: Graph) -> int:
+    """Tag conv chains for the W-packed handoff (ops/conv.py PackedW).
+
+    Seeds: small-input-channel W-stride-2 stem convs. From each seed the
+    packed domain propagates while EVERY consumer of a packed conv is
+    itself a plain conv (stride_w 1 or 2): the producer keeps its output
+    in packed form and each consumer convolves it with block-Toeplitz-
+    repacked weights — skipping the unpack/repack layout copies between
+    them (measured ~0.45 ms of a 3 ms YOLOv5s-640-b8 forward for the
+    first pair alone). The first non-conv consumer (cat, add, pool, the
+    graph output) ends the chain: its producer emits dense NHWC.
+    Returns the number of producer->consumers handoffs marked."""
+    n = 0
+    seeds = []
+    for op in graph.ops:
+        if not _plain_conv(op):
+            continue
+        stride = _conv_param(op, "stride") or [1, 1]
+        ic = _conv_param(op, "in_channels") or 1 << 30
+        if stride[1] == 2 and ic <= 8:
+            seeds.append(op)
+    visited = set()
+    work = list(seeds)
+    while work:
+        op = work.pop()
+        if id(op) in visited:
+            continue
+        visited.add(id(op))
+        consumers = _pack_consumers(op)
+        if consumers is None:
+            continue
+        op.params[FUSED_PACK_OUT] = Parameter.from_value(True)
+        for c in consumers:
+            c.params[FUSED_PACK_IN] = Parameter.from_value(True)
+            work.append(c)
+        n += 1
+    return n
+
+
+FUSED_PACK_OUT = "si_pack_out"
+FUSED_PACK_IN = "si_pack_in"
+
+
 def run_inference_fusions(graph: Graph) -> dict:
-    """conv+bn first (so conv+bn+act chains end as one fused conv)."""
+    """conv+bn first (so conv+bn+act chains end as one fused conv),
+    then activation folding, then packed-chain marking."""
     stats = {"conv_bn": fuse_conv_bn(graph),
-             "conv_act": fuse_conv_activation(graph)}
+             "conv_act": fuse_conv_activation(graph),
+             "packed_chain": mark_packed_conv_chains(graph)}
     return stats

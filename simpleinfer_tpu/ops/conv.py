@@ -23,7 +23,9 @@ matmuls).
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -121,6 +123,74 @@ def _packed_stem_weights(w_hwio: np.ndarray, f: int,
 _STEM_PACK_FACTORS = (8, 4, 2)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PackedW:
+    """A W-packed activation flowing between chained packed convs:
+    data [N, H, OW/jo, jo*C] holds `jo` W-adjacent pixels folded into
+    channels (pixel-major: channel index = j*C + c). Only travels
+    between ops marked by ir/passes.mark_packed_conv_chains — never
+    crosses the jit boundary."""
+
+    data: object
+    jo: int
+    ow: int
+
+    def tree_flatten(self):
+        return (self.data,), (self.jo, self.ow)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(data=children[0], jo=aux[0], ow=aux[1])
+
+    @property
+    def shape(self):
+        """Logical (unpacked) NHWC shape."""
+        n, h, _, cjo = self.data.shape
+        return (n, h, self.ow, cjo // self.jo)
+
+    def unpack(self):
+        n, h, _, cjo = self.data.shape
+        return self.data.reshape(n, h, self.ow, cjo // self.jo)
+
+
+def _bt_geometry(g: int, sw: int, kw: int, pad_w: int):
+    """Shared tap geometry for block-Toeplitz convs over g-pixel input
+    blocks: returns (jo_out, pad_blocks, taps)."""
+    jo = g // sw
+    offs = [sw * j + kx - pad_w for j in range(jo) for kx in range(kw)]
+    lo = min(offs)
+    pad_blocks = (-lo + g - 1) // g if lo < 0 else 0
+    taps = (max(offs) + pad_blocks * g) // g + 1
+    return jo, pad_blocks, taps
+
+
+def _block_toeplitz_weights(w_hwio: np.ndarray, g: int, sw: int,
+                            pad_w: int) -> np.ndarray:
+    """Repack an HWIO kernel to consume g-pixel W-packed input blocks
+    (channel index d*ic + c) and produce (g//sw)-pixel packed output
+    blocks (channel index j*oc + o), with the W padding folded into the
+    tap offsets (the consumer left-pads `pad_blocks` zero blocks).
+    Generalizes _packed_stem_weights to chained convs (the stem's
+    successor consumes the stem's packed output directly, skipping the
+    unpack/repack layout copies)."""
+    kh, kw, ic, oc = w_hwio.shape
+    jo, pad_blocks, taps = _bt_geometry(g, sw, kw, pad_w)
+    shift = pad_blocks * g
+    w_pack = np.zeros((kh, taps, g * ic, jo * oc), w_hwio.dtype)
+    for j in range(jo):
+        for kx in range(kw):
+            b, d = divmod(sw * j + kx - pad_w + shift, g)
+            w_pack[:, b, d * ic:(d + 1) * ic,
+                   j * oc:(j + 1) * oc] = w_hwio[:, kx]
+    return np.ascontiguousarray(w_pack)
+
+
+# input-block sizes a packed-input conv prepares weights for (the
+# producer picks f∈{8,4,2} at trace time → emits jo=f/2∈{4,2,1} blocks)
+_BT_IN_BLOCKS = (4, 2)
+
+
 # input-channel threshold under which the space-to-depth stem rewrite
 # fires (stem convs: ic=3; beyond ~8 the lane packing is fine already)
 _S2D_MAX_IC = 8
@@ -167,6 +237,14 @@ def lower_conv2d(op, cfg):
             weights[f"stem_pack{f}"] = _packed_stem_weights(
                 w_hwio, f).astype(np.float32)
 
+    # chain markers from ir/passes.mark_packed_conv_chains
+    pack_out = op.has_param("si_pack_out")
+    pack_in = op.has_param("si_pack_in")
+    if pack_in:
+        for g in _BT_IN_BLOCKS:
+            weights[f"bt_in{g}"] = _block_toeplitz_weights(
+                w_hwio, g, stride_t[1], padding[1]).astype(np.float32)
+
     # Pallas int8 dispatch: pointwise (1x1 s1 p0 g1) convs ARE matmuls —
     # the int8 weight stream + dequant/bias/act epilogue runs in one
     # kernel. Opt-in (see EngineConfig.use_pallas: XLA currently wins
@@ -176,8 +254,53 @@ def lower_conv2d(op, cfg):
                  and groups == 1)
     allow_pallas = bool(cfg.use_pallas) and cfg.mesh is None
 
+    def _epilogue_packed(out, bias, jo_count, dtype):
+        """bias + activation in the packed domain (bias tiled per
+        output-pixel slot) so they fuse into the conv epilogue."""
+        if bias is not None:
+            out = out + jnp.tile(bias.astype(jnp.float32), jo_count)
+        if fused_act is not None:
+            from ..kernels.matmul import _ACTIVATIONS
+
+            out = _ACTIVATIONS[fused_act](out)
+        return out.astype(dtype)
+
+    def _apply_packed_in(weights, xp: PackedW, bias):
+        """Consume a producer's packed output directly (no unpack)."""
+        g = xp.jo
+        key = f"bt_in{g}"
+        if key not in weights or stride_t[1] > g:
+            return None
+        kh_, kw_ = kernel
+        pt, pl = pad[0][0], pad[1][0]
+        jo2, pad_blocks, taps = _bt_geometry(g, stride_t[1], kw_, pl)
+        ow2 = (xp.ow + 2 * pl - kw_) // stride_t[1] + 1
+        if jo2 == 0 or ow2 % jo2:
+            return None
+        d = xp.data
+        blocks_needed = ow2 // jo2 + taps - 1
+        right = max(0, blocks_needed - (pad_blocks + d.shape[2]))
+        d = jnp.pad(d, ((0, 0), (pt, pt), (pad_blocks, right), (0, 0)))
+        wpk = resolve_weight(weights[key], d.dtype)
+        out = lax.conv_general_dilated(
+            d, wpk, window_strides=(stride_t[0], 1), padding="VALID",
+            dimension_numbers=_DIMENSION_NUMBERS,
+            preferred_element_type=jnp.float32,
+            precision=(lax.Precision.HIGHEST if d.dtype == jnp.float32
+                       else lax.Precision.DEFAULT))
+        out = _epilogue_packed(out, bias, jo2, d.dtype)
+        n, oh2 = out.shape[0], out.shape[1]
+        if pack_out and jo2 > 1:
+            return PackedW(data=out, jo=jo2, ow=ow2)
+        return out.reshape(n, oh2, ow2, out_channels)
+
     def apply(weights, x):
         w, bias = weights["weight"], weights.get("bias")
+        if isinstance(x, PackedW):
+            out = _apply_packed_in(weights, x, bias)
+            if out is not None:
+                return out
+            x = x.unpack()
         if "stem_pack2" in weights:
             n, h, wd, c = x.shape
             pt, pl = pad[0][0], pad[1][0]
@@ -201,16 +324,11 @@ def lower_conv2d(op, cfg):
                 precision=(lax.Precision.HIGHEST
                            if x.dtype == jnp.float32
                            else lax.Precision.DEFAULT))
-            # bias + activation in the PACKED domain (bias tiled per
-            # output-pixel slot) so they fuse into the conv epilogue;
-            # the unpack reshape is then the only layout op, on bf16
-            if bias is not None:
-                out = out + jnp.tile(bias.astype(jnp.float32), jo_count)
-            if fused_act is not None:
-                from ..kernels.matmul import _ACTIVATIONS
-
-                out = _ACTIVATIONS[fused_act](out)
-            out = out.astype(x.dtype)
+            out = _epilogue_packed(out, bias, jo_count, x.dtype)
+            if pack_out and jo_count > 1:
+                # the (sole) consumer is a packed-input conv: hand over
+                # the packed form, skipping the unpack layout copy
+                return PackedW(data=out, jo=jo_count, ow=ow)
             # [N, OH, OW/jo, jo*OC] -> [N, OH, OW, OC]: row-major reshape
             return out.reshape(n, oh, ow, out_channels)
         if (pointwise and allow_pallas and isinstance(w, QuantizedTensor)
