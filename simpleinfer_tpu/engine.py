@@ -33,14 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import EngineConfig
-from .executor import GraphError, Program, build_program
+from .executor import Program, build_program
 from .ir.graph import Graph
-from .parallel.mesh import (
-    build_mesh,
-    input_sharding,
-    replicated,
-    weight_shardings,
-)
+from .parallel.mesh import build_mesh, input_sharding, weight_shardings
 from .quant.tensor import QuantizedTensor
 
 logger = logging.getLogger("simpleinfer_tpu")

@@ -27,13 +27,11 @@ Lifecycle parity with EngineImpl::LoadModel (engine_impl.cpp:16-75):
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .config import EngineConfig
 from .ir.expression import expand_expression
@@ -101,13 +99,7 @@ def _toposort(graph: Graph) -> list:
     independent of serialization order (the analog of CGraph's dependency
     resolution at engine_impl.cpp:396-404).
     """
-    indeg = {}
-    consumers = {}
-    for op in graph.ops:
-        produced = set()
-        for r in op.outputs:
-            produced.add(r.name)
-        indeg[id(op)] = 0
+    indeg = {id(op): 0 for op in graph.ops}
     name_to_producer = {}
     for op in graph.ops:
         for r in op.outputs:

@@ -22,7 +22,6 @@ matmuls).
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import jax

@@ -7,6 +7,12 @@ those architectures directly as pnnx graphs (ir.Graph) with seeded random
 weights, exercising the exact same op surface. `Graph.save` writes them
 to real .pnnx.param/.bin files when on-disk fixtures are wanted.
 """
-from .builders import build_mobilenet_like, build_resnet18, build_yolov5
+from .builders import (
+    build_mobilenet_like,
+    build_resnet18,
+    build_resnet50,
+    build_yolov5,
+)
 
-__all__ = ["build_mobilenet_like", "build_resnet18", "build_yolov5"]
+__all__ = ["build_mobilenet_like", "build_resnet18", "build_resnet50",
+           "build_yolov5"]

@@ -284,6 +284,37 @@ def build_resnet18(batch: int = 1, image_size: int = 224,
     return b.build(), "0", x
 
 
+def build_resnet50(batch: int = 1, image_size: int = 224,
+                   num_classes: int = 1000, width: int = 64,
+                   seed: int = 0) -> tuple:
+    """ResNet-50 (1x1-3x3-1x1 bottleneck blocks, expansion 4) — the
+    larger classification model of BASELINE.json config 4."""
+    b = GraphBuilder(seed)
+    x = b.input([batch, 3, image_size, image_size], name="0")
+
+    def bottleneck(x, planes, stride):
+        in_c = b.shape[x][1]
+        out_c = planes * 4
+        y = b.relu(b.bn(b.conv(x, planes, 1, bias=False)))
+        y = b.relu(b.bn(b.conv(y, planes, 3, stride, 1, bias=False)))
+        y = b.bn(b.conv(y, out_c, 1, bias=False))
+        if stride != 1 or in_c != out_c:
+            x = b.bn(b.conv(x, out_c, 1, stride, 0, bias=False))
+        return b.relu(b.add(y, x))
+
+    x = b.relu(b.bn(b.conv(x, width, 7, 2, 3, bias=False)))
+    x = b.maxpool(x, 3, 2, 1)
+    for i, (planes, blocks) in enumerate(
+            [(width, 3), (width * 2, 4), (width * 4, 6), (width * 8, 3)]):
+        for j in range(blocks):
+            x = bottleneck(x, planes, 2 if (i > 0 and j == 0) else 1)
+    x = b.adaptive_avg_pool(x, 1)
+    x = b.flatten(x)
+    x = b.linear(x, num_classes)
+    b.output(x)
+    return b.build(), "0", x
+
+
 def build_mobilenet_like(batch: int = 1, image_size: int = 224,
                          num_classes: int = 1000, width_mult: float = 1.0,
                          seed: int = 0) -> tuple:

@@ -15,6 +15,7 @@ from simpleinfer_tpu import Engine, EngineConfig, EngineStateError, MeshConfig
 from simpleinfer_tpu.zoo import (
     build_mobilenet_like,
     build_resnet18,
+    build_resnet50,
     build_yolov5,
 )
 from torch_ref import run_graph_torch
@@ -47,6 +48,11 @@ def test_resnet18_parity():
 def test_mobilenet_parity():
     _parity(build_mobilenet_like, (1, 3, 64, 64), batch=1, image_size=64,
             num_classes=11, width_mult=0.5)
+
+
+def test_resnet50_parity():
+    _parity(build_resnet50, (1, 3, 64, 64), batch=1, image_size=64,
+            num_classes=9, width=8)
 
 
 def test_yolov5n_parity():
