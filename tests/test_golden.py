@@ -1,0 +1,85 @@
+"""Golden-output regression tests.
+
+The analog of the reference's printout oracles (test-yolo2/test-classify
+print first/last rows for eyeball comparison — SURVEY.md §4.2), made
+mechanical: tiny fixed-seed models' fp32 outputs are frozen into
+tests/golden/*.npz; any change to IR parsing, lowering, fusion passes,
+or executor wiring that shifts numerics past fp32 noise fails here even
+without torch installed. Regenerate deliberately with:
+
+    python tests/test_golden.py --regen
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden")
+
+
+def _cases():
+    from simpleinfer_tpu.zoo import (
+        build_mobilenet_like,
+        build_resnet18,
+        build_resnet50,
+        build_yolov5,
+    )
+
+    return {
+        "resnet18": (build_resnet18,
+                     dict(batch=2, image_size=32, num_classes=7, width=8)),
+        "resnet50": (build_resnet50,
+                     dict(batch=1, image_size=32, num_classes=5, width=8)),
+        "mobilenet": (build_mobilenet_like,
+                      dict(batch=1, image_size=32, num_classes=6,
+                           width_mult=0.5)),
+        "yolov5n": (build_yolov5,
+                    dict(variant="n", batch=1, image_size=32)),
+    }
+
+
+def _run(name):
+    from simpleinfer_tpu import Engine
+
+    build, kw = _cases()[name]
+    graph, in_name, out_name = build(**kw)
+    batch = kw.get("batch", 1)
+    size = kw.get("image_size")
+    x = np.random.default_rng(1234).standard_normal(
+        (batch, size, size, 3)).astype(np.float32) / 3
+    out = Engine().load_model(None, graph=graph).run({in_name: x})
+    return out[out_name]
+
+
+@pytest.mark.parametrize("name", sorted(_cases()))
+def test_golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden file missing; run tests/test_golden.py --regen")
+    want = np.load(path)["out"]
+    got = _run(name)
+    assert got.shape == want.shape
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=5e-4 * scale, rtol=5e-4)
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--regen" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # deterministic source
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for name in sorted(_cases()):
+            out = _run(name)
+            np.savez_compressed(os.path.join(GOLDEN_DIR, f"{name}.npz"),
+                                out=out)
+            print(f"{name}: {out.shape} saved")
+    else:
+        print(__doc__)
