@@ -57,6 +57,10 @@ class EngineConfig:
     use_pallas: Optional[bool] = None
     # donate input buffers to the jitted call
     donate_inputs: bool = False
+    # uint8 inputs are shipped raw and scaled on-device by this factor
+    # (4x less host->device traffic than pre-normalized f32 — the
+    # serving-path win; set 1.0 to disable scaling)
+    u8_scale: float = 1.0 / 255.0
 
     def __post_init__(self):
         if self.compute_dtype not in _DTYPES:

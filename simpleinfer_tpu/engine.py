@@ -144,7 +144,13 @@ class Engine:
         if name not in self._program.input_names:
             raise KeyError(
                 f"unknown input {name!r}; inputs are {self._program.input_names}")
-        x = jnp.asarray(array, dtype=self.config.compute_jnp_dtype)
+        if getattr(array, "dtype", None) == np.uint8:
+            # ship the raw bytes (4x less relay/PCIe traffic) and
+            # normalize on-device
+            x = (jnp.asarray(array).astype(self.config.compute_jnp_dtype)
+                 * self.config.u8_scale)
+        else:
+            x = jnp.asarray(array, dtype=self.config.compute_jnp_dtype)
         if self.config.io_layout == "nchw" and x.ndim == 4:
             x = jnp.transpose(x, (0, 2, 3, 1))
         spec = next(s for s in self._program.inputs if s.name == name)

@@ -65,13 +65,23 @@ def weight_shardings(mesh: Mesh, weights: dict, shard_hints: dict) -> dict:
     Quantized weights shard their int8 payload and scales alike on the
     output-channel axis (scale vector is 1-D over that axis).
     """
-    use_model = mesh.shape.get(AXIS_MODEL, 1) > 1
+    model_size = mesh.shape.get(AXIS_MODEL, 1)
     out = {}
     for key, w in weights.items():
         hint = shard_hints.get(key)
-        if hint is None or not use_model:
+        if hint is None or model_size <= 1:
             out[key] = replicated(mesh)
-        else:
-            spec = P(*[a if a == AXIS_MODEL else None for a in hint])
-            out[key] = NamedSharding(mesh, spec)
+            continue
+        # replicate when the hinted dim doesn't divide the axis (e.g. a
+        # 4-class linear head on an 8-way model axis) or the hint rank
+        # doesn't match this array
+        shape = getattr(getattr(w, "data", w), "shape", None)
+        ok = (shape is not None and len(hint) == len(shape)
+              and all(a != AXIS_MODEL or shape[i] % model_size == 0
+                      for i, a in enumerate(hint)))
+        if not ok:
+            out[key] = replicated(mesh)
+            continue
+        spec = P(*[a if a == AXIS_MODEL else None for a in hint])
+        out[key] = NamedSharding(mesh, spec)
     return out

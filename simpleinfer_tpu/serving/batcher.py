@@ -72,10 +72,19 @@ class BatchingService:
     def __init__(self, engine, input_name: str | None = None,
                  output_name: str | None = None, max_batch: int = 32,
                  buckets: list | None = None,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 device_postprocess=None):
+        """`device_postprocess` (optional jittable fn array->array) runs
+        on the raw output ON DEVICE before the host fetch — e.g.
+        zoo.detect.topk_candidates to shrink YOLO outputs ~80x."""
         self.engine = engine
         self.input_name = input_name or engine.input_names[0]
         self.output_name = output_name or engine.output_names[0]
+        self.device_post = None
+        if device_postprocess is not None:
+            import jax
+
+            self.device_post = jax.jit(device_postprocess)
         self.max_batch = max_batch
         self.buckets = sorted(buckets or _default_buckets(max_batch))
         self.max_wait_s = max_wait_ms / 1e3
@@ -167,6 +176,8 @@ class BatchingService:
         self.engine.input(self.input_name, x)
         self.engine.forward()
         out = self.engine.extract(self.output_name, as_numpy=False)
+        if self.device_post is not None:
+            out = self.device_post(out)
         return batch, out, t0, bucket
 
     def _resolve(self, inflight) -> None:

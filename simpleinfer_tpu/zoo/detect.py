@@ -188,6 +188,25 @@ def decode_predictions(pred: np.ndarray, lb: Letterbox | None = None,
             for b, s, c in zip(boxes, score, class_id)]
 
 
+def topk_candidates(pred, k: int = 300):
+    """Device-side candidate pre-filter (jit-compatible): keep the k
+    highest-confidence rows of a YOLO head output [N, M, 5+nc].
+
+    In a serving deployment the raw head output dwarfs the detections
+    (25200x85 floats/image vs a few boxes); running this on-device
+    before fetching cuts device->host traffic ~80x with no mAP impact
+    for k >= max detections per image. Host NMS then runs on k rows.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pred = jnp.asarray(pred)
+    k = min(k, pred.shape[1])
+    score = pred[..., 4] * jnp.max(pred[..., 5:], axis=-1)
+    _, idx = jax.lax.top_k(score, k)  # [N, k]
+    return jnp.take_along_axis(pred, idx[..., None], axis=1)
+
+
 def detect_images(engine, images: list, input_name: str | None = None,
                   size: int = 640, conf_thresh: float = 0.25,
                   iou_thresh: float = 0.45) -> list:

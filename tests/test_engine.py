@@ -122,6 +122,42 @@ def test_nchw_io_layout():
                                rtol=1e-3)
 
 
+def test_multi_input_multi_output_graph():
+    """Two graph inputs, two graph outputs (the engine's I/O discovery
+    must handle arbitrary arity, engine_impl.cpp:196-211 analog)."""
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    b = GraphBuilder(seed=5)
+    a = b.input([1, 3, 8, 8], name="a")
+    c = b.input([1, 3, 8, 8], name="c")
+    s = b.add(a, c)
+    r1 = b.relu(s)
+    r2 = b.sigmoid(s)
+    b.output(r1, r2)
+    eng = Engine().load_model(None, graph=b.build())
+    assert sorted(eng.input_names) == ["a", "c"]
+    assert len(eng.output_names) == 2
+    xa = RNG.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    xc = RNG.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    out = eng.run({"a": xa, "c": xc})
+    np.testing.assert_allclose(out[r1], np.maximum(xa + xc, 0), atol=1e-6)
+    np.testing.assert_allclose(out[r2], 1 / (1 + np.exp(-(xa + xc))),
+                               atol=1e-5)
+
+
+def test_uint8_input_scaled_on_device():
+    """uint8 inputs ship raw and get scaled by u8_scale on-device."""
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    ref, _, _ = build_resnet18(batch=1, image_size=32, num_classes=4,
+                               width=8)
+    u8 = RNG.integers(0, 255, (1, 32, 32, 3)).astype(np.uint8)
+    want = Engine().load_model(None, graph=ref).run(
+        {in_name: u8.astype(np.float32) / 255.0})[out_name]
+    got = Engine().load_model(None, graph=graph).run({in_name: u8})[out_name]
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_donate_inputs_mode():
     graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
                                               num_classes=4, width=8)

@@ -58,6 +58,27 @@ def test_weight_shardings_honor_hints():
 
 
 @needs8
+def test_tensor_parallel_inserts_collectives():
+    """Channel-sharded weights must make GSPMD insert cross-device
+    reduction collectives into the compiled program (the declarative
+    replacement for the comm backend the reference lacks, SURVEY §2.5)."""
+    import numpy as np
+
+    from simpleinfer_tpu import Engine, EngineConfig, MeshConfig
+    from simpleinfer_tpu.zoo import build_resnet18
+
+    graph, in_name, _ = build_resnet18(batch=2, image_size=32,
+                                       num_classes=4, width=16)
+    cfg = EngineConfig(mesh=MeshConfig(data=1, model=8))
+    eng = Engine(cfg).load_model(None, graph=graph)
+    eng.input(in_name, np.zeros((2, 32, 32, 3), np.float32))
+    txt = eng._jitted.lower(eng._device_weights,
+                            eng._staged).compile().as_text()
+    assert "all-reduce" in txt or "reduce-scatter" in txt or \
+        "all-gather" in txt
+
+
+@needs8
 def test_multihost_single_process_helpers():
     multihost.initialize()  # no-op without a coordinator
     mesh = multihost.make_mesh(model=2)

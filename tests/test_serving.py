@@ -102,6 +102,36 @@ def test_concurrent_submitters(engine):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_device_postprocess(engine):
+    """On-device postprocess runs before the host fetch."""
+    import jax.numpy as jnp
+
+    svc = BatchingService(engine, max_batch=4,
+                          device_postprocess=lambda o: o[:, :3] * 2.0)
+    svc.start()
+    try:
+        x = RNG.standard_normal((32, 32, 3)).astype(np.float32)
+        got = svc.submit(x).result(timeout=60)
+        want = _ref_outputs(engine, [x])[0][:3] * 2.0
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    finally:
+        svc.stop()
+
+
+def test_topk_candidates():
+    from simpleinfer_tpu.zoo.detect import topk_candidates
+
+    pred = np.zeros((2, 100, 85), np.float32)
+    pred[0, 7, 4] = 0.9
+    pred[0, 7, 5] = 1.0  # top row image 0
+    pred[1, 42, 4] = 0.8
+    pred[1, 42, 9] = 1.0
+    out = np.asarray(topk_candidates(pred, k=5))
+    assert out.shape == (2, 5, 85)
+    assert out[0, 0, 4] == np.float32(0.9)
+    assert out[1, 0, 4] == np.float32(0.8)
+
+
 def test_error_propagates_to_future(engine):
     svc = BatchingService(engine, max_batch=2).start()
     try:
