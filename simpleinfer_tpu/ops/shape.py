@@ -76,11 +76,46 @@ def upsample_nearest(x, scale=None, size=None):
     return x
 
 
+def _linear_axis(x, axis, out_size, align_corners):
+    """1-D linear interpolation along `axis` via two static gathers
+    (torch F.interpolate semantics for both align_corners modes)."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    if align_corners and out_size > 1:
+        pos = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    else:
+        pos = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    lo = np.clip(np.floor(pos), 0, in_size - 1).astype(np.int32)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = np.clip(pos - lo, 0.0, 1.0).astype(np.float32)
+    bshape = [1] * x.ndim
+    bshape[axis] = out_size
+    t = jnp.asarray(frac).reshape(bshape).astype(x.dtype)
+    a = jnp.take(x, jnp.asarray(lo), axis=axis)
+    b = jnp.take(x, jnp.asarray(hi), axis=axis)
+    return a * (1 - t) + b * t
+
+
+def upsample_bilinear(x, scale=None, size=None, align_corners=False):
+    """NHWC bilinear upsample — a superset of the reference (its
+    Upsample is nearest-only, upsample.cpp:24-44)."""
+    n, h, w, c = x.shape
+    if size is not None:
+        oh, ow = size
+    else:
+        oh, ow = int(h * scale[0]), int(w * scale[1])
+    x = _linear_axis(x, 1, oh, align_corners)
+    return _linear_axis(x, 2, ow, align_corners)
+
+
 @register_op("nn.Upsample")
 def lower_upsample(op, cfg):
     mode = require_param(op, "mode").s
-    if mode != "nearest":
+    if mode not in ("nearest", "bilinear", "linear"):
         raise ValueError(f"Upsample {op.name}: unsupported mode {mode!r}")
+    align_corners = (op.params["align_corners"].b
+                     if op.has_param("align_corners", 1) else False)
     scale = size = None
     if op.has_param("scale_factor", 6):
         scale = tuple(op.params["scale_factor"].af)
@@ -94,7 +129,10 @@ def lower_upsample(op, cfg):
         raise ValueError(f"Upsample {op.name}: need scale_factor or size")
 
     def apply(weights, x):
-        return upsample_nearest(x, scale=scale, size=size)
+        if mode == "nearest":
+            return upsample_nearest(x, scale=scale, size=size)
+        return upsample_bilinear(x, scale=scale, size=size,
+                                 align_corners=align_corners)
 
     return OpImpl(name=op.name, type=op.type, apply=apply)
 

@@ -185,6 +185,19 @@ def test_conv_transpose_2d(stride, pad, opad):
     np.testing.assert_allclose(got, nhwc(want), atol=2e-4, rtol=1e-4)
 
 
+# ------------------------------------------------------------- upsample
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("oh,ow", [(8, 8), (7, 9), (12, 6)])
+def test_upsample_bilinear_matches_torch(align, oh, ow):
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    impl = lower_operator(make_op("nn.Upsample", params=dict(
+        mode="bilinear", size=[oh, ow], align_corners=align)), CFG)
+    got = run(impl, nhwc(x))
+    want = F.interpolate(torch.from_numpy(x), size=(oh, ow),
+                         mode="bilinear", align_corners=align).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-5)
+
+
 # ------------------------------------------------------------------ mean
 def test_mean_spatial_keepdim():
     x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
