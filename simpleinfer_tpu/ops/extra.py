@@ -300,6 +300,28 @@ def lower_conv_transpose_2d(op, cfg):
                   flops_per_pixel=2 * in_channels * out_channels * kh * kw)
 
 
+# ------------------------------------------------------------- constants
+@register_op("pnnx.Attribute")
+def lower_pnnx_attribute(op, cfg):
+    """Constant-tensor operator (real pnnx exports emit these for
+    weights shared by several consumers). The single attr holds the
+    data; rank-4 constants are stored NCHW on disk like operands and
+    transposed to NHWC here."""
+    if len(op.attrs) != 1:
+        raise ValueError(f"pnnx.Attribute {op.name}: expected exactly one "
+                         f"attr, got {list(op.attrs)}")
+    (arr,) = [a.array() for a in op.attrs.values()]
+    if arr.ndim == 4:
+        arr = np.transpose(arr, (0, 2, 3, 1))
+    arr = np.ascontiguousarray(arr)
+
+    def apply(weights, *unused):
+        return jnp.asarray(weights["value"])
+
+    return OpImpl(name=op.name, type=op.type, apply=apply,
+                  weights={"value": arr})
+
+
 # ----------------------------------------------------------- mean/concat
 @register_op("torch.mean")
 def lower_mean(op, cfg):

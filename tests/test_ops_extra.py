@@ -185,6 +185,31 @@ def test_conv_transpose_2d(stride, pad, opad):
     np.testing.assert_allclose(got, nhwc(want), atol=2e-4, rtol=1e-4)
 
 
+# ------------------------------------------------------------ constants
+def test_pnnx_attribute_constant():
+    """Constant op feeding a BinaryOp add, end-to-end through the
+    engine (pnnx.Attribute appears in real exports for shared consts)."""
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.ir.graph import Attribute, Parameter
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    b = GraphBuilder(seed=9)
+    x = b.input([1, 3, 4, 4], name="0")
+    const = RNG.standard_normal((1, 3, 4, 4)).astype(np.float32)
+    outs = b._op("pnnx.Attribute", "const0", [], params={},
+                 attrs={"data": const})
+    b.shape[outs[0]] = [1, 3, 4, 4]
+    s = b._op("BinaryOp", "add0", [x, outs[0]],
+              params={"0": Parameter.from_value(0).value})[0]
+    b.shape[s] = [1, 3, 4, 4]
+    b.output(s)
+    eng = Engine().load_model(None, graph=b.build())
+    xin = RNG.standard_normal((1, 4, 4, 3)).astype(np.float32)
+    got = eng.run({"0": xin})[s]
+    want = xin + np.transpose(const, (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 # ------------------------------------------------------------- upsample
 @pytest.mark.parametrize("align", [False, True])
 @pytest.mark.parametrize("oh,ow", [(8, 8), (7, 9), (12, 6)])
