@@ -80,45 +80,8 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
     return out.astype(x.dtype)
 
 
-def _packed_stem_weights(w_hwio: np.ndarray, f: int,
-                         sw: int = 2) -> np.ndarray:
-    """Block-Toeplitz repack of an HWIO kernel for a W-stride-`sw` conv
-    whose input W axis is packed by factor `f` (pure reshape: channel
-    index dx*ic + c) and whose output W axis is packed by `f//sw`
-    (undone by a pure reshape: channel index jo*oc + o).
-
-    Result: [kh, taps, f*ic, (f//sw)*oc] where
-    taps = ((f//sw - 1)*sw + kw - 1)//f + 1.
-
-    Why: stem convs on 3-channel images run the MXU at ~2% — the
-    input-feature dim is 3 of 128 lanes (measured ~30% of a
-    YOLOv5s-640-b8 bf16 forward on v5e). A full 2x2 space-to-depth
-    needs an interleaving transpose that XLA executes SLOWER than the
-    bad conv it saves (direct 3.8 ms, 2x2-s2d 5.5 ms on v5e); packing
-    only the W axis is a zero-cost row-major reshape. Packing by f=8
-    with 4 output pixels folded into channels turns the yolov5 stem
-    into a K=kh*taps*f*ic=288, N=128 implicit-im2col matmul — MXU
-    shaped — at the price of ~2.7x zero-padding FLOPs (free: the op is
-    bandwidth-bound). w_pack[kh, bw, dx*ic+c, jo*oc+o] = w[kh, kx, c, o]
-    with kx = f*bw + dx - sw*jo (zero where out of range).
-    """
-    kh, kw, ic, oc = w_hwio.shape
-    jo_count = f // sw
-    span = (jo_count - 1) * sw + kw
-    taps = (span - 1) // f + 1
-    w_pack = np.zeros((kh, taps, f * ic, jo_count * oc), w_hwio.dtype)
-    for jo in range(jo_count):
-        for kx in range(kw):
-            col = sw * jo + kx
-            bw, dx = col // f, col % f
-            w_pack[:, bw, dx * ic:(dx + 1) * ic,
-                   jo * oc:(jo + 1) * oc] = w_hwio[:, kx]
-    return np.ascontiguousarray(w_pack)
-
-
-# W-packing factors tried largest-first at trace time (divisibility of
-# the output width decides which applies; f=2 always applies when the
-# padded input width is even)
+# Stem W-packing factors tried largest-first at trace time (the input
+# width must divide into blocks and the output width into jo=f/2 groups)
 _STEM_PACK_FACTORS = (8, 4, 2)
 
 
@@ -169,10 +132,20 @@ def _block_toeplitz_weights(w_hwio: np.ndarray, g: int, sw: int,
     """Repack an HWIO kernel to consume g-pixel W-packed input blocks
     (channel index d*ic + c) and produce (g//sw)-pixel packed output
     blocks (channel index j*oc + o), with the W padding folded into the
-    tap offsets (the consumer left-pads `pad_blocks` zero blocks).
-    Generalizes _packed_stem_weights to chained convs (the stem's
-    successor consumes the stem's packed output directly, skipping the
-    unpack/repack layout copies)."""
+    tap offsets (the consumer supplies `pad_blocks` left zero blocks via
+    the conv's own padding config — no materialized pads).
+
+    Why: stem convs on 3-channel images run the MXU at ~2% (the input-
+    feature dim is 3 of 128 lanes; measured ~30% of a YOLOv5s-640-b8
+    bf16 forward on v5e). A full 2x2 space-to-depth needs an
+    interleaving transpose XLA executes SLOWER than the bad conv it
+    saves (direct 3.8 ms, 2x2-s2d 5.5 ms); W-only blocking is a
+    zero-cost row-major reshape. g=8 turns the yolov5 stem into a
+    K=kh*taps*g*ic=288, N=(g/2)*oc=128 implicit-im2col matmul at the
+    price of ~2.7x zero-padded FLOPs (free: the op is bandwidth-bound).
+    The same repack relays packed tensors between chained convs
+    (ir/passes.mark_packed_conv_chains), skipping unpack/repack layout
+    copies."""
     kh, kw, ic, oc = w_hwio.shape
     jo, pad_blocks, taps = _bt_geometry(g, sw, kw, pad_w)
     shift = pad_blocks * g
@@ -227,22 +200,19 @@ def lower_conv2d(op, cfg):
     fused_act = (op.params["si_fused_act"].s
                  if op.has_param("si_fused_act") else None)
 
-    # W-stride-2 small-ic stem: pre-build the packed kernels
+    # W-stride-2 small-ic stem: the graph input reshapes (free) into
+    # f-pixel blocks and runs the same packed path as chained convs
     s2d_eligible = (stride_t[1] == 2 and dilation_t == (1, 1)
                     and groups == 1 and padding_mode == "zeros"
                     and in_channels <= _S2D_MAX_IC)
-    if s2d_eligible:
-        for f in _STEM_PACK_FACTORS:
-            weights[f"stem_pack{f}"] = _packed_stem_weights(
-                w_hwio, f).astype(np.float32)
-
     # chain markers from ir/passes.mark_packed_conv_chains
     pack_out = op.has_param("si_pack_out")
     pack_in = op.has_param("si_pack_in")
-    if pack_in:
-        for g in _BT_IN_BLOCKS:
-            weights[f"bt_in{g}"] = _block_toeplitz_weights(
-                w_hwio, g, stride_t[1], padding[1]).astype(np.float32)
+    packed_gs = (_STEM_PACK_FACTORS if s2d_eligible
+                 else _BT_IN_BLOCKS if pack_in else ())
+    for g in packed_gs:
+        weights[f"bt_in{g}"] = _block_toeplitz_weights(
+            w_hwio, g, stride_t[1], padding[1]).astype(np.float32)
 
     # Pallas int8 dispatch: pointwise (1x1 s1 p0 g1) convs ARE matmuls —
     # the int8 weight stream + dequant/bias/act epilogue runs in one
@@ -265,7 +235,10 @@ def lower_conv2d(op, cfg):
         return out.astype(dtype)
 
     def _apply_packed_in(weights, xp: PackedW, bias):
-        """Consume a producer's packed output directly (no unpack)."""
+        """Convolve a g-pixel W-packed tensor with the block-Toeplitz
+        kernel. Both paddings ride the conv's own padding config (no
+        materialized pad copies); the left W padding is folded into the
+        tap offsets at weight-build time."""
         g = xp.jo
         key = f"bt_in{g}"
         if key not in weights or stride_t[1] > g:
@@ -277,12 +250,11 @@ def lower_conv2d(op, cfg):
         if jo2 == 0 or ow2 % jo2:
             return None
         d = xp.data
-        blocks_needed = ow2 // jo2 + taps - 1
-        right = max(0, blocks_needed - (pad_blocks + d.shape[2]))
-        d = jnp.pad(d, ((0, 0), (pt, pt), (pad_blocks, right), (0, 0)))
+        right = max(0, ow2 // jo2 + taps - 1 - (pad_blocks + d.shape[2]))
         wpk = resolve_weight(weights[key], d.dtype)
         out = lax.conv_general_dilated(
-            d, wpk, window_strides=(stride_t[0], 1), padding="VALID",
+            d, wpk, window_strides=(stride_t[0], 1),
+            padding=((pt, pt), (pad_blocks, right)),
             dimension_numbers=_DIMENSION_NUMBERS,
             preferred_element_type=jnp.float32,
             precision=(lax.Precision.HIGHEST if d.dtype == jnp.float32
@@ -300,36 +272,20 @@ def lower_conv2d(op, cfg):
             if out is not None:
                 return out
             x = x.unpack()
-        if "stem_pack2" in weights:
+        elif s2d_eligible and x.ndim == 4:
+            # stem: block the input by pure reshape and take the same
+            # packed path (largest f whose blocks divide the width and
+            # whose output pixels divide evenly)
             n, h, wd, c = x.shape
-            pt, pl = pad[0][0], pad[1][0]
-            kh_, kw_ = kernel
-            oh = (h + 2 * pt - kh_) // stride_t[0] + 1
-            ow = (wd + 2 * pl - kw_) // 2 + 1
-            f = next(ff for ff in _STEM_PACK_FACTORS if ow % (ff // 2) == 0)
-            jo_count = f // 2
-            span = (jo_count - 1) * 2 + kw_
-            taps = (span - 1) // f + 1
-            wp_target = (ow // jo_count + taps - 1) * f
-            wpk = resolve_weight(weights[f"stem_pack{f}"], x.dtype)
-            xp = jnp.pad(
-                x, ((0, 0), pad[0], (pl, wp_target - wd - pl), (0, 0)))
-            xb = xp.reshape(n, h + 2 * pt, wp_target // f, f * c)
-            out = lax.conv_general_dilated(
-                xb, wpk,
-                window_strides=(stride_t[0], 1), padding="VALID",
-                dimension_numbers=_DIMENSION_NUMBERS,
-                preferred_element_type=jnp.float32,
-                precision=(lax.Precision.HIGHEST
-                           if x.dtype == jnp.float32
-                           else lax.Precision.DEFAULT))
-            out = _epilogue_packed(out, bias, jo_count, x.dtype)
-            if pack_out and jo_count > 1:
-                # the (sole) consumer is a packed-input conv: hand over
-                # the packed form, skipping the unpack layout copy
-                return PackedW(data=out, jo=jo_count, ow=ow)
-            # [N, OH, OW/jo, jo*OC] -> [N, OH, OW, OC]: row-major reshape
-            return out.reshape(n, oh, ow, out_channels)
+            pl = pad[1][0]
+            ow = (wd + 2 * pl - kernel[1]) // 2 + 1
+            for f in _STEM_PACK_FACTORS:
+                if wd % f == 0 and ow % (f // 2) == 0:
+                    xp = PackedW(data=x.reshape(n, h, wd // f, f * c),
+                                 jo=f, ow=wd)
+                    out = _apply_packed_in(weights, xp, bias)
+                    if out is not None:
+                        return out
         if (pointwise and allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w
