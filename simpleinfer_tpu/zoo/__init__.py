@@ -9,10 +9,11 @@ to real .pnnx.param/.bin files when on-disk fixtures are wanted.
 """
 from .builders import (
     build_mobilenet_like,
+    build_mobilenet_v3_like,
     build_resnet18,
     build_resnet50,
     build_yolov5,
 )
 
-__all__ = ["build_mobilenet_like", "build_resnet18", "build_resnet50",
-           "build_yolov5"]
+__all__ = ["build_mobilenet_like", "build_mobilenet_v3_like",
+           "build_resnet18", "build_resnet50", "build_yolov5"]

@@ -355,6 +355,60 @@ def build_mobilenet_like(batch: int = 1, image_size: int = 224,
     return b.build(), "0", x
 
 
+def build_mobilenet_v3_like(batch: int = 1, image_size: int = 224,
+                            num_classes: int = 1000,
+                            width_mult: float = 1.0, seed: int = 0) -> tuple:
+    """MobileNetV3-style net with squeeze-excite blocks: exercises the
+    broadcast-mul Expression path ([N,1,1,C] * [N,H,W,C]) plus
+    Hardsigmoid/Hardswish — op patterns the plain builders don't hit."""
+    b = GraphBuilder(seed)
+    x = b.input([batch, 3, image_size, image_size], name="0")
+
+    def c(ch):
+        return max(8, int(ch * width_mult))
+
+    def se(x, reduce=4):
+        ch = b.shape[x][1]
+        s = b.adaptive_avg_pool(x, 1)               # [N, C, 1, 1]
+        s = b.relu(b.conv(s, max(ch // reduce, 8), 1))
+        s = b.hardsigmoid(b.conv(s, ch, 1))
+        return b.mul(x, s)                           # broadcast over H,W
+
+    def block(x, out_c, k, stride, expand, use_se):
+        in_c = b.shape[x][1]
+        hidden = c(expand)
+        y = b.hardswish(b.bn(b.conv(x, hidden, 1, bias=False)))
+        y = b.hardswish(b.bn(b.conv(y, hidden, k, stride, k // 2,
+                                    groups=hidden, bias=False)))
+        if use_se:
+            y = se(y)
+        y = b.bn(b.conv(y, out_c, 1, bias=False))
+        if stride == 1 and in_c == out_c:
+            y = b.add(y, x)
+        return y
+
+    x = b.hardswish(b.bn(b.conv(x, c(16), 3, 2, 1, bias=False)))
+    cfgs = [  # out, kernel, stride, expand, se
+        (c(16), 3, 1, 16, True),
+        (c(24), 3, 2, 72, False),
+        (c(24), 3, 1, 88, False),
+        (c(40), 5, 2, 96, True),
+        (c(40), 5, 1, 240, True),
+        (c(48), 5, 1, 120, True),
+        (c(96), 5, 2, 288, True),
+        (c(96), 5, 1, 576, True),
+    ]
+    for out_c, k, stride, expand, use_se in cfgs:
+        x = block(x, out_c, k, stride, expand, use_se)
+    x = b.hardswish(b.bn(b.conv(x, c(576), 1, bias=False)))
+    x = b.adaptive_avg_pool(x, 1)
+    x = b.flatten(x)
+    x = b.hardswish(b.linear(x, c(1024)))
+    x = b.linear(x, num_classes)
+    b.output(x)
+    return b.build(), "0", x
+
+
 def _yolo_channels(width_mult: float):
     def cw(ch):
         return max(int(round(ch * width_mult / 8)) * 8, 8)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from simpleinfer_tpu import Engine, EngineConfig, EngineStateError, MeshConfig
 from simpleinfer_tpu.zoo import (
     build_mobilenet_like,
+    build_mobilenet_v3_like,
     build_resnet18,
     build_resnet50,
     build_yolov5,
@@ -53,6 +54,12 @@ def test_mobilenet_parity():
 def test_resnet50_parity():
     _parity(build_resnet50, (1, 3, 64, 64), batch=1, image_size=64,
             num_classes=9, width=8)
+
+
+def test_mobilenet_v3_se_parity():
+    """Squeeze-excite blocks: broadcast-mul Expression + hardsigmoid."""
+    _parity(build_mobilenet_v3_like, (1, 3, 64, 64), batch=1,
+            image_size=64, num_classes=13, width_mult=0.5)
 
 
 def test_yolov5n_parity():
