@@ -250,7 +250,12 @@ def lower_conv2d(op, cfg):
         if jo2 == 0 or ow2 % jo2:
             return None
         d = xp.data
-        right = max(0, ow2 // jo2 + taps - 1 - (pad_blocks + d.shape[2]))
+        blocks_needed = ow2 // jo2 + taps - 1
+        if pad_blocks + d.shape[2] > blocks_needed:
+            # over-padded conv (pl >= kw): surplus blocks would widen
+            # the output; fall back to the dense path
+            return None
+        right = blocks_needed - (pad_blocks + d.shape[2])
         wpk = resolve_weight(weights[key], d.dtype)
         out = lax.conv_general_dilated(
             d, wpk, window_strides=(stride_t[0], 1),

@@ -96,6 +96,11 @@ def test_conv2d_stem_s2d_no_bias_stride2():
     _conv_case(1, 16, 16, 4, 8, (4, 4), (2, 2), (1, 1), bias=False)
 
 
+def test_conv2d_stem_overpadded_falls_back():
+    """pad >= kernel: surplus zero columns; the packed path must bail."""
+    _conv_case(1, 16, 16, 3, 8, (2, 2), (2, 2), (3, 3))
+
+
 def test_conv2d_dilated():
     _conv_case(1, 10, 10, 3, 5, (3, 3), (1, 1), (2, 2), dilation=(2, 2))
 
