@@ -111,10 +111,13 @@ def lower_yolo_detect(op, cfg):
             y = y.reshape(n, h * w_, c)  # free: lane dim unchanged
             xy = (y * 2.0 + weights[f"gridc{i}"]) * strides_list[i]
             wh = jnp.square(y * 2.0) * weights[f"anchorc{i}"]
-            dec = jnp.where(xy_mask, xy, jnp.where(wh_mask, wh, y))
-            # the single re-tile: [N, H*W, A*ni] -> [N, H*W*A, ni]
-            outs.append(dec.reshape(n, h * w_ * na, ni))
-        return jnp.concatenate(outs, axis=1)
+            # stay in the channel-packed [N, HW, A*ni] domain
+            outs.append(jnp.where(xy_mask, xy, jnp.where(wh_mask, wh, y)))
+        # one concat + ONE re-tile for all levels: rows of level L map to
+        # rows 3p..3p+2 contiguously, so the packed concat reshapes
+        # row-major to exactly the [N, sum(HWA), ni] output
+        cat = jnp.concatenate(outs, axis=1)
+        return cat.reshape(cat.shape[0], cat.shape[1] * na, ni)
 
     return OpImpl(
         name=op.name, type=op.type, apply=apply, weights=weights,
