@@ -173,6 +173,28 @@ class Engine:
         if self.config.donate_inputs:
             self._staged = {}
 
+    def warmup(self, batch_sizes=(1,)) -> None:
+        """Compile the forward for each batch size ahead of time (batch
+        is the only re-jit axis). Requires declared input shapes. The
+        serving layer warms its buckets through this."""
+        self._require_loaded()
+        staged_backup, outputs_backup = self._staged, self._outputs
+        try:
+            for bs in batch_sizes:
+                for spec in self._program.inputs:
+                    if not spec.shape:
+                        raise EngineStateError(
+                            f"warmup needs a declared shape for input "
+                            f"{spec.name!r}")
+                    shape = [bs] + [1 if d == -1 else d
+                                    for d in spec.shape[1:]]
+                    self.input(spec.name, np.zeros(shape, np.float32))
+                self.forward()
+            for v in self._outputs.values():
+                np.asarray(v)  # full sync (block_until_ready may be weak)
+        finally:
+            self._staged, self._outputs = staged_backup, outputs_backup
+
     def block_until_ready(self) -> None:
         for v in self._outputs.values():
             v.block_until_ready()

@@ -103,19 +103,7 @@ class BatchingService:
 
     def warmup(self) -> None:
         """Compile every bucket up front (avoids first-request stalls)."""
-        item_shape = None
-        spec = next(s for s in self.engine.program.inputs
-                    if s.name == self.input_name)
-        if spec.shape:
-            item_shape = tuple(spec.shape[1:])
-        if item_shape is None:
-            return
-        for b in self.buckets:
-            x = np.zeros((b, *item_shape), np.float32)
-            self.engine.input(self.input_name, x)
-            self.engine.forward()
-        for v in self.engine._outputs.values():
-            np.asarray(v)  # sync
+        self.engine.warmup(self.buckets)
 
     # ---- lifecycle -------------------------------------------------------
     def start(self) -> "BatchingService":

@@ -129,6 +129,18 @@ def test_nchw_io_layout():
                                rtol=1e-3)
 
 
+def test_engine_warmup():
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    eng = Engine().load_model(None, graph=graph)
+    eng.warmup([1, 2, 4])  # compiles three executables; staging untouched
+    with pytest.raises(EngineStateError):
+        eng.forward()  # warmup must not leave staged inputs behind
+    x = RNG.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    out = eng.run({in_name: x})
+    assert out[out_name].shape == (2, 4)
+
+
 def test_multi_input_multi_output_graph():
     """Two graph inputs, two graph outputs (the engine's I/O discovery
     must handle arbitrary arity, engine_impl.cpp:196-211 analog)."""
