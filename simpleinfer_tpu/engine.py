@@ -178,7 +178,7 @@ class Engine:
         is the only re-jit axis). Requires declared input shapes. The
         serving layer warms its buckets through this."""
         self._require_loaded()
-        staged_backup, outputs_backup = self._staged, self._outputs
+        staged_backup, outputs_backup = dict(self._staged), self._outputs
         try:
             for bs in batch_sizes:
                 for spec in self._program.inputs:
