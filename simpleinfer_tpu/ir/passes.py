@@ -199,10 +199,62 @@ FUSED_PACK_OUT = "si_pack_out"
 FUSED_PACK_IN = "si_pack_in"
 
 
+def _pointwise_conv(op) -> bool:
+    return (_plain_conv(op)
+            and _conv_param(op, "kernel_size") == [1, 1]
+            and _conv_param(op, "stride") == [1, 1]
+            and _conv_param(op, "padding") == [0, 0])
+
+
+FUSED_CAT_INPUTS = "si_cat_inputs"
+
+
+def fuse_cat_conv1x1(graph: Graph) -> int:
+    """Eliminate channel concats feeding pointwise convs:
+    conv1x1(cat(a, b, ...)) == conv(a, W_a) + conv(b, W_b) + ... with W
+    split along input channels — so the concatenated tensor is never
+    materialized (C3 blocks and SPPF in YOLOv5 concat 2-4 feature maps
+    before a 1x1 conv; measured ~0.1 ms each at 80x80 on v5e). Fires
+    when EVERY consumer of a channel-dim cat is a pointwise conv; each
+    consumer takes the cat's inputs directly and slices its own weight
+    at trace time (ops/conv.py FUSED_CAT_INPUTS handling).
+    Returns #cats removed."""
+    n = 0
+    for op in list(graph.ops):
+        if op.type != "torch.cat":
+            continue
+        dim = _conv_param(op, "dim")
+        if dim != 1 or len(op.outputs) != 1:
+            continue  # channel concat only (logical NCHW dim 1)
+        operand = op.outputs[0]
+        consumers = list(operand.consumers)
+        if not consumers or not all(_pointwise_conv(c) for c in consumers):
+            continue
+        for conv in consumers:
+            # replace the cat operand with the cat's inputs, in order
+            new_inputs = []
+            for r in conv.inputs:
+                if r is operand:
+                    for src in op.inputs:
+                        src.consumers.append(conv)
+                        new_inputs.append(src)
+                else:
+                    new_inputs.append(r)
+            conv.inputs = new_inputs
+            conv.params[FUSED_CAT_INPUTS] = Parameter.from_value(True)
+        for src in op.inputs:
+            src.remove_consumer(op)
+        graph.remove_operand(operand)
+        graph.remove_operator(op)
+        n += 1
+    return n
+
+
 def run_inference_fusions(graph: Graph) -> dict:
     """conv+bn first (so conv+bn+act chains end as one fused conv),
     then activation folding, then packed-chain marking."""
     stats = {"conv_bn": fuse_conv_bn(graph),
              "conv_act": fuse_conv_activation(graph),
+             "cat_conv": fuse_cat_conv1x1(graph),
              "packed_chain": mark_packed_conv_chains(graph)}
     return stats

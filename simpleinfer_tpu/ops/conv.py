@@ -270,7 +270,53 @@ def lower_conv2d(op, cfg):
             return PackedW(data=out, jo=jo2, ow=ow2)
         return out.reshape(n, oh2, ow2, out_channels)
 
-    def apply(weights, x):
+    cat_inputs = op.has_param("si_cat_inputs")
+
+    def _apply_split(weights, xs):
+        """conv1x1 over a (never materialized) channel concat: slice the
+        weight per source at trace time and sum the partial convs (XLA
+        fuses the adds into the conv epilogues).
+        See ir/passes.fuse_cat_conv1x1."""
+        w, bias = weights["weight"], weights.get("bias")
+        if isinstance(w, QuantizedTensor):
+            # IC slicing leaves the per-OUT-channel scales untouched
+            parts, ofs = [], 0
+            for x in xs:
+                c = x.shape[-1]
+                parts.append(QuantizedTensor(
+                    data=lax.slice_in_dim(w.data, ofs, ofs + c, axis=2),
+                    scale=w.scale, axis=w.axis))
+                ofs += c
+        else:
+            parts, ofs = [], 0
+            for x in xs:
+                c = x.shape[-1]
+                parts.append(lax.slice_in_dim(w, ofs, ofs + c, axis=2))
+                ofs += c
+        acc = None
+        for x, wi in zip(xs, parts):
+            wi = resolve_weight(wi, x.dtype)
+            y = lax.conv_general_dilated(
+                x, wi, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=_DIMENSION_NUMBERS,
+                preferred_element_type=jnp.float32,
+                precision=(lax.Precision.HIGHEST
+                           if x.dtype == jnp.float32
+                           else lax.Precision.DEFAULT))
+            acc = y if acc is None else acc + y
+        if bias is not None:
+            acc = acc + bias.astype(jnp.float32)
+        if fused_act is not None:
+            from ..kernels.matmul import _ACTIVATIONS
+
+            acc = _ACTIVATIONS[fused_act](acc)
+        return acc.astype(xs[0].dtype)
+
+    def apply(weights, *xs):
+        if cat_inputs and len(xs) > 1:
+            return _apply_split(weights, [x.unpack() if isinstance(x, PackedW)
+                                          else x for x in xs])
+        (x,) = xs
         w, bias = weights["weight"], weights.get("bias")
         if isinstance(x, PackedW):
             out = _apply_packed_in(weights, x, bias)
