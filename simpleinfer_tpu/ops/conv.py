@@ -293,9 +293,15 @@ def lower_conv2d(op, cfg):
                 c = x.shape[-1]
                 parts.append(lax.slice_in_dim(w, ofs, ofs + c, axis=2))
                 ofs += c
+        # partial sums materialize between the per-source conv kernels
+        # (XLA cannot fuse two convs); carry them at the compute dtype
+        # in bf16 mode to halve that traffic (each conv still
+        # accumulates its own K in f32 internally)
+        carry_f32 = xs[0].dtype == jnp.float32
         acc = None
-        for x, wi in zip(xs, parts):
+        for i, (x, wi) in enumerate(zip(xs, parts)):
             wi = resolve_weight(wi, x.dtype)
+            last = i == len(parts) - 1
             y = lax.conv_general_dilated(
                 x, wi, window_strides=(1, 1), padding="VALID",
                 dimension_numbers=_DIMENSION_NUMBERS,
@@ -303,7 +309,14 @@ def lower_conv2d(op, cfg):
                 precision=(lax.Precision.HIGHEST
                            if x.dtype == jnp.float32
                            else lax.Precision.DEFAULT))
-            acc = y if acc is None else acc + y
+            if not carry_f32 and not last:
+                y = y.astype(x.dtype)  # intermediate partial: bf16
+            if acc is None:
+                acc = y
+            elif last:
+                acc = acc.astype(jnp.float32) + y  # final sum in f32
+            else:
+                acc = acc + y
         if bias is not None:
             acc = acc + bias.astype(jnp.float32)
         if fused_act is not None:
