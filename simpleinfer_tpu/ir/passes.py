@@ -135,64 +135,99 @@ def _plain_conv(op) -> bool:
             and _conv_param(op, "padding_mode") == "zeros")
 
 
-def _pack_consumers(op):
-    """The packed-handoff consumer set: op's single output must have
-    exactly ONE consumer, a plain non-pointwise conv. (Measured on v5e:
-    fanning packed tensors out to multiple consumers, or into 1x1 convs
-    whose block-Toeplitz form is block-diagonal — g x the MACs for the
-    same work — regresses; the win is conv->conv relay with kw > 1.)"""
-    if len(op.outputs) != 1:
-        return None
-    consumers = op.outputs[0].consumers
-    if len(consumers) != 1:
-        return None
-    c = consumers[0]
-    if c.type == "pnnx.Output" or not _plain_conv(c):
-        return None
-    kernel = _conv_param(c, "kernel_size") or [1, 1]
-    stride = _conv_param(c, "stride") or [1, 1]
-    if stride[1] not in (1, 2) or kernel[1] == 1:
-        return None
-    return [c]
+# widest channel count worth W-packing: at >=128 input channels the MXU
+# lanes are already full and 1x1 block-diagonal repacks only add MACs
+_PACK_MAX_IC = 64
+
+
+def _stem_conv(op) -> bool:
+    stride = _conv_param(op, "stride") or [1, 1]
+    ic = _conv_param(op, "in_channels") or 1 << 30
+    return _plain_conv(op) and stride[1] == 2 and ic <= 8
+
+
+def _pack_capable_conv(op) -> bool:
+    """Can run the block-Toeplitz path on a packed input (any kernel —
+    1x1 repacks to block-diagonal automatically)."""
+    if not _plain_conv(op):
+        return False
+    stride = _conv_param(op, "stride") or [1, 1]
+    ic = _conv_param(op, "in_channels") or 1 << 30
+    return stride[1] in (1, 2) and (ic <= _PACK_MAX_IC or _stem_conv(op))
+
+
+def _pack_transparent_binop(op) -> bool:
+    """Elementwise BinaryOp relays packed tensors untouched."""
+    return op.type == "BinaryOp" and len(op.inputs) in (1, 2) \
+        and len(op.outputs) == 1
 
 
 def mark_packed_conv_chains(graph: Graph) -> int:
-    """Tag conv chains for the W-packed handoff (ops/conv.py PackedW).
+    """Region analysis for the W-packed domain (ops/conv.py PackedW).
 
-    Seeds: small-input-channel W-stride-2 stem convs. From each seed the
-    packed domain propagates while EVERY consumer of a packed conv is
-    itself a plain conv (stride_w 1 or 2): the producer keeps its output
-    in packed form and each consumer convolves it with block-Toeplitz-
-    repacked weights — skipping the unpack/repack layout copies between
-    them (measured ~0.45 ms of a 3 ms YOLOv5s-640-b8 forward for the
-    first pair alone). The first non-conv consumer (cat, add, pool, the
-    graph output) ends the chain: its producer emits dense NHWC.
-    Returns the number of producer->consumers handoffs marked."""
-    n = 0
-    seeds = []
+    Greatest fixpoint over the candidate set P of packed-output
+    producers: op ∈ P iff
+      - it is a stem conv, OR a pack-capable conv whose input producer
+        ∈ P, OR an elementwise BinaryOp ALL of whose tensor inputs come
+        from P (residual adds stay packed);
+      - AND every consumer of its output either runs the block-Toeplitz
+        path (pack-capable conv) or is itself a packed BinaryOp ∈ P.
+    Measured basis (v5e, yolov5s-640-b8): the 160px stage's C<=64 convs
+    run at 7-16% MXU dense; packed they share the stem's block-Toeplitz
+    form. Fanout and 1x1s are allowed here (unlike the first-cut pair
+    relay) because the whole region stays packed — the earlier fanout
+    regression came from packing INTO consumers that then unpacked.
+    Returns |P|."""
+    P = set()
+    producers = {}
     for op in graph.ops:
-        if not _plain_conv(op):
-            continue
-        stride = _conv_param(op, "stride") or [1, 1]
-        ic = _conv_param(op, "in_channels") or 1 << 30
-        if stride[1] == 2 and ic <= 8:
-            seeds.append(op)
-    visited = set()
-    work = list(seeds)
-    while work:
-        op = work.pop()
-        if id(op) in visited:
-            continue
-        visited.add(id(op))
-        consumers = _pack_consumers(op)
-        if consumers is None:
-            continue
-        op.params[FUSED_PACK_OUT] = Parameter.from_value(True)
+        for r in op.outputs:
+            producers[r.name] = op
+        if ((_plain_conv(op) and len(op.outputs) == 1
+             and (_stem_conv(op) or _pack_capable_conv(op)))
+                or _pack_transparent_binop(op)):
+            P.add(id(op))
+    by_id = {id(op): op for op in graph.ops}
+
+    def source_ok(op) -> bool:
+        if op.type == "nn.Conv2d":
+            if _stem_conv(op):
+                return True
+            ps = [producers.get(r.name) for r in op.inputs]
+            return all(p is not None and id(p) in P for p in ps)
+        # BinaryOp: every tensor input must be packed
+        ps = [producers.get(r.name) for r in op.inputs]
+        return bool(ps) and all(p is not None and id(p) in P for p in ps)
+
+    def sinks_ok(op) -> bool:
+        consumers = op.outputs[0].consumers
+        if not consumers:
+            return False  # graph output (by degree) stays dense
         for c in consumers:
+            if c.type == "pnnx.Output":
+                return False
+            if _plain_conv(c) and _pack_capable_conv(c):
+                continue
+            if _pack_transparent_binop(c) and id(c) in P:
+                continue
+            return False
+        return True
+
+    changed = True
+    while changed:
+        changed = False
+        for oid in list(P):
+            op = by_id[oid]
+            if not (source_ok(op) and sinks_ok(op)):
+                P.discard(oid)
+                changed = True
+
+    for oid in P:
+        op = by_id[oid]
+        op.params[FUSED_PACK_OUT] = Parameter.from_value(True)
+        for c in op.outputs[0].consumers:
             c.params[FUSED_PACK_IN] = Parameter.from_value(True)
-            work.append(c)
-        n += 1
-    return n
+    return len(P)
 
 
 FUSED_PACK_OUT = "si_pack_out"

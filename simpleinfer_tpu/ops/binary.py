@@ -61,6 +61,31 @@ def lower_binary_op(op, cfg):
     if fn is None:
         raise ValueError(f"BinaryOp {op.name}: unsupported op code {code}")
 
+    # W-packed relay (ops/conv.py PackedW): elementwise ops act on the
+    # packed payload directly; stay packed when the region pass marked
+    # this op pack_out, else unpack for dense consumers
+    pack_out = op.has_param("si_pack_out")
+
+    def _repack(result, inputs):
+        from .conv import PackedW
+
+        packed = [x for x in inputs if isinstance(x, PackedW)]
+        if not packed:
+            return result
+        pw = PackedW(data=result, jo=packed[0].jo, ow=packed[0].ow)
+        return pw if pack_out else pw.unpack()
+
+    def _payload(x):
+        from .conv import PackedW
+
+        return x.data if isinstance(x, PackedW) else x
+
+    def _aligned(a, b):
+        from .conv import PackedW
+
+        return (isinstance(a, PackedW) and isinstance(b, PackedW)
+                and a.jo == b.jo and a.ow == b.ow)
+
     with_scalar = op.has_param("1") and op.params["1"].i == 1
     if with_scalar:
         scalar = float(op.params["2"].f)
@@ -68,9 +93,22 @@ def lower_binary_op(op, cfg):
         # (7-9, 11) have the swap built into their lambda, so e.g. code 7
         # (rsub, from expr "sub(1.0,@0)") computes scalar - x.
         def apply(weights, x, _fn=fn, _s=scalar):
+            from .conv import PackedW
+
+            if isinstance(x, PackedW):
+                return _repack(_fn(x.data, jnp.asarray(_s, x.data.dtype)),
+                               [x])
             return _fn(x, jnp.asarray(_s, x.dtype))
     else:
         def apply(weights, a, b, _fn=fn):
+            from .conv import PackedW
+
+            if _aligned(a, b):
+                return _repack(_fn(a.data, b.data), [a, b])
+            if isinstance(a, PackedW):
+                a = a.unpack()
+            if isinstance(b, PackedW):
+                b = b.unpack()
             return _fn(a, b)
 
     return OpImpl(name=op.name, type=op.type, apply=apply)
