@@ -37,9 +37,16 @@ class MeshConfig:
 class EngineConfig:
     # "float32" (bit-parity with the CPU reference) or "bfloat16" (MXU native)
     compute_dtype: str = "float32"
-    # None (keep weights at compute dtype) or "int8w" (weight-only int8,
-    # per-output-channel scales)
+    # None (keep weights at compute dtype), "int8w" (weight-only int8,
+    # per-output-channel scales), or "int8" (static full int8: weights
+    # per-channel + activations per-tensor; requires Engine.calibrate()
+    # with sample batches, until which convs run the weight-only path).
+    # s8 x s8 -> s32 convs hit the v5e MXU int8 path (2x bf16 MACs).
     quant: Optional[str] = None
+    # activation calibration observer: None = abs-max, or a percentile
+    # in (0, 100) — e.g. 99.99 clips outliers (quantize_act saturates
+    # them), trading saturation error for finer resolution everywhere else
+    act_clip_percentile: Optional[float] = None
     # layout of arrays the USER passes to input()/gets from extract():
     # "nhwc" (like the reference's Tensor, tensor.h) or "nchw" (PyTorch
     # habit; engine transposes at the boundary)
@@ -65,8 +72,11 @@ class EngineConfig:
     def __post_init__(self):
         if self.compute_dtype not in _DTYPES:
             raise ValueError(f"compute_dtype must be one of {list(_DTYPES)}")
-        if self.quant not in (None, "int8w"):
-            raise ValueError("quant must be None or 'int8w'")
+        if self.quant not in (None, "int8w", "int8"):
+            raise ValueError("quant must be None, 'int8w' or 'int8'")
+        if self.act_clip_percentile is not None and not (
+                0.0 < self.act_clip_percentile < 100.0):
+            raise ValueError("act_clip_percentile must be in (0, 100)")
         if self.io_layout not in ("nhwc", "nchw"):
             raise ValueError("io_layout must be 'nhwc' or 'nchw'")
 

@@ -140,6 +140,11 @@ class Engine:
         here, sharded batch-over-`data` when a mesh is configured — the
         host->TPU edge of the reference's alias-into-the-engine Input
         (engine_impl.cpp:522-528)."""
+        self._staged[name] = self._prepare_input(name, array)
+
+    def _prepare_input(self, name: str, array):
+        """Convert + place one named input (dtype policy, layout remap,
+        mesh sharding) — shared by input() and calibrate()."""
         self._require_loaded()
         if name not in self._program.input_names:
             raise KeyError(
@@ -160,7 +165,7 @@ class Engine:
                 f"shape {spec.shape}")
         if self._mesh is not None:
             x = jax.device_put(x, input_sharding(self._mesh, x.ndim))
-        self._staged[name] = x
+        return x
 
     def forward(self) -> None:
         """Run the jitted program on the staged inputs."""
@@ -194,6 +199,53 @@ class Engine:
                 np.asarray(v)  # full sync (block_until_ready may be weak)
         finally:
             self._staged, self._outputs = staged_backup, outputs_backup
+
+    def calibrate(self, sample_batches) -> dict:
+        """Static-int8 activation calibration (quant='int8' only).
+
+        `sample_batches`: iterable of {input name: array} feeds (any
+        batch size; representative data). Runs one jitted observer pass
+        per batch collecting per-op activation ranges
+        (quant/calibrate.py), aggregates the running max, installs
+        per-tensor `act_scale` entries into the weight pytree, and
+        re-places weights — the next forward() retraces onto the
+        s8×s8→s32 conv/linear paths. Returns {op name: scale} for
+        introspection. The reference has no quantization at all
+        (SURVEY.md §2 intro); this serves the BASELINE.json INT8 target.
+        """
+        self._require_loaded()
+        if self.config.quant != "int8":
+            raise EngineStateError(
+                "calibrate() requires EngineConfig(quant='int8')")
+        from .quant.calibrate import build_observer_fn, scales_from_stats
+
+        observer = jax.jit(build_observer_fn(
+            self._program, self.config.act_clip_percentile))
+        agg: dict = {}
+        n_batches = 0
+        for feeds in sample_batches:
+            staged = {k: self._prepare_input(k, v) for k, v in feeds.items()}
+            missing = [n for n in self._program.input_names
+                       if n not in staged]
+            if missing:
+                raise EngineStateError(
+                    f"calibration batch missing inputs: {missing}")
+            stats = observer(self._device_weights, staged)
+            for k, v in stats.items():
+                v = float(v)
+                agg[k] = max(agg.get(k, 0.0), v)
+            n_batches += 1
+        if not n_batches:
+            raise EngineStateError("calibrate() needs at least one batch")
+        scales = scales_from_stats(agg)
+        for opname, s in scales.items():
+            self._program.weights[opname]["act_scale"] = np.asarray(
+                s, np.float32)
+        self._device_weights = self._place_weights(self._program)
+        logger.info("calibrated %d ops over %d batches (observer=%s)",
+                    len(scales), n_batches,
+                    self.config.act_clip_percentile or "absmax")
+        return scales
 
     def block_until_ready(self) -> None:
         for v in self._outputs.values():

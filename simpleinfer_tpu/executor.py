@@ -206,7 +206,7 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         if op.type in ("pnnx.Input", "pnnx.Output"):
             continue
         impl = lower_operator(op, cfg)
-        if cfg.quant == "int8w" and impl.quantizable:
+        if cfg.quant in ("int8w", "int8") and impl.quantizable:
             for key, axis in impl.quantizable.items():
                 if key in impl.weights:
                     impl.weights[key] = quantize_per_channel(

@@ -31,7 +31,7 @@ from jax import lax
 import numpy as np
 
 from ..kernels.matmul import pallas_supported
-from ..quant.tensor import QuantizedTensor, resolve_weight
+from ..quant.tensor import QuantizedTensor, quantize_act, resolve_weight
 from .registry import OpImpl, register_op, require_attr, require_param
 from ..ir.graph import (
     PARAM_AINT, PARAM_BOOL, PARAM_INT, PARAM_STR,
@@ -73,6 +73,42 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
     )
     if bias is not None:
         out = out + bias.astype(accum_dtype)
+    if activation is not None:
+        from ..kernels.matmul import _ACTIVATIONS
+
+        out = _ACTIVATIONS[activation](out)
+    return out.astype(x.dtype)
+
+
+def conv2d_int8_static(x, wq: QuantizedTensor, act_scale, bias=None, *,
+                       stride=(1, 1), padding=((0, 0), (0, 0)),
+                       dilation=(1, 1), groups=1, padding_mode="zeros",
+                       activation=None):
+    """Static full-int8 NHWC conv: quantize the activation per-tensor
+    (scale from Engine.calibrate), run s8×s8→s32 on the MXU int8 path
+    (2× the bf16 MAC rate on v5e), dequantize by act_scale·w_scale[oc]
+    in the epilogue, then bias + activation in f32. Symmetric quant
+    means zero-padding is exact in the quantized domain (0 ↔ 0.0);
+    replicate/reflect pad the int8 tensor directly (1-byte traffic)."""
+    q = quantize_act(x, act_scale)
+    if padding_mode == "zeros":
+        pad = padding
+    else:
+        mode = {"replicate": "edge", "reflect": "reflect"}[padding_mode]
+        q = jnp.pad(q, ((0, 0), padding[0], padding[1], (0, 0)), mode=mode)
+        pad = ((0, 0), (0, 0))
+    acc = lax.conv_general_dilated(
+        q, wq.data,
+        window_strides=stride,
+        padding=pad,
+        rhs_dilation=dilation,
+        dimension_numbers=_DIMENSION_NUMBERS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (act_scale * wq.scale)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
     if activation is not None:
         from ..kernels.matmul import _ACTIVATIONS
 
@@ -350,6 +386,13 @@ def lower_conv2d(op, cfg):
                     out = _apply_packed_in(weights, xp, bias)
                     if out is not None:
                         return out
+        act_scale = weights.get("act_scale")
+        if act_scale is not None and isinstance(w, QuantizedTensor):
+            return conv2d_int8_static(
+                x, w, act_scale, bias,
+                stride=stride_t, padding=pad, dilation=dilation_t,
+                groups=groups, padding_mode=padding_mode,
+                activation=fused_act)
         if (pointwise and allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w
@@ -379,4 +422,6 @@ def lower_conv2d(op, cfg):
         shard_hints={"weight": (None, None, None, "model"),
                      "bias": ("model",)},
         flops_per_pixel=per_pixel,
+        fp32_keys=("act_scale",),  # quant scales never downcast
+        act_quant=True,
     )

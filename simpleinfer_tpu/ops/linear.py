@@ -61,9 +61,24 @@ def lower_linear(op, cfg):
 
     def apply(weights, x):
         from ..kernels.matmul import pallas_supported
-        from ..quant.tensor import QuantizedTensor
+        from ..quant.tensor import QuantizedTensor, quantize_act
 
         w, bias = weights["weight"], weights.get("bias")
+        act_scale = weights.get("act_scale")
+        if act_scale is not None and isinstance(w, QuantizedTensor):
+            # static full int8: s8 x s8 -> s32 dot on the MXU int8 path,
+            # dequant by act_scale * w_scale[out] in the epilogue
+            q = quantize_act(x, act_scale)
+            acc = jnp.einsum("...i,io->...o", q, w.data,
+                             preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * (act_scale * w.scale)
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            if fused_act is not None:
+                from ..kernels.matmul import _ACTIVATIONS
+
+                out = _ACTIVATIONS[fused_act](out)
+            return out.astype(x.dtype)
         if (allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w
@@ -79,4 +94,6 @@ def lower_linear(op, cfg):
         quantizable={"weight": 1},  # [in, out]: out channels on axis 1
         shard_hints={"weight": (None, "model"), "bias": ("model",)},
         flops_per_item=2 * in_features * out_features,
+        fp32_keys=("act_scale",),
+        act_quant=True,
     )

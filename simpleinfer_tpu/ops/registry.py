@@ -46,6 +46,11 @@ class OpImpl:
     # weights to a lower compute dtype (e.g. YOLO grids: box coordinates
     # lose pixels in bf16)
     fp32_keys: tuple = ()
+    # op can consume int8-quantized activations (static quant): the
+    # calibration observer (quant/calibrate.py) records its input
+    # activation range, and Engine.calibrate installs an `act_scale`
+    # weight entry that switches apply onto the s8 path
+    act_quant: bool = False
 
 
 class UnsupportedOpError(Exception):

@@ -1,4 +1,14 @@
-"""Weight-only INT8 quantization subsystem."""
-from .tensor import QuantizedTensor, quantize_per_channel, resolve_weight
+"""INT8 quantization subsystem (weight-only + static activation)."""
+from .calibrate import build_observer_fn, scales_from_stats
+from .tensor import (
+    QuantizedTensor, quantize_act, quantize_per_channel, resolve_weight,
+)
 
-__all__ = ["QuantizedTensor", "quantize_per_channel", "resolve_weight"]
+__all__ = [
+    "QuantizedTensor",
+    "build_observer_fn",
+    "quantize_act",
+    "quantize_per_channel",
+    "resolve_weight",
+    "scales_from_stats",
+]

@@ -65,6 +65,15 @@ def quantize_per_channel(w, axis: int) -> QuantizedTensor:
     return QuantizedTensor(data=jnp.asarray(q), scale=jnp.asarray(scale), axis=axis)
 
 
+def quantize_act(x, scale):
+    """Symmetric per-tensor int8 quantization of an activation tensor at
+    trace time. `scale` is a traced f32 scalar (from Engine.calibrate);
+    values beyond ±127·scale saturate. Elementwise — XLA fuses it into
+    the producer's epilogue / the consuming conv's prologue."""
+    q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
 def resolve_weight(w, dtype=jnp.float32):
     """Return a dense array for `w`, dequantizing if it is quantized."""
     if isinstance(w, QuantizedTensor):

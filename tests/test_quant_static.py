@@ -1,0 +1,186 @@
+"""Static activation int8 quantization (quant='int8') tests.
+
+The reference is FP32-only, so there is no behavior to mirror; the
+oracle strategy follows the repo's own discipline (SURVEY.md §4.4a):
+the quantized path is compared against the fp32 path with a tolerance
+derived from the quantization step, plus direct unit checks that the
+s8×s8→s32 path is actually taken (not the weight-only fallback).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from simpleinfer_tpu import Engine, EngineConfig, EngineStateError
+from simpleinfer_tpu.ir.graph import Attribute, Operator, Parameter
+from simpleinfer_tpu.ops import lower_operator
+from simpleinfer_tpu.quant import quantize_act, quantize_per_channel
+from simpleinfer_tpu.zoo import build_resnet18
+
+RNG = np.random.default_rng(11)
+
+
+# ------------------------------------------------------------- primitives
+def test_quantize_act_roundtrip_error_bounded():
+    x = RNG.standard_normal((4, 33, 17)).astype(np.float32) * 3.0
+    scale = np.float32(np.abs(x).max() / 127.0)
+    q = np.asarray(quantize_act(jnp.asarray(x), jnp.float32(scale)))
+    assert q.dtype == np.int8
+    deq = q.astype(np.float32) * scale
+    assert np.abs(deq - x).max() <= scale / 2 + 1e-7
+
+
+def test_quantize_act_saturates_outliers():
+    x = jnp.asarray([0.0, 1.0, 1000.0, -1000.0], jnp.float32)
+    q = np.asarray(quantize_act(x, jnp.float32(1.0 / 127.0)))
+    assert q[2] == 127 and q[3] == -127
+
+
+# ------------------------------------------------------- conv int8 path
+def _conv_impl(ic=8, oc=16, k=3, act=None):
+    wt = RNG.standard_normal((oc, ic, k, k)).astype(np.float32)
+    b = RNG.standard_normal(oc).astype(np.float32)
+    params = dict(padding_mode="zeros", padding=[k // 2, k // 2],
+                  kernel_size=[k, k], stride=[1, 1], dilation=[1, 1],
+                  groups=1, in_channels=ic, out_channels=oc, bias=True)
+    if act:
+        params["si_fused_act"] = act
+    op = Operator(type="nn.Conv2d", name="c0")
+    for kk, v in params.items():
+        op.params[kk] = Parameter.from_value(v)
+    op.attrs["weight"] = Attribute.from_array(wt)
+    op.attrs["bias"] = Attribute.from_array(b)
+    return lower_operator(op, EngineConfig(quant="int8")), wt, b
+
+
+@pytest.mark.parametrize("act", [None, "silu"])
+def test_conv_int8_static_close_to_fp32(act):
+    impl, wt, b = _conv_impl(act=act)
+    x = RNG.standard_normal((2, 12, 12, 8)).astype(np.float32)
+    weights = dict(impl.weights)
+    weights["weight"] = quantize_per_channel(wt.transpose(2, 3, 1, 0), 3)
+    fp_out = np.asarray(impl.apply(weights, jnp.asarray(x)))
+
+    weights["act_scale"] = jnp.float32(np.abs(x).max() / 127.0)
+    q_out = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    scale = np.abs(fp_out).max()
+    # activation quant adds ~1/254 relative noise per element, amplified
+    # by the K-dim accumulation; 5% of dynamic range is a loose but
+    # regression-catching bound
+    assert np.abs(q_out - fp_out).max() < 0.05 * scale
+
+
+def test_conv_int8_static_is_exact_on_grid_inputs():
+    """Feed activations that are exact multiples of the scale: the int8
+    path must then agree with fp32 to accumulation rounding only —
+    proving the quantized path actually runs (a dequant fallback would
+    also pass the loose test above; this one pins the arithmetic)."""
+    impl, wt, b = _conv_impl(ic=4, oc=4, k=1)
+    # integers in [-127, 127] times an arbitrary scale
+    scale = np.float32(0.037)
+    xi = RNG.integers(-127, 128, (1, 6, 6, 4)).astype(np.float32)
+    x = xi * scale
+    weights = dict(impl.weights)
+    # weight values also exact int8 multiples -> conv is exact integer math
+    wq = RNG.integers(-127, 128, (1, 1, 4, 4)).astype(np.float32)
+    wscale = np.float32(0.01)
+    from simpleinfer_tpu.quant import QuantizedTensor
+
+    weights["weight"] = QuantizedTensor(
+        data=jnp.asarray(wq.astype(np.int8)),
+        scale=jnp.full((4,), wscale), axis=3)
+    weights["bias"] = jnp.asarray(b[:4] * 0.0)
+    weights["act_scale"] = jnp.asarray(scale)
+    got = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    want = np.einsum("nhwi,io->nhwo", xi, wq[0, 0]) * (scale * wscale)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------ engine e2e
+def _calib_batches(in_name, n=2, batch=1, size=32):
+    return [{in_name: RNG.standard_normal((batch, size, size, 3))
+             .astype(np.float32)} for _ in range(n)]
+
+
+def test_engine_int8_static_end_to_end():
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=8, width=16)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    fp = Engine().load_model(None, graph=graph).run({in_name: x})[out_name]
+
+    graph2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=8,
+                                  width=16)
+    eng = Engine(EngineConfig(quant="int8")).load_model(None, graph=graph2)
+    # before calibration: runs the weight-only fallback
+    pre = eng.run({in_name: x})[out_name]
+    scale = max(1.0, float(np.abs(fp).max()))
+    assert np.abs(pre - fp).max() < 0.05 * scale
+
+    scales = eng.calibrate(_calib_batches(in_name) + [{in_name: x}])
+    assert scales and all(s > 0 for s in scales.values())
+    # act_scale installed for convs and the linear head
+    conv_ops = [i.name for i in eng.program.impls if i.act_quant]
+    assert set(scales) == set(conv_ops)
+    q = eng.run({in_name: x})[out_name]
+    # full int8: looser than weight-only but ranking preserved
+    assert np.abs(q - fp).max() < 0.15 * scale
+    assert np.argmax(q) == np.argmax(fp)
+
+
+def test_calibrate_requires_int8_mode():
+    graph, in_name, _ = build_resnet18(batch=1, image_size=32,
+                                       num_classes=4, width=8)
+    eng = Engine(EngineConfig(quant="int8w")).load_model(None, graph=graph)
+    with pytest.raises(EngineStateError):
+        eng.calibrate(_calib_batches(in_name, n=1))
+
+
+def test_calibrate_rejects_empty_and_partial_batches():
+    graph, in_name, _ = build_resnet18(batch=1, image_size=32,
+                                       num_classes=4, width=8)
+    eng = Engine(EngineConfig(quant="int8")).load_model(None, graph=graph)
+    with pytest.raises(EngineStateError):
+        eng.calibrate([])
+    with pytest.raises(EngineStateError):
+        eng.calibrate([{}])
+
+
+def test_percentile_observer_clips_outliers():
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    graph2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=4,
+                                  width=8)
+    batch = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    spiked = batch.copy()
+    spiked[0, 0, 0, 0] = 1e4  # single outlier
+    absmax = Engine(EngineConfig(quant="int8")).load_model(
+        None, graph=graph).calibrate([{in_name: spiked}])
+    pct = Engine(EngineConfig(
+        quant="int8", act_clip_percentile=99.9)).load_model(
+        None, graph=graph2).calibrate([{in_name: spiked}])
+    # the outlier-dominated op must get a smaller (finer) scale under
+    # the percentile observer than under absmax
+    shared = set(absmax) & set(pct)
+    assert shared
+    assert any(pct[n] < absmax[n] * 0.5 for n in shared)
+
+
+# ------------------------------------------------------------- linear path
+def test_linear_int8_static_close_to_fp32():
+    in_f, out_f = 32, 16
+    wt = RNG.standard_normal((out_f, in_f)).astype(np.float32)
+    b = RNG.standard_normal(out_f).astype(np.float32)
+    op = Operator(type="nn.Linear", name="l0")
+    for kk, v in dict(in_features=in_f, out_features=out_f,
+                      bias=True).items():
+        op.params[kk] = Parameter.from_value(v)
+    op.attrs["weight"] = Attribute.from_array(wt)
+    op.attrs["bias"] = Attribute.from_array(b)
+    impl = lower_operator(op, EngineConfig(quant="int8"))
+    x = RNG.standard_normal((4, in_f)).astype(np.float32)
+    weights = dict(impl.weights)
+    weights["weight"] = quantize_per_channel(wt.T, 1)
+    fp_out = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    weights["act_scale"] = jnp.float32(np.abs(x).max() / 127.0)
+    q_out = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    assert np.abs(q_out - fp_out).max() < 0.05 * np.abs(fp_out).max()
