@@ -18,6 +18,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
@@ -38,6 +39,7 @@ class ServiceStats:
     padded_items: int = 0
     total_latency_s: float = 0.0
     total_batch_time_s: float = 0.0
+    batches_per_engine: list = field(default_factory=list)
 
     @property
     def mean_latency_ms(self) -> float:
@@ -59,7 +61,7 @@ def _default_buckets(max_batch: int) -> list:
 
 
 class BatchingService:
-    """Continuous batching front-end for one Engine.
+    """Continuous batching front-end for one Engine or a DP pool of them.
 
     Usage:
         svc = BatchingService(engine, input_name, out_name, max_batch=32)
@@ -67,6 +69,15 @@ class BatchingService:
         fut = svc.submit(image_nhwc_row)      # -> Future
         result = fut.result()
         svc.stop()
+
+    Pass a LIST of engines (each pinned to its own device/replica) for
+    data-parallel serving: batches round-robin across engines and the
+    pipeline runs len(engines) deep, so all devices compute concurrently
+    while the host gathers the next batch. This is the multi-chip DP
+    alternative to a single engine over a `data`-axis mesh: a mesh
+    splits ONE batch across chips (lowest latency), the engine pool runs
+    INDEPENDENT batches per chip (highest throughput, no collective
+    launch, per-chip failure isolation).
     """
 
     def __init__(self, engine, input_name: str | None = None,
@@ -77,9 +88,13 @@ class BatchingService:
         """`device_postprocess` (optional jittable fn array->array) runs
         on the raw output ON DEVICE before the host fetch — e.g.
         zoo.detect.topk_candidates to shrink YOLO outputs ~80x."""
-        self.engine = engine
-        self.input_name = input_name or engine.input_names[0]
-        self.output_name = output_name or engine.output_names[0]
+        self.engines = list(engine) if isinstance(
+            engine, (list, tuple)) else [engine]
+        if not self.engines:
+            raise ValueError("need at least one engine")
+        self.engine = self.engines[0]
+        self.input_name = input_name or self.engine.input_names[0]
+        self.output_name = output_name or self.engine.output_names[0]
         self.device_post = None
         if device_postprocess is not None:
             import jax
@@ -88,7 +103,8 @@ class BatchingService:
         self.max_batch = max_batch
         self.buckets = sorted(buckets or _default_buckets(max_batch))
         self.max_wait_s = max_wait_ms / 1e3
-        self.stats = ServiceStats()
+        self.stats = ServiceStats(
+            batches_per_engine=[0] * len(self.engines))
         self._q: queue.Queue = queue.Queue()
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
@@ -102,8 +118,11 @@ class BatchingService:
         return req.future
 
     def warmup(self) -> None:
-        """Compile every bucket up front (avoids first-request stalls)."""
-        self.engine.warmup(self.buckets)
+        """Compile every bucket up front (avoids first-request stalls).
+        Engines sharing a model compile once each — identical programs
+        on different devices still need their own executable."""
+        for eng in self.engines:
+            eng.warmup(self.buckets)
 
     # ---- lifecycle -------------------------------------------------------
     def start(self) -> "BatchingService":
@@ -151,9 +170,10 @@ class BatchingService:
                 return b
         return self.buckets[-1]
 
-    def _dispatch(self, batch: list):
-        """Stage + forward one batch; returns (batch, device_out, t0,
-        bucket) with the output still on device (NOT fetched)."""
+    def _dispatch(self, batch: list, engine_idx: int):
+        """Stage + forward one batch on one engine; returns (batch,
+        device_out, t0, bucket) with the output still on device (NOT
+        fetched)."""
         t0 = time.perf_counter()
         n = len(batch)
         bucket = self._bucket_for(n)
@@ -161,11 +181,13 @@ class BatchingService:
         if bucket > n:
             pad = np.zeros((bucket - n, *x.shape[1:]), x.dtype)
             x = np.concatenate([x, pad])
-        self.engine.input(self.input_name, x)
-        self.engine.forward()
-        out = self.engine.extract(self.output_name, as_numpy=False)
+        eng = self.engines[engine_idx]
+        eng.input(self.input_name, x)
+        eng.forward()
+        out = eng.extract(self.output_name, as_numpy=False)
         if self.device_post is not None:
             out = self.device_post(out)
+        self.stats.batches_per_engine[engine_idx] += 1
         return batch, out, t0, bucket
 
     def _resolve(self, inflight) -> None:
@@ -192,16 +214,28 @@ class BatchingService:
                 self._q.task_done()
 
     def _loop(self) -> None:
-        """Double-buffered schedule: while the device computes batch N,
-        the host gathers/stages batch N+1 and only then fetches N — the
-        continuous-batching pipeline overlap of BASELINE.json config 5."""
-        inflight = None
+        """Pipelined schedule, len(engines) deep: while every device
+        computes its batch, the host gathers/stages the next one, and a
+        device's previous output is fetched only when that device is
+        about to be reused (or the queue goes idle) — the
+        continuous-batching pipeline overlap of BASELINE.json config 5,
+        generalized from double-buffering (1 engine) to a DP pool."""
+        depth = len(self.engines)
+        inflight: deque = deque()  # oldest first
+        rr = 0  # round-robin engine cursor
         while not self._stop.is_set():
             batch = self._gather()
-            nxt = None
             if batch:
+                # dispatch BEFORE fetching the oldest output: enqueueing
+                # on a busy device is free (its stream serializes), and
+                # fetching first would idle every device behind one
+                # blocking host read. The previous output array survives
+                # re-dispatch — extract() returned an independent buffer.
                 try:
-                    nxt = self._dispatch(batch)
+                    inflight.append(self._dispatch(batch, rr % depth))
+                    rr += 1
+                    if len(inflight) > depth:
+                        self._resolve(inflight.popleft())
                 except Exception as e:  # noqa: BLE001 — staging failed
                     for r in batch:
                         if not r.future.done():
@@ -210,8 +244,8 @@ class BatchingService:
                         self._q.task_done()
                     self.stats.requests += len(batch)
                     self.stats.batches += 1
-            if inflight is not None:
-                self._resolve(inflight)
-            inflight = nxt
-        if inflight is not None:
-            self._resolve(inflight)
+            elif inflight:
+                # idle: complete waiters promptly
+                self._resolve(inflight.popleft())
+        while inflight:
+            self._resolve(inflight.popleft())

@@ -140,3 +140,32 @@ def test_error_propagates_to_future(engine):
             svc.submit(bad).result(timeout=60)
     finally:
         svc.stop(drain=False)
+
+
+def test_multi_engine_pool_round_robins(engine):
+    """DP pool: batches spread across engines, results stay correct."""
+    graph2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=6,
+                                  width=8)
+    eng2 = Engine().load_model(None, graph=graph2)
+    # same weights on both replicas so outputs are comparable
+    eng2._device_weights = engine._device_weights
+    svc = BatchingService([engine, eng2], max_batch=2,
+                          max_wait_ms=1.0).start()
+    try:
+        xs = [RNG.standard_normal((32, 32, 3)).astype(np.float32)
+              for _ in range(12)]
+        futs = [svc.submit(x) for x in xs]
+        got = np.stack([f.result(timeout=120) for f in futs])
+        want = _ref_outputs(engine, xs)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+        # both engines must have been used
+        assert all(b > 0 for b in svc.stats.batches_per_engine)
+        assert sum(svc.stats.batches_per_engine) == svc.stats.batches
+    finally:
+        svc.stop()
+
+
+def test_multi_engine_single_is_default(engine):
+    svc = BatchingService(engine, max_batch=4)
+    assert svc.engines == [engine]
+    assert svc.stats.batches_per_engine == [0]
