@@ -329,6 +329,27 @@ def lower_conv2d(op, cfg):
                 c = x.shape[-1]
                 parts.append(lax.slice_in_dim(w, ofs, ofs + c, axis=2))
                 ofs += c
+        act_scale = weights.get("act_scale")
+        if act_scale is not None and isinstance(w, QuantizedTensor):
+            # static int8: every source shares the cat's per-tensor
+            # scale, so the per-source s32 partial convs sum EXACTLY
+            # (no f32 carry compromise) and dequantize once at the end
+            acc = None
+            for x, wi in zip(xs, parts):
+                q = quantize_act(x, act_scale)
+                y = lax.conv_general_dilated(
+                    q, wi.data, window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=_DIMENSION_NUMBERS,
+                    preferred_element_type=jnp.int32)
+                acc = y if acc is None else acc + y
+            out = acc.astype(jnp.float32) * (act_scale * w.scale)
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            if fused_act is not None:
+                from ..kernels.matmul import _ACTIVATIONS
+
+                out = _ACTIVATIONS[fused_act](out)
+            return out.astype(xs[0].dtype)
         # partial sums materialize between the per-source conv kernels
         # (XLA cannot fuse two convs); carry them at the compute dtype
         # in bf16 mode to halve that traffic (each conv still

@@ -184,3 +184,28 @@ def test_linear_int8_static_close_to_fp32():
     weights["act_scale"] = jnp.float32(np.abs(x).max() / 127.0)
     q_out = np.asarray(impl.apply(weights, jnp.asarray(x)))
     assert np.abs(q_out - fp_out).max() < 0.05 * np.abs(fp_out).max()
+
+
+def test_yolov5_int8_static_covers_cat_split_path():
+    """yolov5 C3/SPPF blocks hit the cat->conv1x1 weight-split path;
+    in int8 mode its partial convs must sum exactly in s32 and match
+    the fp32 engine within quant noise."""
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    graph, in_name, out_name = build_yolov5("n", batch=1, image_size=64)
+    x = (RNG.standard_normal((1, 64, 64, 3)) * 0.5).astype(np.float32)
+    fp = Engine().load_model(None, graph=graph).run({in_name: x})[out_name]
+
+    graph2, _, _ = build_yolov5("n", batch=1, image_size=64)
+    eng = Engine(EngineConfig(quant="int8")).load_model(None, graph=graph2)
+    scales = eng.calibrate([{in_name: x}])
+    # the cat-input convs must be calibrated too
+    cat_convs = [i.name for i in eng.program.impls
+                 if i.type == "nn.Conv2d" and len(
+                     [1 for p in (eng.program.plan or [])
+                      if p[0] is i and len(p[1]) > 1])]
+    assert cat_convs, "expected cat->conv1x1 fusions in yolov5"
+    assert set(cat_convs) <= set(scales)
+    q = eng.run({in_name: x})[out_name]
+    scale = float(np.abs(fp).max())
+    assert np.abs(q - fp).max() < 0.05 * scale
