@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--classes", type=int, default=80)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--quant", default="int8w", choices=["int8w", "int8"],
+                    help="int8w = weight-only; int8 = static activation "
+                         "quant (calibrates on a held-out batch first)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -45,9 +48,13 @@ def main():
                              image_size=args.img)
     fp = Engine(EngineConfig()).load_model(None, graph=g_fp)
     q = Engine(EngineConfig(compute_dtype="bfloat16",
-                            quant="int8w")).load_model(None, graph=g_q)
+                            quant=args.quant)).load_model(None, graph=g_q)
     x = rng.standard_normal(
         (args.n, args.img, args.img, 3)).astype(np.float32) / 2
+    if args.quant == "int8":
+        calib = rng.standard_normal(
+            (args.n, args.img, args.img, 3)).astype(np.float32) / 2
+        q.calibrate([{in_name: calib}])
     rep = int8_parity_report(fp, q, x, conf_thresh=0.25,
                              num_classes=args.classes)
     print(rep)
@@ -61,8 +68,11 @@ def main():
                                num_classes=1000)
     fp = Engine(EngineConfig()).load_model(None, graph=g_fp)
     q = Engine(EngineConfig(compute_dtype="bfloat16",
-                            quant="int8w")).load_model(None, graph=g_q)
+                            quant=args.quant)).load_model(None, graph=g_q)
     xi = rng.standard_normal((args.n, 224, 224, 3)).astype(np.float32)
+    if args.quant == "int8":
+        q.calibrate([{in_name: rng.standard_normal(
+            (args.n, 224, 224, 3)).astype(np.float32)}])
     lf = fp.run({in_name: xi})[out_name]
     lq = np.asarray(q.run({in_name: xi})[out_name], np.float32)
     agree = top1_accuracy(lq, np.argmax(lf, axis=-1))
