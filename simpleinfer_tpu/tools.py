@@ -40,10 +40,17 @@ def cmd_dump(args) -> int:
 def _load_engine(args):
     from . import Engine, EngineConfig
 
-    cfg = EngineConfig(
-        compute_dtype=args.dtype,
-        quant="int8w" if args.int8 else None)
+    quant = args.quant or ("int8w" if args.int8 else None)
+    cfg = EngineConfig(compute_dtype=args.dtype, quant=quant)
     return Engine(cfg).load_model(args.param, args.bin)
+
+
+def _maybe_calibrate(eng, batch: "np.ndarray") -> None:
+    """Static-int8 CLI flow: calibrate on the (preprocessed) inference
+    batch itself — the demo-tool shortcut; production should calibrate
+    on held-out data via Engine.calibrate."""
+    if eng.config.quant == "int8":
+        eng.calibrate([{eng.input_names[0]: batch}])
 
 
 def cmd_detect(args) -> int:
@@ -52,6 +59,13 @@ def cmd_detect(args) -> int:
 
     eng = _load_engine(args)
     images = [imread(p) for p in args.images]
+    if eng.config.quant == "int8":
+        import numpy as np
+
+        from .zoo.detect import letterbox
+
+        _maybe_calibrate(eng, np.stack(
+            [letterbox(im, args.size)[0] for im in images]))
     results = detect_images(eng, images, size=args.size,
                             conf_thresh=args.conf, iou_thresh=args.iou)
     for path, img, dets in zip(args.images, images, results):
@@ -73,6 +87,13 @@ def cmd_classify(args) -> int:
 
     eng = _load_engine(args)
     images = [imread(p, bgr=False) for p in args.images]
+    if eng.config.quant == "int8":
+        import numpy as np
+
+        from .zoo.classify import preprocess_classify
+
+        _maybe_calibrate(eng, np.stack(
+            [preprocess_classify(im, args.size) for im in images]))
     for path, topk in zip(args.images,
                           classify_images(eng, images, size=args.size,
                                           k=args.topk)):
@@ -113,7 +134,12 @@ def main(argv=None) -> int:
                        default=640 if name == "detect" else 224)
         p.add_argument("--dtype", default="bfloat16",
                        choices=["float32", "bfloat16"])
-        p.add_argument("--int8", action="store_true")
+        p.add_argument("--int8", action="store_true",
+                       help="shorthand for --quant int8w")
+        p.add_argument("--quant", choices=["int8w", "int8"],
+                       help="int8w = weight-only; int8 = static "
+                            "activation quant (calibrates on the input "
+                            "batch)")
         if name == "detect":
             p.add_argument("--conf", type=float, default=0.25)
             p.add_argument("--iou", type=float, default=0.45)

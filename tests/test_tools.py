@@ -54,3 +54,28 @@ def test_roofline_cli(yolo_model, capsys):
     assert main(["roofline", *yolo_model, "--batch", "4"]) == 0
     out = capsys.readouterr().out
     assert "speed-of-light" in out
+
+
+def test_detect_cli_int8_static(yolo_model, tmp_path, capsys):
+    """--quant int8 calibrates on the input batch, then detects."""
+    img = RNG.integers(0, 255, (80, 60, 3)).astype(np.uint8)
+    p = str(tmp_path / "in.png")
+    imwrite(p, img)
+    rc = main(["detect", *yolo_model, p, "--size", "64",
+               "--dtype", "float32", "--quant", "int8"])
+    assert rc == 0
+    assert "detections" in capsys.readouterr().out
+
+
+def test_classify_cli_int8_static(tmp_path, capsys):
+    graph, _, _ = build_resnet18(batch=1, image_size=64, num_classes=10,
+                                 width=8)
+    param, binf = str(tmp_path / "r.pnnx.param"), str(tmp_path / "r.pnnx.bin")
+    graph.save(param, binf)
+    img = RNG.integers(0, 255, (90, 90, 3)).astype(np.uint8)
+    p = str(tmp_path / "in.png")
+    imwrite(p, img)
+    rc = main(["classify", param, binf, p, "--size", "64",
+               "--dtype", "float32", "--quant", "int8", "--topk", "3"])
+    assert rc == 0
+    assert capsys.readouterr().out.count("class ") == 3
