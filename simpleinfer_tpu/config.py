@@ -47,6 +47,14 @@ class EngineConfig:
     # in (0, 100) — e.g. 99.99 clips outliers (quantize_act saturates
     # them), trading saturation error for finer resolution everywhere else
     act_clip_percentile: Optional[float] = None
+    # static-int8 profitability gate (measured on v5e,
+    # scripts/int8_conv_probe.py): s8xs8 conv beats bf16 only for
+    # k>1 convs with >= this many input channels (1.12-1.56x); 1x1
+    # convs LOSE (0.6-0.8x: they are bandwidth-bound and the
+    # quantize/dequant elementwise passes add HBM traffic). Ops outside
+    # the gate run the bf16 weight-dequant path — less quant noise too.
+    int8_min_channels: int = 128
+    int8_pointwise: bool = False
     # layout of arrays the USER passes to input()/gets from extract():
     # "nhwc" (like the reference's Tensor, tensor.h) or "nchw" (PyTorch
     # habit; engine transposes at the boundary)

@@ -306,6 +306,12 @@ def lower_conv2d(op, cfg):
             return PackedW(data=out, jo=jo2, ow=ow2)
         return out.reshape(n, oh2, ow2, out_channels)
 
+    # static-int8 dispatch gate (see EngineConfig.int8_min_channels):
+    # v5e-measured, s8xs8 wins only on k>1 convs with wide input
+    kernel_area = kernel[0] * kernel[1]
+    int8_profitable = (in_channels >= cfg.int8_min_channels
+                       and (kernel_area > 1 or cfg.int8_pointwise))
+
     cat_inputs = op.has_param("si_cat_inputs")
 
     def _apply_split(weights, xs):
@@ -330,7 +336,9 @@ def lower_conv2d(op, cfg):
                 parts.append(lax.slice_in_dim(w, ofs, ofs + c, axis=2))
                 ofs += c
         act_scale = weights.get("act_scale")
-        if act_scale is not None and isinstance(w, QuantizedTensor):
+        if (act_scale is not None and isinstance(w, QuantizedTensor)
+                and cfg.int8_pointwise
+                and in_channels >= cfg.int8_min_channels):
             # static int8: every source shares the cat's per-tensor
             # scale, so the per-source s32 partial convs sum EXACTLY
             # (no f32 carry compromise) and dequantize once at the end
@@ -408,7 +416,8 @@ def lower_conv2d(op, cfg):
                     if out is not None:
                         return out
         act_scale = weights.get("act_scale")
-        if act_scale is not None and isinstance(w, QuantizedTensor):
+        if (act_scale is not None and isinstance(w, QuantizedTensor)
+                and int8_profitable):
             return conv2d_int8_static(
                 x, w, act_scale, bias,
                 stride=stride_t, padding=pad, dilation=dilation_t,

@@ -126,7 +126,8 @@ def summarize_roofline(program, batch: int = 1, spec: ChipSpec = V5E,
     return "\n".join(lines)
 
 
-def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True):
+def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True,
+                        precompile: bool = True):
     """Wall-accurate DEVICE time per fn(*args) call, robust to host
     dispatch overhead: runs iterations inside one jitted lax.fori_loop,
     chaining each iteration's input on a scalar of the previous output
@@ -137,9 +138,19 @@ def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True):
     points share one compilation.
 
     fn's first argument must be a float array; remaining args pass
-    through."""
+    through.
+
+    `precompile` first compiles fn PLAIN (outside the loop): measured on
+    the axon compile service (2026-08-17), cold-compiling a fori_loop
+    program directly can stall >45 min, while the same loop compiles in
+    ~20-30 s once the plain fn has been compiled (shared per-fusion
+    cache). The extra plain compile costs seconds to minutes but bounds
+    the worst case."""
     import jax.numpy as jnp
     from jax import lax
+
+    if precompile:
+        jax.jit(fn).lower(*args).compile()
 
     def scalar_of(out):
         leaf = jax.tree_util.tree_leaves(out)[0]

@@ -50,7 +50,9 @@ def _conv_impl(ic=8, oc=16, k=3, act=None):
         op.params[kk] = Parameter.from_value(v)
     op.attrs["weight"] = Attribute.from_array(wt)
     op.attrs["bias"] = Attribute.from_array(b)
-    return lower_operator(op, EngineConfig(quant="int8")), wt, b
+    return lower_operator(op, EngineConfig(
+        quant="int8", int8_min_channels=1,
+        int8_pointwise=True)), wt, b
 
 
 @pytest.mark.parametrize("act", [None, "silu"])
@@ -110,7 +112,9 @@ def test_engine_int8_static_end_to_end():
 
     graph2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=8,
                                   width=16)
-    eng = Engine(EngineConfig(quant="int8")).load_model(None, graph=graph2)
+    eng = Engine(EngineConfig(quant="int8", int8_min_channels=1,
+                              int8_pointwise=True)).load_model(
+        None, graph=graph2)
     # before calibration: runs the weight-only fallback
     pre = eng.run({in_name: x})[out_name]
     scale = max(1.0, float(np.abs(fp).max()))
@@ -197,7 +201,9 @@ def test_yolov5_int8_static_covers_cat_split_path():
     fp = Engine().load_model(None, graph=graph).run({in_name: x})[out_name]
 
     graph2, _, _ = build_yolov5("n", batch=1, image_size=64)
-    eng = Engine(EngineConfig(quant="int8")).load_model(None, graph=graph2)
+    eng = Engine(EngineConfig(quant="int8", int8_min_channels=1,
+                              int8_pointwise=True)).load_model(
+        None, graph=graph2)
     scales = eng.calibrate([{in_name: x}])
     # the cat-input convs must be calibrated too
     cat_convs = [i.name for i in eng.program.impls
@@ -209,3 +215,25 @@ def test_yolov5_int8_static_covers_cat_split_path():
     q = eng.run({in_name: x})[out_name]
     scale = float(np.abs(fp).max())
     assert np.abs(q - fp).max() < 0.05 * scale
+
+
+def test_int8_gate_skips_unprofitable_shapes():
+    """Default gate (v5e-measured): narrow or 1x1 convs ignore
+    act_scale and keep the weight-dequant path — identical outputs
+    with and without the scale installed."""
+    wt = RNG.standard_normal((16, 8, 1, 1)).astype(np.float32)
+    op = Operator(type="nn.Conv2d", name="c0")
+    for kk, v in dict(padding_mode="zeros", padding=[0, 0],
+                      kernel_size=[1, 1], stride=[1, 1], dilation=[1, 1],
+                      groups=1, in_channels=8, out_channels=16,
+                      bias=False).items():
+        op.params[kk] = Parameter.from_value(v)
+    op.attrs["weight"] = Attribute.from_array(wt)
+    impl = lower_operator(op, EngineConfig(quant="int8"))  # default gate
+    x = RNG.standard_normal((1, 6, 6, 8)).astype(np.float32)
+    weights = dict(impl.weights)
+    weights["weight"] = quantize_per_channel(wt.transpose(2, 3, 1, 0), 3)
+    base = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    weights["act_scale"] = jnp.float32(np.abs(x).max() / 127.0)
+    gated = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    np.testing.assert_array_equal(base, gated)
