@@ -418,14 +418,15 @@ def _yolo_channels(width_mult: float):
 def build_yolov5(variant: str = "n", batch: int = 1, image_size: int = 640,
                  num_classes: int = 80, seed: int = 0) -> tuple:
     """YOLOv5 (v6.0 topology: 6x6 stem, C3 blocks, SPPF, PAN head,
-    fused Detect). variant: n / s / m or (depth_mult, width_mult).
+    fused Detect). variant: n / s / m / l or (depth_mult, width_mult).
 
     Structure per ultralytics yolov5 v6 yaml; all convs carry bias (a
     pnnx export folds BN into the conv, which is also what the
     reference's yolov5 fixtures contain — their graphs have no separate
     BN ops, see the conv+silu pairs in test-yolo2's operand dump).
     """
-    presets = {"n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75)}
+    presets = {"n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75),
+               "l": (1.0, 1.0)}
     depth_mult, width_mult = presets[variant] if isinstance(variant, str) \
         else variant
     cw = _yolo_channels(width_mult)
