@@ -241,6 +241,13 @@ class Engine:
         for opname, s in scales.items():
             self._program.weights[opname]["act_scale"] = np.asarray(
                 s, np.float32)
+        # chain producers (ir/passes.mark_int8_chains) requantize their
+        # output to the consumer's scale: install it as out_scale
+        for impl in self._program.impls:
+            c = impl.q_out_consumer
+            if c is not None and c in scales:
+                self._program.weights[impl.name]["out_scale"] = np.asarray(
+                    scales[c], np.float32)
         self._device_weights = self._place_weights(self._program)
         logger.info("calibrated %d ops over %d batches (observer=%s)",
                     len(scales), n_batches,

@@ -194,7 +194,7 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
     if cfg.fuse:
         from .ir.passes import run_inference_fusions
 
-        run_inference_fusions(graph)
+        run_inference_fusions(graph, cfg)
     order = _toposort(graph)
     input_operands, output_operands = discover_io(graph)
     input_names = {r.name for r in input_operands}

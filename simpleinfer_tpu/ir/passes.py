@@ -285,11 +285,65 @@ def fuse_cat_conv1x1(graph: Graph) -> int:
     return n
 
 
-def run_inference_fusions(graph: Graph) -> dict:
+FUSED_Q_OUT = "si_q_out"  # value: the consumer op name whose calibrated
+#                            act_scale the producer requantizes to
+
+
+def mark_int8_chains(graph: Graph, min_channels: int = 128) -> int:
+    """Mark conv->conv edges where the producer should requantize its
+    output to int8 in its own epilogue (static-int8 mode only).
+
+    Measured basis (v5e, scripts/int8_conv_probe.py + docs/PERF.md): the
+    s8 conv chain loses up to 40% of its win to the standalone
+    quantize pass (an extra f32 read + s8 write over the whole
+    activation). When the producer is itself a conv, the requant runs in
+    its fused epilogue instead: the intermediate tensor is written once
+    as 1-byte data (half the bf16 traffic) and the consumer's quantize
+    disappears.
+
+    Edge eligibility: producer is a plain single-output conv outside the
+    packed/cat domains and not a graph output; EVERY consumer is a
+    single-input plain conv that will take the s8 path (k>1 and
+    in_channels >= min_channels, mirroring the EngineConfig gate).
+    All consumers read the same operand, so they share one calibrated
+    scale by construction. Returns #edges marked."""
+    n = 0
+    for op in list(graph.ops):
+        if op.type != "nn.Conv2d" or len(op.outputs) != 1:
+            continue
+        if FUSED_PACK_OUT in op.params or FUSED_CAT_INPUTS in op.params:
+            continue
+        operand = op.outputs[0]
+        consumers = operand.consumers
+        if not consumers:
+            continue
+
+        def takes_s8(c) -> bool:
+            if c.type != "nn.Conv2d" or len(c.inputs) != 1:
+                return False
+            if FUSED_PACK_IN in c.params or FUSED_CAT_INPUTS in c.params:
+                return False
+            ks = _conv_param(c, "kernel_size") or [1, 1]
+            ic = _conv_param(c, "in_channels") or 0
+            return (_plain_conv(c) and ks[0] * ks[1] > 1
+                    and ic >= min_channels)
+
+        if all(takes_s8(c) for c in consumers):
+            op.params[FUSED_Q_OUT] = Parameter.from_value(
+                consumers[0].name)
+            n += 1
+    return n
+
+
+def run_inference_fusions(graph: Graph, cfg=None) -> dict:
     """conv+bn first (so conv+bn+act chains end as one fused conv),
-    then activation folding, then packed-chain marking."""
+    then activation folding, then packed-chain marking; int8-chain
+    marking only in static-int8 mode."""
     stats = {"conv_bn": fuse_conv_bn(graph),
              "conv_act": fuse_conv_activation(graph),
              "cat_conv": fuse_cat_conv1x1(graph),
              "packed_chain": mark_packed_conv_chains(graph)}
+    if cfg is not None and getattr(cfg, "quant", None) == "int8":
+        stats["int8_chain"] = mark_int8_chains(
+            graph, min_channels=cfg.int8_min_channels)
     return stats

@@ -31,7 +31,9 @@ from jax import lax
 import numpy as np
 
 from ..kernels.matmul import pallas_supported
-from ..quant.tensor import QuantizedTensor, quantize_act, resolve_weight
+from ..quant.tensor import (
+    QuantizedActivation, QuantizedTensor, quantize_act, resolve_weight,
+)
 from .registry import OpImpl, register_op, require_attr, require_param
 from ..ir.graph import (
     PARAM_AINT, PARAM_BOOL, PARAM_INT, PARAM_STR,
@@ -40,14 +42,27 @@ from ..ir.graph import (
 _DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
 
+def _finish(out_f32, out_dtype, out_quant_scale):
+    """Close a conv epilogue: cast to the activation dtype, or — for a
+    marked int8 chain (ir/passes.mark_int8_chains) — requantize the f32
+    result to the consumer's scale and ship 1-byte data."""
+    if out_quant_scale is not None:
+        return QuantizedActivation(
+            data=quantize_act(out_f32, out_quant_scale),
+            scale=out_quant_scale)
+    return out_f32.astype(out_dtype)
+
+
 def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
                 dilation=(1, 1), groups=1, padding_mode="zeros",
-                accum_dtype=jnp.float32, activation=None):
+                accum_dtype=jnp.float32, activation=None,
+                out_quant_scale=None):
     """Functional NHWC conv used by both the engine and the model zoo.
 
     `w` is HWIO (or a QuantizedTensor of it); `padding` is
     ((top, bottom), (left, right)); `activation` is an optional fused
-    epilogue name (kernels/matmul._ACTIVATIONS).
+    epilogue name (kernels/matmul._ACTIVATIONS); `out_quant_scale`
+    requantizes the epilogue result to int8 (see `_finish`).
     """
     w = resolve_weight(w, x.dtype)
     if padding_mode == "zeros":
@@ -77,20 +92,31 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
         from ..kernels.matmul import _ACTIVATIONS
 
         out = _ACTIVATIONS[activation](out)
-    return out.astype(x.dtype)
+    return _finish(out, x.dtype, out_quant_scale)
 
 
 def conv2d_int8_static(x, wq: QuantizedTensor, act_scale, bias=None, *,
                        stride=(1, 1), padding=((0, 0), (0, 0)),
                        dilation=(1, 1), groups=1, padding_mode="zeros",
-                       activation=None):
+                       activation=None, out_quant_scale=None,
+                       out_dtype=None):
     """Static full-int8 NHWC conv: quantize the activation per-tensor
     (scale from Engine.calibrate), run s8×s8→s32 on the MXU int8 path
     (2× the bf16 MAC rate on v5e), dequantize by act_scale·w_scale[oc]
     in the epilogue, then bias + activation in f32. Symmetric quant
     means zero-padding is exact in the quantized domain (0 ↔ 0.0);
-    replicate/reflect pad the int8 tensor directly (1-byte traffic)."""
-    q = quantize_act(x, act_scale)
+    replicate/reflect pad the int8 tensor directly (1-byte traffic).
+
+    `x` may be a QuantizedActivation from a chained producer (its own
+    quantize pass is then skipped and its 1-byte data convolved
+    directly); `out_quant_scale` requantizes the result for the next
+    chained consumer (see `_finish`)."""
+    if isinstance(x, QuantizedActivation):
+        q, act_scale = x.data, x.scale
+        out_dtype = out_dtype or jnp.bfloat16
+    else:
+        q = quantize_act(x, act_scale)
+        out_dtype = out_dtype or x.dtype
     if padding_mode == "zeros":
         pad = padding
     else:
@@ -113,7 +139,7 @@ def conv2d_int8_static(x, wq: QuantizedTensor, act_scale, bias=None, *,
         from ..kernels.matmul import _ACTIVATIONS
 
         out = _ACTIVATIONS[activation](out)
-    return out.astype(x.dtype)
+    return _finish(out, out_dtype, out_quant_scale)
 
 
 # Stem W-packing factors tried largest-first at trace time (the input
@@ -235,6 +261,11 @@ def lower_conv2d(op, cfg):
     stride_t, dilation_t = tuple(stride), tuple(dilation)
     fused_act = (op.params["si_fused_act"].s
                  if op.has_param("si_fused_act") else None)
+    # int8-chain producer marker (ir/passes.mark_int8_chains): the name
+    # of the consumer whose calibrated act_scale this conv requantizes
+    # its output to (Engine.calibrate installs `out_scale`)
+    q_consumer = (op.params["si_q_out"].s
+                  if op.has_param("si_q_out") else None)
 
     # W-stride-2 small-ic stem: the graph input reshapes (free) into
     # f-pixel blocks and runs the same packed path as chained convs
@@ -396,6 +427,18 @@ def lower_conv2d(op, cfg):
                                           else x for x in xs])
         (x,) = xs
         w, bias = weights["weight"], weights.get("bias")
+        # requant target for a marked int8 chain (ir/passes.FUSED_Q_OUT);
+        # installed by Engine.calibrate alongside act_scale
+        out_scale = weights.get("out_scale")
+        if isinstance(x, QuantizedActivation):
+            if not isinstance(w, QuantizedTensor):  # defensive
+                x = x.dequantize()
+            else:
+                return conv2d_int8_static(
+                    x, w, None, bias,
+                    stride=stride_t, padding=pad, dilation=dilation_t,
+                    groups=groups, padding_mode=padding_mode,
+                    activation=fused_act, out_quant_scale=out_scale)
         if isinstance(x, PackedW):
             out = _apply_packed_in(weights, x, bias)
             if out is not None:
@@ -422,7 +465,7 @@ def lower_conv2d(op, cfg):
                 x, w, act_scale, bias,
                 stride=stride_t, padding=pad, dilation=dilation_t,
                 groups=groups, padding_mode=padding_mode,
-                activation=fused_act)
+                activation=fused_act, out_quant_scale=out_scale)
         if (pointwise and allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w
@@ -437,7 +480,7 @@ def lower_conv2d(op, cfg):
             x, w, bias,
             stride=stride_t, padding=pad, dilation=dilation_t,
             groups=groups, padding_mode=padding_mode,
-            activation=fused_act)
+            activation=fused_act, out_quant_scale=out_scale)
 
     # flops at batch 1: 2 * OH*OW * OC * (IC/g) * KH*KW; the executor
     # multiplies the per-pixel term by OH*OW after shape inference
@@ -452,6 +495,7 @@ def lower_conv2d(op, cfg):
         shard_hints={"weight": (None, None, None, "model"),
                      "bias": ("model",)},
         flops_per_pixel=per_pixel,
-        fp32_keys=("act_scale",),  # quant scales never downcast
+        fp32_keys=("act_scale", "out_scale"),  # quant scales never downcast
         act_quant=True,
+        q_out_consumer=q_consumer,
     )

@@ -51,6 +51,10 @@ class OpImpl:
     # activation range, and Engine.calibrate installs an `act_scale`
     # weight entry that switches apply onto the s8 path
     act_quant: bool = False
+    # int8-chain producer: name of the consumer op whose calibrated
+    # act_scale this op requantizes its output to (Engine.calibrate
+    # installs `out_scale` from it); None = not a chain producer
+    q_out_consumer: object = None
 
 
 class UnsupportedOpError(Exception):

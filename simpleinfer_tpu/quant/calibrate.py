@@ -34,7 +34,13 @@ import jax.numpy as jnp
 def _tensor_stat(a, percentile: Optional[float]):
     """abs-max (or percentile of |x|) of one activation as an f32 scalar.
     PackedW carriers (ops/conv.py) hold the same values as their logical
-    tensor, so the stat is taken on the raw packed data."""
+    tensor, so the stat is taken on the raw packed data; re-calibration
+    over an active int8 chain sees QuantizedActivation carriers, whose
+    real values need the scale applied."""
+    from .tensor import QuantizedActivation
+
+    if isinstance(a, QuantizedActivation):
+        a = a.dequantize(jnp.float32)
     data = getattr(a, "data", a)  # PackedW -> underlying array
     mag = jnp.abs(data.astype(jnp.float32))
     if percentile is not None:

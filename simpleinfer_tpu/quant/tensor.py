@@ -65,6 +65,37 @@ def quantize_per_channel(w, axis: int) -> QuantizedTensor:
     return QuantizedTensor(data=jnp.asarray(q), scale=jnp.asarray(scale), axis=axis)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantizedActivation:
+    """An int8 activation flowing between chained static-int8 convs
+    (ir/passes.mark_int8_chains): the producer requantized its f32
+    epilogue result to the consumer's calibrated scale and wrote 1-byte
+    data — half the inter-op HBM traffic of bf16, and the consumer
+    skips its quantize pass. Never crosses the jit boundary."""
+
+    data: jax.Array  # int8
+    scale: jax.Array  # f32 scalar (the consumer's act_scale)
+
+    def tree_flatten(self):
+        return (self.data, self.scale), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(data=children[0], scale=children[1])
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def ndim(self):
+        return self.data.ndim
+
+    def dequantize(self, dtype=jnp.bfloat16):
+        return (self.data.astype(jnp.float32) * self.scale).astype(dtype)
+
+
 def quantize_act(x, scale):
     """Symmetric per-tensor int8 quantization of an activation tensor at
     trace time. `scale` is a traced f32 scalar (from Engine.calibrate);

@@ -237,3 +237,86 @@ def test_int8_gate_skips_unprofitable_shapes():
     weights["act_scale"] = jnp.float32(np.abs(x).max() / 127.0)
     gated = np.asarray(impl.apply(weights, jnp.asarray(x)))
     np.testing.assert_array_equal(base, gated)
+
+
+# ------------------------------------------------------------ int8 chains
+def _chain_graph(c=8):
+    """input -> conv3x3(c) -> conv3x3(c) -> conv3x3(c) -> out: the two
+    interior edges are int8-chain candidates."""
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    b = GraphBuilder(seed=5)
+    x = b.input([1, c, 12, 12], name="0")
+    x = b.conv(x, c, 3, 1, 1)
+    x = b.conv(x, c, 3, 1, 1)
+    x = b.conv(x, c, 3, 1, 1)
+    b.output(x)
+    return b.build(), x
+
+
+def test_mark_int8_chains_pass():
+    from simpleinfer_tpu.ir.passes import (
+        FUSED_Q_OUT, mark_int8_chains, run_inference_fusions,
+    )
+
+    g, _ = _chain_graph(c=8)
+    n = mark_int8_chains(g, min_channels=8)
+    convs = [op for op in g.ops if op.type == "nn.Conv2d"]
+    # conv1 -> conv2 and conv2 -> conv3 marked; conv3 feeds the output
+    assert n == 2
+    assert FUSED_Q_OUT in convs[0].params
+    assert convs[0].params[FUSED_Q_OUT].s == convs[1].name
+    assert FUSED_Q_OUT in convs[1].params
+    assert FUSED_Q_OUT not in convs[2].params
+
+    # narrow channels: nothing marked under the default gate
+    g2, _ = _chain_graph(c=8)
+    assert mark_int8_chains(g2, min_channels=128) == 0
+
+
+def test_int8_chain_end_to_end_close_to_fp32():
+    g, out_name = _chain_graph(c=8)
+    x = RNG.standard_normal((1, 12, 12, 8)).astype(np.float32)
+    fp = Engine().load_model(None, graph=g).run({"0": x})[out_name]
+
+    g2, _ = _chain_graph(c=8)
+    cfg = EngineConfig(quant="int8", int8_min_channels=8)
+    eng = Engine(cfg).load_model(None, graph=g2)
+    # chain marked at load (run_inference_fusions receives cfg)
+    producers = [i for i in eng.program.impls if i.q_out_consumer]
+    assert len(producers) == 2
+    eng.calibrate([{"0": x}])
+    # out_scale installed for both producers
+    for i in producers:
+        assert "out_scale" in eng.program.weights[i.name]
+    q = eng.run({"0": x})[out_name]
+    scale = float(np.abs(fp).max())
+    assert np.abs(q - fp).max() < 0.1 * scale
+
+
+def test_int8_chain_intermediate_is_int8():
+    """Run the plan step-by-step: the interior operand must be a
+    QuantizedActivation carrier (1-byte data)."""
+    import jax.numpy as jnp
+
+    from simpleinfer_tpu.quant.tensor import QuantizedActivation
+
+    g, out_name = _chain_graph(c=8)
+    cfg = EngineConfig(quant="int8", int8_min_channels=8)
+    eng = Engine(cfg).load_model(None, graph=g)
+    x = RNG.standard_normal((1, 12, 12, 8)).astype(np.float32)
+    eng.calibrate([{"0": x}])
+    env = {"0": jnp.asarray(x)}
+    kinds = {}
+    for impl, in_names, out_names in eng.program.plan:
+        out = impl.apply(eng._device_weights[impl.name],
+                         *[env[n] for n in in_names])
+        env[out_names[0]] = out
+        kinds[impl.name] = type(out).__name__
+    producers = [i.name for i in eng.program.impls if i.q_out_consumer]
+    for name in producers:
+        assert kinds[name] == "QuantizedActivation"
+    # the final conv emits a plain array
+    last = eng.program.impls[-1].name
+    assert kinds[last] != "QuantizedActivation"
+    assert env[out_name].dtype != np.int8
