@@ -438,7 +438,8 @@ def lower_conv2d(op, cfg):
                     x, w, None, bias,
                     stride=stride_t, padding=pad, dilation=dilation_t,
                     groups=groups, padding_mode=padding_mode,
-                    activation=fused_act, out_quant_scale=out_scale)
+                    activation=fused_act, out_quant_scale=out_scale,
+                    out_dtype=cfg.compute_jnp_dtype)
         if isinstance(x, PackedW):
             out = _apply_packed_in(weights, x, bias)
             if out is not None:
