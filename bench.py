@@ -78,6 +78,9 @@ def main():
         "fp32": EngineConfig(),
         "bf16": EngineConfig(compute_dtype="bfloat16"),
         "int8w": EngineConfig(compute_dtype="bfloat16", quant="int8w"),
+        # static activation int8 (calibrated): ~= int8w on yolov5s
+        # (narrow channels), ~1.15x bf16 on yolov5l — docs/PERF.md
+        "int8": EngineConfig(compute_dtype="bfloat16", quant="int8"),
     }
     configs = [(w, all_configs[w]) for w in wanted]
     for label, cfg in configs:
@@ -85,6 +88,11 @@ def main():
             graph, in_name, out_name = build_yolov5(variant, batch=batch,
                                                     image_size=image_size)
             eng = Engine(cfg).load_model(None, graph=graph)
+            if cfg.quant == "int8":
+                calib = (np.random.default_rng(1).standard_normal(
+                    (batch, image_size, image_size, 3)).astype(np.float32)
+                    / 4.0)
+                eng.calibrate([{in_name: calib}])
             ips, dt = _throughput(eng, in_name, out_name, batch, image_size,
                                   cfg.compute_jnp_dtype)
             gflops = eng.program.flops_per_item * batch / 1e9
