@@ -320,3 +320,30 @@ def test_int8_chain_intermediate_is_int8():
     last = eng.program.impls[-1].name
     assert kinds[last] != "QuantizedActivation"
     assert env[out_name].dtype != np.int8
+
+
+def test_int8_static_under_data_parallel_mesh():
+    """Static int8 + DP mesh: GSPMD partitions the s8 convs over the
+    batch axis; scales replicate. (SURVEY.md §4.4c multi-device CI.)"""
+    import jax
+
+    from simpleinfer_tpu import MeshConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    graph, in_name, out_name = build_resnet18(batch=8, image_size=32,
+                                              num_classes=4, width=8)
+    ref_graph, _, _ = build_resnet18(batch=8, image_size=32,
+                                     num_classes=4, width=8)
+    x = RNG.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref_graph).run(
+        {in_name: x})[out_name]
+    cfg = EngineConfig(quant="int8", int8_min_channels=1,
+                       int8_pointwise=True,
+                       mesh=MeshConfig(data=8, model=1))
+    eng = Engine(cfg).load_model(None, graph=graph)
+    eng.calibrate([{in_name: x}])
+    got = eng.run({in_name: x})[out_name]
+    scale = max(1.0, float(np.abs(want).max()))
+    assert np.abs(got - want).max() < 0.1 * scale
+    assert np.argmax(got, -1).tolist() == np.argmax(want, -1).tolist()
