@@ -163,6 +163,9 @@ class Engine:
             raise ValueError(
                 f"input {name!r}: rank {x.ndim} does not match declared "
                 f"shape {spec.shape}")
+        # stem inputs stage PRE-PACKED (free host reshape; removes XLA's
+        # input relayout + pack copies — Program.input_transforms)
+        x = self._program.pack_input(name, x)
         if self._mesh is not None:
             x = jax.device_put(x, input_sharding(self._mesh, x.ndim))
         return x

@@ -77,6 +77,26 @@ class Program:
     # execution plan: [(OpImpl, input operand names, output operand names)]
     # in topo order — consumed by profiling.timed_run and debug tooling
     plan: list = field(default_factory=list)
+    # graph inputs the engine should stage PRE-PACKED for a W-packed stem
+    # (ops/conv.py PackedW): input name -> (f, declared_w). The host-side
+    # reshape is free; staging packed removes XLA's input relayout + pack
+    # copies. pack_input() applies it; fn accepts either form.
+    input_transforms: dict = field(default_factory=dict)
+    # wraps staged (possibly pre-packed) inputs into their carrier types
+    # before plan execution; identity when None
+    wrap_inputs: Optional[Callable] = None
+
+    def pack_input(self, name: str, x):
+        """Reshape a staged NHWC input to its stem-packed form (no-op
+        when the input has no transform or is already packed)."""
+        tr = self.input_transforms.get(name)
+        if tr is None or getattr(x, "ndim", 0) != 4:
+            return x
+        f, wd = tr
+        n, h, w_, c = x.shape
+        if w_ != wd:
+            return x  # already packed, or undeclared shape mismatch
+        return x.reshape(n, h, w_ // f, f * c)
 
     @property
     def input_names(self) -> list:
@@ -156,17 +176,58 @@ def _spec_for(operand: Operand) -> TensorSpec:
                       shape=nchw_shape_to_nhwc(operand.shape))
 
 
-def _infer_op_shapes(plan: list, input_specs: list) -> dict:
+def _stem_input_transforms(plan: list, input_specs: list,
+                           input_names: set) -> dict:
+    """Graph inputs whose sole consumer is a W-pack-eligible stem conv:
+    replicate the stem's trace-time block-factor choice (ops/conv.py
+    apply, largest f in _STEM_PACK_FACTORS dividing the width) so the
+    engine can stage the input pre-packed. Returns {name: (f, w)}."""
+    from .ops.conv import _STEM_PACK_FACTORS
+
+    consumers: dict = {}
+    for impl, in_names, _ in plan:
+        for n in in_names:
+            if n in input_names:
+                consumers.setdefault(n, []).append(impl)
+    out = {}
+    for spec in input_specs:
+        cons = consumers.get(spec.name, [])
+        if len(cons) != 1 or cons[0].stem_pack_info is None:
+            continue
+        if len(spec.shape) != 4 or spec.shape[2] in (None, -1):
+            continue
+        wd = int(spec.shape[2])
+        kw, sw, pl = cons[0].stem_pack_info
+        ow = (wd + 2 * pl - kw) // sw + 1
+        for f in _STEM_PACK_FACTORS:
+            if wd % f == 0 and ow % (f // 2) == 0:
+                out[spec.name] = (f, wd)
+                break
+    return out
+
+
+def _infer_op_shapes(plan: list, input_specs: list,
+                     input_transforms: dict | None = None) -> dict:
     """Abstract-evaluate the plan (jax.eval_shape — no FLOPs spent) to
     get every op's output shapes at batch=1. The shape-propagation
     analog of the reference's per-layer ValidateShape during load
     (engine_impl.cpp:232-310), and the input to roofline accounting.
     Returns {} when any graph input lacks a declared shape."""
+    from .ops.conv import PackedW
+
     env: dict = {}
     for s in input_specs:
         if not s.shape:
             return {}
         shape = tuple(1 if d == -1 else int(d) for d in s.shape)
+        tr = (input_transforms or {}).get(s.name)
+        if tr is not None and len(shape) == 4:
+            f, wd = tr
+            n, h, w_, c = shape
+            env[s.name] = PackedW(
+                data=jax.ShapeDtypeStruct((n, h, w_ // f, f * c), s.dtype),
+                jo=f, ow=wd)
+            continue
         env[s.name] = jax.ShapeDtypeStruct(shape, s.dtype)
     shapes: dict = {}
     for impl, in_names, out_names in plan:
@@ -218,14 +279,31 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         plan.append((impl, in_names, out_names))
 
     input_specs = [_spec_for(r) for r in input_operands]
-    op_shapes = _infer_op_shapes(plan, input_specs)
+    input_transforms = _stem_input_transforms(plan, input_specs,
+                                              input_names)
+    op_shapes = _infer_op_shapes(plan, input_specs, input_transforms)
     flops = sum(_estimate_flops(impl, op_shapes.get(impl.name, []))
                 for impl in impls)
 
     output_names = [r.name for r in output_operands]
 
-    def fn(weights, inputs):
+    def wrap_inputs(inputs: dict) -> dict:
+        """Re-wrap pre-packed stem inputs as PackedW carriers (engine
+        stages them reshaped; raw NHWC arrays pass through untouched —
+        the conv lowering packs those itself). Shared by fn and the
+        calibration observer (quant/calibrate.py)."""
+        from .ops.conv import PackedW
+
         env = dict(inputs)
+        for name, (f, wd) in input_transforms.items():
+            x = env.get(name)
+            if (x is not None and getattr(x, "ndim", 0) == 4
+                    and x.shape[2] == wd // f):
+                env[name] = PackedW(data=x, jo=f, ow=wd)
+        return env
+
+    def fn(weights, inputs):
+        env = wrap_inputs(inputs)
         for impl, in_names, out_names in plan:
             args = []
             for n in in_names:
@@ -251,4 +329,6 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         flops_per_item=flops,
         op_output_shapes=op_shapes,
         plan=plan,
+        input_transforms=input_transforms,
+        wrap_inputs=wrap_inputs,
     )

@@ -499,4 +499,10 @@ def lower_conv2d(op, cfg):
         fp32_keys=("act_scale", "out_scale"),  # quant scales never downcast
         act_quant=True,
         q_out_consumer=q_consumer,
+        # stem convs advertise their W-pack geometry so the executor can
+        # stage the graph INPUT pre-packed (executor.stem_pack_factor):
+        # the reshape is free on the host, and XLA's input relayout +
+        # pack copies (%copy.4/%copy.5 in the yolov5s trace) disappear
+        stem_pack_info=((kernel[1], stride_t[1], padding[1])
+                        if s2d_eligible else None),
     )

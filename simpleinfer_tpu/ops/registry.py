@@ -55,6 +55,9 @@ class OpImpl:
     # act_scale this op requantizes its output to (Engine.calibrate
     # installs `out_scale` from it); None = not a chain producer
     q_out_consumer: object = None
+    # stem conv W-pack geometry (kernel_w, stride_w, pad_l) when the op
+    # can consume a W-packed graph input (see executor.stem_pack_factor)
+    stem_pack_info: object = None
 
 
 class UnsupportedOpError(Exception):

@@ -54,7 +54,8 @@ def build_observer_fn(program, percentile: Optional[float] = None):
     plan = program.plan
 
     def fn(weights, inputs):
-        env = dict(inputs)
+        env = (program.wrap_inputs(inputs) if program.wrap_inputs
+               else dict(inputs))
         stats = {}
         for impl, in_names, out_names in plan:
             args = [env[n] for n in in_names]

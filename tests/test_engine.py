@@ -283,3 +283,23 @@ def test_tensor_parallel_mesh_cpu():
     got = eng.run({in_name: x})
     np.testing.assert_allclose(got[out_name], want[out_name], atol=1e-4,
                                rtol=1e-4)
+
+
+def test_stem_input_staged_packed():
+    """Graph inputs feeding a W-pack-eligible stem stage pre-packed
+    (Program.input_transforms), and the jitted fn accepts both the
+    packed and the raw NHWC form with identical results."""
+    graph, in_name, out_name = build_yolov5("n", batch=1, image_size=64)
+    eng = Engine().load_model(None, graph=graph)
+    tr = eng.program.input_transforms
+    assert in_name in tr
+    f, wd = tr[in_name]
+    assert wd == 64 and f in (8, 4, 2)
+    x = RNG.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    via_engine = eng.run({in_name: x})[out_name]
+    # raw path: feed the unpacked array straight to the program fn
+    raw = eng.program.fn(
+        eng._device_weights,
+        {in_name: jnp.asarray(x, eng.config.compute_jnp_dtype)})[out_name]
+    np.testing.assert_allclose(via_engine, np.asarray(raw), atol=2e-4,
+                               rtol=1e-4)
