@@ -271,6 +271,17 @@ class Engine:
                 f"unknown output {name!r}; outputs are "
                 f"{self._program.output_names}")
         out = self._outputs[name]
+        na = self._program.output_transforms.get(name)
+        if na and out.ndim == 3:
+            # packed terminal output (OpImpl.host_output_retile): the
+            # row-major bytes already match the logical [N,R*na,c]
+            # shape, so the host reshape is free; device-side consumers
+            # (as_numpy=False) pay a jnp.reshape instead — the same
+            # retile the device used to do unconditionally
+            n, r, c = out.shape
+            if as_numpy:
+                return np.asarray(out).reshape(n, r * na, c // na)
+            out = jnp.reshape(out, (n, r * na, c // na))
         if as_numpy and self.config.io_layout == "nchw" and out.ndim == 4:
             out = jnp.transpose(out, (0, 3, 1, 2))
         return np.asarray(out) if as_numpy else out

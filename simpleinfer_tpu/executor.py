@@ -85,6 +85,10 @@ class Program:
     # wraps staged (possibly pre-packed) inputs into their carrier types
     # before plan execution; identity when None
     wrap_inputs: Optional[Callable] = None
+    # outputs emitted packed (OpImpl.host_output_retile): output name ->
+    # na; Engine.extract reshapes [N,R,na*c] -> [N,R*na,c] host-side
+    # (free) instead of paying the device retile copy
+    output_transforms: dict = field(default_factory=dict)
 
     def pack_input(self, name: str, x):
         """Reshape a staged NHWC input to its stem-packed form (no-op
@@ -286,6 +290,14 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
                 for impl in impls)
 
     output_names = [r.name for r in output_operands]
+    producer_of = {}
+    for impl, _, out_ns in plan:
+        for n in out_ns:
+            producer_of[n] = impl
+    output_transforms = {
+        n: producer_of[n].host_output_retile
+        for n in output_names
+        if n in producer_of and producer_of[n].host_output_retile}
 
     def wrap_inputs(inputs: dict) -> dict:
         """Re-wrap pre-packed stem inputs as PackedW carriers (engine
@@ -331,4 +343,5 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         plan=plan,
         input_transforms=input_transforms,
         wrap_inputs=wrap_inputs,
+        output_transforms=output_transforms,
     )

@@ -58,6 +58,11 @@ class OpImpl:
     # stem conv W-pack geometry (kernel_w, stride_w, pad_l) when the op
     # can consume a W-packed graph input (see executor.stem_pack_factor)
     stem_pack_info: object = None
+    # terminal ops may emit their output in a packed layout whose
+    # row-major bytes equal the logical output's: value = the anchor
+    # fold factor `na`, and the host reshapes [N,R,na*c] -> [N,R*na,c]
+    # for free at extract (Program.output_transforms)
+    host_output_retile: object = None
 
 
 class UnsupportedOpError(Exception):

@@ -100,6 +100,17 @@ def lower_yolo_detect(op, cfg):
     xy_mask = jnp.asarray(chan < 2)
     wh_mask = jnp.asarray((chan >= 2) & (chan < 4))
 
+    # When the decode output IS the graph output, the final
+    # [N,HW,A*ni] -> [N,HWA,ni] re-tile (a ~150 us physical retile of a
+    # 68 MB f32 tensor under TPU (8,128) tiling — %copy.20 in the
+    # yolov5s trace) moves to the HOST: the packed concat's row-major
+    # byte order equals the logical output's exactly, so np.reshape of
+    # the fetched array is free. Engine.extract applies it
+    # (Program.output_transforms); on-device consumers of extract(...,
+    # as_numpy=False) get a jnp.reshape instead (same cost as before).
+    terminal = all(c.type == "pnnx.Output"
+                   for c in op.outputs[0].consumers) if op.outputs else False
+
     def apply(weights, *features):
         if len(features) != _NUM_LEVELS:
             raise ValueError("YoloDetect expects 3 feature maps")
@@ -117,10 +128,13 @@ def lower_yolo_detect(op, cfg):
         # rows 3p..3p+2 contiguously, so the packed concat reshapes
         # row-major to exactly the [N, sum(HWA), ni] output
         cat = jnp.concatenate(outs, axis=1)
+        if terminal:
+            return cat  # host reshapes for free (see above)
         return cat.reshape(cat.shape[0], cat.shape[1] * na, ni)
 
     return OpImpl(
         name=op.name, type=op.type, apply=apply, weights=weights,
+        host_output_retile=na if terminal else None,
         quantizable={},  # head convs are accuracy-critical; keep fp
         # decode constants and head biases stay f32: grid coords up to
         # ~80 would quantize to 0.25-cell steps in bf16 (8-px boxes at
