@@ -71,7 +71,8 @@ def main():
     # two configs by default: each costs a full XLA compile (~2-4 min on
     # the remote-compile chip), and bf16 ~= int8w here (docs/PERF.md);
     # override with SI_BENCH_CONFIGS=fp32,bf16,int8w
-    wanted = os.environ.get("SI_BENCH_CONFIGS", "int8w,fp32").split(",")
+    wanted = [w.strip() for w in os.environ.get(
+        "SI_BENCH_CONFIGS", "int8w,fp32").split(",") if w.strip()]
 
     results = {}
     all_configs = {
@@ -82,6 +83,10 @@ def main():
         # (narrow channels), ~1.15x bf16 on yolov5l — docs/PERF.md
         "int8": EngineConfig(compute_dtype="bfloat16", quant="int8"),
     }
+    unknown = [w for w in wanted if w not in all_configs]
+    if unknown:
+        raise SystemExit(f"unknown SI_BENCH_CONFIGS {unknown}; "
+                         f"valid: {sorted(all_configs)}")
     configs = [(w, all_configs[w]) for w in wanted]
     for label, cfg in configs:
         try:
@@ -107,7 +112,10 @@ def main():
     if not results:
         raise SystemExit("no benchmark config completed")
 
-    headline = "int8w" if "int8w" in results else wanted[0]
+    # headline: the most production-relevant config that actually ran
+    headline = next((w for w in ("int8w", "int8", "bf16")
+                     if w in results),
+                    next(w for w in wanted if w in results))
     vs = (results[headline] / results["fp32"]
           if "fp32" in results and headline != "fp32" else 1.0)
     print(json.dumps({

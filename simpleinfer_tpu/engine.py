@@ -66,6 +66,7 @@ class Engine:
         self._device_weights = None
         self._staged: dict = {}
         self._outputs: dict = {}
+        self._observer = None  # cached jitted calibration observer
 
     # ---- lifecycle -----------------------------------------------------
     def load_model(self, parampath: str, binpath: Optional[str] = None,
@@ -106,6 +107,7 @@ class Engine:
         self._device_weights = None
         self._staged = {}
         self._outputs = {}
+        self._observer = None
 
     @property
     def loaded(self) -> bool:
@@ -222,8 +224,9 @@ class Engine:
                 "calibrate() requires EngineConfig(quant='int8')")
         from .quant.calibrate import build_observer_fn, scales_from_stats
 
-        observer = jax.jit(build_observer_fn(
-            self._program, self.config.act_clip_percentile))
+        if self._observer is None:
+            self._observer = jax.jit(build_observer_fn(
+                self._program, self.config.act_clip_percentile))
         agg: dict = {}
         n_batches = 0
         for feeds in sample_batches:
@@ -233,7 +236,10 @@ class Engine:
             if missing:
                 raise EngineStateError(
                     f"calibration batch missing inputs: {missing}")
-            stats = observer(self._device_weights, staged)
+            # ONE host fetch for the whole stats dict: per-scalar
+            # fetches would pay the ~26 ms relay RTT per op per batch
+            stats = jax.device_get(self._observer(self._device_weights,
+                                                  staged))
             for k, v in stats.items():
                 v = float(v)
                 agg[k] = max(agg.get(k, 0.0), v)

@@ -92,13 +92,14 @@ class Program:
 
     def pack_input(self, name: str, x):
         """Reshape a staged NHWC input to its stem-packed form (no-op
-        when the input has no transform or is already packed)."""
+        when the input has no transform or doesn't match the declared
+        unpacked shape)."""
         tr = self.input_transforms.get(name)
         if tr is None or getattr(x, "ndim", 0) != 4:
             return x
-        f, wd = tr
-        n, h, w_, c = x.shape
-        if w_ != wd:
+        f, wd, c = tr
+        n, h, w_, ch = x.shape
+        if w_ != wd or ch != c:
             return x  # already packed, or undeclared shape mismatch
         return x.reshape(n, h, w_ // f, f * c)
 
@@ -183,10 +184,10 @@ def _spec_for(operand: Operand) -> TensorSpec:
 def _stem_input_transforms(plan: list, input_specs: list,
                            input_names: set) -> dict:
     """Graph inputs whose sole consumer is a W-pack-eligible stem conv:
-    replicate the stem's trace-time block-factor choice (ops/conv.py
-    apply, largest f in _STEM_PACK_FACTORS dividing the width) so the
-    engine can stage the input pre-packed. Returns {name: (f, w)}."""
-    from .ops.conv import _STEM_PACK_FACTORS
+    the shared ops/conv.stem_pack_factor picks the SAME block factor the
+    stem would at trace time (including viability checks), so the engine
+    can stage the input pre-packed. Returns {name: (f, w, c)}."""
+    from .ops.conv import stem_pack_factor
 
     consumers: dict = {}
     for impl, in_names, _ in plan:
@@ -198,15 +199,14 @@ def _stem_input_transforms(plan: list, input_specs: list,
         cons = consumers.get(spec.name, [])
         if len(cons) != 1 or cons[0].stem_pack_info is None:
             continue
-        if len(spec.shape) != 4 or spec.shape[2] in (None, -1):
+        if (len(spec.shape) != 4 or spec.shape[2] in (None, -1)
+                or spec.shape[3] in (None, -1)):
             continue
-        wd = int(spec.shape[2])
+        wd, c = int(spec.shape[2]), int(spec.shape[3])
         kw, sw, pl = cons[0].stem_pack_info
-        ow = (wd + 2 * pl - kw) // sw + 1
-        for f in _STEM_PACK_FACTORS:
-            if wd % f == 0 and ow % (f // 2) == 0:
-                out[spec.name] = (f, wd)
-                break
+        f = stem_pack_factor(wd, kw, sw, pl)
+        if f is not None:
+            out[spec.name] = (f, wd, c)
     return out
 
 
@@ -226,7 +226,7 @@ def _infer_op_shapes(plan: list, input_specs: list,
         shape = tuple(1 if d == -1 else int(d) for d in s.shape)
         tr = (input_transforms or {}).get(s.name)
         if tr is not None and len(shape) == 4:
-            f, wd = tr
+            f, wd, _c = tr
             n, h, w_, c = shape
             env[s.name] = PackedW(
                 data=jax.ShapeDtypeStruct((n, h, w_ // f, f * c), s.dtype),
@@ -307,10 +307,13 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         from .ops.conv import PackedW
 
         env = dict(inputs)
-        for name, (f, wd) in input_transforms.items():
+        for name, (f, wd, c) in input_transforms.items():
             x = env.get(name)
+            # both width AND channel dims must match the packed form —
+            # a raw input that merely happens to be wd/f wide (smaller
+            # image at the declared channel count) must pass through
             if (x is not None and getattr(x, "ndim", 0) == 4
-                    and x.shape[2] == wd // f):
+                    and x.shape[2] == wd // f and x.shape[3] == f * c):
                 env[name] = PackedW(data=x, jo=f, ow=wd)
         return env
 

@@ -289,7 +289,8 @@ FUSED_Q_OUT = "si_q_out"  # value: the consumer op name whose calibrated
 #                            act_scale the producer requantizes to
 
 
-def mark_int8_chains(graph: Graph, min_channels: int = 128) -> int:
+def mark_int8_chains(graph: Graph, min_channels: int = 128,
+                     pointwise: bool = False) -> int:
     """Mark conv->conv edges where the producer should requantize its
     output to int8 in its own epilogue (static-int8 mode only).
 
@@ -319,14 +320,18 @@ def mark_int8_chains(graph: Graph, min_channels: int = 128) -> int:
             continue
 
         def takes_s8(c) -> bool:
+            # must mirror the runtime dispatch gate (shared predicate),
+            # conservatively restricted to plain single-input convs
+            from ..ops.conv import int8_conv_eligible
+
             if c.type != "nn.Conv2d" or len(c.inputs) != 1:
                 return False
             if FUSED_PACK_IN in c.params or FUSED_CAT_INPUTS in c.params:
                 return False
             ks = _conv_param(c, "kernel_size") or [1, 1]
             ic = _conv_param(c, "in_channels") or 0
-            return (_plain_conv(c) and ks[0] * ks[1] > 1
-                    and ic >= min_channels)
+            return (_plain_conv(c) and int8_conv_eligible(
+                ks[0] * ks[1], ic, min_channels, pointwise))
 
         if all(takes_s8(c) for c in consumers):
             op.params[FUSED_Q_OUT] = Parameter.from_value(
@@ -345,5 +350,6 @@ def run_inference_fusions(graph: Graph, cfg=None) -> dict:
              "packed_chain": mark_packed_conv_chains(graph)}
     if cfg is not None and getattr(cfg, "quant", None) == "int8":
         stats["int8_chain"] = mark_int8_chains(
-            graph, min_channels=cfg.int8_min_channels)
+            graph, min_channels=cfg.int8_min_channels,
+            pointwise=cfg.int8_pointwise)
     return stats

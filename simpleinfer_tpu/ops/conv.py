@@ -95,6 +95,30 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
     return _finish(out, x.dtype, out_quant_scale)
 
 
+def int8_conv_eligible(kernel_area: int, in_channels: int,
+                       min_channels: int, pointwise_ok: bool) -> bool:
+    """The static-int8 dispatch gate — single source of truth for the
+    conv lowering AND ir/passes.mark_int8_chains. v5e-measured
+    (docs/PERF.md): s8×s8 wins only on k>1 convs with wide input."""
+    return (in_channels >= min_channels
+            and (kernel_area > 1 or pointwise_ok))
+
+
+def int8_epilogue(acc, act_scale, w_scale, bias, activation, out_dtype,
+                  out_quant_scale=None):
+    """Shared s32→f32 dequant + bias + activation epilogue for every
+    static-int8 matmul/conv site (conv, cat-split conv, linear) — one
+    place to change the int8 numerics."""
+    out = acc.astype(jnp.float32) * (act_scale * w_scale)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    if activation is not None:
+        from ..kernels.matmul import _ACTIVATIONS
+
+        out = _ACTIVATIONS[activation](out)
+    return _finish(out, out_dtype, out_quant_scale)
+
+
 def conv2d_int8_static(x, wq: QuantizedTensor, act_scale, bias=None, *,
                        stride=(1, 1), padding=((0, 0), (0, 0)),
                        dilation=(1, 1), groups=1, padding_mode="zeros",
@@ -132,14 +156,8 @@ def conv2d_int8_static(x, wq: QuantizedTensor, act_scale, bias=None, *,
         feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
-    out = acc.astype(jnp.float32) * (act_scale * wq.scale)
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    if activation is not None:
-        from ..kernels.matmul import _ACTIVATIONS
-
-        out = _ACTIVATIONS[activation](out)
-    return _finish(out, out_dtype, out_quant_scale)
+    return int8_epilogue(acc, act_scale, wq.scale, bias, activation,
+                         out_dtype, out_quant_scale)
 
 
 # Stem W-packing factors tried largest-first at trace time (the input
@@ -176,6 +194,27 @@ class PackedW:
     def unpack(self):
         n, h, _, cjo = self.data.shape
         return self.data.reshape(n, h, self.ow, cjo // self.jo)
+
+
+def stem_pack_factor(wd: int, kw: int, sw: int, pl: int):
+    """Largest viable W-pack block factor for a stem conv on input width
+    `wd` — the single source of truth for the trace-time choice in
+    `lower_conv2d.apply` AND the engine's pre-packed input staging
+    (executor._stem_input_transforms). Replicates _apply_packed_in's
+    viability checks (divisibility, stride<=g, over-padded kernels) so
+    the two sites can never drift. Returns f or None."""
+    ow = (wd + 2 * pl - kw) // sw + 1
+    for f in _STEM_PACK_FACTORS:
+        if sw > f or wd % f or ow % (f // sw):
+            continue
+        jo2, pad_blocks, taps = _bt_geometry(f, sw, kw, pl)
+        if jo2 == 0 or ow % jo2:
+            continue
+        blocks_needed = ow // jo2 + taps - 1
+        if pad_blocks + wd // f > blocks_needed:
+            continue  # over-padded (pl >= kw): packed path would bail
+        return f
+    return None
 
 
 def _bt_geometry(g: int, sw: int, kw: int, pad_w: int):
@@ -337,11 +376,10 @@ def lower_conv2d(op, cfg):
             return PackedW(data=out, jo=jo2, ow=ow2)
         return out.reshape(n, oh2, ow2, out_channels)
 
-    # static-int8 dispatch gate (see EngineConfig.int8_min_channels):
-    # v5e-measured, s8xs8 wins only on k>1 convs with wide input
-    kernel_area = kernel[0] * kernel[1]
-    int8_profitable = (in_channels >= cfg.int8_min_channels
-                       and (kernel_area > 1 or cfg.int8_pointwise))
+    # static-int8 dispatch gate (see EngineConfig.int8_min_channels)
+    int8_profitable = int8_conv_eligible(
+        kernel[0] * kernel[1], in_channels,
+        cfg.int8_min_channels, cfg.int8_pointwise)
 
     cat_inputs = op.has_param("si_cat_inputs")
 
@@ -368,8 +406,9 @@ def lower_conv2d(op, cfg):
                 ofs += c
         act_scale = weights.get("act_scale")
         if (act_scale is not None and isinstance(w, QuantizedTensor)
-                and cfg.int8_pointwise
-                and in_channels >= cfg.int8_min_channels):
+                and int8_conv_eligible(1, in_channels,
+                                       cfg.int8_min_channels,
+                                       cfg.int8_pointwise)):
             # static int8: every source shares the cat's per-tensor
             # scale, so the per-source s32 partial convs sum EXACTLY
             # (no f32 carry compromise) and dequantize once at the end
@@ -381,14 +420,8 @@ def lower_conv2d(op, cfg):
                     dimension_numbers=_DIMENSION_NUMBERS,
                     preferred_element_type=jnp.int32)
                 acc = y if acc is None else acc + y
-            out = acc.astype(jnp.float32) * (act_scale * w.scale)
-            if bias is not None:
-                out = out + bias.astype(jnp.float32)
-            if fused_act is not None:
-                from ..kernels.matmul import _ACTIVATIONS
-
-                out = _ACTIVATIONS[fused_act](out)
-            return out.astype(xs[0].dtype)
+            return int8_epilogue(acc, act_scale, w.scale, bias, fused_act,
+                                 xs[0].dtype)
         # partial sums materialize between the per-source conv kernels
         # (XLA cannot fuse two convs); carry them at the compute dtype
         # in bf16 mode to halve that traffic (each conv still
@@ -447,18 +480,15 @@ def lower_conv2d(op, cfg):
             x = x.unpack()
         elif s2d_eligible and x.ndim == 4:
             # stem: block the input by pure reshape and take the same
-            # packed path (largest f whose blocks divide the width and
-            # whose output pixels divide evenly)
+            # packed path (stem_pack_factor = the shared f choice)
             n, h, wd, c = x.shape
-            pl = pad[1][0]
-            ow = (wd + 2 * pl - kernel[1]) // 2 + 1
-            for f in _STEM_PACK_FACTORS:
-                if wd % f == 0 and ow % (f // 2) == 0:
-                    xp = PackedW(data=x.reshape(n, h, wd // f, f * c),
-                                 jo=f, ow=wd)
-                    out = _apply_packed_in(weights, xp, bias)
-                    if out is not None:
-                        return out
+            f = stem_pack_factor(wd, kernel[1], stride_t[1], pad[1][0])
+            if f is not None:
+                xp = PackedW(data=x.reshape(n, h, wd // f, f * c),
+                             jo=f, ow=wd)
+                out = _apply_packed_in(weights, xp, bias)
+                if out is not None:
+                    return out
         act_scale = weights.get("act_scale")
         if (act_scale is not None and isinstance(w, QuantizedTensor)
                 and int8_profitable):

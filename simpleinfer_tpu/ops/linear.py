@@ -68,17 +68,13 @@ def lower_linear(op, cfg):
         if act_scale is not None and isinstance(w, QuantizedTensor):
             # static full int8: s8 x s8 -> s32 dot on the MXU int8 path,
             # dequant by act_scale * w_scale[out] in the epilogue
+            from .conv import int8_epilogue
+
             q = quantize_act(x, act_scale)
             acc = jnp.einsum("...i,io->...o", q, w.data,
                              preferred_element_type=jnp.int32)
-            out = acc.astype(jnp.float32) * (act_scale * w.scale)
-            if bias is not None:
-                out = out + bias.astype(jnp.float32)
-            if fused_act is not None:
-                from ..kernels.matmul import _ACTIVATIONS
-
-                out = _ACTIVATIONS[fused_act](out)
-            return out.astype(x.dtype)
+            return int8_epilogue(acc, act_scale, w.scale, bias, fused_act,
+                                 x.dtype)
         if (allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w

@@ -231,11 +231,11 @@ class BatchingService:
                 # fetching first would idle every device behind one
                 # blocking host read. The previous output array survives
                 # re-dispatch — extract() returned an independent buffer.
+                dispatched = False
                 try:
                     inflight.append(self._dispatch(batch, rr % depth))
                     rr += 1
-                    if len(inflight) > depth:
-                        self._resolve(inflight.popleft())
+                    dispatched = True
                 except Exception as e:  # noqa: BLE001 — staging failed
                     for r in batch:
                         if not r.future.done():
@@ -244,6 +244,12 @@ class BatchingService:
                         self._q.task_done()
                     self.stats.requests += len(batch)
                     self.stats.batches += 1
+                # resolve the oldest output once the pipeline is full;
+                # after a FAILED dispatch resolve unconditionally, so a
+                # stream of bad requests can never starve futures whose
+                # batches the device already finished
+                if len(inflight) > depth or (not dispatched and inflight):
+                    self._resolve(inflight.popleft())
             elif inflight:
                 # idle: complete waiters promptly
                 self._resolve(inflight.popleft())

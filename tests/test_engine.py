@@ -293,8 +293,8 @@ def test_stem_input_staged_packed():
     eng = Engine().load_model(None, graph=graph)
     tr = eng.program.input_transforms
     assert in_name in tr
-    f, wd = tr[in_name]
-    assert wd == 64 and f in (8, 4, 2)
+    f, wd, c = tr[in_name]
+    assert wd == 64 and c == 3 and f in (8, 4, 2)
     x = RNG.standard_normal((1, 64, 64, 3)).astype(np.float32)
     via_engine = eng.run({in_name: x})[out_name]
     # raw path: feed the unpacked array straight to the program fn

@@ -169,3 +169,21 @@ def test_multi_engine_single_is_default(engine):
     svc = BatchingService(engine, max_batch=4)
     assert svc.engines == [engine]
     assert svc.stats.batches_per_engine == [0]
+
+
+def test_failed_dispatches_do_not_starve_inflight(engine):
+    """A stream of malformed requests must not withhold results of
+    batches the device already computed (the failure path resolves the
+    oldest in-flight batch too)."""
+    svc = BatchingService(engine, max_batch=1, max_wait_ms=1.0).start()
+    try:
+        good = svc.submit(RNG.standard_normal((32, 32, 3))
+                          .astype(np.float32))
+        bads = [svc.submit(np.zeros(3, np.float32)) for _ in range(8)]
+        got = good.result(timeout=60)  # must resolve despite bad stream
+        assert got.shape[-1] == 6
+        for b in bads:
+            with pytest.raises(Exception):
+                b.result(timeout=60)
+    finally:
+        svc.stop(drain=False)
