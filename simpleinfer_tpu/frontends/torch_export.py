@@ -1,0 +1,387 @@
+"""In-process PyTorch -> Graph exporter (torch.fx).
+
+The reference consumes models exported from PyTorch by the EXTERNAL
+pnnx CLI tool (its vendored parser reads the tool's .param/.bin output,
+/root/reference/src/pnnx/ir.cpp:709-815). This frontend removes that
+dependency: `export_torch(module, example)` traces an eager
+`torch.nn.Module` with torch.fx, propagates shapes, and builds the same
+pnnx-convention Graph the file parser would produce — params/attrs named
+exactly as the op lowerings expect (ops/*.py), shapes declared NCHW.
+The resulting Graph feeds Engine.load_model(graph=...) directly, or
+Graph.save() round-trips it to .pnnx.param/.bin files.
+
+Torch stays a CPU-side load-time dependency only (weights are detached
+to numpy); nothing from torch reaches the jitted TPU program.
+"""
+from __future__ import annotations
+
+import operator
+
+import numpy as np
+
+from ..ir.graph import Attribute, Graph, Parameter
+
+
+class TorchExportError(ValueError):
+    """A traced node has no mapping to a supported op."""
+
+
+def _param(op, key, value):
+    op.params[key] = Parameter.from_value(value)
+
+
+def _attr(op, key, tensor):
+    arr = tensor.detach().cpu().numpy().astype(np.float32)
+    op.attrs[key] = Attribute.from_array(np.ascontiguousarray(arr))
+
+
+def _pair(v):
+    if isinstance(v, (tuple, list)):
+        return [int(v[0]), int(v[1])]
+    return [int(v), int(v)]
+
+
+def _node_shape(node):
+    tm = node.meta.get("tensor_meta")
+    return list(tm.shape) if tm is not None else []
+
+
+class _Builder:
+    def __init__(self):
+        self.g = Graph()
+        self.operand_of = {}  # fx node name -> Operand
+
+    def add_op(self, type_, name, in_nodes, out_node=None, n_out=1):
+        op = self.g.new_operator(type_, name)
+        for nd in in_nodes:
+            r = self.operand_of[nd.name]
+            r.consumers.append(op)
+            op.inputs.append(r)
+        outs = []
+        for j in range(n_out):
+            r = self.g.new_operand(name if n_out == 1 else f"{name}_{j}")
+            r.producer = op
+            r.type = 1  # f32
+            op.outputs.append(r)
+            outs.append(r)
+        if out_node is not None:
+            outs[0].shape = _node_shape(out_node)
+            self.operand_of[out_node.name] = outs[0]
+        return op
+
+
+def _scalar_binary(b, node, code, tensor_node, scalar, name):
+    """tensor (code) scalar — BinaryOp with the scalar in params, like
+    the expression expander emits (ir/expression.py)."""
+    op = b.add_op("BinaryOp", name, [tensor_node], node)
+    _param(op, "0", code)
+    _param(op, "1", 1)
+    _param(op, "2", float(scalar))
+
+
+# operator/torch-function -> ncnn BinaryOp code (ops/binary.py table);
+# the *_r codes handle scalar-first usage
+_BINARY_CODES = {}
+
+
+def _init_binary_codes():
+    import torch
+
+    _BINARY_CODES.update({
+        operator.add: 0, torch.add: 0,
+        operator.sub: 1, torch.sub: 1,
+        operator.mul: 2, torch.mul: 2,
+        operator.truediv: 3, torch.div: 3,
+    })
+
+
+_ACT_MODULES = {}
+_ACT_FUNCTIONS = {}
+
+
+def _init_act_tables():
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    _ACT_MODULES.update({
+        nn.ReLU: "nn.ReLU", nn.SiLU: "nn.SiLU", nn.Sigmoid: "nn.Sigmoid",
+        nn.Hardsigmoid: "nn.Hardsigmoid", nn.Hardswish: "nn.Hardswish",
+        nn.Tanh: "nn.Tanh", nn.GELU: "nn.GELU",
+    })
+    _ACT_FUNCTIONS.update({
+        F.relu: "nn.ReLU", torch.relu: "nn.ReLU",
+        F.silu: "nn.SiLU",
+        torch.sigmoid: "nn.Sigmoid", F.sigmoid: "nn.Sigmoid",
+        F.hardsigmoid: "nn.Hardsigmoid", F.hardswish: "nn.Hardswish",
+        torch.tanh: "nn.Tanh", F.gelu: "nn.GELU",
+    })
+
+
+def _export_module(b, node, mod, name):
+    import torch.nn as nn
+
+    t = type(mod)
+    if t in _ACT_MODULES:
+        b.add_op(_ACT_MODULES[t], name, [node.args[0]], node)
+        return
+    if t is nn.LeakyReLU:
+        op = b.add_op("nn.LeakyReLU", name, [node.args[0]], node)
+        _param(op, "negative_slope", float(mod.negative_slope))
+        return
+    if t is nn.Conv2d:
+        op = b.add_op("nn.Conv2d", name, [node.args[0]], node)
+        if isinstance(mod.padding, str):
+            if mod.padding == "valid":
+                pad = [0, 0]
+            else:  # "same" with symmetric support only
+                pad = [int(mod.dilation[0]) * (mod.kernel_size[0] - 1) // 2,
+                       int(mod.dilation[1]) * (mod.kernel_size[1] - 1) // 2]
+        else:
+            pad = _pair(mod.padding)
+        _param(op, "bias", mod.bias is not None)
+        _param(op, "dilation", _pair(mod.dilation))
+        _param(op, "groups", int(mod.groups))
+        _param(op, "in_channels", int(mod.in_channels))
+        _param(op, "kernel_size", _pair(mod.kernel_size))
+        _param(op, "out_channels", int(mod.out_channels))
+        _param(op, "padding", pad)
+        _param(op, "padding_mode", mod.padding_mode)
+        _param(op, "stride", _pair(mod.stride))
+        _attr(op, "weight", mod.weight)
+        if mod.bias is not None:
+            _attr(op, "bias", mod.bias)
+        return
+    if t is nn.BatchNorm2d:
+        import torch
+
+        op = b.add_op("nn.BatchNorm2d", name, [node.args[0]], node)
+        _param(op, "affine", bool(mod.affine))
+        _param(op, "eps", float(mod.eps))
+        _param(op, "num_features", int(mod.num_features))
+        _attr(op, "running_mean", mod.running_mean)
+        _attr(op, "running_var", mod.running_var)
+        c = mod.num_features
+        _attr(op, "weight", mod.weight if mod.affine else torch.ones(c))
+        _attr(op, "bias", mod.bias if mod.affine else torch.zeros(c))
+        return
+    if t is nn.Linear:
+        op = b.add_op("nn.Linear", name, [node.args[0]], node)
+        _param(op, "bias", mod.bias is not None)
+        _param(op, "in_features", int(mod.in_features))
+        _param(op, "out_features", int(mod.out_features))
+        _attr(op, "weight", mod.weight)
+        if mod.bias is not None:
+            _attr(op, "bias", mod.bias)
+        return
+    if t is nn.MaxPool2d:
+        op = b.add_op("nn.MaxPool2d", name, [node.args[0]], node)
+        _param(op, "ceil_mode", bool(mod.ceil_mode))
+        _param(op, "dilation", _pair(mod.dilation))
+        _param(op, "kernel_size", _pair(mod.kernel_size))
+        _param(op, "padding", _pair(mod.padding))
+        _param(op, "return_indices", bool(mod.return_indices))
+        _param(op, "stride", _pair(mod.stride or mod.kernel_size))
+        return
+    if t is nn.AvgPool2d:
+        op = b.add_op("nn.AvgPool2d", name, [node.args[0]], node)
+        _param(op, "ceil_mode", bool(mod.ceil_mode))
+        _param(op, "count_include_pad", bool(mod.count_include_pad))
+        _param(op, "kernel_size", _pair(mod.kernel_size))
+        _param(op, "padding", _pair(mod.padding))
+        _param(op, "stride", _pair(mod.stride or mod.kernel_size))
+        return
+    if t is nn.AdaptiveAvgPool2d:
+        op = b.add_op("nn.AdaptiveAvgPool2d", name, [node.args[0]], node)
+        _param(op, "output_size", _pair(mod.output_size))
+        return
+    if t is nn.Upsample:
+        op = b.add_op("nn.Upsample", name, [node.args[0]], node)
+        _param(op, "mode", mod.mode)
+        if mod.scale_factor is not None:
+            sf = mod.scale_factor
+            sf = [float(sf[0]), float(sf[1])] if isinstance(
+                sf, (tuple, list)) else [float(sf), float(sf)]
+            _param(op, "scale_factor", sf)
+        if mod.size is not None:
+            _param(op, "size", _pair(mod.size))
+        if mod.mode in ("bilinear", "linear"):
+            _param(op, "align_corners", bool(mod.align_corners))
+        return
+    if t is nn.Flatten:
+        op = b.add_op("torch.flatten", name, [node.args[0]], node)
+        _param(op, "start_dim", int(mod.start_dim))
+        _param(op, "end_dim", int(mod.end_dim))
+        return
+    if t is nn.Identity or t is nn.Dropout:
+        # inference no-ops: alias the input operand
+        b.operand_of[node.name] = b.operand_of[node.args[0].name]
+        return
+    raise TorchExportError(f"unsupported module type {t.__name__} "
+                           f"at node {node.name!r}")
+
+
+def _export_function(b, node, name):
+    import torch
+
+    fn = node.target
+    if fn in _ACT_FUNCTIONS:
+        b.add_op(_ACT_FUNCTIONS[fn], name, [node.args[0]], node)
+        return
+    if fn in _BINARY_CODES:
+        code = _BINARY_CODES[fn]
+        a0, a1 = node.args[0], node.args[1]
+        is_node = [isinstance(a, torch.fx.Node) for a in (a0, a1)]
+        if all(is_node):
+            op = b.add_op("BinaryOp", name, [a0, a1], node)
+            _param(op, "0", code)
+        elif is_node[0]:
+            _scalar_binary(b, node, code, a0, a1, name)
+        else:  # scalar op tensor -> reversed code (7=rsub, 8=rdiv)
+            rcode = {0: 0, 2: 2, 1: 7, 3: 8}[code]
+            _scalar_binary(b, node, rcode, a1, a0, name)
+        return
+    if fn is torch.cat:
+        tensors = node.args[0]
+        op = b.add_op("torch.cat", name, list(tensors), node)
+        dim = node.args[1] if len(node.args) > 1 else node.kwargs.get(
+            "dim", 0)
+        _param(op, "dim", int(dim))
+        return
+    if fn is torch.flatten:
+        op = b.add_op("torch.flatten", name, [node.args[0]], node)
+        _param(op, "start_dim",
+               int(node.args[1]) if len(node.args) > 1 else 0)
+        _param(op, "end_dim",
+               int(node.args[2]) if len(node.args) > 2 else -1)
+        return
+    if fn is torch.permute:
+        op = b.add_op("torch.permute", name, [node.args[0]], node)
+        _param(op, "dims", [int(d) for d in node.args[1]])
+        return
+    if fn is torch.mean:
+        dims = node.args[1] if len(node.args) > 1 else node.kwargs["dim"]
+        dims = [int(dims)] if isinstance(dims, int) else [int(d)
+                                                          for d in dims]
+        op = b.add_op("torch.mean", name, [node.args[0]], node)
+        _param(op, "dim", dims)
+        _param(op, "keepdim", bool(node.kwargs.get(
+            "keepdim", node.args[2] if len(node.args) > 2 else False)))
+        return
+    raise TorchExportError(f"unsupported function {fn} at node "
+                           f"{node.name!r}")
+
+
+_METHOD_MAP = None
+
+
+def _export_method(b, node, name):
+    mname = node.target
+    act = {"relu": "nn.ReLU", "sigmoid": "nn.Sigmoid",
+           "tanh": "nn.Tanh"}.get(mname)
+    if act:
+        b.add_op(act, name, [node.args[0]], node)
+        return
+    if mname in ("add", "mul", "sub", "div"):
+        import torch
+
+        code = {"add": 0, "sub": 1, "mul": 2, "div": 3}[mname]
+        other = node.args[1]
+        if isinstance(other, torch.fx.Node):
+            op = b.add_op("BinaryOp", name, [node.args[0], other], node)
+            _param(op, "0", code)
+        else:
+            _scalar_binary(b, node, code, node.args[0], other, name)
+        return
+    if mname == "flatten":
+        op = b.add_op("torch.flatten", name, [node.args[0]], node)
+        _param(op, "start_dim",
+               int(node.args[1]) if len(node.args) > 1 else 0)
+        _param(op, "end_dim",
+               int(node.args[2]) if len(node.args) > 2 else -1)
+        return
+    if mname in ("view", "reshape"):
+        shape = [int(s) for s in node.args[1:]] if not isinstance(
+            node.args[1], (tuple, list)) else [int(s)
+                                               for s in node.args[1]]
+        op = b.add_op("Tensor.reshape", name, [node.args[0]], node)
+        _param(op, "shape", shape)
+        return
+    if mname == "permute":
+        dims = node.args[1:] if not isinstance(
+            node.args[1], (tuple, list)) else node.args[1]
+        op = b.add_op("torch.permute", name, [node.args[0]], node)
+        _param(op, "dims", [int(d) for d in dims])
+        return
+    if mname == "contiguous":
+        b.operand_of[node.name] = b.operand_of[node.args[0].name]
+        return
+    raise TorchExportError(f"unsupported method .{mname}() at node "
+                           f"{node.name!r}")
+
+
+def export_torch(module, example_input) -> tuple:
+    """Trace `module` (eval-mode torch.nn.Module) and return
+    (Graph, input_name, output_name). Multi-output modules return a
+    list as the third element."""
+    import torch
+    import torch.fx
+    from torch.fx.passes.shape_prop import ShapeProp
+
+    if not _BINARY_CODES:
+        _init_binary_codes()
+        _init_act_tables()
+
+    module = module.eval()
+    gm = torch.fx.symbolic_trace(module)
+    example = torch.as_tensor(np.asarray(example_input, np.float32))
+    ShapeProp(gm).propagate(example)
+
+    b = _Builder()
+    modules = dict(gm.named_modules())
+    input_names, output_names = [], []
+    for node in gm.graph.nodes:
+        name = node.name
+        if node.op == "placeholder":
+            op = b.g.new_operator("pnnx.Input", name)
+            r = b.g.new_operand(name)
+            r.producer = op
+            r.type = 1
+            r.shape = _node_shape(node)
+            op.outputs.append(r)
+            b.operand_of[name] = r
+            input_names.append(name)
+        elif node.op == "get_attr":
+            t = gm
+            for part in node.target.split("."):
+                t = getattr(t, part)
+            op = b.add_op("pnnx.Attribute", name, [], node)
+            _attr(op, "data", t)
+            op.outputs[0].shape = list(t.shape)
+        elif node.op == "call_module":
+            _export_module(b, node, modules[node.target], name)
+        elif node.op == "call_function":
+            if node.target is operator.getitem:
+                raise TorchExportError(
+                    f"unsupported getitem at {name!r} (multi-output ops "
+                    f"are not exported yet)")
+            _export_function(b, node, name)
+        elif node.op == "call_method":
+            _export_method(b, node, name)
+        elif node.op == "output":
+            args = node.args[0]
+            outs = list(args) if isinstance(args, (tuple, list)) else [args]
+            op = b.g.new_operator("pnnx.Output", "out0")
+            for nd in outs:
+                r = b.operand_of[nd.name]
+                r.consumers.append(op)
+                op.inputs.append(r)
+                output_names.append(r.name)
+        else:  # pragma: no cover
+            raise TorchExportError(f"unknown fx op {node.op}")
+
+    if len(input_names) != 1:
+        raise TorchExportError(
+            f"expected exactly one input, got {input_names}")
+    out = output_names if len(output_names) > 1 else output_names[0]
+    return b.g, input_names[0], out

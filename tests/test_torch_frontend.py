@@ -1,0 +1,175 @@
+"""torch.fx frontend tests: export an eager nn.Module, run it on the
+Engine, compare against the live torch module itself — a stronger
+oracle than the re-implementation in torch_ref.py.
+
+The reference has no in-process exporter (it consumes files produced by
+the external pnnx CLI tool); this frontend is the capability upgrade
+that removes that tool dependency.
+"""
+import numpy as np
+import pytest
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from simpleinfer_tpu import Engine, EngineConfig
+from simpleinfer_tpu.frontends import export_torch
+from simpleinfer_tpu.frontends.torch_export import TorchExportError
+
+RNG = np.random.default_rng(77)
+
+
+def _check(module, shape_nchw, tol=2e-4, cfg=None):
+    torch.manual_seed(3)
+    module = module.eval()
+    x = RNG.standard_normal(shape_nchw).astype(np.float32)
+    with torch.no_grad():
+        want = module(torch.from_numpy(x)).numpy()
+    graph, in_name, out_name = export_torch(module, x)
+    eng = Engine(cfg).load_model(None, graph=graph)
+    feed = np.transpose(x, (0, 2, 3, 1)) if x.ndim == 4 else x
+    got = eng.run({in_name: feed})[out_name]
+    if got.ndim == 4:
+        got = np.transpose(got, (0, 3, 1, 2))
+    assert got.shape == want.shape
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=tol * scale, rtol=1e-3)
+    return eng
+
+
+def test_conv_bn_act_pool_linear():
+    m = nn.Sequential(
+        nn.Conv2d(3, 16, 3, stride=2, padding=1),
+        nn.BatchNorm2d(16),
+        nn.ReLU(),
+        nn.MaxPool2d(2),
+        nn.Conv2d(16, 32, 3, padding=1, bias=False),
+        nn.Hardswish(),
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(32, 10),
+    )
+    # randomize BN stats so folding is actually exercised
+    with torch.no_grad():
+        m[1].running_mean.normal_(0, 0.3)
+        m[1].running_var.uniform_(0.5, 1.5)
+    _check(m, (2, 3, 32, 32))
+
+
+class _Residual(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.c1 = nn.Conv2d(8, 8, 3, padding=1)
+        self.c2 = nn.Conv2d(8, 8, 3, padding=1)
+
+    def forward(self, x):
+        y = F.silu(self.c1(x))
+        return x + self.c2(y) * 0.5
+
+
+def test_residual_add_and_scalar_mul():
+    _check(_Residual(), (1, 8, 16, 16))
+
+
+class _Branchy(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.a = nn.Conv2d(4, 6, 1)
+        self.b = nn.Conv2d(4, 6, 3, padding=1)
+        self.head = nn.Conv2d(12, 5, 1)
+        self.up = nn.Upsample(scale_factor=2.0, mode="nearest")
+
+    def forward(self, x):
+        y = torch.cat([torch.sigmoid(self.a(x)), self.b(x)], dim=1)
+        return self.up(self.head(y))
+
+
+def test_cat_upsample_sigmoid():
+    _check(_Branchy(), (2, 4, 12, 12))
+
+
+class _Grouped(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.dw = nn.Conv2d(8, 8, 3, padding=1, groups=8)
+        self.pw = nn.Conv2d(8, 12, 1)
+
+    def forward(self, x):
+        return self.pw(F.hardsigmoid(self.dw(x)))
+
+
+def test_depthwise_separable():
+    _check(_Grouped(), (1, 8, 10, 10))
+
+
+def test_flatten_method_and_linear():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Linear(4 * 6 * 6, 3)
+
+        def forward(self, x):
+            return self.fc(x.flatten(1))
+
+    _check(M(), (2, 4, 6, 6))
+
+
+def test_export_int8_static_path():
+    m = nn.Sequential(
+        nn.Conv2d(3, 16, 3, padding=1), nn.SiLU(),
+        nn.Conv2d(16, 16, 3, padding=1), nn.SiLU(),
+        nn.AdaptiveAvgPool2d(1), nn.Flatten(), nn.Linear(16, 4),
+    )
+    torch.manual_seed(1)
+    x = RNG.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    graph, in_name, out_name = export_torch(m.eval(), x)
+    eng = Engine(EngineConfig(quant="int8", int8_min_channels=1)).load_model(
+        None, graph=graph)
+    feed = np.transpose(x, (0, 2, 3, 1))
+    eng.calibrate([{in_name: feed}])
+    got = eng.run({in_name: feed})[out_name]
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy()
+    assert np.argmax(got) == np.argmax(want)
+
+
+def test_file_roundtrip(tmp_path):
+    """Exported graphs serialize through the pnnx writer and reload."""
+    m = nn.Sequential(nn.Conv2d(3, 4, 3, padding=1), nn.ReLU())
+    x = RNG.standard_normal((1, 3, 8, 8)).astype(np.float32)
+    graph, in_name, out_name = export_torch(m.eval(), x)
+    param, binf = str(tmp_path / "m.pnnx.param"), str(tmp_path / "m.pnnx.bin")
+    graph.save(param, binf)
+    eng = Engine().load_model(param, binf)
+    feed = np.transpose(x, (0, 2, 3, 1))
+    got = eng.run({in_name: feed})[out_name]
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_unsupported_module_raises():
+    class Odd(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gru = nn.GRU(4, 4)
+
+        def forward(self, x):
+            return self.gru(x)[0]
+
+    x = RNG.standard_normal((2, 1, 4)).astype(np.float32)
+    with pytest.raises(TorchExportError):
+        export_torch(Odd(), x)
+
+
+def test_builtin_torch_relu_function():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 4, 1)
+
+        def forward(self, x):
+            return torch.relu(self.c(x))
+
+    _check(M(), (1, 3, 8, 8))
