@@ -101,3 +101,27 @@ def test_matmul_bf16():
         jnp.dot(x, w, preferred_element_type=jnp.float32)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=0.05 * np.sqrt(k), rtol=0.02)
+
+
+# ---------------------------------------------------------- conv3x3 kernel
+def test_conv3x3_kernel_matches_lax_reference():
+    """Implicit-GEMM 3x3 Pallas conv vs the lax oracle (interpret mode
+    on CPU; compiled on the real chip under SI_TPU_TESTS). Measured
+    SLOWER than XLA's conv e2e (docs/PERF.md) — kept as a correct,
+    documented exploration like the reference's test_highway scratchpad
+    (SURVEY.md §4.3)."""
+    from simpleinfer_tpu.kernels.conv3x3 import (
+        conv3x3_reference, conv3x3_s1_same,
+    )
+
+    rng = np.random.default_rng(5)
+    interpret = jax.default_backend() != "tpu"
+    for (n, h, w, c, oc) in [(2, 8, 8, 16, 24), (1, 5, 7, 8, 8)]:
+        x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+        wt = jnp.asarray(rng.standard_normal((3, 3, c, oc)) * 0.1,
+                         jnp.float32)
+        b = jnp.asarray(rng.standard_normal(oc), jnp.float32)
+        got = conv3x3_s1_same(x, wt, b, "silu", interpret=interpret)
+        want = conv3x3_reference(x, wt, b, "silu")
+        tol = 1e-4 if interpret else 5e-2  # real MXU multiplies in bf16
+        assert float(jnp.abs(got - want).max()) < tol
