@@ -70,6 +70,12 @@ class EngineConfig:
     # (1155 vs 854 img/s yolov5s-640-b8; pallas_call is a fusion
     # barrier). Set True to force the Pallas path (single-device only).
     use_pallas: Optional[bool] = None
+    # persistent XLA compilation cache directory (expanded; None
+    # disables). Measured on the axon-attached v5e: a cold-process
+    # model compile drops from minutes to ~11 s when the executable is
+    # cached (docs/PERF.md). Process-global: the first Engine to
+    # enable it wins; subsequent different dirs are ignored with a log.
+    compilation_cache_dir: Optional[str] = "~/.cache/simpleinfer_tpu/xla"
     # donate input buffers to the jitted call
     donate_inputs: bool = False
     # uint8 inputs are shipped raw and scaled on-device by this factor

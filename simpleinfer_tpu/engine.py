@@ -25,6 +25,7 @@ continuous-batching service layer relies on.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Optional
 
@@ -55,11 +56,34 @@ class EngineStateError(RuntimeError):
     kEmptyPipeline early-outs, engine_impl.cpp:522-555)."""
 
 
+_cache_dir_enabled: Optional[str] = None
+
+
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Point JAX's persistent compilation cache at `cache_dir`
+    (process-global, first caller wins). Compiled executables are
+    reused across processes — on remote-attached chips this turns
+    minutes of cold model compile into seconds of deserialization."""
+    global _cache_dir_enabled
+    cache_dir = os.path.expanduser(cache_dir)
+    if _cache_dir_enabled is not None:
+        if _cache_dir_enabled != cache_dir:
+            logger.info("compilation cache already at %s; ignoring %s",
+                        _cache_dir_enabled, cache_dir)
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _cache_dir_enabled = cache_dir
+
+
 class Engine:
     """Load a pnnx model and run batched NHWC inference on TPU."""
 
     def __init__(self, config: Optional[EngineConfig] = None):
         self.config = config or EngineConfig()
+        if self.config.compilation_cache_dir:
+            enable_compilation_cache(self.config.compilation_cache_dir)
         self._program: Optional[Program] = None
         self._jitted = None
         self._mesh = None

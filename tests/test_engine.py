@@ -304,3 +304,20 @@ def test_stem_input_staged_packed():
     # terminal Detect outputs emit packed; the host view is free
     raw = raw.reshape(via_engine.shape)
     np.testing.assert_allclose(via_engine, raw, atol=2e-4, rtol=1e-4)
+
+
+def test_compilation_cache_enabled(tmp_path):
+    """Engine construction points JAX's persistent compile cache at the
+    configured dir (first caller wins process-wide)."""
+    import simpleinfer_tpu.engine as engine_mod
+
+    d = str(tmp_path / "xla_cache")
+    if engine_mod._cache_dir_enabled is None:
+        Engine(EngineConfig(compilation_cache_dir=d))
+        assert engine_mod._cache_dir_enabled == d
+        assert jax.config.jax_compilation_cache_dir == d
+    # a second, different dir is ignored (process-global)
+    Engine(EngineConfig(compilation_cache_dir=str(tmp_path / "other")))
+    assert engine_mod._cache_dir_enabled != str(tmp_path / "other")
+    # disabling is per-engine and does not clear the global
+    Engine(EngineConfig(compilation_cache_dir=None))
