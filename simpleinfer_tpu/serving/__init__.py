@@ -7,6 +7,6 @@ queue, a scheduler drains them into bucketed static batch shapes (the one
 re-jit axis), and one device stream executes in order while the host
 overlaps preprocessing and fetches.
 """
-from .batcher import BatchingService, Request, ServiceStats
+from .batcher import BatchingService, BucketStats, Request, ServiceStats
 
-__all__ = ["BatchingService", "Request", "ServiceStats"]
+__all__ = ["BatchingService", "BucketStats", "Request", "ServiceStats"]

@@ -33,6 +33,20 @@ class Request:
 
 
 @dataclass
+class BucketStats:
+    """Per-bucket request latency accounting (enqueue -> resolve)."""
+
+    batches: int = 0
+    items: int = 0
+    total_latency_s: float = 0.0
+    max_latency_s: float = 0.0
+
+    @property
+    def mean_latency_ms(self) -> float:
+        return 1e3 * self.total_latency_s / max(self.items, 1)
+
+
+@dataclass
 class ServiceStats:
     requests: int = 0
     batches: int = 0
@@ -40,6 +54,7 @@ class ServiceStats:
     total_latency_s: float = 0.0
     total_batch_time_s: float = 0.0
     batches_per_engine: list = field(default_factory=list)
+    per_bucket: dict = field(default_factory=dict)  # bucket -> BucketStats
 
     @property
     def mean_latency_ms(self) -> float:
@@ -49,6 +64,16 @@ class ServiceStats:
     def mean_batch_occupancy(self) -> float:
         done = self.requests
         return done / max(done + self.padded_items, 1)
+
+    def slo_report(self, target_ms: float) -> dict:
+        """Per-bucket mean/max latency vs a target; `within` is False
+        for any bucket whose MAX observed latency exceeded it."""
+        return {
+            b: {"mean_ms": s.mean_latency_ms,
+                "max_ms": s.max_latency_s * 1e3,
+                "items": s.items,
+                "within": s.max_latency_s * 1e3 <= target_ms}
+            for b, s in sorted(self.per_bucket.items())}
 
 
 def _default_buckets(max_batch: int) -> list:
@@ -208,8 +233,13 @@ class BatchingService:
             self.stats.batches += 1
             self.stats.padded_items += bucket - n
             self.stats.total_batch_time_s += now - t0
-            self.stats.total_latency_s += sum(
-                now - r.enqueue_t for r in batch)
+            lat = [now - r.enqueue_t for r in batch]
+            self.stats.total_latency_s += sum(lat)
+            bs = self.stats.per_bucket.setdefault(bucket, BucketStats())
+            bs.batches += 1
+            bs.items += n
+            bs.total_latency_s += sum(lat)
+            bs.max_latency_s = max(bs.max_latency_s, max(lat, default=0.0))
             for _ in batch:
                 self._q.task_done()
 

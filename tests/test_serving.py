@@ -187,3 +187,22 @@ def test_failed_dispatches_do_not_starve_inflight(engine):
                 b.result(timeout=60)
     finally:
         svc.stop(drain=False)
+
+
+def test_per_bucket_latency_stats_and_slo(engine):
+    svc = BatchingService(engine, max_batch=4, buckets=[1, 4],
+                          max_wait_ms=1.0).start()
+    try:
+        xs = [RNG.standard_normal((32, 32, 3)).astype(np.float32)
+              for _ in range(6)]
+        for f in [svc.submit(x) for x in xs]:
+            f.result(timeout=60)
+        assert svc.stats.per_bucket  # at least one bucket used
+        total_items = sum(b.items for b in svc.stats.per_bucket.values())
+        assert total_items == 6
+        rep = svc.stats.slo_report(target_ms=60_000)
+        assert all(v["within"] for v in rep.values())
+        rep_tight = svc.stats.slo_report(target_ms=0.0)
+        assert not any(v["within"] for v in rep_tight.values())
+    finally:
+        svc.stop()
