@@ -347,3 +347,29 @@ def test_int8_static_under_data_parallel_mesh():
     scale = max(1.0, float(np.abs(want).max()))
     assert np.abs(got - want).max() < 0.1 * scale
     assert np.argmax(got, -1).tolist() == np.argmax(want, -1).tolist()
+
+
+def test_int8_static_under_tensor_parallel_mesh():
+    """Static int8 + TP: int8 payloads shard on output channels, scales
+    follow, GSPMD partitions the s8 convs."""
+    import jax
+
+    from simpleinfer_tpu import MeshConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    graph, in_name, out_name = build_resnet18(batch=2, image_size=32,
+                                              num_classes=8, width=16)
+    ref_graph, _, _ = build_resnet18(batch=2, image_size=32,
+                                     num_classes=8, width=16)
+    x = RNG.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref_graph).run(
+        {in_name: x})[out_name]
+    cfg = EngineConfig(quant="int8", int8_min_channels=1,
+                       int8_pointwise=True,
+                       mesh=MeshConfig(data=2, model=4))
+    eng = Engine(cfg).load_model(None, graph=graph)
+    eng.calibrate([{in_name: x}])
+    got = eng.run({in_name: x})[out_name]
+    scale = max(1.0, float(np.abs(want).max()))
+    assert np.abs(got - want).max() < 0.1 * scale
