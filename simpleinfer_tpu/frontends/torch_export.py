@@ -213,6 +213,21 @@ def _export_module(b, node, mod, name):
         _param(op, "start_dim", int(mod.start_dim))
         _param(op, "end_dim", int(mod.end_dim))
         return
+    if t is nn.ConvTranspose2d:
+        op = b.add_op("nn.ConvTranspose2d", name, [node.args[0]], node)
+        _param(op, "bias", mod.bias is not None)
+        _param(op, "dilation", _pair(mod.dilation))
+        _param(op, "groups", int(mod.groups))
+        _param(op, "in_channels", int(mod.in_channels))
+        _param(op, "kernel_size", _pair(mod.kernel_size))
+        _param(op, "out_channels", int(mod.out_channels))
+        _param(op, "output_padding", _pair(mod.output_padding))
+        _param(op, "padding", _pair(mod.padding))
+        _param(op, "stride", _pair(mod.stride))
+        _attr(op, "weight", mod.weight)
+        if mod.bias is not None:
+            _attr(op, "bias", mod.bias)
+        return
     if t is nn.Identity or t is nn.Dropout:
         # inference no-ops: alias the input operand
         b.operand_of[node.name] = b.operand_of[node.args[0].name]
@@ -258,6 +273,24 @@ def _export_function(b, node, name):
     if fn is torch.permute:
         op = b.add_op("torch.permute", name, [node.args[0]], node)
         _param(op, "dims", [int(d) for d in node.args[1]])
+        return
+    if fn.__name__ == "interpolate" and getattr(fn, "__module__", ""
+                                                ).endswith("functional"):
+        op = b.add_op("nn.Upsample", name, [node.args[0]], node)
+        mode = node.kwargs.get("mode", "nearest")
+        _param(op, "mode", mode)
+        sf = node.kwargs.get("scale_factor")
+        if sf is not None:
+            sf = ([float(sf[0]), float(sf[1])]
+                  if isinstance(sf, (tuple, list))
+                  else [float(sf), float(sf)])
+            _param(op, "scale_factor", sf)
+        size = node.kwargs.get("size")
+        if size is not None:
+            _param(op, "size", _pair(size))
+        if mode in ("bilinear", "linear"):
+            _param(op, "align_corners",
+                   bool(node.kwargs.get("align_corners") or False))
         return
     if fn is torch.mean:
         dims = node.args[1] if len(node.args) > 1 else node.kwargs["dim"]

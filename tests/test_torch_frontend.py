@@ -173,3 +173,31 @@ def test_builtin_torch_relu_function():
             return torch.relu(self.c(x))
 
     _check(M(), (1, 3, 8, 8))
+
+
+def test_conv_transpose_and_interpolate():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.up = nn.ConvTranspose2d(6, 4, 2, stride=2)
+            self.c = nn.Conv2d(4, 4, 3, padding=1)
+
+        def forward(self, x):
+            y = torch.relu(self.up(x))
+            y = F.interpolate(y, scale_factor=2.0, mode="nearest")
+            return self.c(y)
+
+    _check(M(), (1, 6, 7, 7))
+
+
+def test_interpolate_bilinear():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 4, 1)
+
+        def forward(self, x):
+            return F.interpolate(self.c(x), scale_factor=2.0,
+                                 mode="bilinear", align_corners=False)
+
+    _check(M(), (1, 3, 6, 6), tol=2e-3)
