@@ -274,6 +274,9 @@ def _export_function(b, node, name):
         op = b.add_op("torch.permute", name, [node.args[0]], node)
         _param(op, "dims", [int(d) for d in node.args[1]])
         return
+    if fn is torch.chunk:
+        _export_chunk(b, node, name)
+        return
     if fn.__name__ == "interpolate" and getattr(fn, "__module__", ""
                                                 ).endswith("functional"):
         op = b.add_op("nn.Upsample", name, [node.args[0]], node)
@@ -305,7 +308,23 @@ def _export_function(b, node, name):
                            f"{node.name!r}")
 
 
-_METHOD_MAP = None
+def _export_chunk(b, node, name):
+    """torch.chunk / Tensor.chunk -> multi-output torch.chunk op; the
+    following getitem nodes alias the individual outputs."""
+    chunks = int(node.args[1] if len(node.args) > 1
+                 else node.kwargs["chunks"])
+    dim = int(node.args[2] if len(node.args) > 2
+              else node.kwargs.get("dim", 0))
+    op = b.add_op("torch.chunk", name, [node.args[0]], out_node=None,
+                  n_out=chunks)
+    _param(op, "chunks", chunks)
+    _param(op, "dim", dim)
+    tms = node.meta.get("tensor_meta")
+    if tms is not None:
+        for r, tm in zip(op.outputs, tms):
+            r.shape = list(tm.shape)
+    # getitem resolves via .producer on any of the outputs
+    b.operand_of[node.name] = op.outputs[0]
 
 
 def _export_method(b, node, name):
@@ -345,6 +364,9 @@ def _export_method(b, node, name):
             node.args[1], (tuple, list)) else node.args[1]
         op = b.add_op("torch.permute", name, [node.args[0]], node)
         _param(op, "dims", [int(d) for d in dims])
+        return
+    if mname == "chunk":
+        _export_chunk(b, node, name)
         return
     if mname == "contiguous":
         b.operand_of[node.name] = b.operand_of[node.args[0].name]
@@ -395,10 +417,17 @@ def export_torch(module, example_input) -> tuple:
             _export_module(b, node, modules[node.target], name)
         elif node.op == "call_function":
             if node.target is operator.getitem:
-                raise TorchExportError(
-                    f"unsupported getitem at {name!r} (multi-output ops "
-                    f"are not exported yet)")
-            _export_function(b, node, name)
+                # select one output of a multi-output op (chunk/split):
+                # alias the producer's j-th operand
+                src, j = node.args
+                producer = b.operand_of[src.name].producer
+                if producer is None or j >= len(producer.outputs):
+                    raise TorchExportError(
+                        f"getitem at {name!r} does not follow a "
+                        f"multi-output op")
+                b.operand_of[name] = producer.outputs[j]
+            else:
+                _export_function(b, node, name)
         elif node.op == "call_method":
             _export_method(b, node, name)
         elif node.op == "output":

@@ -201,3 +201,22 @@ def test_interpolate_bilinear():
                                  mode="bilinear", align_corners=False)
 
     _check(M(), (1, 3, 6, 6), tol=2e-3)
+
+
+class _C2f(nn.Module):
+    """YOLOv8-style C2f: chunk + getitem + per-branch conv + cat."""
+
+    def __init__(self):
+        super().__init__()
+        self.cv1 = nn.Conv2d(8, 8, 1)
+        self.m = nn.Conv2d(4, 4, 3, padding=1)
+        self.cv2 = nn.Conv2d(12, 6, 1)
+
+    def forward(self, x):
+        a, b = self.cv1(x).chunk(2, 1)
+        c = self.m(b)
+        return self.cv2(torch.cat([a, b, c], 1))
+
+
+def test_chunk_getitem_c2f_block():
+    _check(_C2f(), (2, 8, 12, 12))
