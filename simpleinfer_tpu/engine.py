@@ -71,9 +71,18 @@ def enable_compilation_cache(cache_dir: str) -> None:
             logger.info("compilation cache already at %s; ignoring %s",
                         _cache_dir_enabled, cache_dir)
         return
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:  # noqa: BLE001 — caching is best-effort
+        # unwritable HOME (read-only serving containers) must not make
+        # Engine() unusable; run without the cache
+        logger.warning("compilation cache disabled (%s: %s)",
+                       type(e).__name__, e)
+        _cache_dir_enabled = ""  # don't retry per engine
+        return
     _cache_dir_enabled = cache_dir
 
 

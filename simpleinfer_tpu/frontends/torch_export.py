@@ -79,6 +79,36 @@ def _scalar_binary(b, node, code, tensor_node, scalar, name):
     _param(op, "2", float(scalar))
 
 
+def _export_binary(b, node, code, a0, a1, name):
+    """Shared add/sub/mul/div emitter for the function AND method
+    paths. torch.add/sub's `alpha` scaling is NOT representable as one
+    BinaryOp — refuse rather than silently dropping it."""
+    import torch
+
+    alpha = node.kwargs.get("alpha", 1)
+    if alpha != 1:
+        raise TorchExportError(
+            f"add/sub with alpha={alpha} at node {node.name!r} is not "
+            f"supported; scale the operand explicitly instead")
+    is_node = [isinstance(a, torch.fx.Node) for a in (a0, a1)]
+    if all(is_node):
+        op = b.add_op("BinaryOp", name, [a0, a1], node)
+        _param(op, "0", code)
+    elif is_node[0]:
+        _scalar_binary(b, node, code, a0, a1, name)
+    else:  # scalar op tensor -> reversed code (7=rsub, 8=rdiv)
+        rcode = {0: 0, 2: 2, 1: 7, 3: 8}[code]
+        _scalar_binary(b, node, rcode, a1, a0, name)
+
+
+def _export_flatten(b, node, name):
+    op = b.add_op("torch.flatten", name, [node.args[0]], node)
+    _param(op, "start_dim",
+           int(node.args[1]) if len(node.args) > 1 else 0)
+    _param(op, "end_dim",
+           int(node.args[2]) if len(node.args) > 2 else -1)
+
+
 # operator/torch-function -> ncnn BinaryOp code (ops/binary.py table);
 # the *_r codes handle scalar-first usage
 _BINARY_CODES = {}
@@ -123,7 +153,10 @@ def _export_module(b, node, mod, name):
 
     t = type(mod)
     if t in _ACT_MODULES:
-        b.add_op(_ACT_MODULES[t], name, [node.args[0]], node)
+        op = b.add_op(_ACT_MODULES[t], name, [node.args[0]], node)
+        if t is nn.GELU:
+            # exact vs tanh approximation differ by ~3e-3 — export it
+            _param(op, "approximate", mod.approximate)
         return
     if t is nn.LeakyReLU:
         op = b.add_op("nn.LeakyReLU", name, [node.args[0]], node)
@@ -155,6 +188,11 @@ def _export_module(b, node, mod, name):
     if t is nn.BatchNorm2d:
         import torch
 
+        if mod.running_mean is None:
+            raise TorchExportError(
+                f"BatchNorm2d at {node.name!r} has "
+                f"track_running_stats=False — inference export needs "
+                f"running statistics")
         op = b.add_op("nn.BatchNorm2d", name, [node.args[0]], node)
         _param(op, "affine", bool(mod.affine))
         _param(op, "eps", float(mod.eps))
@@ -241,20 +279,14 @@ def _export_function(b, node, name):
 
     fn = node.target
     if fn in _ACT_FUNCTIONS:
-        b.add_op(_ACT_FUNCTIONS[fn], name, [node.args[0]], node)
+        op = b.add_op(_ACT_FUNCTIONS[fn], name, [node.args[0]], node)
+        if _ACT_FUNCTIONS[fn] == "nn.GELU":
+            _param(op, "approximate",
+                   node.kwargs.get("approximate", "none"))
         return
     if fn in _BINARY_CODES:
-        code = _BINARY_CODES[fn]
-        a0, a1 = node.args[0], node.args[1]
-        is_node = [isinstance(a, torch.fx.Node) for a in (a0, a1)]
-        if all(is_node):
-            op = b.add_op("BinaryOp", name, [a0, a1], node)
-            _param(op, "0", code)
-        elif is_node[0]:
-            _scalar_binary(b, node, code, a0, a1, name)
-        else:  # scalar op tensor -> reversed code (7=rsub, 8=rdiv)
-            rcode = {0: 0, 2: 2, 1: 7, 3: 8}[code]
-            _scalar_binary(b, node, rcode, a1, a0, name)
+        _export_binary(b, node, _BINARY_CODES[fn], node.args[0],
+                       node.args[1], name)
         return
     if fn is torch.cat:
         tensors = node.args[0]
@@ -264,11 +296,7 @@ def _export_function(b, node, name):
         _param(op, "dim", int(dim))
         return
     if fn is torch.flatten:
-        op = b.add_op("torch.flatten", name, [node.args[0]], node)
-        _param(op, "start_dim",
-               int(node.args[1]) if len(node.args) > 1 else 0)
-        _param(op, "end_dim",
-               int(node.args[2]) if len(node.args) > 2 else -1)
+        _export_flatten(b, node, name)
         return
     if fn is torch.permute:
         op = b.add_op("torch.permute", name, [node.args[0]], node)
@@ -279,24 +307,37 @@ def _export_function(b, node, name):
         return
     if fn.__name__ == "interpolate" and getattr(fn, "__module__", ""
                                                 ).endswith("functional"):
+        # signature: interpolate(input, size=None, scale_factor=None, ...)
         op = b.add_op("nn.Upsample", name, [node.args[0]], node)
         mode = node.kwargs.get("mode", "nearest")
         _param(op, "mode", mode)
-        sf = node.kwargs.get("scale_factor")
+        sf = node.kwargs.get(
+            "scale_factor",
+            node.args[2] if len(node.args) > 2 else None)
         if sf is not None:
             sf = ([float(sf[0]), float(sf[1])]
                   if isinstance(sf, (tuple, list))
                   else [float(sf), float(sf)])
             _param(op, "scale_factor", sf)
-        size = node.kwargs.get("size")
+        size = node.kwargs.get(
+            "size", node.args[1] if len(node.args) > 1 else None)
         if size is not None:
             _param(op, "size", _pair(size))
+        if sf is None and size is None:
+            raise TorchExportError(
+                f"interpolate at {node.name!r} needs size or "
+                f"scale_factor")
         if mode in ("bilinear", "linear"):
             _param(op, "align_corners",
                    bool(node.kwargs.get("align_corners") or False))
         return
     if fn is torch.mean:
-        dims = node.args[1] if len(node.args) > 1 else node.kwargs["dim"]
+        dims = (node.args[1] if len(node.args) > 1
+                else node.kwargs.get("dim"))
+        if dims is None:
+            raise TorchExportError(
+                f"torch.mean without dim at {node.name!r} is not "
+                f"supported (global mean over all axes)")
         dims = [int(dims)] if isinstance(dims, int) else [int(d)
                                                           for d in dims]
         op = b.add_op("torch.mean", name, [node.args[0]], node)
@@ -335,22 +376,11 @@ def _export_method(b, node, name):
         b.add_op(act, name, [node.args[0]], node)
         return
     if mname in ("add", "mul", "sub", "div"):
-        import torch
-
         code = {"add": 0, "sub": 1, "mul": 2, "div": 3}[mname]
-        other = node.args[1]
-        if isinstance(other, torch.fx.Node):
-            op = b.add_op("BinaryOp", name, [node.args[0], other], node)
-            _param(op, "0", code)
-        else:
-            _scalar_binary(b, node, code, node.args[0], other, name)
+        _export_binary(b, node, code, node.args[0], node.args[1], name)
         return
     if mname == "flatten":
-        op = b.add_op("torch.flatten", name, [node.args[0]], node)
-        _param(op, "start_dim",
-               int(node.args[1]) if len(node.args) > 1 else 0)
-        _param(op, "end_dim",
-               int(node.args[2]) if len(node.args) > 2 else -1)
+        _export_flatten(b, node, name)
         return
     if mname in ("view", "reshape"):
         shape = [int(s) for s in node.args[1:]] if not isinstance(
@@ -417,14 +447,20 @@ def export_torch(module, example_input) -> tuple:
             _export_module(b, node, modules[node.target], name)
         elif node.op == "call_function":
             if node.target is operator.getitem:
-                # select one output of a multi-output op (chunk/split):
-                # alias the producer's j-th operand
+                # ONLY the select-one-output-of-a-multi-output-op form
+                # is supported (chunk/split); tensor indexing/slicing
+                # (x[0], x[:, :2]) must raise, not silently alias
                 src, j = node.args
                 producer = b.operand_of[src.name].producer
-                if producer is None or j >= len(producer.outputs):
+                if (producer is None
+                        or producer.type not in ("torch.chunk",
+                                                 "torch.split")
+                        or not isinstance(j, int)
+                        or j >= len(producer.outputs)):
                     raise TorchExportError(
-                        f"getitem at {name!r} does not follow a "
-                        f"multi-output op")
+                        f"getitem at {name!r}: only selecting an output "
+                        f"of chunk/split is supported (tensor "
+                        f"indexing/slicing is not)")
                 b.operand_of[name] = producer.outputs[j]
             else:
                 _export_function(b, node, name)

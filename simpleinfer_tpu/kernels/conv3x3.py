@@ -74,13 +74,16 @@ def _kernel(x_ref, w_ref, m_ref, b_ref, o_ref, *, shifts, act, has_bias,
 
 def conv3x3_vmem_ok(h: int, w: int, c: int, oc: int,
                     dtype_bytes: int = 2) -> bool:
-    """Whole-image blocks must fit the per-step VMEM budget."""
+    """Whole-image blocks must fit the per-step VMEM budget. Real
+    measurement (40x40x256: 'scoped allocation 20.52M > 16M limit'):
+    the [9, H*W, 1] mask blocks pad their lane dim to 128, so they cost
+    9*HW*128*4 bytes — the dominant term at larger spatial sizes."""
     hw = h * w
     need = (hw * c * dtype_bytes          # x block
             + 9 * c * oc * dtype_bytes    # weights (resident)
             + hw * oc * 4                 # f32 accumulator
             + hw * oc * dtype_bytes       # output block
-            + 9 * hw * 4)                 # masks
+            + 9 * hw * 128 * 4)           # masks, lane-padded to 128
     return need <= _VMEM_BUDGET
 
 
@@ -95,6 +98,11 @@ def conv3x3_s1_same(x, w_hwio, bias=None, activation: Optional[str] = None,
     if (kh, kw) != (3, 3) or wc != c:
         raise ValueError(f"conv3x3 kernel needs [3,3,{c},OC] weights, "
                          f"got {w_hwio.shape}")
+    if not interpret and not conv3x3_vmem_ok(h, w, c, oc,
+                                             np.dtype(x.dtype).itemsize):
+        raise ValueError(
+            f"conv3x3 whole-image blocks for {h}x{w}x{c}->{oc} exceed "
+            f"the ~16MB scoped-VMEM budget; use the XLA conv path")
     shifts, masks_np = _tap_shifts_masks(h, w)
     hw = h * w
     xf = x.reshape(n, hw, c)

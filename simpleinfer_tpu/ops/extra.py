@@ -220,8 +220,12 @@ def lower_elu(op, cfg):
 
 @register_op("nn.GELU")
 def lower_gelu(op, cfg):
+    # pnnx/torch `approximate` param: "none" (exact, default) or "tanh"
+    approx = (op.params["approximate"].s
+              if op.has_param("approximate") else "none") == "tanh"
+
     def apply(weights, x):
-        return jax.nn.gelu(x, approximate=False)
+        return jax.nn.gelu(x, approximate=approx)
 
     return OpImpl(name=op.name, type=op.type, apply=apply)
 

@@ -26,3 +26,13 @@ if not os.environ.get("SI_TPU_TESTS"):
 import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+# Hermetic tests: engines enable the persistent compile cache by default
+# (engine.enable_compilation_cache, first caller wins) — point it at a
+# throwaway dir so test runs never write into the user's real ~/.cache
+# or flip process-global jax config toward it.
+import tempfile
+
+from simpleinfer_tpu.engine import enable_compilation_cache
+
+enable_compilation_cache(tempfile.mkdtemp(prefix="si_test_xla_cache_"))

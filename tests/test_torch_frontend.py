@@ -220,3 +220,57 @@ class _C2f(nn.Module):
 
 def test_chunk_getitem_c2f_block():
     _check(_C2f(), (2, 8, 12, 12))
+
+
+def test_tensor_indexing_raises_not_aliases():
+    """x[0] / x[:, :2] must raise, not silently export the full tensor."""
+    class M1(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 4, 1)
+
+        def forward(self, x):
+            return self.c(x)[0]
+
+    class M2(nn.Module):
+        def forward(self, x):
+            return x[:, :2]
+
+    x = RNG.standard_normal((2, 3, 4, 4)).astype(np.float32)
+    with pytest.raises(TorchExportError):
+        export_torch(M1(), x)
+    with pytest.raises(TorchExportError):
+        export_torch(M2(), x)
+
+
+def test_add_with_alpha_raises():
+    class M(nn.Module):
+        def forward(self, x):
+            return torch.add(x, x, alpha=2.0)
+
+    with pytest.raises(TorchExportError):
+        export_torch(M(), RNG.standard_normal((1, 3, 4, 4))
+                     .astype(np.float32))
+
+
+def test_gelu_tanh_approximation_exported():
+    m = nn.Sequential(nn.Conv2d(3, 4, 1), nn.GELU(approximate="tanh"))
+    _check(m, (1, 3, 8, 8))
+
+
+def test_interpolate_positional_size():
+    class M(nn.Module):
+        def forward(self, x):
+            return F.interpolate(x, (8, 8))
+
+    _check(M(), (1, 3, 4, 4))
+
+
+def test_mean_without_dim_raises():
+    class M(nn.Module):
+        def forward(self, x):
+            return torch.mean(x)
+
+    with pytest.raises(TorchExportError):
+        export_torch(M(), RNG.standard_normal((1, 3, 4, 4))
+                     .astype(np.float32))
