@@ -32,6 +32,59 @@ _GRID_ATTR_INDEX = (6, 3, 1)  # yolo_detect.h:29
 _NUM_LEVELS = 3
 
 
+@register_op("models.yolo.DetectV8")
+def lower_yolo_detect_v8(op, cfg):
+    """Anchor-free YOLOv8-style decode (no reference analog — the
+    reference supports only the anchor-based v5 head; this extends the
+    model-family surface). Inputs: one [N, H, W, 4*reg_max+nc] map per
+    level (NHWC at runtime). Decode per ultralytics v8:
+
+        dist = softmax(box.reshape(..., 4, reg_max)) @ arange(reg_max)
+        xy   = ((anchor+0.5) + (rb-lt)/2) * stride        (cell centers)
+        wh   = (lt + rb) * stride
+        out  = concat([xy, wh, sigmoid(cls)], -1)  ->  [N, total, 4+nc]
+    """
+    from .registry import require_param
+    from ..ir.graph import PARAM_INT
+
+    nc = require_param(op, "nc", PARAM_INT).i
+    reg_max = require_param(op, "reg_max", PARAM_INT).i
+    strides = require_attr(op, "strides", 1).array().astype(np.float32)
+    n_levels = len(op.inputs)
+    if strides.shape != (n_levels,):
+        raise ValueError(f"DetectV8 {op.name}: strides {strides.shape} "
+                         f"vs {n_levels} levels")
+    no = 4 * reg_max + nc
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+
+    def apply(weights, *features):
+        outs = []
+        for i, x in enumerate(features):
+            n, h, w_, c = x.shape
+            if c != no:
+                raise ValueError(
+                    f"DetectV8 {op.name}: level {i} has {c} channels, "
+                    f"expected {no}")
+            x = x.astype(jnp.float32).reshape(n, h * w_, c)
+            box, cls = x[..., :4 * reg_max], x[..., 4 * reg_max:]
+            # DFL: softmax over reg_max bins -> expected distance
+            d = jax.nn.softmax(box.reshape(n, h * w_, 4, reg_max), -1)
+            d = jnp.einsum("nahr,r->nah", d, bins)  # [N, HW, 4] ltrb
+            xv, yv = np.meshgrid(np.arange(w_), np.arange(h))
+            anchor = jnp.asarray(
+                np.stack([xv, yv], -1).reshape(1, h * w_, 2)
+                .astype(np.float32) + 0.5)
+            lt, rb = d[..., :2], d[..., 2:]
+            xy = (anchor + (rb - lt) * 0.5) * strides[i]
+            wh = (lt + rb) * strides[i]
+            outs.append(jnp.concatenate(
+                [xy, wh, jax.nn.sigmoid(cls)], -1))
+        return jnp.concatenate(outs, axis=1)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply, weights={},
+                  flops_per_item=0)
+
+
 @register_op("models.yolo.Detect")
 def lower_yolo_detect(op, cfg):
     strides = require_attr(op, "pnnx_5", 1).array().astype(np.float32)

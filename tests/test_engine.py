@@ -321,3 +321,21 @@ def test_compilation_cache_enabled(tmp_path):
     assert engine_mod._cache_dir_enabled != str(tmp_path / "other")
     # disabling is per-engine and does not clear the global
     Engine(EngineConfig(compilation_cache_dir=None))
+
+
+def test_yolov8_parity():
+    """YOLOv8 family (C2f chunk blocks, anchor-free DFL head) vs the
+    torch oracle — a model family beyond the reference's capability."""
+    from simpleinfer_tpu.zoo import build_yolov8
+
+    eng, got = _parity(build_yolov8, (1, 3, 64, 64), tol=5e-3,
+                       variant="n", batch=1, image_size=64)
+    out = got[eng.output_names[0]]
+    assert out.shape == (1, 64 + 16 + 4, 84)
+    # decoded boxes: xy within image bounds (64px), wh positive
+    assert float(out[..., :2].min()) >= -64 and float(
+        out[..., :2].max()) <= 128
+    assert float(out[..., 2:4].min()) >= 0
+    # class probabilities in (0, 1)
+    assert 0.0 <= float(out[..., 4:].min()) <= float(
+        out[..., 4:].max()) <= 1.0

@@ -107,6 +107,29 @@ _ACTS = {
 
 
 @torch.no_grad()
+def _yolo_detect_v8(op, features):
+    """Anchor-free v8 decode (independent re-derivation from the
+    ultralytics formula): DFL expectation -> ltrb -> xywh * stride."""
+    nc = op.params["nc"].i
+    reg_max = op.params["reg_max"].i
+    strides = op.attrs["strides"].array()
+    bins = torch.arange(reg_max, dtype=torch.float32)
+    outs = []
+    for i, x in enumerate(features):  # [N, no, H, W]
+        n, c, h, w = x.shape
+        x = x.reshape(n, c, h * w).permute(0, 2, 1)  # [N, HW, no]
+        box, cls = x[..., :4 * reg_max], x[..., 4 * reg_max:]
+        d = torch.softmax(box.reshape(n, h * w, 4, reg_max), -1) @ bins
+        xv, yv = np.meshgrid(np.arange(w), np.arange(h))
+        anchor = _t(np.stack([xv, yv], -1).reshape(1, h * w, 2)
+                    .astype(np.float32) + 0.5)
+        lt, rb = d[..., :2], d[..., 2:]
+        xy = (anchor + (rb - lt) * 0.5) * float(strides[i])
+        wh = (lt + rb) * float(strides[i])
+        outs.append(torch.cat([xy, wh, torch.sigmoid(cls)], -1))
+    return torch.cat(outs, dim=1)
+
+
 def run_graph_torch(graph, feeds_nchw):
     """Execute a pnnx ir.Graph on torch CPU. feeds/results are NCHW
     numpy arrays keyed by operand name."""
@@ -143,6 +166,14 @@ def run_graph_torch(graph, feeds_nchw):
             out = _expression(op, args)
         elif t == "models.yolo.Detect":
             out = _yolo_detect(op, args)
+        elif t == "models.yolo.DetectV8":
+            out = _yolo_detect_v8(op, args)
+        elif t == "torch.chunk":
+            outs = torch.chunk(args[0], op.params["chunks"].i,
+                               op.params["dim"].i)
+            for r, o in zip(op.outputs, outs):
+                env[r.name] = o
+            continue
         else:
             raise NotImplementedError(f"torch oracle: op type {t!r}")
         env[op.outputs[0].name] = out
