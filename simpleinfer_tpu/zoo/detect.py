@@ -150,16 +150,23 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.45,
 def decode_predictions(pred: np.ndarray, lb: Letterbox | None = None,
                        conf_thresh: float = 0.25, iou_thresh: float = 0.45,
                        image_shape: tuple | None = None,
-                       class_agnostic: bool = False) -> list:
-    """One image's YOLO head output [M, 5+nc] -> list[Detection].
+                       class_agnostic: bool = False,
+                       head: str = "v5") -> list:
+    """One image's YOLO head output -> list[Detection].
 
-    Mirrors Postprocess (test_yolo.cpp:349-438): obj*cls confidence,
-    score threshold, per-class argmax, class-wise NMS (implemented the
-    standard way via per-class coordinate offsets), unletterbox + clip.
+    head="v5": rows are [xywh, obj, nc] (mirrors Postprocess,
+    test_yolo.cpp:349-438 — obj*cls confidence); head="v8": anchor-free
+    rows [xywh, nc] with no objectness (models.yolo.DetectV8 output).
+    Then: score threshold, per-class argmax, class-wise NMS (implemented
+    the standard way via per-class coordinate offsets), unletterbox +
+    clip.
     """
     pred = np.asarray(pred)
-    obj = pred[:, 4]
-    cls_scores = pred[:, 5:] * obj[:, None]
+    if head == "v8":
+        cls_scores = pred[:, 4:]
+    else:
+        obj = pred[:, 4]
+        cls_scores = pred[:, 5:] * obj[:, None]
     class_id = np.argmax(cls_scores, axis=1)
     score = cls_scores[np.arange(len(pred)), class_id]
     m = score >= conf_thresh
@@ -209,16 +216,21 @@ def topk_candidates(pred, k: int = 300):
 
 def detect_images(engine, images: list, input_name: str | None = None,
                   size: int = 640, conf_thresh: float = 0.25,
-                  iou_thresh: float = 0.45) -> list:
+                  iou_thresh: float = 0.45, head: str = "auto") -> list:
     """End-to-end demo: HWC images -> list of per-image detections.
 
     The Python analog of test_yolo's main loop (:278-441): letterbox all
-    images into one NHWC batch, one Engine forward, decode each row."""
+    images into one NHWC batch, one Engine forward, decode each row.
+    head: "v5" (obj+cls rows), "v8" (anchor-free, no obj), or "auto"
+    (inferred from the model's detect op type)."""
     input_name = input_name or engine.input_names[0]
+    if head == "auto":
+        types = {i.type for i in engine.program.impls}
+        head = "v8" if "models.yolo.DetectV8" in types else "v5"
     canvases, lbs = zip(*(letterbox(im, size) for im in images))
     batch = np.stack(canvases)
     out = engine.run({input_name: batch})
     pred = out[engine.output_names[0]]
     return [decode_predictions(pred[i], lbs[i], conf_thresh, iou_thresh,
-                               image_shape=images[i].shape)
+                               image_shape=images[i].shape, head=head)
             for i in range(len(images))]

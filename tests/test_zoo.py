@@ -163,3 +163,20 @@ def test_classify_images_end_to_end():
     tk = classify_images(eng, [img], size=64, k=3)
     assert len(tk) == 1 and len(tk[0]) == 3
     assert abs(sum(p for _, p in tk[0])) <= 1.0 + 1e-6
+
+
+def test_detect_images_yolov8_auto_head():
+    """detect_images auto-detects the v8 head (no objectness column)."""
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_yolov8
+    from simpleinfer_tpu.zoo.detect import detect_images
+
+    g, _, _ = build_yolov8("n", batch=1, image_size=64)
+    eng = Engine().load_model(None, graph=g)
+    img = (np.random.default_rng(3).integers(0, 255, (80, 60, 3))
+           .astype(np.uint8))
+    dets = detect_images(eng, [img], size=64, conf_thresh=0.0)
+    assert isinstance(dets[0], list)
+    if dets[0]:
+        d = dets[0][0]
+        assert 0 <= d.class_id < 80 and 0.0 <= d.score <= 1.0
