@@ -190,6 +190,103 @@ def trace(logdir: str = "/tmp/si_trace"):
         jax.profiler.stop_trace()
 
 
+# Column ids kept from xprof's hlo_stats table (the rest are dropped).
+_HLO_STAT_KEYS = (
+    "program_id", "category", "hlo_op_name", "tf_op_name", "occurrences",
+    "total_self_time", "avg_self_time", "total_self_time_percent",
+    "model_flop_rate", "measured_memory_bw", "operational_intensity",
+    "bound_by", "hlo_op_expression",
+)
+
+
+def hlo_stats(trace_dir: str) -> list:
+    """Parse a `trace()` capture into MEASURED per-HLO-op device stats.
+
+    The measured counterpart of `roofline_report` (which is static
+    accounting): for every HLO op that ran on the device, the profiler's
+    self time, achieved GFLOP/s, memory bandwidth, operational intensity
+    and bound-by verdict, sorted by total self time. Uses xprof's
+    hlo_stats converter on the .xplane.pb files jax.profiler wrote.
+    The reference has no profiling at all (SURVEY.md §5); this plus
+    `trace()` is the BASELINE.json "per-kernel roofline accounting".
+
+    Returns a list of dicts with keys `_HLO_STAT_KEYS` (times in us).
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    # xprof's generated protos need the pure-python protobuf runtime;
+    # must be set before google.protobuf is first imported.
+    _os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+                           "python")
+    paths = sorted(_glob.glob(_os.path.join(trace_dir, "**", "*.xplane.pb"),
+                              recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    try:
+        from xprof.convert import raw_to_tool_data as _r2t
+    except Exception as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "xprof unavailable for trace parsing; if this is a protobuf "
+            "descriptor error, set PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"
+            "=python before python starts") from e
+    data, _ = _r2t.xspace_to_tool_data(paths, "hlo_stats", {})
+    table = _json.loads(data.decode() if isinstance(data, bytes) else data)
+    cols = [c["id"] for c in table["cols"]]
+    rows = []
+    for row in table.get("rows", []):
+        full = dict(zip(cols, [c.get("v") for c in row["c"]]))
+        rows.append({k: full.get(k) for k in _HLO_STAT_KEYS})
+    rows.sort(key=lambda r: -(r["total_self_time"] or 0.0))
+    return rows
+
+
+def device_profile(fn, *args, iters: int = 10,
+                   logdir: str = "/tmp/si_device_profile") -> list:
+    """Trace `iters` enqueued calls of compiled `fn(*args)` and return
+    `hlo_stats` rows. fn is jit-compiled before tracing so the capture
+    holds only steady-state device work (plus the final host fetch that
+    drains the queue inside the trace window)."""
+    jfn = jax.jit(fn)
+    jax.block_until_ready(jfn(*args))  # compile outside the trace
+    with trace(logdir) as d:
+        out = None
+        for _ in range(iters):
+            out = jfn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    return hlo_stats(d)
+
+
+def format_hlo_stats(rows: list, top: int = 30, iters: int = 1) -> str:
+    """Render hlo_stats rows: per-category rollup + top ops by self
+    time. `iters` divides totals down to per-iteration time."""
+    total = sum(r["total_self_time"] or 0.0 for r in rows)
+    by_cat: dict = {}
+    for r in rows:
+        c = by_cat.setdefault(r["category"] or "?", [0.0, 0])
+        c[0] += r["total_self_time"] or 0.0
+        c[1] += int(r["occurrences"] or 0)
+    lines = [f"device self time: {total / iters / 1e3:.3f} ms/iter "
+             f"({iters} iters)", "",
+             f"{'category':<26s} {'us/iter':>9s} {'%':>6s} {'#ops':>6s}"]
+    for cat, (us, n) in sorted(by_cat.items(), key=lambda kv: -kv[1][0]):
+        lines.append(f"{cat[:26]:<26s} {us / iters:9.1f} "
+                     f"{100 * us / max(total, 1e-9):6.1f} {n:6d}")
+    lines += ["", f"{'op':<34s} {'category':<22s} {'us/iter':>8s} "
+              f"{'%':>5s} {'GFLOP/s':>8s} {'GiB/s':>7s} {'bound':>10s}"]
+    for r in rows[:top]:
+        lines.append(
+            f"{(r['hlo_op_name'] or '?')[:34]:<34s} "
+            f"{(r['category'] or '?')[:22]:<22s} "
+            f"{(r['total_self_time'] or 0.0) / iters:8.1f} "
+            f"{r['total_self_time_percent'] or 0.0:5.1f} "
+            f"{r['model_flop_rate'] or 0.0:8.0f} "
+            f"{r['measured_memory_bw'] or 0.0:7.0f} "
+            f"{(r['bound_by'] or '?')[:10]:>10s}")
+    return "\n".join(lines)
+
+
 def timed_run(program, weights, inputs, sync: bool = True) -> list:
     """Execute the program op-by-op (eager, unfused), timing each op.
     Returns [(op_name, op_type, seconds)] in execution order.

@@ -116,6 +116,44 @@ def cmd_roofline(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Measured per-HLO-op device profile (the runtime complement of
+    `roofline`'s static table). Loads the model, compiles the forward,
+    traces N enqueued forwards, prints xprof hlo_stats."""
+    import numpy as np
+
+    from .config import EngineConfig
+    from .engine import Engine
+    from .ir.graph import Graph
+    from .profiling import device_profile, format_hlo_stats
+
+    cfg = EngineConfig() if args.dtype == "float32" else EngineConfig(
+        compute_dtype=args.dtype, quant=args.quant)
+    g = Graph.load(args.param, args.bin)
+    eng = Engine(cfg).load_model(None, graph=g)
+    spec = eng.program.inputs[0]
+    shape = [args.batch if d == -1 else d for d in (spec.shape or [])]
+    if not shape:
+        raise SystemExit("model declares no input shape; cannot profile")
+    x = (np.random.default_rng(0).standard_normal(shape)
+         .astype(np.float32) / 4.0)
+    name = spec.name
+    if cfg.quant == "int8":
+        eng.calibrate([{name: x}])
+
+    import jax.numpy as jnp
+    xd = jnp.asarray(x, cfg.compute_jnp_dtype)
+    weights, program = eng._device_weights, eng.program
+    out_name = program.output_names[0]
+
+    def fwd(xi):
+        return program.fn(weights, {name: xi})[out_name]
+
+    rows = device_profile(fwd, xd, iters=args.iters, logdir=args.logdir)
+    print(format_hlo_stats(rows, top=args.top, iters=args.iters))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="simpleinfer_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -147,6 +185,21 @@ def main(argv=None) -> int:
         else:
             p.add_argument("--topk", type=int, default=5)
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("profile",
+                       help="measured per-HLO-op device profile "
+                            "(jax.profiler + xprof hlo_stats)")
+    p.add_argument("param")
+    p.add_argument("bin", nargs="?")
+    p.add_argument("--batch", type=int, default=1,
+                   help="substituted for ?-dims in the declared shape")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--quant", choices=["int8w", "int8"])
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--top", type=int, default=30)
+    p.add_argument("--logdir", default="/tmp/si_device_profile")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("roofline", help="per-op roofline cost table")
     p.add_argument("param")

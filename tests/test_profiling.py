@@ -52,3 +52,47 @@ def test_timed_run_matches_jitted():
                      {in_name: jnp.asarray(x)})
     assert len(rows) == len(eng.program.impls)
     assert all(t >= 0 for _, _, t in rows)
+
+
+def test_format_hlo_stats_renders_synthetic_rows():
+    from simpleinfer_tpu.profiling import _HLO_STAT_KEYS, format_hlo_stats
+
+    def row(name, cat, us, n=1, **kw):
+        r = {k: None for k in _HLO_STAT_KEYS}
+        r.update(hlo_op_name=name, category=cat, total_self_time=us,
+                 occurrences=n, total_self_time_percent=50.0,
+                 model_flop_rate=1000.0, measured_memory_bw=500.0,
+                 bound_by="Compute", **kw)
+        return r
+
+    rows = [row("fusion.1", "convolution fusion", 200.0, 10),
+            row("copy.3", "data formatting", 100.0, 10)]
+    text = format_hlo_stats(rows, top=5, iters=10)
+    assert "convolution fusion" in text and "copy.3" in text
+    # 300 us over 10 iters = 0.030 ms/iter
+    assert "0.030 ms/iter" in text
+    # empty capture should not crash
+    assert "0.000 ms/iter" in format_hlo_stats([], iters=1)
+
+
+def test_device_profile_cpu_trace_roundtrip(tmp_path):
+    """trace -> xplane -> hlo_stats parse on the CPU backend. The CPU
+    plane has no per-HLO device stats (rows may be empty) — the test
+    asserts the capture/parse pipeline itself works."""
+    import pytest
+
+    from simpleinfer_tpu.profiling import device_profile
+
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((64, 64), jnp.float32)
+    try:
+        rows = device_profile(f, x, iters=2, logdir=str(tmp_path / "tr"))
+    except (RuntimeError, FileNotFoundError) as e:
+        pytest.skip(f"profiler unavailable on this backend: {e}")
+    assert isinstance(rows, list)
+    for r in rows:
+        assert set(r) == set(
+            __import__("simpleinfer_tpu.profiling",
+                       fromlist=["_HLO_STAT_KEYS"])._HLO_STAT_KEYS)

@@ -79,3 +79,14 @@ def test_classify_cli_int8_static(tmp_path, capsys):
                "--dtype", "float32", "--quant", "int8", "--topk", "3"])
     assert rc == 0
     assert capsys.readouterr().out.count("class ") == 3
+
+
+def test_profile_cli(yolo_model, capsys, tmp_path):
+    try:
+        rc = main(["profile", *yolo_model, "--iters", "2", "--top", "5",
+                   "--logdir", str(tmp_path / "tr")])
+    except (RuntimeError, FileNotFoundError) as e:
+        pytest.skip(f"profiler unavailable: {e}")
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ms/iter" in out and "category" in out
