@@ -50,9 +50,14 @@ def _throughput(eng, in_name, out_name, batch, image_size, dtype,
     print(f"  forward compiled in {time.perf_counter() - t0:.0f}s",
           file=sys.stderr, flush=True)
 
-    x = jnp.asarray(x_np, eng.config.compute_jnp_dtype)
+    # Stage the input stem-PACKED, exactly like Engine.input() does (a
+    # free host/device reshape): feeding the raw NHWC array instead makes
+    # XLA re-lay it out on device EVERY forward — measured +0.20 ms/batch
+    # (scripts/layout_experiment.py: raw 2.43 ms vs packed 2.23 ms).
     weights = eng._device_weights
     program = eng.program
+    x = program.pack_input(in_name,
+                           jnp.asarray(x_np, eng.config.compute_jnp_dtype))
 
     def fwd(xi):
         return program.fn(weights, {in_name: xi})[out_name]

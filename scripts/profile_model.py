@@ -80,8 +80,10 @@ def main() -> int:
     print(f"compiled in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     import jax.numpy as jnp
-    x = jnp.asarray(x_np, cfg.compute_jnp_dtype)
     weights, program = eng._device_weights, eng.program
+    # stem-packed, like Engine.input() stages it (free reshape)
+    x = program.pack_input(in_name,
+                           jnp.asarray(x_np, cfg.compute_jnp_dtype))
 
     def fwd(xi):
         return program.fn(weights, {in_name: xi})[out_name]

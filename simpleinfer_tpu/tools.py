@@ -142,8 +142,9 @@ def cmd_profile(args) -> int:
         eng.calibrate([{name: x}])
 
     import jax.numpy as jnp
-    xd = jnp.asarray(x, cfg.compute_jnp_dtype)
     weights, program = eng._device_weights, eng.program
+    # stem-packed, like Engine.input() stages it (free reshape)
+    xd = program.pack_input(name, jnp.asarray(x, cfg.compute_jnp_dtype))
     out_name = program.output_names[0]
 
     def fwd(xi):
