@@ -263,6 +263,10 @@ def _block_toeplitz_weights(w_hwio: np.ndarray, g: int, sw: int,
 # producer picks f∈{8,4,2} at trace time → emits jo=f/2∈{4,2,1} blocks)
 _BT_IN_BLOCKS = (4, 2)
 
+# debug/A-B switch: keep cat-split 1x1 convs in the packed domain
+# (measured on-chip before enabling; scripts/packed_cat_experiment.py)
+_PACKED_CAT_SPLIT = True
+
 
 # input-channel threshold under which the space-to-depth stem rewrite
 # fires (stem convs: ic=3; beyond ~8 the lane packing is fine already)
@@ -383,12 +387,68 @@ def lower_conv2d(op, cfg):
 
     cat_inputs = op.has_param("si_cat_inputs")
 
+    def _apply_split_packed(weights, xs, bias):
+        """Cat-split 1x1 over W-PACKED sources: slice the block-diagonal
+        bt_in{g} weight per source along the logical input-channel axis
+        and sum the packed partial convs — the whole packed region flows
+        through the cat junction with no unpack/repack copies (measured
+        2x ~0.1 ms relayouts per C3 block on yolov5s-640-b8, the
+        'boundary copies' in docs/PERF.md). Returns None to fall back."""
+        if not _PACKED_CAT_SPLIT:
+            return None
+        if tuple(kernel) != (1, 1) or stride_t != (1, 1):
+            return None
+        if not all(isinstance(x, PackedW) for x in xs):
+            return None
+        g, ow = xs[0].jo, xs[0].ow
+        key = f"bt_in{g}"
+        if key not in weights:
+            return None
+        if any(x.jo != g or x.ow != ow for x in xs[1:]):
+            return None
+        chans = [int(x.shape[-1]) for x in xs]
+        if sum(chans) != in_channels:
+            return None
+        wfull = resolve_weight(weights[key], xs[0].data.dtype)
+        # [1,1,g*ic,g*oc] block-diagonal, input index d*ic + c: expose
+        # the logical channel axis so each source slices its rows
+        w5 = wfull.reshape(1, 1, g, in_channels, g * out_channels)
+        precision = (lax.Precision.HIGHEST
+                     if xs[0].data.dtype == jnp.float32
+                     else lax.Precision.DEFAULT)
+        acc, ofs = None, 0
+        for x, c in zip(xs, chans):
+            wi = lax.slice_in_dim(w5, ofs, ofs + c, axis=3)
+            wi = wi.reshape(1, 1, g * c, g * out_channels)
+            y = lax.conv_general_dilated(
+                x.data, wi, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=_DIMENSION_NUMBERS,
+                preferred_element_type=jnp.float32, precision=precision)
+            acc = y if acc is None else acc + y
+            ofs += c
+        out = _epilogue_packed(acc, bias, g, xs[0].data.dtype)
+        if pack_out and g > 1:
+            return PackedW(data=out, jo=g, ow=ow)
+        n, oh = out.shape[0], out.shape[1]
+        return out.reshape(n, oh, ow, out_channels)
+
     def _apply_split(weights, xs):
         """conv1x1 over a (never materialized) channel concat: slice the
         weight per source at trace time and sum the partial convs (XLA
         fuses the adds into the conv epilogues).
         See ir/passes.fuse_cat_conv1x1."""
         w, bias = weights["weight"], weights.get("bias")
+        act_scale_ = weights.get("act_scale")
+        use_int8 = (act_scale_ is not None
+                    and isinstance(w, QuantizedTensor)
+                    and int8_conv_eligible(1, in_channels,
+                                           cfg.int8_min_channels,
+                                           cfg.int8_pointwise))
+        if not use_int8:
+            out = _apply_split_packed(weights, xs, bias)
+            if out is not None:
+                return out
+        xs = [x.unpack() if isinstance(x, PackedW) else x for x in xs]
         if isinstance(w, QuantizedTensor):
             # IC slicing leaves the per-OUT-channel scales untouched
             parts, ofs = [], 0
@@ -456,8 +516,7 @@ def lower_conv2d(op, cfg):
 
     def apply(weights, *xs):
         if cat_inputs and len(xs) > 1:
-            return _apply_split(weights, [x.unpack() if isinstance(x, PackedW)
-                                          else x for x in xs])
+            return _apply_split(weights, list(xs))
         (x,) = xs
         w, bias = weights["weight"], weights.get("bias")
         # requant target for a marked int8 chain (ir/passes.FUSED_Q_OUT);
