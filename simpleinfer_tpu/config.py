@@ -78,6 +78,14 @@ class EngineConfig:
     compilation_cache_dir: Optional[str] = "~/.cache/simpleinfer_tpu/xla"
     # donate input buffers to the jitted call
     donate_inputs: bool = False
+    # "auto": compile the forward with XLA-chosen (AUTO) input layouts
+    # and stage inputs in them (single-device only; falls back under a
+    # mesh or if the layout API is unavailable). XLA would otherwise
+    # re-lay the default-layout argument out on device EVERY forward —
+    # measured ~2% of the yolov5s-640-b8 bf16 headline
+    # (scripts/layout_experiment.py: 2.229 -> 2.187 ms). "default":
+    # plain jit with default argument layouts.
+    input_layout: str = "auto"
     # uint8 inputs are shipped raw and scaled on-device by this factor
     # (4x less host->device traffic than pre-normalized f32 — the
     # serving-path win; set 1.0 to disable scaling)
@@ -93,6 +101,8 @@ class EngineConfig:
             raise ValueError("act_clip_percentile must be in (0, 100)")
         if self.io_layout not in ("nhwc", "nchw"):
             raise ValueError("io_layout must be 'nhwc' or 'nchw'")
+        if self.input_layout not in ("auto", "default"):
+            raise ValueError("input_layout must be 'auto' or 'default'")
 
     @property
     def compute_jnp_dtype(self):

@@ -100,6 +100,13 @@ class Engine:
         self._staged: dict = {}
         self._outputs: dict = {}
         self._observer = None  # cached jitted calibration observer
+        # AUTO-input-layout state (config.input_layout == "auto"):
+        # {input-signature: (compiled, {name: Format})}; None after a
+        # failed attempt (permanently fall back to default layouts)
+        self._aot_cache: Optional[dict] = {}
+        # {(name, shape, dtype): Format} — lets input() stage directly
+        # in the layout the compiled forward wants
+        self._input_formats: dict = {}
 
     # ---- lifecycle -----------------------------------------------------
     def load_model(self, parampath: str, binpath: Optional[str] = None,
@@ -141,6 +148,8 @@ class Engine:
         self._staged = {}
         self._outputs = {}
         self._observer = None
+        self._aot_cache = {}
+        self._input_formats = {}
 
     @property
     def loaded(self) -> bool:
@@ -203,6 +212,13 @@ class Engine:
         x = self._program.pack_input(name, x)
         if self._mesh is not None:
             x = jax.device_put(x, input_sharding(self._mesh, x.ndim))
+        else:
+            # stage straight into the layout the compiled forward wants
+            # (known after the first forward of this signature)
+            fmt = self._input_formats.get(
+                (name, tuple(x.shape), str(x.dtype)))
+            if fmt is not None:
+                x = jax.device_put(x, fmt)
         return x
 
     def forward(self) -> None:
@@ -212,9 +228,64 @@ class Engine:
                    if n not in self._staged]
         if missing:
             raise EngineStateError(f"inputs not set: {missing}")
-        self._outputs = self._jitted(self._device_weights, self._staged)
+        entry = self._auto_layout_entry()
+        if entry is not None:
+            compiled, formats = entry
+            staged = {}
+            for n, v in self._staged.items():
+                fmt = formats[n]
+                if getattr(v, "format", None) != fmt:
+                    v = jax.device_put(v, fmt)
+                staged[n] = v
+            self._outputs = compiled(self._device_weights, staged)
+        else:
+            self._outputs = self._jitted(self._device_weights, self._staged)
         if self.config.donate_inputs:
             self._staged = {}
+
+    def _auto_layout_entry(self):
+        """(compiled, {input: Format}) for the current staged-input
+        signature, AOT-compiled with XLA-chosen argument layouts
+        (EngineConfig.input_layout). None = use the default-layout jit
+        (mesh configured, disabled, or the layout API failed once)."""
+        if (self.config.input_layout != "auto" or self._mesh is not None
+                or self._aot_cache is None):
+            return None
+        key = tuple(sorted(
+            (n, tuple(v.shape), str(v.dtype))
+            for n, v in self._staged.items()))
+        entry = self._aot_cache.get(key)
+        if entry is None:
+            try:
+                entry = self._compile_auto_layout()
+            except Exception as e:  # noqa: BLE001 — layout API varies
+                logger.warning(
+                    "AUTO input layouts unavailable (%s: %s); using "
+                    "default layouts", type(e).__name__, e)
+                self._aot_cache = None
+                return None
+            self._aot_cache[key] = entry
+        return entry
+
+    def _compile_auto_layout(self):
+        from jax.experimental.layout import Format, Layout
+
+        program = self._program
+
+        def run_fn(weights, inputs):
+            return program.fn(weights, inputs)
+
+        donate = (1,) if self.config.donate_inputs else ()
+        jitted = jax.jit(run_fn,
+                         in_shardings=(Format(), Format(Layout.AUTO)),
+                         donate_argnums=donate)
+        compiled = jitted.lower(self._device_weights,
+                                self._staged).compile()
+        formats = compiled.input_formats[0][1]
+        for n, v in self._staged.items():
+            self._input_formats[(n, tuple(v.shape), str(v.dtype))] = \
+                formats[n]
+        return compiled, formats
 
     def warmup(self, batch_sizes=(1,)) -> None:
         """Compile the forward for each batch size ahead of time (batch
@@ -291,6 +362,11 @@ class Engine:
                 self._program.weights[impl.name]["out_scale"] = np.asarray(
                     scales[c], np.float32)
         self._device_weights = self._place_weights(self._program)
+        if self._aot_cache:
+            # weight pytree changed shape (act_scale/out_scale entries):
+            # drop compiled-forward entries lowered against the old tree
+            self._aot_cache = {}
+            self._input_formats = {}
         logger.info("calibrated %d ops over %d batches (observer=%s)",
                     len(scales), n_batches,
                     self.config.act_clip_percentile or "absmax")

@@ -306,6 +306,38 @@ def test_stem_input_staged_packed():
     np.testing.assert_allclose(via_engine, raw, atol=2e-4, rtol=1e-4)
 
 
+def test_auto_input_layout():
+    """input_layout='auto' (the default) AOT-compiles the forward with
+    XLA-chosen argument layouts, caches one entry per input signature,
+    stages later inputs directly in the compiled format, and matches
+    the default-layout path exactly."""
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    eng = Engine().load_model(None, graph=graph)
+    assert eng.config.input_layout == "auto"
+    y1 = eng.run({in_name: x})[out_name]
+    assert eng._aot_cache and len(eng._aot_cache) == 1
+    assert len(eng._input_formats) == 1
+    # second run: input() stages straight into the known format and the
+    # cached executable is reused (no new entries)
+    y2 = eng.run({in_name: x})[out_name]
+    assert len(eng._aot_cache) == 1
+    np.testing.assert_array_equal(y1, y2)
+    # a second batch size adds a second signature entry
+    x2 = RNG.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    eng.run({in_name: x2})
+    assert len(eng._aot_cache) == 2
+
+    ref_graph, ref_in, ref_out = build_resnet18(batch=1, image_size=32,
+                                                num_classes=4, width=8)
+    ref = Engine(EngineConfig(input_layout="default")).load_model(
+        None, graph=ref_graph)
+    y_ref = ref.run({ref_in: x})[ref_out]
+    assert not ref._aot_cache  # default mode never AOT-compiles
+    np.testing.assert_allclose(y1, y_ref, atol=1e-6, rtol=1e-6)
+
+
 def test_compilation_cache_enabled(tmp_path):
     """Engine construction points JAX's persistent compile cache at the
     configured dir (first caller wins process-wide)."""
