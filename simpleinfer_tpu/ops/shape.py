@@ -58,6 +58,11 @@ def lower_flatten(op, cfg):
     return OpImpl(name=op.name, type=op.type, apply=apply)
 
 
+# debug/A-B switch: integer-scale nearest upsample as broadcast+reshape
+# instead of two gathers (scripts/head_decode_experiment.py)
+_UPSAMPLE_BROADCAST = True
+
+
 def upsample_nearest(x, scale=None, size=None):
     """NHWC nearest upsample; index = trunc(out * 1/scale), clamped."""
     n, h, w, c = x.shape
@@ -68,6 +73,17 @@ def upsample_nearest(x, scale=None, size=None):
         sh, sw = scale
         oh, ow = int(h * sh), int(w * sw)
         sh_inv, sw_inv = 1.0 / sh, 1.0 / sw
+    # integer upscale (the YOLO FPN 2x case): out[i,j] = x[i//f, j//f]
+    # as a pure broadcast+reshape — gathers materialize transposed
+    # operand copies on TPU (~4 relayouts/forward in the yolov5s trace),
+    # broadcasts fuse into the consumer. Identical to the trunc-clamp
+    # index map below when both factors divide.
+    if (_UPSAMPLE_BROADCAST and oh % h == 0 and ow % w == 0
+            and (oh > h or ow > w)):
+        fh, fw = oh // h, ow // w
+        out = jnp.broadcast_to(x[:, :, None, :, None, :],
+                               (n, h, fh, w, fw, c))
+        return out.reshape(n, oh, ow, c)
     # static index maps, exactly the reference's float-trunc-clamp
     h_idx = np.clip((np.arange(oh) * sh_inv).astype(np.int32), 0, h - 1)
     w_idx = np.clip((np.arange(ow) * sw_inv).astype(np.int32), 0, w - 1)

@@ -31,6 +31,15 @@ _ANCHOR_ATTR_INDEX = (4, 2, 0)  # yolo_detect.h:28
 _GRID_ATTR_INDEX = (6, 3, 1)  # yolo_detect.h:29
 _NUM_LEVELS = 3
 
+# debug/A-B switch: decode once after the level concat (bf16 logits
+# concat, stride folded into tables) vs per-level f32 decode before it.
+# MEASURED LOSER on v5e yolov5s-640-b8 despite halving concat traffic
+# (scripts/head_decode_experiment.py: per-level 1.56-1.89 ms vs
+# after-concat 1.80-2.06 ms paired; the per-level decode fuses into the
+# head conv epilogues, the post-concat decode adds a standalone 100 MB
+# read-write fusion). Kept as a documented negative result.
+_DECODE_AFTER_CONCAT = False
+
 
 @register_op("models.yolo.DetectV8")
 def lower_yolo_detect_v8(op, cfg):
@@ -94,6 +103,7 @@ def lower_yolo_detect(op, cfg):
     weights: dict = {}
     num_anchors = None
     num_info = None
+    level_consts: list = []  # (hw, gridc, anchorc) per level
     for i in range(_NUM_LEVELS):
         w = require_attr(op, f"m.{i}.weight", 1).array()  # [E, C, 1, 1] OIHW
         b = require_attr(op, f"m.{i}.bias", 1).array()
@@ -144,10 +154,30 @@ def lower_yolo_detect(op, cfg):
             gridc[:, ai * ni + 1] = gr2[ai, :, 1]
             anchorc[:, ai * ni + 2] = ag2[ai, :, 0]
             anchorc[:, ai * ni + 3] = ag2[ai, :, 1]
-        weights[f"gridc{i}"] = gridc
-        weights[f"anchorc{i}"] = anchorc
+        level_consts.append((hw, gridc, anchorc))
 
     strides_list = [float(s) for s in strides]
+    # ONE decode for all levels, AFTER the level concat (the per-level
+    # f32 decode outputs used to be copied into the concat fusion —
+    # 3 f32 copies, ~68 MB/forward at 640; concatenating the bf16
+    # logits first halves that traffic and fuses the decode once).
+    # Stride folds into the constants: (y*2+grid)*stride = y*(2*stride)
+    # + grid*stride and (y*2)^2*anchor = y^2*(4*anchor), so rows of the
+    # concatenated tables carry their level's stride (reference decode:
+    # yolo_detect.cpp:204-271).
+    if _DECODE_AFTER_CONCAT:
+        weights["dec_ga"] = np.concatenate(
+            [g * s for (_, g, _), s in zip(level_consts, strides_list)])
+        weights["dec_ac"] = np.concatenate(
+            [4.0 * ac for (_, _, ac) in level_consts])
+        weights["dec_sc"] = np.concatenate(
+            [np.full((hw, 1), 2.0 * s, np.float32)
+             for (hw, _, _), s in zip(level_consts, strides_list)])
+    else:
+        # per-level decode constants (see flag above)
+        for i, (_, g, ac) in enumerate(level_consts):
+            weights[f"gridc{i}"] = g
+            weights[f"anchorc{i}"] = ac
     na, ni = num_anchors, num_info
     chan = np.arange(na * ni) % ni
     xy_mask = jnp.asarray(chan < 2)
@@ -171,19 +201,32 @@ def lower_yolo_detect(op, cfg):
         for i, x in enumerate(features):
             y = conv2d_nhwc(x, weights[f"w{i}"], weights[f"b{i}"])
             n, h, w_, c = y.shape
+            if _DECODE_AFTER_CONCAT:
+                # raw logits at the compute dtype; reshape is free
+                # (lane dim unchanged) and the concat moves half the
+                # bytes of the old f32 per-level decode outputs
+                outs.append(y.reshape(n, h * w_, c))
+                continue
             y = jax.nn.sigmoid(y).astype(jnp.float32)
-            y = y.reshape(n, h * w_, c)  # free: lane dim unchanged
+            y = y.reshape(n, h * w_, c)
             xy = (y * 2.0 + weights[f"gridc{i}"]) * strides_list[i]
             wh = jnp.square(y * 2.0) * weights[f"anchorc{i}"]
-            # stay in the channel-packed [N, HW, A*ni] domain
             outs.append(jnp.where(xy_mask, xy, jnp.where(wh_mask, wh, y)))
         # one concat + ONE re-tile for all levels: rows of level L map to
         # rows 3p..3p+2 contiguously, so the packed concat reshapes
         # row-major to exactly the [N, sum(HWA), ni] output
-        cat = jnp.concatenate(outs, axis=1)
+        out = jnp.concatenate(outs, axis=1)
+        if _DECODE_AFTER_CONCAT:
+            # single fused decode in the channel-packed [N, ΣHW, A*ni]
+            # domain (sigmoid in f32 — at least as accurate as the old
+            # per-level bf16 sigmoid)
+            yf = jax.nn.sigmoid(out.astype(jnp.float32))
+            xy = yf * weights["dec_sc"] + weights["dec_ga"]
+            wh = jnp.square(yf) * weights["dec_ac"]
+            out = jnp.where(xy_mask, xy, jnp.where(wh_mask, wh, yf))
         if terminal:
-            return cat  # host reshapes for free (see above)
-        return cat.reshape(cat.shape[0], cat.shape[1] * na, ni)
+            return out  # host reshapes for free (see above)
+        return out.reshape(out.shape[0], out.shape[1] * na, ni)
 
     return OpImpl(
         name=op.name, type=op.type, apply=apply, weights=weights,
@@ -194,5 +237,5 @@ def lower_yolo_detect(op, cfg):
         # stride 32); the decode arithmetic runs in f32 via the explicit
         # astype above
         fp32_keys=tuple(k for k in weights
-                        if k[0] in "gab"),  # gridc*/anchorc*/b*
+                        if k[0] in "abdg"),  # b*, dec_*, gridc*, anchorc*
     )
