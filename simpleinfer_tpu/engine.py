@@ -237,7 +237,19 @@ class Engine:
                 if getattr(v, "format", None) != fmt:
                     v = jax.device_put(v, fmt)
                 staged[n] = v
-            self._outputs = compiled(self._device_weights, staged)
+            try:
+                self._outputs = compiled(self._device_weights, staged)
+            except ValueError as e:
+                # an executable whose reported input_formats disagree
+                # with its actual layout requirements (seen once on the
+                # axon backend) — don't fail the forward, degrade to
+                # default layouts for the rest of this engine's life
+                logger.warning(
+                    "AUTO-layout executable rejected its inputs (%s); "
+                    "falling back to default layouts", e)
+                self._aot_cache = None
+                self._outputs = self._jitted(self._device_weights,
+                                             self._staged)
         else:
             self._outputs = self._jitted(self._device_weights, self._staged)
         if self.config.donate_inputs:
