@@ -51,6 +51,31 @@ def initialize_context() -> None:
             format="%(asctime)s %(levelname).1s %(name)s] %(message)s")
 
 
+def _required_layouts_from_error(text: str) -> dict:
+    """Parse {input name: required major_to_minor} from an XLA
+    "Computation was compiled for input layouts that disagree" error.
+    Each mismatch block reads:
+
+        Argument inputs['0'] with shape bfloat16[8,640,80,24]:
+          Passed layout: Layout(major_to_minor=(0, 2, 3, 1), ...)
+          Required layout: Layout(major_to_minor=(1, 2, 0, 3), ...)
+
+    Only graph-input arguments are recovered (weights are placed once
+    at load and never rejected in practice). Returns {} if the text
+    does not match, which callers treat as unrecoverable."""
+    import re
+
+    out = {}
+    for name, mm in re.findall(
+            r"Argument inputs\['([^']+)'\].*?"
+            r"Required layout: Layout\(major_to_minor=\(([\d,\s]*)\)",
+            text, re.S):
+        dims = tuple(int(t) for t in mm.replace(" ", "").split(",") if t)
+        if dims:
+            out[name] = dims
+    return out
+
+
 class EngineStateError(RuntimeError):
     """Operation requires a loaded model (analog of Status::kEmptyGraph /
     kEmptyPipeline early-outs, engine_impl.cpp:522-555)."""
@@ -240,10 +265,30 @@ class Engine:
             try:
                 self._outputs = compiled(self._device_weights, staged)
             except ValueError as e:
-                # an executable whose reported input_formats disagree
-                # with its actual layout requirements (seen once on the
-                # axon backend) — don't fail the forward, degrade to
-                # default layouts for the rest of this engine's life
+                # the axon backend sometimes reports input_formats that
+                # disagree with the executable's actual layout
+                # requirements; the rejection message carries the
+                # required major_to_minor per argument, so recover the
+                # true formats from it and retry once
+                fixed = _required_layouts_from_error(str(e))
+                if fixed and all(n in formats for n in fixed):
+                    logger.warning(
+                        "AUTO-layout executable rejected its inputs; "
+                        "re-staging %s in the required layouts",
+                        sorted(fixed))
+                    try:
+                        self._repair_auto_layouts(formats, fixed)
+                        staged = {n: jax.device_put(v, formats[n])
+                                  for n, v in self._staged.items()}
+                        self._outputs = compiled(self._device_weights,
+                                                 staged)
+                        if self.config.donate_inputs:
+                            self._staged = {}
+                        return
+                    except Exception as e2:  # noqa: BLE001
+                        e = e2
+                # unrecoverable — degrade to default layouts for the
+                # rest of this engine's life
                 logger.warning(
                     "AUTO-layout executable rejected its inputs (%s); "
                     "falling back to default layouts", e)
@@ -278,6 +323,23 @@ class Engine:
                 return None
             self._aot_cache[key] = entry
         return entry
+
+    def _repair_auto_layouts(self, formats: dict, fixed: dict) -> None:
+        """Replace reported-but-wrong AUTO formats with the layouts the
+        executable actually requires (parsed from its rejection error).
+        Mutates `formats` in place — the same dict object lives in
+        `_aot_cache` — and refreshes `_input_formats` so future
+        `input()` calls stage straight into the corrected layout."""
+        from jax.experimental.layout import Format, Layout
+
+        for name, mm in fixed.items():
+            old = formats[name]
+            formats[name] = Format(Layout(major_to_minor=mm),
+                                   old.sharding)
+            v = self._staged.get(name)
+            if v is not None:
+                self._input_formats[(name, tuple(v.shape),
+                                     str(v.dtype))] = formats[name]
 
     def _compile_auto_layout(self):
         from jax.experimental.layout import Format, Layout

@@ -338,6 +338,63 @@ def test_auto_input_layout():
     np.testing.assert_allclose(y1, y_ref, atol=1e-6, rtol=1e-6)
 
 
+def test_auto_layout_mismatch_recovery():
+    """When the AOT executable rejects its inputs because the backend's
+    reported input_formats disagree with the real layout requirements
+    (seen on the remote TPU backend), forward() parses the required
+    major_to_minor from the error, re-stages, and retries — keeping the
+    AUTO path alive — and only degrades to default layouts when the
+    error is unparseable."""
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    eng = Engine().load_model(None, graph=graph)
+    y_ref = eng.run({in_name: x})[out_name]
+
+    key, (real_compiled, formats) = next(iter(eng._aot_cache.items()))
+    # the executable's true requirement; the synthetic rejection below
+    # claims the staged array was passed in some OTHER layout so that
+    # re-staging per the parsed requirement is the correct repair
+    real_mm = tuple(formats[in_name].layout.major_to_minor)
+    mm_str = ", ".join(str(d) for d in real_mm)
+    err = (
+        "Computation was compiled for input layouts that disagree with "
+        "the layouts of arguments passed to it. Here are the 1 "
+        "mismatches:\n"
+        f"Argument inputs['{in_name}'] with shape bfloat16[1,32,32,3]:\n"
+        "  Passed layout: Layout(major_to_minor=(0, 2, 3, 1), "
+        "tiling=((8, 128), (2, 1)), sub_byte_element_size_in_bits=0)\n"
+        f"  Required layout: Layout(major_to_minor=({mm_str}), "
+        "tiling=((8, 128), (2, 1)), sub_byte_element_size_in_bits=0)")
+    from simpleinfer_tpu.engine import _required_layouts_from_error
+    assert _required_layouts_from_error(err) == {in_name: real_mm}
+    assert _required_layouts_from_error("some other ValueError") == {}
+    calls = []
+
+    def flaky(weights, staged):
+        calls.append(1)
+        if len(calls) == 1:
+            raise ValueError(err)
+        return real_compiled(weights, staged)
+
+    eng._aot_cache[key] = (flaky, formats)
+    y2 = eng.run({in_name: x})[out_name]
+    np.testing.assert_array_equal(y_ref, y2)
+    assert len(calls) == 2          # rejected once, retried successfully
+    assert eng._aot_cache is not None   # AUTO path stays enabled
+    mm = eng._aot_cache[key][1][in_name].layout.major_to_minor
+    assert tuple(mm) == real_mm         # cached format matches requirement
+
+    # unparseable rejection -> permanent default-layout fallback
+    def broken(weights, staged):
+        raise ValueError("some other ValueError")
+
+    eng._aot_cache[key] = (broken, formats)
+    y3 = eng.run({in_name: x})[out_name]
+    np.testing.assert_array_equal(y_ref, y3)
+    assert eng._aot_cache is None
+
+
 def test_compilation_cache_enabled(tmp_path):
     """Engine construction points JAX's persistent compile cache at the
     configured dir (first caller wins process-wide)."""
