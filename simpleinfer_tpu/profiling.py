@@ -232,6 +232,13 @@ def hlo_stats(trace_dir: str) -> list:
             "descriptor error, set PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"
             "=python before python starts") from e
     data, _ = _r2t.xspace_to_tool_data(paths, "hlo_stats", {})
+    if data is None:
+        raise RuntimeError(
+            "xprof produced no hlo_stats from the capture — the trace "
+            "holds no device events. On a remote-attached chip this "
+            "means the backend's profiler service was unavailable "
+            "during capture ('No worker service stub available' on "
+            "stderr); retry later, it is a transient service condition.")
     table = _json.loads(data.decode() if isinstance(data, bytes) else data)
     cols = [c["id"] for c in table["cols"]]
     rows = []
