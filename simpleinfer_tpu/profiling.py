@@ -127,7 +127,7 @@ def summarize_roofline(program, batch: int = 1, spec: ChipSpec = V5E,
 
 
 def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True,
-                        precompile: bool = True):
+                        precompile: bool = True, compiler_options=None):
     """Wall-accurate DEVICE time per fn(*args) call, robust to host
     dispatch overhead: runs iterations inside one jitted lax.fori_loop,
     chaining each iteration's input on a scalar of the previous output
@@ -145,19 +145,23 @@ def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True,
     program directly can stall >45 min, while the same loop compiles in
     ~20-30 s once the plain fn has been compiled (shared per-fusion
     cache). The extra plain compile costs seconds to minutes but bounds
-    the worst case."""
+    the worst case.
+
+    `compiler_options`: optional {xla option: value} dict applied to
+    BOTH the plain and loop compiles (per-executable XLA backend
+    options — the tuning surface scripts/xla_flags_experiment.py
+    sweeps)."""
     import jax.numpy as jnp
     from jax import lax
 
     if precompile:
-        jax.jit(fn).lower(*args).compile()
+        jax.jit(fn).lower(*args).compile(compiler_options)
 
     def scalar_of(out):
         leaf = jax.tree_util.tree_leaves(out)[0]
         return jnp.sum(leaf).astype(jnp.float32)
 
-    @jax.jit
-    def loop(n, x0, *rest):
+    def loop_fn(n, x0, *rest):
         def body(i, carry):
             x, acc = carry
             out = fn(x, *rest)
@@ -169,6 +173,14 @@ def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True,
         _, acc = lax.fori_loop(0, n, body, (x0, jnp.float32(0.0)),
                                unroll=False)
         return acc
+
+    jitted = jax.jit(loop_fn)
+    if compiler_options:
+        # AOT with explicit backend options; n stays a traced argument
+        # so the two measurement points share this one executable
+        loop = jitted.lower(iters, *args).compile(compiler_options)
+    else:
+        loop = jitted
 
     if warmup:
         np.asarray(loop(iters, *args))

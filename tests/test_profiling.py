@@ -54,6 +54,26 @@ def test_timed_run_matches_jitted():
     assert all(t >= 0 for _, _, t in rows)
 
 
+def test_measure_device_time_compiler_options():
+    """compiler_options reach the backend compile (an invalid option
+    must fail; a valid one must measure normally) — the per-executable
+    tuning surface scripts/xla_flags_experiment.py sweeps."""
+    import pytest
+
+    from simpleinfer_tpu.profiling import measure_device_time
+
+    f = lambda x: jnp.tanh(x @ x.T)  # noqa: E731
+    x = jnp.asarray(RNG.standard_normal((16, 16)), jnp.float32)
+    dt = measure_device_time(
+        f, x, iters=3,
+        compiler_options={"xla_cpu_enable_fast_math": False})
+    assert dt > 0
+    with pytest.raises(Exception):
+        measure_device_time(
+            f, x, iters=3,
+            compiler_options={"xla_not_a_real_option_xyz": 1})
+
+
 def test_format_hlo_stats_renders_synthetic_rows():
     from simpleinfer_tpu.profiling import _HLO_STAT_KEYS, format_hlo_stats
 
