@@ -27,6 +27,11 @@ def measure(build_fn, cfg, batch, img, iters=20, **kw):
 
     graph, in_name, out_name = build_fn(batch=batch, image_size=img, **kw)
     eng = Engine(cfg).load_model(None, graph=graph)
+    if cfg.quant == "int8":
+        # static activation int8: calibrate on one representative batch
+        calib = (np.random.default_rng(1).standard_normal(
+            (batch, img, img, 3)).astype(np.float32) / 4)
+        eng.calibrate([{in_name: calib}])
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (batch, img, img, 3)).astype(np.float32) / 4,
@@ -42,6 +47,8 @@ def measure(build_fn, cfg, batch, img, iters=20, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config-label prefixes to run")
     args = ap.parse_args()
 
     from simpleinfer_tpu import EngineConfig
@@ -53,7 +60,10 @@ def main():
 
     fp32 = EngineConfig()
     bf16 = EngineConfig(compute_dtype="bfloat16")
-    int8 = EngineConfig(compute_dtype="bfloat16", quant="int8w")
+    int8w = EngineConfig(compute_dtype="bfloat16", quant="int8w")
+    # static activation int8 (calibrated s8xs8 convs): wins on
+    # wide-channel models (yolov5l 1.17x bf16, docs/PERF.md)
+    int8s = EngineConfig(compute_dtype="bfloat16", quant="int8")
 
     b_large = 32 if args.quick else 128
     rows = [
@@ -61,18 +71,23 @@ def main():
         ("1: resnet18 224 b1 fp32", build_resnet18, fp32, 1, 224, {}),
         ("2: yolov5s 640 b1 fp32", build_yolov5, fp32, 1, 640,
          {"variant": "s"}),
-        ("3: yolov5s 640 b32 int8w", build_yolov5, int8, 32, 640,
+        ("3: yolov5s 640 b32 int8w", build_yolov5, int8w, 32, 640,
          {"variant": "s"}),
-        ("4a: resnet50 224 b%d int8w" % b_large, build_resnet50, int8,
-         b_large, 224, {}),
-        ("4b: yolov5l 640 b16 int8w", build_yolov5, int8, 16, 640,
+        ("4a: resnet50 224 b%d int8-static" % b_large, build_resnet50,
+         int8s, b_large, 224, {}),
+        ("4b: yolov5l 640 b16 int8-static", build_yolov5, int8s, 16, 640,
          {"variant": (1.0, 1.0)}),
         ("5: yolov5l 640 b16 bf16 (single-chip form)", build_yolov5, bf16,
          16, 640, {"variant": (1.0, 1.0)}),
     ]
     print("| config | ms/batch | img/s/chip | TFLOP/s |", file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
+    wanted = ([w.strip() for w in args.only.split(",")]
+              if args.only else None)
     for label, fn, cfg, batch, img, kw in rows:
+        if wanted is not None and not any(
+                label.startswith(w) for w in wanted):
+            continue
         try:
             dt, ips, tf = measure(fn, cfg, batch, img, **kw)
             print(json.dumps({"config": label,
