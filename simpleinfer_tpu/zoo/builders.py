@@ -445,7 +445,7 @@ def _yolo_channels(width_mult: float):
 def build_yolov5(variant: str = "n", batch: int = 1, image_size: int = 640,
                  num_classes: int = 80, seed: int = 0) -> tuple:
     """YOLOv5 (v6.0 topology: 6x6 stem, C3 blocks, SPPF, PAN head,
-    fused Detect). variant: n / s / m / l or (depth_mult, width_mult).
+    fused Detect). variant: n / s / m / l / x or (depth_mult, width_mult).
 
     Structure per ultralytics yolov5 v6 yaml; all convs carry bias (a
     pnnx export folds BN into the conv, which is also what the
@@ -453,7 +453,7 @@ def build_yolov5(variant: str = "n", batch: int = 1, image_size: int = 640,
     BN ops, see the conv+silu pairs in test-yolo2's operand dump).
     """
     presets = {"n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75),
-               "l": (1.0, 1.0)}
+               "l": (1.0, 1.0), "x": (1.33, 1.25)}
     depth_mult, width_mult = presets[variant] if isinstance(variant, str) \
         else variant
     cw = _yolo_channels(width_mult)
@@ -529,8 +529,9 @@ def build_yolov8(variant: str = "n", batch: int = 1, image_size: int = 640,
     PAN neck, anchor-free decoupled head with DFL decode
     (models.yolo.DetectV8). A model FAMILY the CPU reference cannot run
     (its registry has no chunk/DFL ops) — superset capability.
-    variant: n / s / m or (depth_mult, width_mult)."""
-    presets = {"n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75)}
+    variant: n / s / m / l or (depth_mult, width_mult)."""
+    presets = {"n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75),
+               "l": (1.0, 1.0)}
     depth_mult, width_mult = presets[variant] if isinstance(variant, str) \
         else variant
     cw = _yolo_channels(width_mult)

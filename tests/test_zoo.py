@@ -180,3 +180,21 @@ def test_detect_images_yolov8_auto_head():
     if dets[0]:
         d = dets[0][0]
         assert 0 <= d.class_id < 80 and 0.0 <= d.score <= 1.0
+
+
+def test_large_variant_presets_build():
+    """yolov5x and yolov8l presets produce runnable graphs with wider/
+    deeper structure than their s/n siblings."""
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_yolov5, build_yolov8
+
+    for build, variant, small in ((build_yolov5, "x", "s"),
+                                  (build_yolov8, "l", "n")):
+        g, in_name, out_name = build(variant, batch=1, image_size=64)
+        g_small, _, _ = build(small, batch=1, image_size=64)
+        assert len(g.ops) > len(g_small.ops)
+        eng = Engine().load_model(None, graph=g)
+        x = RNG.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        y = np.asarray(eng.run({in_name: x})[out_name], np.float32)
+        assert np.isfinite(y).all()
+        eng.release()
