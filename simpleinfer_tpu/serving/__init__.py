@@ -8,5 +8,7 @@ re-jit axis), and one device stream executes in order while the host
 overlaps preprocessing and fetches.
 """
 from .batcher import BatchingService, BucketStats, Request, ServiceStats
+from .http import InferenceServer
 
-__all__ = ["BatchingService", "BucketStats", "Request", "ServiceStats"]
+__all__ = ["BatchingService", "BucketStats", "InferenceServer", "Request",
+           "ServiceStats"]

@@ -1,0 +1,195 @@
+"""HTTP front-end for the continuous-batching service.
+
+The reference stops at a C++ API + demo binaries; a production serving
+surface is part of this framework's north star (BASELINE.json config 5:
+continuous-batched image stream). This module exposes a BatchingService
+over plain HTTP using only the standard library, so a deployment needs
+no extra dependencies:
+
+- ``POST /v1/infer``  — one inference item per request. Body is either
+  a ``.npy`` array (``Content-Type: application/x-npy``) or JSON
+  ``{"input": <nested list>}``. The response mirrors the request
+  encoding. Concurrent requests are merged into device batches by the
+  BatchingService — the HTTP layer adds no batching logic of its own.
+- ``GET /v1/stats``   — scheduler statistics as JSON; pass ``?slo_ms=N``
+  to include the per-bucket SLO report.
+- ``GET /healthz``    — liveness probe.
+
+TPU-shaped design notes: every handler thread blocks on its request's
+Future while the scheduler thread owns the device, so HTTP concurrency
+(ThreadingHTTPServer, one thread per connection) translates directly
+into batch occupancy. Item arrays are validated against the engine's
+per-item input shape up front, returning 400 before anything reaches
+the queue.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+NPY_CONTENT_TYPE = "application/x-npy"
+_MAX_BODY = 256 * 1024 * 1024
+
+
+class InferenceServer:
+    """Serve a started BatchingService over HTTP.
+
+    Usage:
+        svc = BatchingService(engine).start()
+        server = InferenceServer(svc).start()     # port=0 -> ephemeral
+        ... server.address ...
+        server.stop(); svc.stop()
+    """
+
+    def __init__(self, service, host: str = "127.0.0.1", port: int = 8000,
+                 request_timeout_s: float = 120.0):
+        self.service = service
+        self.request_timeout_s = request_timeout_s
+        self._item_shape = self._resolve_item_shape(service)
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @staticmethod
+    def _resolve_item_shape(service):
+        """Per-item (batch-less) input shape from the engine program."""
+        for spec in service.engine.program.inputs:
+            if spec.name == service.input_name:
+                return tuple(spec.shape[1:])
+        raise ValueError(f"input {service.input_name!r} not in program")
+
+    @property
+    def address(self) -> tuple:
+        return self._httpd.server_address
+
+    def start(self) -> "InferenceServer":
+        if self._thread is not None:
+            return self
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True, name="si-http")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is None:
+            return
+        self._httpd.shutdown()
+        self._thread.join(timeout=10)
+        self._httpd.server_close()
+        self._thread = None
+
+    # ---- request handling (called from handler threads) ----------------
+    def infer(self, array: np.ndarray) -> np.ndarray:
+        if tuple(array.shape) != self._item_shape:
+            raise ValueError(
+                f"expected item shape {self._item_shape}, "
+                f"got {tuple(array.shape)}")
+        fut = self.service.submit(array)
+        out = np.asarray(fut.result(timeout=self.request_timeout_s))
+        if out.dtype.kind not in "fiub":  # e.g. ml_dtypes bfloat16 (kind V)
+            out = out.astype(np.float32)  # wire format must be portable
+        return out
+
+    def stats_dict(self, slo_ms: float | None = None) -> dict:
+        s = self.service.stats
+        out = {
+            "requests": s.requests,
+            "batches": s.batches,
+            "padded_items": s.padded_items,
+            "mean_latency_ms": s.mean_latency_ms,
+            "mean_batch_occupancy": s.mean_batch_occupancy,
+            "batches_per_engine": list(s.batches_per_engine),
+            "per_bucket": {
+                str(b): {"batches": bs.batches, "items": bs.items,
+                         "mean_latency_ms": bs.mean_latency_ms,
+                         "max_latency_ms": 1e3 * bs.max_latency_s}
+                for b, bs in sorted(s.per_bucket.items())},
+            "item_shape": list(self._item_shape),
+        }
+        if slo_ms is not None:
+            out["slo"] = s.slo_report(slo_ms)
+        return out
+
+
+def _make_handler(server: InferenceServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # silence per-request stderr lines (serving logs go via stats)
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code: int, obj) -> None:
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):  # noqa: N802
+            path, _, query = self.path.partition("?")
+            if path == "/healthz":
+                self._reply_json(200, {"status": "ok"})
+            elif path == "/v1/stats":
+                slo_ms = None
+                for part in query.split("&"):
+                    if part.startswith("slo_ms="):
+                        try:
+                            slo_ms = float(part.split("=", 1)[1])
+                        except ValueError:
+                            self._reply_json(
+                                400, {"error": "bad slo_ms"})
+                            return
+                self._reply_json(200, server.stats_dict(slo_ms))
+            else:
+                self._reply_json(404, {"error": f"no route {path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/infer":
+                self._reply_json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._reply_json(400, {"error": "bad Content-Length"})
+                return
+            if not 0 < length <= _MAX_BODY:
+                self._reply_json(400, {"error": "body required "
+                                       f"(max {_MAX_BODY} bytes)"})
+                return
+            body = self.rfile.read(length)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            try:
+                if ctype == NPY_CONTENT_TYPE:
+                    arr = np.load(io.BytesIO(body), allow_pickle=False)
+                else:
+                    payload = json.loads(body)
+                    arr = np.asarray(payload["input"], dtype=np.float32)
+            except Exception as e:  # noqa: BLE001 — client error
+                self._reply_json(400, {"error": f"bad body: {e}"})
+                return
+            try:
+                out = server.infer(arr)
+            except ValueError as e:
+                self._reply_json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — backend error
+                self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if ctype == NPY_CONTENT_TYPE:
+                buf = io.BytesIO()
+                np.save(buf, out, allow_pickle=False)
+                self._reply(200, buf.getvalue(), NPY_CONTENT_TYPE)
+            else:
+                self._reply_json(200, {"output": out.tolist(),
+                                       "shape": list(out.shape)})
+
+    return Handler

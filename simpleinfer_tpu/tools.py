@@ -155,6 +155,39 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP inference server: pnnx model -> continuous-batched endpoint
+    (serving/http.py). Blocks until interrupted."""
+    from .serving import BatchingService, InferenceServer
+
+    eng = _load_engine(args)
+    if eng.config.quant == "int8":
+        raise SystemExit("serve: static int8 needs offline calibration; "
+                         "use --quant int8w or calibrate via the API")
+    svc = BatchingService(eng, max_batch=args.max_batch,
+                          max_wait_ms=args.max_wait_ms)
+    if args.warmup:
+        print("compiling buckets "
+              f"{svc.buckets} ...", flush=True)
+        svc.warmup()
+    svc.start()
+    server = InferenceServer(svc, host=args.host, port=args.port).start()
+    host, port = server.address[:2]
+    print(f"serving {args.param} on http://{host}:{port} "
+          f"(POST /v1/infer, GET /v1/stats, GET /healthz)", flush=True)
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        print("shutting down", flush=True)
+    finally:
+        server.stop()
+        svc.stop(drain=False)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="simpleinfer_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -201,6 +234,23 @@ def main(argv=None) -> int:
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--logdir", default="/tmp/si_device_profile")
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("serve", help="HTTP inference server "
+                                     "(continuous batching)")
+    p.add_argument("param")
+    p.add_argument("bin", nargs="?")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--int8", action="store_true",
+                   help="shorthand for --quant int8w")
+    p.add_argument("--quant", choices=["int8w", "int8"])
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every bucket before accepting traffic")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("roofline", help="per-op roofline cost table")
     p.add_argument("param")

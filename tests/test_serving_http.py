@@ -1,0 +1,162 @@
+"""HTTP serving front-end tests (CPU, tiny model, ephemeral port)."""
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from simpleinfer_tpu import Engine
+from simpleinfer_tpu.serving import BatchingService, InferenceServer
+from simpleinfer_tpu.serving.http import NPY_CONTENT_TYPE
+from simpleinfer_tpu.zoo import build_resnet18
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def served():
+    graph, _, _ = build_resnet18(batch=1, image_size=32, num_classes=6,
+                                 width=8)
+    eng = Engine().load_model(None, graph=graph)
+    svc = BatchingService(eng, max_batch=8, max_wait_ms=20).start()
+    server = InferenceServer(svc, port=0).start()
+    host, port = server.address[:2]
+    yield eng, svc, f"http://{host}:{port}"
+    server.stop()
+    svc.stop(drain=False)
+
+
+def _post(url, body: bytes, ctype: str):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def _get_json(url):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_healthz(served):
+    _, _, base = served
+    status, body = _get_json(base + "/healthz")
+    assert status == 200 and body == {"status": "ok"}
+
+
+def test_infer_npy_roundtrip(served):
+    eng, _, base = served
+    x = RNG.standard_normal((32, 32, 3)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, x, allow_pickle=False)
+    status, ctype, body = _post(base + "/v1/infer", buf.getvalue(),
+                                NPY_CONTENT_TYPE)
+    assert status == 200 and ctype == NPY_CONTENT_TYPE
+    got = np.load(io.BytesIO(body), allow_pickle=False)
+    want = eng.run({eng.input_names[0]: x[None]})[eng.output_names[0]][0]
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_infer_json_roundtrip(served):
+    eng, _, base = served
+    x = RNG.standard_normal((32, 32, 3)).astype(np.float32)
+    status, _, body = _post(base + "/v1/infer",
+                            json.dumps({"input": x.tolist()}).encode(),
+                            "application/json")
+    assert status == 200
+    payload = json.loads(body)
+    got = np.asarray(payload["output"], dtype=np.float32)
+    assert payload["shape"] == list(got.shape)
+    want = eng.run({eng.input_names[0]: x[None]})[eng.output_names[0]][0]
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_concurrent_requests_batched(served):
+    eng, svc, base = served
+    import concurrent.futures as cf
+
+    xs = [RNG.standard_normal((32, 32, 3)).astype(np.float32)
+          for _ in range(12)]
+
+    def one(x):
+        buf = io.BytesIO()
+        np.save(buf, x, allow_pickle=False)
+        status, _, body = _post(base + "/v1/infer", buf.getvalue(),
+                                NPY_CONTENT_TYPE)
+        assert status == 200
+        return np.load(io.BytesIO(body), allow_pickle=False)
+
+    before = svc.stats.batches
+    with cf.ThreadPoolExecutor(max_workers=12) as ex:
+        got = np.stack(list(ex.map(one, xs)))
+    want = eng.run({eng.input_names[0]: np.stack(xs)})[eng.output_names[0]]
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    # concurrent posts should merge into fewer device batches
+    assert svc.stats.batches - before < 12
+
+
+def test_stats_endpoint(served):
+    _, svc, base = served
+    status, body = _get_json(base + "/v1/stats?slo_ms=1000")
+    assert status == 200
+    assert body["requests"] == svc.stats.requests
+    assert body["item_shape"] == [32, 32, 3]
+    assert "slo" in body and isinstance(body["per_bucket"], dict)
+
+
+def test_bad_shape_is_400(served):
+    _, _, base = served
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((8, 8, 3), np.float32), allow_pickle=False)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/infer", buf.getvalue(), NPY_CONTENT_TYPE)
+    assert ei.value.code == 400
+    assert "expected item shape" in json.loads(ei.value.read())["error"]
+
+
+def test_bad_body_is_400(served):
+    _, _, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/infer", b"not npy or json", NPY_CONTENT_TYPE)
+    assert ei.value.code == 400
+
+
+def test_bf16_output_is_portable():
+    """bf16 engines must not leak ml_dtypes arrays onto the wire
+    (np.save writes them as void16; JSON encoding fails) — the server
+    casts to float32."""
+    from simpleinfer_tpu import EngineConfig
+
+    graph, _, _ = build_resnet18(batch=1, image_size=32, num_classes=6,
+                                 width=8)
+    eng = Engine(EngineConfig(compute_dtype="bfloat16")).load_model(
+        None, graph=graph)
+    svc = BatchingService(eng, max_batch=4, max_wait_ms=5).start()
+    server = InferenceServer(svc, port=0).start()
+    try:
+        host, port = server.address[:2]
+        base = f"http://{host}:{port}"
+        x = RNG.standard_normal((32, 32, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x, allow_pickle=False)
+        status, _, body = _post(base + "/v1/infer", buf.getvalue(),
+                                NPY_CONTENT_TYPE)
+        assert status == 200
+        got = np.load(io.BytesIO(body), allow_pickle=False)
+        assert got.dtype == np.float32
+        status, _, body = _post(base + "/v1/infer",
+                                json.dumps({"input": x.tolist()}).encode(),
+                                "application/json")
+        assert status == 200 and json.loads(body)["shape"] == [6]
+    finally:
+        server.stop()
+        svc.stop(drain=False)
+
+
+def test_unknown_route_is_404(served):
+    _, _, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get_json(base + "/nope")
+    assert ei.value.code == 404
