@@ -425,6 +425,20 @@ class Engine:
         if not n_batches:
             raise EngineStateError("calibrate() needs at least one batch")
         scales = scales_from_stats(agg)
+        self._install_act_scales(scales)
+        logger.info("calibrated %d ops over %d batches (observer=%s)",
+                    len(scales), n_batches,
+                    self.config.act_clip_percentile or "absmax")
+        return scales
+
+    def _install_act_scales(self, scales: dict) -> None:
+        """Install per-op activation scales into the weight pytree and
+        re-place weights (switches conv/linear onto s8×s8 at retrace)."""
+        unknown = [k for k in scales
+                   if k not in self._program.weights]
+        if unknown:
+            raise EngineStateError(
+                f"calibration names not in this model: {unknown[:5]}")
         for opname, s in scales.items():
             self._program.weights[opname]["act_scale"] = np.asarray(
                 s, np.float32)
@@ -441,9 +455,34 @@ class Engine:
             # drop compiled-forward entries lowered against the old tree
             self._aot_cache = {}
             self._input_formats = {}
-        logger.info("calibrated %d ops over %d batches (observer=%s)",
-                    len(scales), n_batches,
-                    self.config.act_clip_percentile or "absmax")
+
+    def save_calibration(self, path: str) -> None:
+        """Persist the installed activation scales as an npz artifact,
+        so production engines can load offline calibration instead of
+        re-running sample batches (`load_calibration`). The artifact is
+        {op name: f32 scalar scale} — model-specific but batch-size and
+        dtype-config independent."""
+        self._require_loaded()
+        scales = {name: w["act_scale"]
+                  for name, w in self._program.weights.items()
+                  if isinstance(w, dict) and "act_scale" in w}
+        if not scales:
+            raise EngineStateError(
+                "no activation scales installed; run calibrate() first")
+        np.savez(path, **scales)
+
+    def load_calibration(self, path: str) -> dict:
+        """Install activation scales from a `save_calibration` artifact.
+        Requires quant='int8'. Returns the {op name: scale} dict."""
+        self._require_loaded()
+        if self.config.quant != "int8":
+            raise EngineStateError(
+                "load_calibration() requires EngineConfig(quant='int8')")
+        with np.load(path) as z:
+            scales = {k: float(z[k]) for k in z.files}
+        self._install_act_scales(scales)
+        logger.info("loaded calibration for %d ops from %s",
+                    len(scales), path)
         return scales
 
     def block_until_ready(self) -> None:

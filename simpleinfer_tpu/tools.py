@@ -155,6 +155,30 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    """Offline static-int8 calibration: sample batches in -> reusable
+    scales artifact out (Engine.save_calibration). Each sample file is
+    an npz of {input name: batch array}; feed representative data."""
+    import numpy as np
+
+    from . import Engine, EngineConfig
+
+    cfg = EngineConfig(compute_dtype=args.dtype, quant="int8",
+                       act_clip_percentile=args.percentile)
+    eng = Engine(cfg).load_model(args.param, args.bin)
+
+    def batches():
+        for path in args.samples:
+            with np.load(path) as z:
+                yield {k: z[k] for k in z.files}
+
+    scales = eng.calibrate(batches())
+    eng.save_calibration(args.out)
+    print(f"calibrated {len(scales)} ops from {len(args.samples)} "
+          f"sample file(s) -> {args.out}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP inference server: pnnx model -> continuous-batched endpoint
     (serving/http.py). Blocks until interrupted."""
@@ -162,8 +186,12 @@ def cmd_serve(args) -> int:
 
     eng = _load_engine(args)
     if eng.config.quant == "int8":
-        raise SystemExit("serve: static int8 needs offline calibration; "
-                         "use --quant int8w or calibrate via the API")
+        if not args.calibration:
+            raise SystemExit(
+                "serve: static int8 needs offline calibration; pass "
+                "--calibration scales.npz (from the calibrate command) "
+                "or use --quant int8w")
+        eng.load_calibration(args.calibration)
     svc = BatchingService(eng, max_batch=args.max_batch,
                           max_wait_ms=args.max_wait_ms)
     if args.warmup:
@@ -250,7 +278,24 @@ def main(argv=None) -> int:
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--warmup", action="store_true",
                    help="compile every bucket before accepting traffic")
+    p.add_argument("--calibration",
+                   help="scales npz from the calibrate command "
+                        "(required with --quant int8)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("calibrate",
+                       help="offline static-int8 calibration -> "
+                            "scales npz artifact")
+    p.add_argument("param")
+    p.add_argument("bin", nargs="?")
+    p.add_argument("samples", nargs="+",
+                   help="npz files of {input name: batch array}")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--percentile", type=float,
+                   help="clip to this percentile of |x| instead of absmax")
+    p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("roofline", help="per-op roofline cost table")
     p.add_argument("param")

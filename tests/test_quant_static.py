@@ -131,6 +131,78 @@ def test_engine_int8_static_end_to_end():
     assert np.argmax(q) == np.argmax(fp)
 
 
+def test_calibration_save_load_roundtrip(tmp_path):
+    """Offline calibration artifact: scales saved by one engine and
+    loaded by a fresh engine reproduce the calibrated outputs exactly."""
+    def fresh():
+        g, _, _ = build_resnet18(batch=1, image_size=32, num_classes=8,
+                                 width=16)
+        return Engine(EngineConfig(quant="int8", int8_min_channels=1,
+                                   int8_pointwise=True)).load_model(
+            None, graph=g)
+
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=8, width=16)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+
+    eng = fresh()
+    scales = eng.calibrate(_calib_batches(in_name) + [{in_name: x}])
+    path = str(tmp_path / "calib.npz")
+    eng.save_calibration(path)
+    want = eng.run({in_name: x})[out_name]
+
+    eng2 = fresh()
+    loaded = eng2.load_calibration(path)
+    assert loaded.keys() == scales.keys()
+    assert all(abs(loaded[k] - scales[k]) < 1e-7 for k in scales)
+    got = eng2.run({in_name: x})[out_name]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_calibration_artifact_guards(tmp_path):
+    graph, in_name, _ = build_resnet18(batch=1, image_size=32,
+                                       num_classes=8, width=16)
+    eng = Engine(EngineConfig(quant="int8")).load_model(None, graph=graph)
+    with pytest.raises(EngineStateError, match="no activation scales"):
+        eng.save_calibration(str(tmp_path / "x.npz"))
+    # fp32 engine refuses to load calibration
+    g2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=8,
+                              width=16)
+    fp_eng = Engine().load_model(None, graph=g2)
+    np.savez(str(tmp_path / "c.npz"), **{"conv1": np.float32(0.1)})
+    with pytest.raises(EngineStateError, match="quant='int8'"):
+        fp_eng.load_calibration(str(tmp_path / "c.npz"))
+    # unknown op names rejected
+    np.savez(str(tmp_path / "bad.npz"), **{"nope": np.float32(0.1)})
+    with pytest.raises(EngineStateError, match="not in this model"):
+        eng.load_calibration(str(tmp_path / "bad.npz"))
+
+
+def test_calibrate_cli_roundtrip(tmp_path):
+    """calibrate CLI -> artifact -> Engine.load_calibration."""
+    from simpleinfer_tpu.tools import main
+
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=8, width=16)
+    param = str(tmp_path / "m.pnnx.param")
+    binf = str(tmp_path / "m.pnnx.bin")
+    graph.save(param, binf)
+    for i in range(2):
+        np.savez(str(tmp_path / f"s{i}.npz"),
+                 **{in_name: RNG.standard_normal((1, 32, 32, 3))
+                    .astype(np.float32)})
+    out = str(tmp_path / "calib.npz")
+    rc = main(["calibrate", param, binf,
+               str(tmp_path / "s0.npz"), str(tmp_path / "s1.npz"),
+               "-o", out, "--dtype", "float32"])
+    assert rc == 0
+    eng = Engine(EngineConfig(quant="int8")).load_model(param, binf)
+    scales = eng.load_calibration(out)
+    assert scales and all(s > 0 for s in scales.values())
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    assert eng.run({in_name: x})[out_name].shape == (1, 8)
+
+
 def test_calibrate_requires_int8_mode():
     graph, in_name, _ = build_resnet18(batch=1, image_size=32,
                                        num_classes=4, width=8)
