@@ -13,6 +13,8 @@ no extra dependencies:
   BatchingService — the HTTP layer adds no batching logic of its own.
 - ``GET /v1/stats``   — scheduler statistics as JSON; pass ``?slo_ms=N``
   to include the per-bucket SLO report.
+- ``GET /metrics``    — the same counters in Prometheus text exposition
+  format, for scrape-based monitoring.
 - ``GET /healthz``    — liveness probe.
 
 TPU-shaped design notes: every handler thread blocks on its request's
@@ -115,6 +117,35 @@ class InferenceServer:
             out["slo"] = s.slo_report(slo_ms)
         return out
 
+    def metrics_text(self) -> str:
+        """ServiceStats in Prometheus text exposition format."""
+        s = self.service.stats
+        lines = [
+            "# TYPE si_requests_total counter",
+            f"si_requests_total {s.requests}",
+            "# TYPE si_batches_total counter",
+            f"si_batches_total {s.batches}",
+            "# TYPE si_padded_items_total counter",
+            f"si_padded_items_total {s.padded_items}",
+            "# TYPE si_request_latency_seconds_sum counter",
+            f"si_request_latency_seconds_sum {s.total_latency_s:.9f}",
+            "# TYPE si_batch_time_seconds_sum counter",
+            f"si_batch_time_seconds_sum {s.total_batch_time_s:.9f}",
+            "# TYPE si_batch_occupancy gauge",
+            f"si_batch_occupancy {s.mean_batch_occupancy:.6f}",
+        ]
+        lines.append("# TYPE si_bucket_items_total counter")
+        for b, bs in sorted(s.per_bucket.items()):
+            lines.append(f'si_bucket_items_total{{bucket="{b}"}} '
+                         f"{bs.items}")
+        lines.append("# TYPE si_bucket_latency_seconds_max gauge")
+        for b, bs in sorted(s.per_bucket.items()):
+            lines.append(f'si_bucket_latency_seconds_max{{bucket="{b}"}} '
+                         f"{bs.max_latency_s:.9f}")
+        for i, n in enumerate(s.batches_per_engine):
+            lines.append(f'si_engine_batches_total{{engine="{i}"}} {n}')
+        return "\n".join(lines) + "\n"
+
 
 def _make_handler(server: InferenceServer):
     class Handler(BaseHTTPRequestHandler):
@@ -138,6 +169,9 @@ def _make_handler(server: InferenceServer):
             path, _, query = self.path.partition("?")
             if path == "/healthz":
                 self._reply_json(200, {"status": "ok"})
+            elif path == "/metrics":
+                self._reply(200, server.metrics_text().encode(),
+                            "text/plain; version=0.0.4")
             elif path == "/v1/stats":
                 slo_ms = None
                 for part in query.split("&"):

@@ -106,6 +106,17 @@ def test_stats_endpoint(served):
     assert "slo" in body and isinstance(body["per_bucket"], dict)
 
 
+def test_metrics_prometheus_format(served):
+    _, svc, base = served
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Content-Type", "").startswith("text/plain")
+        text = resp.read().decode()
+    assert f"si_requests_total {svc.stats.requests}" in text
+    assert "# TYPE si_batches_total counter" in text
+    assert "si_batch_occupancy" in text
+
+
 def test_bad_shape_is_400(served):
     _, _, base = served
     buf = io.BytesIO()
