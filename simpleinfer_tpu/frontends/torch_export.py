@@ -203,6 +203,35 @@ def _export_module(b, node, mod, name):
         _attr(op, "weight", mod.weight if mod.affine else torch.ones(c))
         _attr(op, "bias", mod.bias if mod.affine else torch.zeros(c))
         return
+    if t is nn.LayerNorm:
+        op = b.add_op("nn.LayerNorm", name, [node.args[0]], node)
+        _param(op, "elementwise_affine", bool(mod.elementwise_affine))
+        _param(op, "eps", float(mod.eps))
+        _param(op, "normalized_shape", [int(d) for d in
+                                        mod.normalized_shape])
+        if mod.elementwise_affine:
+            _attr(op, "weight", mod.weight)
+            _attr(op, "bias", mod.bias)
+        return
+    if t is nn.GroupNorm:
+        op = b.add_op("nn.GroupNorm", name, [node.args[0]], node)
+        _param(op, "affine", bool(mod.affine))
+        _param(op, "eps", float(mod.eps))
+        _param(op, "num_channels", int(mod.num_channels))
+        _param(op, "num_groups", int(mod.num_groups))
+        if mod.affine:
+            _attr(op, "weight", mod.weight)
+            _attr(op, "bias", mod.bias)
+        return
+    if t is nn.InstanceNorm2d:
+        op = b.add_op("nn.InstanceNorm2d", name, [node.args[0]], node)
+        _param(op, "affine", bool(mod.affine))
+        _param(op, "eps", float(mod.eps))
+        _param(op, "num_features", int(mod.num_features))
+        if mod.affine:
+            _attr(op, "weight", mod.weight)
+            _attr(op, "bias", mod.bias)
+        return
     if t is nn.Linear:
         op = b.add_op("nn.Linear", name, [node.args[0]], node)
         _param(op, "bias", mod.bias is not None)

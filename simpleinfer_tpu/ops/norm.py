@@ -1,18 +1,28 @@
-"""nn.BatchNorm2d lowering (inference form).
+"""Normalization lowerings (inference form).
 
-Parity with /root/reference/src/layer/batch_norm_2d.cpp:116-134:
+BatchNorm2d has parity with
+/root/reference/src/layer/batch_norm_2d.cpp:116-134:
 ``y = (x - running_mean) * rsqrt(running_var + eps) * gamma + beta``
 broadcast over the channel (last, NHWC) dim. The four per-channel vectors
 are pre-folded at load into a single scale+shift pair — one fused
 multiply-add in the XLA graph, which the compiler then folds into the
 preceding conv's epilogue.
+
+LayerNorm/GroupNorm/InstanceNorm2d are superset ops (the reference's
+registry stops at BatchNorm2d, /root/reference/src/layer_registry.cpp:
+33-49) — they appear in modern CNN/ConvNeXt-style pnnx exports. All are
+batch-statistics-free at inference, so they lower to pure jnp
+reductions XLA fuses; statistics accumulate in f32 even under bf16
+compute (a bf16 mean over thousands of elements loses ~2 decimal
+digits).
 """
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 from .registry import OpImpl, register_op, require_attr, require_param
-from ..ir.graph import PARAM_BOOL, PARAM_FLOAT, PARAM_INT
+from ..ir.graph import PARAM_AINT, PARAM_BOOL, PARAM_FLOAT, PARAM_INT
 
 
 @register_op("nn.BatchNorm2d")
@@ -40,5 +50,100 @@ def lower_batch_norm_2d(op, cfg):
     def apply(weights, x):
         return (x * weights["scale"].astype(x.dtype)
                 + weights["shift"].astype(x.dtype))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights)
+
+
+def _normalize(x, axes, eps):
+    """(x - mean) * rsqrt(var + eps) over `axes`, stats in f32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    return ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
+
+
+def _affine_weights(op, affine, expect_shape):
+    if not affine:
+        return {}
+    gamma = require_attr(op, "weight").array().astype(np.float32)
+    beta = require_attr(op, "bias").array().astype(np.float32)
+    for name, v in (("weight", gamma), ("bias", beta)):
+        if v.shape != expect_shape:
+            raise ValueError(f"{op.type} {op.name}: {name} shape "
+                             f"{v.shape} != {expect_shape}")
+    return {"gamma": gamma, "beta": beta}
+
+
+@register_op("nn.LayerNorm")
+def lower_layer_norm(op, cfg):
+    """Normalize over the trailing `normalized_shape` LOGICAL dims.
+    Rank-4 operands are physically NHWC, so the input round-trips
+    through NCHW; other ranks (transformer-style [N,T,C]) apply
+    directly."""
+    shape = tuple(require_param(op, "normalized_shape", PARAM_AINT).ai)
+    eps = require_param(op, "eps", PARAM_FLOAT).f
+    affine = require_param(op, "elementwise_affine", PARAM_BOOL).b
+    weights = _affine_weights(op, affine, shape)
+    nd = len(shape)
+
+    def apply(weights, x):
+        phys4 = x.ndim == 4
+        if phys4:
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        if tuple(x.shape[-nd:]) != shape:
+            raise ValueError(
+                f"LayerNorm {op.name}: input trailing dims "
+                f"{tuple(x.shape[-nd:])} != normalized_shape {shape}")
+        y = _normalize(x, tuple(range(x.ndim - nd, x.ndim)), eps)
+        if affine:
+            y = (y * weights["gamma"].astype(y.dtype)
+                 + weights["beta"].astype(y.dtype))
+        if phys4:
+            y = jnp.transpose(y, (0, 2, 3, 1))
+        return y
+
+    return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights)
+
+
+@register_op("nn.GroupNorm")
+def lower_group_norm(op, cfg):
+    groups = require_param(op, "num_groups", PARAM_INT).i
+    channels = require_param(op, "num_channels", PARAM_INT).i
+    eps = require_param(op, "eps", PARAM_FLOAT).f
+    affine = require_param(op, "affine", PARAM_BOOL).b
+    if channels % groups:
+        raise ValueError(f"GroupNorm {op.name}: num_channels {channels} "
+                         f"not divisible by num_groups {groups}")
+    weights = _affine_weights(op, affine, (channels,))
+
+    def apply(weights, x):
+        # NHWC: group the (last) channel dim, reduce spatial + in-group
+        n = x.shape[0]
+        spatial = x.shape[1:-1]
+        xg = x.reshape((n,) + spatial + (groups, channels // groups))
+        axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        y = _normalize(xg, axes, eps).reshape(x.shape)
+        if affine:
+            y = (y * weights["gamma"].astype(y.dtype)
+                 + weights["beta"].astype(y.dtype))
+        return y
+
+    return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights)
+
+
+@register_op("nn.InstanceNorm2d")
+def lower_instance_norm_2d(op, cfg):
+    features = require_param(op, "num_features", PARAM_INT).i
+    eps = require_param(op, "eps", PARAM_FLOAT).f
+    affine = require_param(op, "affine", PARAM_BOOL).b
+    weights = _affine_weights(op, affine, (features,))
+
+    def apply(weights, x):
+        # per (N, C) over H, W — NHWC reduce dims (1, 2)
+        y = _normalize(x, (1, 2), eps)
+        if affine:
+            y = (y * weights["gamma"].astype(y.dtype)
+                 + weights["beta"].astype(y.dtype))
+        return y
 
     return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights)

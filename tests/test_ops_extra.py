@@ -240,3 +240,80 @@ def test_mean_no_keepdim():
     got = run(impl, nhwc(x))
     want = torch.from_numpy(x).mean(dim=(2, 3)).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ----------------------------------------------------------------- norms
+@pytest.mark.parametrize("affine", [True, False])
+def test_layer_norm_rank4(affine):
+    # normalized_shape over the trailing LOGICAL (NCHW) dims: [H, W]
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    gamma = RNG.standard_normal((4, 5)).astype(np.float32)
+    beta = RNG.standard_normal((4, 5)).astype(np.float32)
+    attrs = {"weight": gamma, "bias": beta} if affine else {}
+    impl = lower_operator(make_op("nn.LayerNorm", params=dict(
+        normalized_shape=[4, 5], eps=1e-5, elementwise_affine=affine),
+        attrs=attrs), CFG)
+    got = run(impl, nhwc(x))
+    ln = torch.nn.LayerNorm([4, 5], elementwise_affine=affine)
+    if affine:
+        ln.weight.data = torch.from_numpy(gamma)
+        ln.bias.data = torch.from_numpy(beta)
+    want = ln(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=2e-5)
+
+
+def test_layer_norm_rank3_transformer_style():
+    x = RNG.standard_normal((2, 7, 16)).astype(np.float32)
+    gamma = RNG.standard_normal(16).astype(np.float32)
+    beta = RNG.standard_normal(16).astype(np.float32)
+    impl = lower_operator(make_op("nn.LayerNorm", params=dict(
+        normalized_shape=[16], eps=1e-5, elementwise_affine=True),
+        attrs={"weight": gamma, "bias": beta}), CFG)
+    got = run(impl, x)
+    ln = torch.nn.LayerNorm(16)
+    ln.weight.data = torch.from_numpy(gamma)
+    ln.bias.data = torch.from_numpy(beta)
+    want = ln(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_layer_norm_shape_mismatch_raises():
+    impl = lower_operator(make_op("nn.LayerNorm", params=dict(
+        normalized_shape=[8], eps=1e-5, elementwise_affine=False)), CFG)
+    with pytest.raises(ValueError, match="normalized_shape"):
+        run(impl, RNG.standard_normal((2, 7, 16)).astype(np.float32))
+
+
+@pytest.mark.parametrize("affine", [True, False])
+@pytest.mark.parametrize("groups", [1, 2, 6])
+def test_group_norm(groups, affine):
+    x = RNG.standard_normal((2, 6, 5, 4)).astype(np.float32)
+    gamma = RNG.standard_normal(6).astype(np.float32)
+    beta = RNG.standard_normal(6).astype(np.float32)
+    attrs = {"weight": gamma, "bias": beta} if affine else {}
+    impl = lower_operator(make_op("nn.GroupNorm", params=dict(
+        num_groups=groups, num_channels=6, eps=1e-5, affine=affine),
+        attrs=attrs), CFG)
+    got = run(impl, nhwc(x))
+    want = F.group_norm(
+        torch.from_numpy(x), groups,
+        torch.from_numpy(gamma) if affine else None,
+        torch.from_numpy(beta) if affine else None, 1e-5).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("affine", [True, False])
+def test_instance_norm_2d(affine):
+    x = RNG.standard_normal((2, 5, 6, 7)).astype(np.float32)
+    gamma = RNG.standard_normal(5).astype(np.float32)
+    beta = RNG.standard_normal(5).astype(np.float32)
+    attrs = {"weight": gamma, "bias": beta} if affine else {}
+    impl = lower_operator(make_op("nn.InstanceNorm2d", params=dict(
+        num_features=5, eps=1e-5, affine=affine), attrs=attrs), CFG)
+    got = run(impl, nhwc(x))
+    want = F.instance_norm(
+        torch.from_numpy(x),
+        weight=torch.from_numpy(gamma) if affine else None,
+        bias=torch.from_numpy(beta) if affine else None,
+        eps=1e-5).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=2e-5)

@@ -274,3 +274,36 @@ def test_mean_without_dim_raises():
     with pytest.raises(TorchExportError):
         export_torch(M(), RNG.standard_normal((1, 3, 4, 4))
                      .astype(np.float32))
+
+
+def test_norm_family_export():
+    """LayerNorm/GroupNorm/InstanceNorm2d export + lowering vs live
+    torch modules (superset ops — absent from the reference registry)."""
+    m = nn.Sequential(
+        nn.Conv2d(3, 8, 3, padding=1),
+        nn.GroupNorm(2, 8),
+        nn.ReLU(),
+        nn.Conv2d(8, 8, 3, padding=1),
+        nn.InstanceNorm2d(8, affine=True),
+        nn.Hardswish(),
+        nn.LayerNorm([8, 8]),   # over trailing logical H,W dims
+    )
+    with torch.no_grad():
+        m[4].weight.normal_(1.0, 0.2)
+        m[4].bias.normal_(0, 0.2)
+        m[6].weight.normal_(1.0, 0.2)
+        m[6].bias.normal_(0, 0.2)
+    _check(m, (2, 3, 8, 8), tol=5e-4)
+
+
+def test_layer_norm_channels_last_vector():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Linear(12, 16)
+            self.ln = nn.LayerNorm(16)
+
+        def forward(self, x):
+            return self.ln(self.fc(x))
+
+    _check(M(), (4, 12), tol=5e-4)
