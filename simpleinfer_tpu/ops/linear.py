@@ -63,6 +63,17 @@ def lower_linear(op, cfg):
         from ..kernels.matmul import pallas_supported
         from ..quant.tensor import QuantizedTensor, quantize_act
 
+        phys4 = x.ndim == 4
+        if phys4:
+            # rank-4 operands are stored physically NHWC of their
+            # LOGICAL shape (ops/shape.py); Linear contracts the logical
+            # last dim (e.g. ConvNeXt channels-last MLPs on [N,H,W,C]),
+            # so round-trip through the logical layout
+            x = jnp.transpose(x, (0, 3, 1, 2))
+
+        def back(y):
+            return jnp.transpose(y, (0, 2, 3, 1)) if phys4 else y
+
         w, bias = weights["weight"], weights.get("bias")
         act_scale = weights.get("act_scale")
         if act_scale is not None and isinstance(w, QuantizedTensor):
@@ -73,8 +84,8 @@ def lower_linear(op, cfg):
             q = quantize_act(x, act_scale)
             acc = jnp.einsum("...i,io->...o", q, w.data,
                              preferred_element_type=jnp.int32)
-            return int8_epilogue(acc, act_scale, w.scale, bias, fused_act,
-                                 x.dtype)
+            return back(int8_epilogue(acc, act_scale, w.scale, bias,
+                                      fused_act, x.dtype))
         if (allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w
@@ -82,8 +93,8 @@ def lower_linear(op, cfg):
             lead = x.shape[:-1]
             out = matmul_int8w(x.reshape(-1, in_features), w.data, w.scale,
                                bias, fused_act)
-            return out.reshape(*lead, out_features)
-        return linear(x, w, bias, activation=fused_act)
+            return back(out.reshape(*lead, out_features))
+        return back(linear(x, w, bias, activation=fused_act))
 
     return OpImpl(
         name=op.name, type=op.type, apply=apply, weights=weights,

@@ -155,6 +155,32 @@ class GraphBuilder:
     def hardsigmoid(self, x: str) -> str:
         return self._act("nn.Hardsigmoid", x)
 
+    def gelu(self, x: str) -> str:
+        return self._act("nn.GELU", x)
+
+    def permute(self, x: str, dims: list) -> str:
+        (out,) = self._op("torch.permute", self._name("perm"), [x],
+                          params=dict(dims=list(dims)))
+        s = self.shape[x]
+        self.shape[out] = [s[d] for d in dims]
+        return out
+
+    def layer_norm(self, x: str, nd: int = 1, affine: bool = True) -> str:
+        """LayerNorm over the trailing `nd` logical dims."""
+        shape = self.shape[x][-nd:]
+        name = self._name("ln")
+        attrs = {}
+        if affine:
+            attrs["weight"] = (1.0 + 0.1 * self.rng.standard_normal(shape)
+                               ).astype(np.float32)
+            attrs["bias"] = (self.rng.standard_normal(shape)
+                             .astype(np.float32) * 0.1)
+        (out,) = self._op("nn.LayerNorm", name, [x], params=dict(
+            elementwise_affine=affine, eps=1e-6,
+            normalized_shape=[int(d) for d in shape]), attrs=attrs)
+        self.shape[out] = list(self.shape[x])
+        return out
+
     def maxpool(self, x: str, k: int, s: int | None = None,
                 p: int = 0) -> str:
         s = s or k
@@ -607,3 +633,62 @@ def build_yolov8(variant: str = "n", batch: int = 1, image_size: int = 640,
     out = b.yolo_detect_v8(heads, nc=num_classes, reg_max=reg_max)
     b.output(out)
     return b.build(), "0", out
+
+
+CONVNEXT_PRESETS = {
+    # depths per stage, channels per stage (convnext paper table 1)
+    "atto": ((2, 2, 6, 2), (40, 80, 160, 320)),
+    "tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "small": ((3, 3, 27, 3), (96, 192, 384, 768)),
+    "base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+}
+
+
+def build_convnext(variant: str = "atto", batch: int = 1,
+                   image_size: int = 224, num_classes: int = 1000,
+                   seed: int = 0) -> tuple:
+    """ConvNeXt classifier (superset family — no reference analog).
+
+    Modern LayerNorm/GELU CNN exercising the channels-last pattern pnnx
+    emits for it: blocks are depthwise 7x7 conv -> permute NCHW->NHWC ->
+    LayerNorm([C]) -> Linear C->4C -> GELU -> Linear 4C->C -> permute
+    back -> residual add (layer-scale omitted: at inference it folds
+    into the second Linear's rows).
+    Downsample stages use channels-first LayerNorm (via permutes) +
+    k2 s2 conv; head is GAP -> LayerNorm -> Linear.
+    """
+    if variant not in CONVNEXT_PRESETS:
+        raise ValueError(f"variant must be one of {list(CONVNEXT_PRESETS)}")
+    depths, dims = CONVNEXT_PRESETS[variant]
+    b = GraphBuilder(seed)
+    x = b.input([batch, 3, image_size, image_size], name="0")
+
+    def ln_cf(x):
+        """channels-first LayerNorm: permute to channels-last logical,
+        LN over [C], permute back (how pnnx exports LayerNorm2d)."""
+        y = b.permute(x, [0, 2, 3, 1])
+        y = b.layer_norm(y)
+        return b.permute(y, [0, 3, 1, 2])
+
+    def block(x, c):
+        y = b.conv(x, c, 7, 1, 3, groups=c)       # depthwise 7x7
+        y = b.permute(y, [0, 2, 3, 1])            # channels-last
+        y = b.layer_norm(y)
+        y = b.linear(y, 4 * c)
+        y = b.gelu(y)
+        y = b.linear(y, c)                        # gamma folded in init
+        y = b.permute(y, [0, 3, 1, 2])
+        return b.add(y, x)
+
+    # stem: patchify conv 4x4 s4 + LN
+    x = ln_cf(b.conv(x, dims[0], 4, 4, 0))
+    for i, (d, c) in enumerate(zip(depths, dims)):
+        if i > 0:
+            x = b.conv(ln_cf(x), c, 2, 2, 0)      # downsample
+        for _ in range(d):
+            x = block(x, c)
+    x = b.flatten(b.adaptive_avg_pool(x, 1))
+    x = b.layer_norm(x)
+    x = b.linear(x, num_classes)
+    b.output(x)
+    return b.build(), "0", x

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from simpleinfer_tpu import Engine, EngineConfig, EngineStateError, MeshConfig
 from simpleinfer_tpu.zoo import (
+    build_convnext,
     build_mobilenet_like,
     build_mobilenet_v3_like,
     build_resnet18,
@@ -60,6 +61,13 @@ def test_mobilenet_v3_se_parity():
     """Squeeze-excite blocks: broadcast-mul Expression + hardsigmoid."""
     _parity(build_mobilenet_v3_like, (1, 3, 64, 64), batch=1,
             image_size=64, num_classes=13, width_mult=0.5)
+
+
+def test_convnext_parity():
+    """ConvNeXt atto: depthwise 7x7 + channels-last LayerNorm/Linear/
+    GELU blocks (permute round-trips, rank-4 Linear)."""
+    _parity(build_convnext, (1, 3, 64, 64), variant="atto", batch=1,
+            image_size=64, num_classes=12)
 
 
 def test_yolov5n_parity():

@@ -103,6 +103,7 @@ _ACTS = {
     "nn.SiLU": F.silu, "F.silu": F.silu,
     "nn.Hardsigmoid": F.hardsigmoid, "F.hardsigmoid": F.hardsigmoid,
     "nn.Hardswish": F.hardswish, "F.hardswish": F.hardswish,
+    "nn.GELU": F.gelu,
 }
 
 
@@ -162,6 +163,31 @@ def run_graph_torch(graph, feeds_nchw):
                                 op.params["end_dim"].i)
         elif t == "nn.Linear":
             out = _linear(op, args[0])
+        elif t == "torch.permute":
+            out = args[0].permute(*op.params["dims"].ai)
+        elif t == "nn.LayerNorm":
+            p = op.params
+            out = F.layer_norm(
+                args[0], p["normalized_shape"].ai,
+                _t(op.attrs["weight"].array())
+                if p["elementwise_affine"].b else None,
+                _t(op.attrs["bias"].array())
+                if p["elementwise_affine"].b else None, p["eps"].f)
+        elif t == "nn.GroupNorm":
+            p = op.params
+            out = F.group_norm(
+                args[0], p["num_groups"].i,
+                _t(op.attrs["weight"].array()) if p["affine"].b else None,
+                _t(op.attrs["bias"].array()) if p["affine"].b else None,
+                p["eps"].f)
+        elif t == "nn.InstanceNorm2d":
+            p = op.params
+            out = F.instance_norm(
+                args[0],
+                weight=_t(op.attrs["weight"].array())
+                if p["affine"].b else None,
+                bias=_t(op.attrs["bias"].array())
+                if p["affine"].b else None, eps=p["eps"].f)
         elif t == "pnnx.Expression":
             out = _expression(op, args)
         elif t == "models.yolo.Detect":
