@@ -62,7 +62,11 @@ def _throughput(eng, in_name, out_name, batch, image_size, dtype,
     def fwd(xi):
         return program.fn(weights, {in_name: xi})[out_name]
 
-    dt = measure_device_time(fwd, x, iters=iters)
+    # same per-executable compiler options the engine compiles with
+    # (TPU default: rwb fusion off — measured 1.08-1.16x, docs/PERF.md)
+    dt = measure_device_time(
+        fwd, x, iters=iters,
+        compiler_options=eng._effective_compiler_options())
     return batch / dt, dt
 
 

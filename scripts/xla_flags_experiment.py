@@ -31,6 +31,10 @@ CANDIDATES = [
     ("vmem-64M", {"xla_tpu_scoped_vmem_limit_kib": 65536}),
     ("vmem-96M", {"xla_tpu_scoped_vmem_limit_kib": 98304}),
     ("lhs-sched", {"xla_tpu_enable_latency_hiding_scheduler": True}),
+    ("vmem64+lhs", {"xla_tpu_scoped_vmem_limit_kib": 65536,
+                    "xla_tpu_enable_latency_hiding_scheduler": True}),
+    ("fusion-cost", {"xla_tpu_use_experimental_fusion_cost_model": True}),
+    ("no-rwb-fusion", {"xla_tpu_rwb_fusion": False}),
 ]
 
 

@@ -86,6 +86,15 @@ class EngineConfig:
     # (scripts/layout_experiment.py: 2.229 -> 2.187 ms). "default":
     # plain jit with default argument layouts.
     input_layout: str = "auto"
+    # extra XLA backend options for engine-compiled executables (the
+    # per-executable compiler_options surface swept by
+    # scripts/xla_flags_experiment.py). None = auto: on TPU apply
+    # {"xla_tpu_rwb_fusion": False} — read-write-bundle fusion measured
+    # LOSING on conv-net programs (paired A/B on v5e, yolov5s-640-b8
+    # int8w: 1.08x/1.16x faster without it, docs/PERF.md); elsewhere no
+    # options. {} disables. Applied on the AUTO-layout AOT path and by
+    # bench.py; unknown options fall back to a plain compile with a log.
+    xla_compiler_options: Optional[dict] = None
     # uint8 inputs are shipped raw and scaled on-device by this factor
     # (4x less host->device traffic than pre-normalized f32 — the
     # serving-path win; set 1.0 to disable scaling)

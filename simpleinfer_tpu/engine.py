@@ -341,6 +341,14 @@ class Engine:
                 self._input_formats[(name, tuple(v.shape),
                                      str(v.dtype))] = formats[name]
 
+    def _effective_compiler_options(self) -> Optional[dict]:
+        """config.xla_compiler_options, defaulting to the measured TPU
+        option set on a TPU backend (see config.py for the evidence)."""
+        opts = self.config.xla_compiler_options
+        if opts is None and jax.default_backend() == "tpu":
+            opts = {"xla_tpu_rwb_fusion": False}
+        return opts or None
+
     def _compile_auto_layout(self):
         from jax.experimental.layout import Format, Layout
 
@@ -353,8 +361,17 @@ class Engine:
         jitted = jax.jit(run_fn,
                          in_shardings=(Format(), Format(Layout.AUTO)),
                          donate_argnums=donate)
-        compiled = jitted.lower(self._device_weights,
-                                self._staged).compile()
+        lowered = jitted.lower(self._device_weights, self._staged)
+        opts = self._effective_compiler_options()
+        try:
+            compiled = lowered.compile(compiler_options=opts)
+        except Exception as e:  # noqa: BLE001 — option not supported here
+            if opts is None:
+                raise
+            logger.warning(
+                "compiler options %s rejected (%s); compiling without",
+                opts, e)
+            compiled = lowered.compile()
         formats = compiled.input_formats[0][1]
         for n, v in self._staged.items():
             self._input_formats[(n, tuple(v.shape), str(v.dtype))] = \

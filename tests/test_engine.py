@@ -436,3 +436,25 @@ def test_yolov8_parity():
     # class probabilities in (0, 1)
     assert 0.0 <= float(out[..., 4:].min()) <= float(
         out[..., 4:].max()) <= 1.0
+
+
+def test_compiler_options_plumbing_and_fallback():
+    """Explicit xla_compiler_options flow to the AOT compile; unknown
+    options degrade to a plain compile (warning) instead of failing.
+    On the CPU test backend the auto default is no options."""
+    graph, in_name, out_name = build_resnet18(
+        batch=1, image_size=32, num_classes=5, width=8)
+    cfg = EngineConfig(xla_compiler_options={"not_a_real_option": True})
+    eng = Engine(cfg).load_model(None, graph=graph)
+    assert eng._effective_compiler_options() == {"not_a_real_option": True}
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    out = eng.run({in_name: x})[out_name]   # must survive the rejection
+    assert out.shape == (1, 5)
+
+    g2, _, _ = build_resnet18(batch=1, image_size=32, num_classes=5,
+                              width=8)
+    eng2 = Engine(EngineConfig()).load_model(None, graph=g2)
+    # CPU backend: auto default adds nothing
+    assert eng2._effective_compiler_options() is None
+    eng3 = Engine(EngineConfig(xla_compiler_options={}))
+    assert eng3._effective_compiler_options() is None
