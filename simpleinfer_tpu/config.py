@@ -90,9 +90,9 @@ class EngineConfig:
     # per-executable compiler_options surface swept by
     # scripts/xla_flags_experiment.py). None = auto: on TPU apply
     # {"xla_tpu_rwb_fusion": False} — read-write-bundle fusion measured
-    # LOSING on conv-net programs (paired A/B on v5e, yolov5s-640-b8
-    # int8w: 1.08x/1.16x faster without it, docs/PERF.md); elsewhere no
-    # options. {} disables. Applied on the AUTO-layout AOT path and by
+    # LOSING on conv-net programs (four paired A/Bs on v5e,
+    # yolov5s-640-b8 int8w: 1.02-1.47x faster without it, median ~1.1x,
+    # never a loss — docs/PERF.md); elsewhere no options. {} disables. Applied on the AUTO-layout AOT path and by
     # bench.py; unknown options fall back to a plain compile with a log.
     xla_compiler_options: Optional[dict] = None
     # uint8 inputs are shipped raw and scaled on-device by this factor
