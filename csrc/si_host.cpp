@@ -17,6 +17,7 @@
 // Exposed as a C ABI for ctypes (no pybind11 in the build environment).
 // Build: make -C csrc   (or simpleinfer_tpu.host builds it lazily).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -173,6 +174,50 @@ void si_letterbox_batch_u8(const uint8_t* src, const int64_t* offsets,
                     dst + i * size * size * 3, size, pad_value, bgr_to_rgb,
                     normalize);
   }
+}
+
+// -------------------------------------------------------------- NMS
+// Greedy score-ordered non-maximum suppression over xyxy boxes — the
+// serving-path postprocess hot loop (the reference runs the same
+// algorithm per image on the host, test_yolo.cpp:29-111). Semantics
+// match zoo.detect.nms exactly: stable sort by descending score,
+// suppress IoU > thresh, stop at max_keep. Returns kept count; keep[]
+// receives the ORIGINAL indices in score order.
+int64_t si_nms(const float* boxes, const float* scores, int64_t n,
+               float iou_thresh, int64_t max_keep, int64_t* keep) {
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; i++) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return scores[a] > scores[b]; });
+  std::vector<float> area(n);
+  for (int64_t i = 0; i < n; i++) {
+    const float* b = boxes + i * 4;
+    area[i] = (b[2] - b[0]) * (b[3] - b[1]);
+  }
+  std::vector<char> dead(n, 0);
+  int64_t kept = 0;
+  for (int64_t oi = 0; oi < n && kept < max_keep; oi++) {
+    int64_t i = order[oi];
+    if (dead[i]) continue;
+    keep[kept++] = i;
+    const float* bi = boxes + i * 4;
+    for (int64_t oj = oi + 1; oj < n; oj++) {
+      int64_t j = order[oj];
+      if (dead[j]) continue;
+      const float* bj = boxes + j * 4;
+      float x1 = bi[0] > bj[0] ? bi[0] : bj[0];
+      float y1 = bi[1] > bj[1] ? bi[1] : bj[1];
+      float x2 = bi[2] < bj[2] ? bi[2] : bj[2];
+      float y2 = bi[3] < bj[3] ? bi[3] : bj[3];
+      float iw = x2 - x1 > 0 ? x2 - x1 : 0;
+      float ih = y2 - y1 > 0 ? y2 - y1 : 0;
+      float inter = iw * ih;
+      float denom = area[i] + area[j] - inter;
+      float iou = inter / (denom > 1e-9f ? denom : 1e-9f);
+      if (iou > iou_thresh) dead[j] = 1;
+    }
+  }
+  return kept;
 }
 
 }  // extern "C"

@@ -79,6 +79,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, i64p, i64p, i64p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_int,
             ctypes.c_int]
+        lib.si_nms.restype = ctypes.c_int64
+        lib.si_nms.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -164,3 +168,22 @@ def letterbox_batch(imgs: list, size: int = 640, pad_value: float = 114.0,
         packed.ctypes.data, i64(*offsets), i64(*hs), i64(*ws), n,
         out.ctypes.data, size, pad_value, int(bgr_to_rgb), int(normalize))
     return out
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.45,
+        max_keep: int = 300) -> Optional[np.ndarray]:
+    """Native greedy NMS (csrc si_nms); None -> use the numpy fallback
+    (zoo.detect.nms). Bit-identical keep set and order: stable sort by
+    descending score, suppress IoU > thresh."""
+    lib = _load()
+    if lib is None:
+        return None
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    n = boxes.shape[0]
+    if boxes.shape != (n, 4) or scores.shape != (n,):
+        raise ValueError(f"nms: bad shapes {boxes.shape} {scores.shape}")
+    keep = np.empty(max(int(max_keep), 0), np.int64)
+    kept = lib.si_nms(boxes.ctypes.data, scores.ctypes.data, n,
+                      float(iou_thresh), int(max_keep), keep.ctypes.data)
+    return keep[:kept].copy()

@@ -133,7 +133,17 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.45,
     """Greedy NMS over xyxy boxes; returns kept indices, score-ordered.
 
     Same algorithm as the reference's qsort-by-prob + suppress loop
-    (test_yolo.cpp:29-111)."""
+    (test_yolo.cpp:29-111). Dispatches to the native host library when
+    built (csrc si_nms, bit-identical for f32 inputs); this loop is the
+    fallback."""
+    from .. import host
+
+    if (np.asarray(boxes).dtype == np.float32
+            and np.asarray(scores).dtype == np.float32):
+        native = host.nms(np.asarray(boxes), np.asarray(scores),
+                          iou_thresh, max_keep)
+        if native is not None:
+            return native
     order = np.argsort(-scores, kind="stable")
     keep = []
     while order.size and len(keep) < max_keep:

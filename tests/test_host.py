@@ -85,3 +85,71 @@ def test_letterbox_batch_matches_single():
     for i, im in enumerate(imgs):
         single = host.letterbox_one(im, size=64)
         np.testing.assert_array_equal(batch[i], single)
+
+
+# ------------------------------------------------------------------- nms
+def _py_nms(boxes, scores, iou_thresh=0.45, max_keep=300):
+    """The numpy reference loop (zoo.detect.nms fallback), inlined so
+    this test stays independent of the dispatch under test."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size and len(keep) < max_keep:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        b, a = boxes[rest], boxes[i]
+        x1 = np.maximum(a[0], b[:, 0]); y1 = np.maximum(a[1], b[:, 1])
+        x2 = np.minimum(a[2], b[:, 2]); y2 = np.minimum(a[3], b[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area_a = (a[2] - a[0]) * (a[3] - a[1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        ious = inter / np.maximum(area_a + area_b - inter, 1e-9)
+        order = rest[ious <= iou_thresh]
+    return np.asarray(keep, dtype=np.int64)
+
+
+def _random_boxes(n, seed):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, 600, (n, 2)).astype(np.float32)
+    wh = rng.uniform(4, 120, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], 1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 500, 3000])
+def test_nms_native_matches_python(n):
+    boxes, scores = _random_boxes(n, seed=n + 1)
+    got = host.nms(boxes, scores, 0.45, 300)
+    want = _py_nms(boxes, scores, 0.45, 300)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_native_tie_scores_stable():
+    boxes, _ = _random_boxes(64, seed=3)
+    scores = np.full(64, 0.5, np.float32)  # all tied: order by index
+    got = host.nms(boxes, scores, 0.45, 300)
+    want = _py_nms(boxes, scores, 0.45, 300)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_native_max_keep():
+    boxes = np.asarray([[i * 200.0, 0, i * 200 + 10, 10]
+                        for i in range(10)], np.float32)  # disjoint
+    scores = np.linspace(0.9, 0.1, 10).astype(np.float32)
+    got = host.nms(boxes, scores, 0.45, max_keep=4)
+    np.testing.assert_array_equal(got, [0, 1, 2, 3])
+
+
+def test_zoo_nms_dispatches_native():
+    """zoo.detect.nms returns identical results whether or not the
+    native path is taken (f32 inputs dispatch; f64 falls back)."""
+    from simpleinfer_tpu.zoo.detect import nms as zoo_nms
+
+    boxes, scores = _random_boxes(400, seed=9)
+    native = zoo_nms(boxes, scores, 0.45, 300)
+    fallback = zoo_nms(boxes.astype(np.float64),
+                       scores.astype(np.float64), 0.45, 300)
+    np.testing.assert_array_equal(native, fallback)
