@@ -33,8 +33,16 @@ CANDIDATES = [
     ("lhs-sched", {"xla_tpu_enable_latency_hiding_scheduler": True}),
     ("vmem64+lhs", {"xla_tpu_scoped_vmem_limit_kib": 65536,
                     "xla_tpu_enable_latency_hiding_scheduler": True}),
-    ("fusion-cost", {"xla_tpu_use_experimental_fusion_cost_model": True}),
     ("no-rwb-fusion", {"xla_tpu_rwb_fusion": False}),
+    # round 2: combinations on top of the confirmed rwb win
+    ("rwb+dotdot", {"xla_tpu_rwb_fusion": False,
+                    "xla_tpu_dot_dot_fusion": False}),
+    ("rwb+nodsr", {"xla_tpu_rwb_fusion": False,
+                   "xla_tpu_enable_dot_strength_reduction": False}),
+    ("rwb+vmem32", {"xla_tpu_rwb_fusion": False,
+                    "xla_tpu_scoped_vmem_limit_kib": 32768}),
+    ("rwb+lhs", {"xla_tpu_rwb_fusion": False,
+                 "xla_tpu_enable_latency_hiding_scheduler": True}),
 ]
 
 
