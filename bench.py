@@ -63,7 +63,7 @@ def _throughput(eng, in_name, out_name, batch, image_size, dtype,
         return program.fn(weights, {in_name: xi})[out_name]
 
     # same per-executable compiler options the engine compiles with
-    # (TPU default: rwb fusion off — measured 1.02-1.47x, docs/PERF.md)
+    # (stock XLA unless EngineConfig.xla_compiler_options is set)
     dt = measure_device_time(
         fwd, x, iters=iters,
         compiler_options=eng._effective_compiler_options())

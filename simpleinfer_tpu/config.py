@@ -88,12 +88,14 @@ class EngineConfig:
     input_layout: str = "auto"
     # extra XLA backend options for engine-compiled executables (the
     # per-executable compiler_options surface swept by
-    # scripts/xla_flags_experiment.py). None = auto: on TPU apply
-    # {"xla_tpu_rwb_fusion": False} — read-write-bundle fusion measured
-    # LOSING on conv-net programs (four paired A/Bs on v5e,
-    # yolov5s-640-b8 int8w: 1.02-1.47x faster without it, median ~1.1x,
-    # never a loss — docs/PERF.md); elsewhere no options. {} disables. Applied on the AUTO-layout AOT path and by
-    # bench.py; unknown options fall back to a plain compile with a log.
+    # scripts/xla_flags_experiment.py). None = stock XLA. Flags probed
+    # so far (rwb fusion off, dot-dot fusion off) change the compiled
+    # program but measured NO device-time effect once A/Bs were
+    # interleaved within the same minute (scripts/dotdot_verify.py);
+    # sequential sweeps had been fooled by the chip's 1.5-3.5 ms
+    # same-day drift — docs/PERF.md. Applied on the AUTO-layout AOT
+    # path and by bench.py; unknown options fall back to a plain
+    # compile with a log.
     xla_compiler_options: Optional[dict] = None
     # uint8 inputs are shipped raw and scaled on-device by this factor
     # (4x less host->device traffic than pre-normalized f32 — the

@@ -342,12 +342,10 @@ class Engine:
                                      str(v.dtype))] = formats[name]
 
     def _effective_compiler_options(self) -> Optional[dict]:
-        """config.xla_compiler_options, defaulting to the measured TPU
-        option set on a TPU backend (see config.py for the evidence)."""
-        opts = self.config.xla_compiler_options
-        if opts is None and jax.default_backend() == "tpu":
-            opts = {"xla_tpu_rwb_fusion": False}
-        return opts or None
+        """config.xla_compiler_options (None/{} -> stock XLA). No flag
+        has survived interleaved A/B measurement yet (config.py), so
+        there is no auto default."""
+        return self.config.xla_compiler_options or None
 
     def _compile_auto_layout(self):
         from jax.experimental.layout import Format, Layout
