@@ -363,8 +363,15 @@ class Engine:
         opts = self._effective_compiler_options()
         try:
             compiled = lowered.compile(compiler_options=opts)
-        except Exception as e:  # noqa: BLE001 — option not supported here
-            if opts is None:
+        except Exception as e:  # noqa: BLE001 — inspect, don't swallow
+            # ONLY an option-rejection ("No such compile option" /
+            # INVALID_ARGUMENT, possibly wrapped by a remote compile
+            # service) falls back to a plain compile; genuine compile
+            # failures must propagate, not silently double compile time
+            msg = str(e)
+            rejected = opts is not None and (
+                "compile option" in msg or "INVALID_ARGUMENT" in msg)
+            if not rejected:
                 raise
             logger.warning(
                 "compiler options %s rejected (%s); compiling without",
@@ -484,7 +491,10 @@ class Engine:
         if not scales:
             raise EngineStateError(
                 "no activation scales installed; run calibrate() first")
-        np.savez(path, **scales)
+        # write through a file object: np.savez would otherwise append
+        # ".npz" to a bare path, breaking save(path) -> load(path)
+        with open(path, "wb") as f:
+            np.savez(f, **scales)
 
     def load_calibration(self, path: str) -> dict:
         """Install activation scales from a `save_calibration` artifact.

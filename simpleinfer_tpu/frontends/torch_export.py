@@ -231,6 +231,10 @@ def _export_module(b, node, mod, name):
         if mod.affine:
             _attr(op, "weight", mod.weight)
             _attr(op, "bias", mod.bias)
+        if mod.track_running_stats and mod.running_mean is not None:
+            # eval-mode normalizes with the RUNNING stats (BN semantics)
+            _attr(op, "running_mean", mod.running_mean)
+            _attr(op, "running_var", mod.running_var)
         return
     if t is nn.Linear:
         op = b.add_op("nn.Linear", name, [node.args[0]], node)

@@ -180,6 +180,10 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.45,
         return None
     boxes = np.ascontiguousarray(boxes, np.float32)
     scores = np.ascontiguousarray(scores, np.float32)
+    if np.isnan(scores).any():
+        # NaN breaks std::stable_sort's strict weak ordering (UB) and
+        # would diverge from np.argsort anyway — use the numpy fallback
+        return None
     n = boxes.shape[0]
     if boxes.shape != (n, 4) or scores.shape != (n,):
         raise ValueError(f"nms: bad shapes {boxes.shape} {scores.shape}")

@@ -138,6 +138,32 @@ def lower_instance_norm_2d(op, cfg):
     affine = require_param(op, "affine", PARAM_BOOL).b
     weights = _affine_weights(op, affine, (features,))
 
+    # track_running_stats=True at eval uses the RUNNING statistics, not
+    # per-instance ones — exactly BatchNorm semantics; fold to
+    # scale+shift like lower_batch_norm_2d
+    if op.has_attr("running_mean"):
+        mean = require_attr(op, "running_mean").array().astype(np.float64)
+        var = require_attr(op, "running_var").array().astype(np.float64)
+        if mean.shape != (features,) or var.shape != (features,):
+            raise ValueError(
+                f"InstanceNorm2d {op.name}: running stats shapes "
+                f"{mean.shape}/{var.shape} != ({features},)")
+        gamma = (weights["gamma"].astype(np.float64) if affine
+                 else np.ones(features))
+        beta = (weights["beta"].astype(np.float64) if affine
+                else np.zeros(features))
+        scale = gamma / np.sqrt(var + eps)
+        shift = beta - mean * scale
+        weights = {"scale": scale.astype(np.float32),
+                   "shift": shift.astype(np.float32)}
+
+        def apply(weights, x):
+            return (x * weights["scale"].astype(x.dtype)
+                    + weights["shift"].astype(x.dtype))
+
+        return OpImpl(name=op.name, type=op.type, apply=apply,
+                      weights=weights)
+
     def apply(weights, x):
         # per (N, C) over H, W — NHWC reduce dims (1, 2)
         y = _normalize(x, (1, 2), eps)

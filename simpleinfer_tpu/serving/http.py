@@ -52,6 +52,8 @@ class InferenceServer:
         self.service = service
         self.request_timeout_s = request_timeout_s
         self._item_shape = self._resolve_item_shape(service)
+        self._u8_scale = float(getattr(
+            service.engine.config, "u8_scale", 1.0 / 255.0))
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._httpd.daemon_threads = True
@@ -91,6 +93,20 @@ class InferenceServer:
             raise ValueError(
                 f"expected item shape {self._item_shape}, "
                 f"got {tuple(array.shape)}")
+        # Normalize dtype HERE: the batcher np.stack's concurrent items,
+        # so a uint8 item co-batched with float32 ones would silently
+        # dtype-promote UNSCALED (result depends on what else is in
+        # flight). uint8 gets the engine's u8_scale normalization on the
+        # host instead — same math as the device-side u8 path,
+        # deterministic regardless of co-batching.
+        if array.dtype == np.uint8:
+            array = array.astype(np.float32) * self._u8_scale
+        elif array.dtype != np.float32:
+            try:
+                array = array.astype(np.float32)
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"unsupported input dtype "
+                                 f"{array.dtype}: {e}") from e
         fut = self.service.submit(array)
         out = np.asarray(fut.result(timeout=self.request_timeout_s))
         if out.dtype.kind not in "fiub":  # e.g. ml_dtypes bfloat16 (kind V)
@@ -193,9 +209,13 @@ def _make_handler(server: InferenceServer):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError:
+                # body was never read: the keep-alive connection is
+                # desynchronized, so force-close it
+                self.close_connection = True
                 self._reply_json(400, {"error": "bad Content-Length"})
                 return
             if not 0 < length <= _MAX_BODY:
+                self.close_connection = True
                 self._reply_json(400, {"error": "body required "
                                        f"(max {_MAX_BODY} bytes)"})
                 return

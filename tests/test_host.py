@@ -153,3 +153,13 @@ def test_zoo_nms_dispatches_native():
     fallback = zoo_nms(boxes.astype(np.float64),
                        scores.astype(np.float64), 0.45, 300)
     np.testing.assert_array_equal(native, fallback)
+
+
+def test_nms_nan_scores_fall_back():
+    boxes, scores = _random_boxes(16, seed=5)
+    scores[3] = np.nan
+    assert host.nms(boxes, scores, 0.45, 300) is None  # python fallback
+    from simpleinfer_tpu.zoo.detect import nms as zoo_nms
+
+    keep = zoo_nms(boxes, scores, 0.45, 300)  # must not crash
+    assert len(keep) >= 1

@@ -317,3 +317,30 @@ def test_instance_norm_2d(affine):
         bias=torch.from_numpy(beta) if affine else None,
         eps=1e-5).numpy()
     np.testing.assert_allclose(got, nhwc(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("affine", [True, False])
+def test_instance_norm_2d_running_stats(affine):
+    """track_running_stats=True at eval = BN semantics with the running
+    statistics (folded to scale+shift in the lowering)."""
+    x = RNG.standard_normal((2, 5, 6, 7)).astype(np.float32)
+    gamma = RNG.standard_normal(5).astype(np.float32)
+    beta = RNG.standard_normal(5).astype(np.float32)
+    rmean = RNG.standard_normal(5).astype(np.float32) * 0.3
+    rvar = RNG.uniform(0.5, 1.5, 5).astype(np.float32)
+    attrs = {"running_mean": rmean, "running_var": rvar}
+    if affine:
+        attrs.update({"weight": gamma, "bias": beta})
+    impl = lower_operator(make_op("nn.InstanceNorm2d", params=dict(
+        num_features=5, eps=1e-5, affine=affine), attrs=attrs), CFG)
+    got = run(impl, nhwc(x))
+    m = torch.nn.InstanceNorm2d(5, eps=1e-5, affine=affine,
+                                track_running_stats=True).eval()
+    with torch.no_grad():
+        m.running_mean.copy_(torch.from_numpy(rmean))
+        m.running_var.copy_(torch.from_numpy(rvar))
+        if affine:
+            m.weight.copy_(torch.from_numpy(gamma))
+            m.bias.copy_(torch.from_numpy(beta))
+        want = m(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=2e-5)

@@ -445,3 +445,17 @@ def test_int8_static_under_tensor_parallel_mesh():
     got = eng.run({in_name: x})[out_name]
     scale = max(1.0, float(np.abs(want).max()))
     assert np.abs(got - want).max() < 0.1 * scale
+
+
+def test_calibration_path_without_extension_roundtrips(tmp_path):
+    """save(path) -> load(path) must accept the SAME string (np.savez
+    would otherwise silently append .npz on save only)."""
+    graph, in_name, _ = build_resnet18(batch=1, image_size=32,
+                                       num_classes=8, width=16)
+    eng = Engine(EngineConfig(quant="int8", int8_min_channels=1,
+                              int8_pointwise=True)).load_model(
+        None, graph=graph)
+    eng.calibrate(_calib_batches(in_name, n=1))
+    p = str(tmp_path / "scales_no_ext")
+    eng.save_calibration(p)
+    assert eng.load_calibration(p)

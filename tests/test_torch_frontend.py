@@ -307,3 +307,16 @@ def test_layer_norm_channels_last_vector():
             return self.ln(self.fc(x))
 
     _check(M(), (4, 12), tol=5e-4)
+
+
+def test_instance_norm_running_stats_export():
+    """InstanceNorm2d(track_running_stats=True) must export the running
+    stats — eval-mode normalizes with them, not per-instance stats."""
+    m = nn.Sequential(
+        nn.Conv2d(3, 6, 3, padding=1),
+        nn.InstanceNorm2d(6, affine=True, track_running_stats=True),
+    )
+    with torch.no_grad():
+        m[1].running_mean.normal_(0, 0.3)
+        m[1].running_var.uniform_(0.5, 1.5)
+    _check(m, (2, 3, 8, 8), tol=5e-4)

@@ -182,8 +182,14 @@ def run_graph_torch(graph, feeds_nchw):
                 p["eps"].f)
         elif t == "nn.InstanceNorm2d":
             p = op.params
+            has_rs = "running_mean" in op.attrs
             out = F.instance_norm(
                 args[0],
+                running_mean=_t(op.attrs["running_mean"].array())
+                if has_rs else None,
+                running_var=_t(op.attrs["running_var"].array())
+                if has_rs else None,
+                use_input_stats=not has_rs,
                 weight=_t(op.attrs["weight"].array())
                 if p["affine"].b else None,
                 bias=_t(op.attrs["bias"].array())
