@@ -83,6 +83,18 @@ def main():
     wanted = [w.strip() for w in os.environ.get(
         "SI_BENCH_CONFIGS", "int8w,fp32").split(",") if w.strip()]
 
+    import jax
+
+    from simpleinfer_tpu.profiling import chip_speed_factor
+
+    # same-moment chip state vs validated healthy rate: absolute
+    # readings drift 2x+ over a day (docs/PERF.md), so every report
+    # carries this factor for interpretability
+    factor = (chip_speed_factor() if jax.default_backend() == "tpu"
+              else float("nan"))
+    print(f"chip_speed_factor {factor:.3f} (1.0 = healthy v5e)",
+          file=sys.stderr, flush=True)
+
     results = {}
     all_configs = {
         "fp32": EngineConfig(),
@@ -127,13 +139,16 @@ def main():
                     next(w for w in wanted if w in results))
     vs = (results[headline] / results["fp32"]
           if "fp32" in results and headline != "fp32" else 1.0)
-    print(json.dumps({
+    out = {
         "metric": f"yolov5{variant}_{image_size}_b{batch}_{headline}"
                   "_throughput",
         "value": round(results[headline], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if factor == factor:  # not NaN
+        out["chip_speed_factor"] = round(factor, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

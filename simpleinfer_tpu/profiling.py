@@ -192,6 +192,35 @@ def measure_device_time(fn, *args, iters: int = 20, warmup: bool = True,
     return max((t2 - t1) - (t1 - t0), 1e-9) / iters
 
 
+# validated healthy reading for the reference kernel (docs/PERF.md:
+# 4096^3 bf16 matmul = 0.709 ms = 193.7 TFLOP/s = 98% of v5e peak)
+_REF_N = 4096
+_REF_HEALTHY_S = 2 * _REF_N**3 / 193.7e12
+
+
+def chip_speed_factor(iters: int = 40) -> float:
+    """Current chip speed vs its validated healthy state, via the
+    reference kernel (4096^3 bf16 matmul, two-point chained loop).
+
+    1.0 = healthy; 0.5 = the chip/relay is currently delivering half
+    its known-good rate. Motivation (docs/PERF.md "measurement trap"):
+    the SAME program measured 1.56-3.49 ms across one day, so absolute
+    readings are uninterpretable without a same-moment reference.
+    Report this factor next to any benchmark number; compare runs only
+    at similar factors. Costs one tiny cached compile + ~60 ms of
+    device time."""
+    import jax.numpy as jnp
+
+    a = jnp.ones((_REF_N, _REF_N), jnp.bfloat16)
+
+    def ref(x):
+        return jnp.dot(x, x, preferred_element_type=jnp.float32).astype(
+            jnp.bfloat16)
+
+    dt = measure_device_time(ref, a, iters=iters, precompile=False)
+    return _REF_HEALTHY_S / dt
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/si_trace"):
     """jax.profiler trace around a block; view in TensorBoard/Perfetto."""
