@@ -138,6 +138,7 @@ def _init_act_tables():
         nn.ReLU: "nn.ReLU", nn.SiLU: "nn.SiLU", nn.Sigmoid: "nn.Sigmoid",
         nn.Hardsigmoid: "nn.Hardsigmoid", nn.Hardswish: "nn.Hardswish",
         nn.Tanh: "nn.Tanh", nn.GELU: "nn.GELU",
+        nn.ReLU6: "nn.ReLU6", nn.Mish: "nn.Mish",
     })
     _ACT_FUNCTIONS.update({
         F.relu: "nn.ReLU", torch.relu: "nn.ReLU",
@@ -145,6 +146,7 @@ def _init_act_tables():
         torch.sigmoid: "nn.Sigmoid", F.sigmoid: "nn.Sigmoid",
         F.hardsigmoid: "nn.Hardsigmoid", F.hardswish: "nn.Hardswish",
         torch.tanh: "nn.Tanh", F.gelu: "nn.GELU",
+        F.relu6: "nn.ReLU6", F.mish: "nn.Mish",
     })
 
 
@@ -299,6 +301,17 @@ def _export_module(b, node, mod, name):
         if mod.bias is not None:
             _attr(op, "bias", mod.bias)
         return
+    if t is nn.Softmax:
+        op = b.add_op("nn.Softmax", name, [node.args[0]], node)
+        _param(op, "dim", int(mod.dim if mod.dim is not None else -1))
+        return
+    if t is nn.ZeroPad2d:
+        op = b.add_op("nn.ZeroPad2d", name, [node.args[0]], node)
+        p = mod.padding
+        pad = ([int(v) for v in p] if isinstance(p, (tuple, list))
+               else [int(p)] * 4)
+        _param(op, "padding", pad)
+        return
     if t is nn.Identity or t is nn.Dropout:
         # inference no-ops: alias the input operand
         b.operand_of[node.name] = b.operand_of[node.args[0].name]
@@ -337,6 +350,38 @@ def _export_function(b, node, name):
         return
     if fn is torch.chunk:
         _export_chunk(b, node, name)
+        return
+    if fn.__name__ == "softmax" and getattr(fn, "__module__", ""
+                                            ).endswith("functional"):
+        op = b.add_op("nn.Softmax", name, [node.args[0]], node)
+        dim = (node.args[1] if len(node.args) > 1
+               else node.kwargs.get("dim", -1))
+        _param(op, "dim", int(dim if dim is not None else -1))
+        return
+    if fn is torch.clamp:
+        op = b.add_op("torch.clamp", name, [node.args[0]], node)
+        lo = (node.args[1] if len(node.args) > 1
+              else node.kwargs.get("min"))
+        hi = (node.args[2] if len(node.args) > 2
+              else node.kwargs.get("max"))
+        if lo is not None:
+            _param(op, "min", float(lo))
+        if hi is not None:
+            _param(op, "max", float(hi))
+        return
+    if fn.__name__ == "pad" and getattr(fn, "__module__", ""
+                                        ).endswith("functional"):
+        op = b.add_op("F.pad", name, [node.args[0]], node)
+        pad = (node.args[1] if len(node.args) > 1
+               else node.kwargs["pad"])
+        _param(op, "pad", [int(v) for v in pad])
+        mode = (node.args[2] if len(node.args) > 2
+                else node.kwargs.get("mode", "constant"))
+        _param(op, "mode", str(mode))
+        value = (node.args[3] if len(node.args) > 3
+                 else node.kwargs.get("value"))
+        if value is not None:
+            _param(op, "value", float(value))
         return
     if fn.__name__ == "interpolate" and getattr(fn, "__module__", ""
                                                 ).endswith("functional"):

@@ -59,3 +59,20 @@ _elementwise("F.sigmoid", sigmoid)
 _elementwise("F.silu", silu)
 _elementwise("F.hardsigmoid", hard_sigmoid)
 _elementwise("F.hardswish", hard_swish)
+
+
+def relu6(x):
+    # mobilenet-family clip activation (superset: reference has no ReLU6)
+    return jnp.clip(x, 0.0, 6.0)
+
+
+def mish(x):
+    # x * tanh(softplus(x)) — yolov4-era activation
+    import jax
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+_elementwise("nn.ReLU6", relu6)
+_elementwise("F.relu6", relu6)
+_elementwise("nn.Mish", mish)
+_elementwise("F.mish", mish)

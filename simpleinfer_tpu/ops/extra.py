@@ -340,3 +340,70 @@ def lower_mean(op, cfg):
         return jnp.mean(x, axis=tuple(ds), keepdims=keepdim)
 
     return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("nn.Softmax")
+def lower_softmax(op, cfg):
+    """Softmax over a LOGICAL dim (rank-4 operands are physical NHWC)."""
+    dim = require_param(op, "dim", PARAM_INT).i
+
+    def apply(weights, x):
+        d = dim + x.ndim if dim < 0 else dim
+        if x.ndim == 4:
+            d = _NCHW_TO_NHWC_DIM[d]
+        return jax.nn.softmax(x, axis=d)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("F.softmax")
+def lower_f_softmax(op, cfg):
+    return lower_softmax(op, cfg)
+
+
+@register_op("torch.clamp")
+def lower_clamp(op, cfg):
+    lo = op.params["min"].f if op.has_param("min") else None
+    hi = op.params["max"].f if op.has_param("max") else None
+
+    def apply(weights, x):
+        return jnp.clip(x, lo, hi)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("nn.ZeroPad2d")
+def lower_zero_pad_2d(op, cfg):
+    """padding = [left, right, top, bottom] (torch order); input is
+    physical NHWC so pads land on dims 2 (W) and 1 (H)."""
+    pad = require_param(op, "padding", PARAM_AINT).ai
+    left, right, top, bottom = (int(v) for v in pad)
+
+    def apply(weights, x):
+        return jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("F.pad")
+def lower_f_pad(op, cfg):
+    """Constant/replicate/reflect pad; `pad` pairs run from the LAST
+    logical dim inward (torch semantics)."""
+    pad = require_param(op, "pad", PARAM_AINT).ai
+    mode = op.params["mode"].s if op.has_param("mode") else "constant"
+    value = op.params["value"].f if op.has_param("value") else 0.0
+    jmode = {"constant": "constant", "replicate": "edge",
+             "reflect": "reflect"}.get(mode)
+    if jmode is None:
+        raise ValueError(f"F.pad {op.name}: unsupported mode {mode!r}")
+
+    def apply(weights, x):
+        y = _to_logical(x)
+        cfg_pairs = [(0, 0)] * y.ndim
+        for i in range(len(pad) // 2):
+            cfg_pairs[y.ndim - 1 - i] = (int(pad[2 * i]),
+                                         int(pad[2 * i + 1]))
+        kw = {"constant_values": value} if jmode == "constant" else {}
+        return _to_physical(jnp.pad(y, cfg_pairs, mode=jmode, **kw))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)

@@ -344,3 +344,66 @@ def test_instance_norm_2d_running_stats(affine):
             m.bias.copy_(torch.from_numpy(beta))
         want = m(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(got, nhwc(want), atol=2e-5)
+
+
+# ------------------------------------------------- relu6/mish/softmax/pad
+def test_relu6_and_mish():
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32) * 4
+    got6 = run(lower_operator(make_op("nn.ReLU6"), CFG), nhwc(x))
+    np.testing.assert_allclose(got6, nhwc(F.relu6(
+        torch.from_numpy(x)).numpy()), atol=1e-6)
+    gotm = run(lower_operator(make_op("nn.Mish"), CFG), nhwc(x))
+    np.testing.assert_allclose(gotm, nhwc(F.mish(
+        torch.from_numpy(x)).numpy()), atol=1e-5)
+
+
+@pytest.mark.parametrize("dim", [1, -1, 3])
+def test_softmax_rank4_logical_dim(dim):
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    impl = lower_operator(make_op("nn.Softmax", params=dict(dim=dim)), CFG)
+    got = run(impl, nhwc(x))
+    want = F.softmax(torch.from_numpy(x), dim=dim).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-5)
+
+
+def test_softmax_rank2():
+    x = RNG.standard_normal((4, 9)).astype(np.float32)
+    impl = lower_operator(make_op("nn.Softmax", params=dict(dim=-1)), CFG)
+    np.testing.assert_allclose(run(impl, x), F.softmax(
+        torch.from_numpy(x), -1).numpy(), atol=1e-6)
+
+
+def test_clamp():
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32) * 3
+    impl = lower_operator(make_op("torch.clamp",
+                                  params=dict(min=-1.0, max=2.0)), CFG)
+    np.testing.assert_allclose(run(impl, nhwc(x)), nhwc(
+        torch.clamp(torch.from_numpy(x), -1, 2).numpy()), atol=1e-6)
+    # one-sided
+    impl = lower_operator(make_op("torch.clamp", params=dict(min=0.0)),
+                          CFG)
+    np.testing.assert_allclose(run(impl, nhwc(x)), nhwc(
+        torch.clamp(torch.from_numpy(x), min=0).numpy()), atol=1e-6)
+
+
+def test_zero_pad_2d():
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    impl = lower_operator(make_op("nn.ZeroPad2d",
+                                  params=dict(padding=[1, 2, 3, 4])), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.nn.ZeroPad2d((1, 2, 3, 4))(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["constant", "replicate", "reflect"])
+def test_f_pad_modes(mode):
+    x = RNG.standard_normal((2, 3, 6, 7)).astype(np.float32)
+    params = dict(pad=[1, 2, 2, 1], mode=mode)
+    if mode == "constant":
+        params["value"] = 0.5
+    impl = lower_operator(make_op("F.pad", params=params), CFG)
+    got = run(impl, nhwc(x))
+    kwargs = {"value": 0.5} if mode == "constant" else {}
+    want = F.pad(torch.from_numpy(x), (1, 2, 2, 1), mode=mode,
+                 **kwargs).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-6)

@@ -320,3 +320,22 @@ def test_instance_norm_running_stats_export():
         m[1].running_mean.normal_(0, 0.3)
         m[1].running_var.uniform_(0.5, 1.5)
     _check(m, (2, 3, 8, 8), tol=5e-4)
+
+
+def test_relu6_softmax_pad_clamp_export():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 8, 3, padding=1)
+            self.pad = nn.ZeroPad2d((1, 1, 2, 2))
+            self.act = nn.ReLU6()
+
+        def forward(self, x):
+            y = self.act(self.conv(self.pad(x)))
+            y = F.pad(y, (0, 1, 1, 0), mode="replicate")
+            y = torch.clamp(y, max=3.0)
+            y = F.mish(y)
+            y = y.flatten(1)
+            return F.softmax(y, dim=-1)
+
+    _check(M(), (2, 3, 8, 8), tol=5e-4)
