@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 import numpy as np  # noqa: E402
 
 
-def build_variants(wanted, batch, img):
+def build_variants(wanted, batch, img, model="s"):
     from simpleinfer_tpu import Engine, EngineConfig
     from simpleinfer_tpu.zoo import build_yolov5
 
@@ -40,7 +40,7 @@ def build_variants(wanted, batch, img):
             .standard_normal((batch, img, img, 3)).astype(np.float32) / 4)
     for name in wanted:
         cfg = cfgs[name]
-        graph, in_name, out_name = build_yolov5("s", batch=batch,
+        graph, in_name, out_name = build_yolov5(model, batch=batch,
                                                 image_size=img)
         eng = Engine(cfg).load_model(None, graph=graph)
         if cfg.quant == "int8":
@@ -64,13 +64,15 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--variants", default="bf16,bf16-nofuse,int8w")
+    ap.add_argument("--model", default="s",
+                    help="yolov5 variant letter (n/s/m/l/x)")
     args = ap.parse_args()
 
     from simpleinfer_tpu.profiling import chip_speed_factor, \
         measure_device_time
 
     wanted = [w.strip() for w in args.variants.split(",") if w.strip()]
-    variants = build_variants(wanted, args.batch, args.img)
+    variants = build_variants(wanted, args.batch, args.img, args.model)
 
     print(f"chip_speed_factor before: {chip_speed_factor():.3f}",
           flush=True)

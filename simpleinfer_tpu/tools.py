@@ -103,6 +103,27 @@ def cmd_classify(args) -> int:
     return 0
 
 
+def cmd_segment(args) -> int:
+    import numpy as np
+
+    from .zoo.imageio import imread, imwrite
+    from .zoo.segment import colorize_mask, segment_images
+
+    eng = _load_engine(args)
+    images = [imread(p) for p in args.images]
+    masks = segment_images(eng, images, size=args.size or None)
+    for path, img, m in zip(args.images, images, masks):
+        classes, counts = np.unique(m, return_counts=True)
+        top = sorted(zip(counts, classes), reverse=True)[:5]
+        print(f"{path}: classes " + ", ".join(
+            f"{c}({n}px)" for n, c in top))
+        if args.out:
+            out_path = f"{args.out}/{path.split('/')[-1]}"
+            imwrite(out_path, colorize_mask(img, m))
+            print(f"  -> {out_path}")
+    return 0
+
+
 def cmd_roofline(args) -> int:
     from .config import EngineConfig
     from .executor import build_program
@@ -262,6 +283,21 @@ def main(argv=None) -> int:
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--logdir", default="/tmp/si_device_profile")
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("segment", help="semantic segmentation demo "
+                                       "pipeline")
+    p.add_argument("param")
+    p.add_argument("bin")
+    p.add_argument("images", nargs="+")
+    p.add_argument("--size", type=int, default=0,
+                   help="input size (default: model's declared size)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--int8", action="store_true",
+                   help="shorthand for --quant int8w")
+    p.add_argument("--quant", choices=["int8w", "int8"])
+    p.add_argument("--out", help="directory for overlay images")
+    p.set_defaults(fn=cmd_segment)
 
     p = sub.add_parser("serve", help="HTTP inference server "
                                      "(continuous batching)")

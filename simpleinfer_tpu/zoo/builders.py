@@ -181,6 +181,23 @@ class GraphBuilder:
         self.shape[out] = list(self.shape[x])
         return out
 
+    def conv_transpose(self, x: str, out_c: int, k: int = 2,
+                       s: int = 2, p: int = 0) -> str:
+        n, c, h, w = self.shape[x]
+        name = self._name("convt")
+        attrs = {"weight": self._rand((c, out_c, k, k), fan_in=c * k * k),
+                 "bias": (self.rng.standard_normal(out_c)
+                          .astype(np.float32) * 0.05)}
+        (out,) = self._op("nn.ConvTranspose2d", name, [x], params=dict(
+            bias=True, dilation=[1, 1], groups=1, in_channels=c,
+            kernel_size=[k, k], out_channels=out_c,
+            output_padding=[0, 0], padding=[p, p], stride=[s, s]),
+            attrs=attrs)
+        oh = (h - 1) * s - 2 * p + k
+        ow = (w - 1) * s - 2 * p + k
+        self.shape[out] = [n, out_c, oh, ow]
+        return out
+
     def maxpool(self, x: str, k: int, s: int | None = None,
                 p: int = 0) -> str:
         s = s or k
@@ -692,3 +709,38 @@ def build_convnext(variant: str = "atto", batch: int = 1,
     x = b.linear(x, num_classes)
     b.output(x)
     return b.build(), "0", x
+
+
+def build_unet(batch: int = 1, image_size: int = 128, in_ch: int = 3,
+               num_classes: int = 21, width: int = 32,
+               depth: int = 3, seed: int = 0) -> tuple:
+    """UNet-style encoder/decoder segmenter (superset family — the
+    reference has no segmentation workload).
+
+    conv-bn-relu double blocks, maxpool downs, ConvTranspose2d k2 s2
+    ups with encoder skip cats, 1x1 class head producing
+    [N, num_classes, H, W] logits. Exercises the transpose-conv lowering
+    and cat junctions in a real topology.
+    """
+    b = GraphBuilder(seed)
+    x = b.input([batch, in_ch, image_size, image_size], name="0")
+
+    def double(x, c):
+        x = b.relu(b.bn(b.conv(x, c, 3, 1, 1, bias=False)))
+        return b.relu(b.bn(b.conv(x, c, 3, 1, 1, bias=False)))
+
+    skips = []
+    c = width
+    x = double(x, c)
+    for _ in range(depth):
+        skips.append(x)
+        x = b.maxpool(x, 2)
+        c *= 2
+        x = double(x, c)
+    for skip in reversed(skips):
+        c //= 2
+        x = b.conv_transpose(x, c, 2, 2)
+        x = double(b.cat([x, skip], 1), c)
+    out = b.conv(x, num_classes, 1)
+    b.output(out)
+    return b.build(), "0", out

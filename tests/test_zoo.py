@@ -198,3 +198,63 @@ def test_large_variant_presets_build():
         y = np.asarray(eng.run({in_name: x})[out_name], np.float32)
         assert np.isfinite(y).all()
         eng.release()
+
+
+# ----------------------------------------------------------- segmentation
+def test_unet_parity():
+    """UNet builder vs the torch oracle (transpose convs + skip cats)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from torch_ref import run_graph_torch
+
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_unet
+
+    g, in_name, out_name = build_unet(batch=1, image_size=32,
+                                      num_classes=5, width=8, depth=2)
+    x = RNG.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    want = run_graph_torch(g, {in_name: x})[out_name]
+    eng = Engine().load_model(None, graph=g)
+    got = eng.run({in_name: np.transpose(x, (0, 2, 3, 1))})[out_name]
+    got = np.transpose(got, (0, 3, 1, 2))
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=1e-3)
+
+
+def test_segment_pipeline_end_to_end():
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_unet
+    from simpleinfer_tpu.zoo.segment import (colorize_mask,
+                                             preprocess_segment,
+                                             segment_images)
+
+    g, _, _ = build_unet(batch=2, image_size=32, num_classes=4,
+                         width=8, depth=1)
+    eng = Engine().load_model(None, graph=g)
+    imgs = [RNG.integers(0, 255, (48, 64, 3)).astype(np.uint8),
+            RNG.integers(0, 255, (32, 32, 3)).astype(np.uint8)]
+    masks = segment_images(eng, imgs)
+    assert masks[0].shape == (48, 64) and masks[1].shape == (32, 32)
+    assert masks[0].dtype == np.int32
+    assert set(np.unique(masks[0])) <= set(range(4))
+    overlay = colorize_mask(imgs[0], masks[0])
+    assert overlay.shape == imgs[0].shape and overlay.dtype == np.uint8
+    x = preprocess_segment(imgs[0], 32)
+    assert x.shape == (32, 32, 3) and 0.0 <= x.min() and x.max() <= 1.0
+
+
+def test_segment_cli(tmp_path):
+    from simpleinfer_tpu.tools import main
+    from simpleinfer_tpu.zoo import build_unet
+    from simpleinfer_tpu.zoo.imageio import imwrite
+
+    g, _, _ = build_unet(batch=1, image_size=32, num_classes=4,
+                         width=8, depth=1)
+    param, binf = str(tmp_path / "u.pnnx.param"), str(tmp_path / "u.pnnx.bin")
+    g.save(param, binf)
+    img_path = str(tmp_path / "img.ppm")
+    imwrite(img_path, RNG.integers(0, 255, (40, 40, 3)).astype(np.uint8))
+    rc = main(["segment", param, binf, img_path, "--dtype", "float32",
+               "--out", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "img.ppm").exists()

@@ -32,6 +32,19 @@ def _conv2d(op, x):
                     groups=op.params["groups"].i)
 
 
+def _conv_transpose2d(op, x):
+    w = _t(op.attrs["weight"].array())  # IOHW
+    b = _t(op.attrs["bias"].array()) if op.params["bias"].b else None
+    opad = (op.params["output_padding"].ai
+            if "output_padding" in op.params else [0, 0])
+    dil = (op.params["dilation"].ai
+           if "dilation" in op.params else [1, 1])
+    return F.conv_transpose2d(
+        x, w, b, stride=op.params["stride"].ai,
+        padding=op.params["padding"].ai, output_padding=opad,
+        groups=op.params["groups"].i, dilation=dil)
+
+
 def _bn(op, x):
     return F.batch_norm(
         x, _t(op.attrs["running_mean"].array()),
@@ -146,6 +159,8 @@ def run_graph_torch(graph, feeds_nchw):
         t = op.type
         if t == "nn.Conv2d":
             out = _conv2d(op, args[0])
+        elif t == "nn.ConvTranspose2d":
+            out = _conv_transpose2d(op, args[0])
         elif t == "nn.BatchNorm2d":
             out = _bn(op, args[0])
         elif t in _ACTS:
