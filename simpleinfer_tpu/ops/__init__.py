@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     binary,
     conv,
     extra,
+    functional,
     linear,
     norm,
     pool,
