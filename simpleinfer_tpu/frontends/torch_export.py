@@ -409,6 +409,73 @@ def _export_function(b, node, name):
             _param(op, "align_corners",
                    bool(node.kwargs.get("align_corners") or False))
         return
+    if fn.__name__ == "max_pool2d" and getattr(fn, "__module__", ""
+                                               ).endswith("functional"):
+        # F.max_pool2d(input, kernel_size, stride=None, padding=0,
+        #              dilation=1, ceil_mode=False)
+        op = b.add_op("F.max_pool2d", name, [node.args[0]], node)
+        args = list(node.args[1:])
+
+        def arg(i, key, default):
+            if i < len(args):
+                return args[i]
+            return node.kwargs.get(key, default)
+
+        _param(op, "kernel_size", _pair(arg(0, "kernel_size", None)))
+        stride = arg(1, "stride", None)
+        _param(op, "stride",
+               _pair(stride) if stride else _pair(arg(0, "kernel_size",
+                                                      None)))
+        _param(op, "padding", _pair(arg(2, "padding", 0)))
+        _param(op, "dilation", _pair(arg(3, "dilation", 1)))
+        _param(op, "ceil_mode", bool(arg(4, "ceil_mode", False)))
+        return
+    # F.avg_pool2d is a C builtin (__module__ == "torch._C._nn")
+    if fn.__name__ == "avg_pool2d" and getattr(
+            fn, "__module__", "") in ("torch._C._nn",
+                                      "torch.nn.functional"):
+        op = b.add_op("F.avg_pool2d", name, [node.args[0]], node)
+        args = list(node.args[1:])
+
+        def arg(i, key, default):
+            if i < len(args):
+                return args[i]
+            return node.kwargs.get(key, default)
+
+        _param(op, "kernel_size", _pair(arg(0, "kernel_size", None)))
+        stride = arg(1, "stride", None)
+        _param(op, "stride",
+               _pair(stride) if stride else _pair(arg(0, "kernel_size",
+                                                      None)))
+        _param(op, "padding", _pair(arg(2, "padding", 0)))
+        _param(op, "ceil_mode", bool(arg(3, "ceil_mode", False)))
+        _param(op, "count_include_pad",
+               bool(arg(4, "count_include_pad", True)))
+        return
+    if fn.__name__ == "adaptive_avg_pool2d" and getattr(
+            fn, "__module__", "").endswith("functional"):
+        op = b.add_op("F.adaptive_avg_pool2d", name, [node.args[0]], node)
+        _param(op, "output_size", _pair(node.args[1]))
+        return
+    if fn.__name__ == "leaky_relu" and getattr(fn, "__module__", ""
+                                               ).endswith("functional"):
+        op = b.add_op("nn.LeakyReLU", name, [node.args[0]], node)
+        slope = (node.args[1] if len(node.args) > 1
+                 else node.kwargs.get("negative_slope", 0.01))
+        _param(op, "negative_slope", float(slope))
+        return
+    if fn.__name__ == "elu" and getattr(fn, "__module__", ""
+                                        ).endswith("functional"):
+        op = b.add_op("nn.ELU", name, [node.args[0]], node)
+        alpha = (node.args[1] if len(node.args) > 1
+                 else node.kwargs.get("alpha", 1.0))
+        _param(op, "alpha", float(alpha))
+        return
+    if fn.__name__ in ("dropout", "dropout2d") and getattr(
+            fn, "__module__", "").endswith("functional"):
+        # inference no-op: alias the input operand
+        b.operand_of[node.name] = b.operand_of[node.args[0].name]
+        return
     if fn is torch.mean:
         dims = (node.args[1] if len(node.args) > 1
                 else node.kwargs.get("dim"))
@@ -446,6 +513,49 @@ def _export_chunk(b, node, name):
     b.operand_of[node.name] = op.outputs[0]
 
 
+_INT_MAX = 2**63 - 1
+
+
+def _export_slice(b, node, src, index, name):
+    """x[slices] -> Tensor.slice (folded dims/starts/ends/steps form,
+    the newer-pnnx encoding ops/functional.py also parses)."""
+    rank = len(_node_shape(src)) or None
+    items = list(index) if isinstance(index, tuple) else [index]
+    if Ellipsis in items:
+        if rank is None:
+            raise TorchExportError(
+                f"slice at {node.name!r}: Ellipsis needs a known input "
+                f"rank (shape propagation missed this node)")
+        k = items.index(Ellipsis)
+        fill = rank - (len(items) - 1)
+        items = items[:k] + [slice(None)] * fill + items[k + 1:]
+    dims, starts, ends, steps = [], [], [], []
+    for d, it in enumerate(items):
+        if not isinstance(it, slice):
+            raise TorchExportError(
+                f"slice at {node.name!r}: only slice components are "
+                f"supported, got {it!r} (rank-reducing int indexing is "
+                f"not)")
+        if it == slice(None):
+            continue
+        step = 1 if it.step is None else int(it.step)
+        if step <= 0:
+            raise TorchExportError(
+                f"slice at {node.name!r}: non-positive step {step}")
+        dims.append(d)
+        starts.append(0 if it.start is None else int(it.start))
+        ends.append(_INT_MAX if it.stop is None else int(it.stop))
+        steps.append(step)
+    if not dims:  # x[:] / x[...] — pure alias
+        b.operand_of[node.name] = b.operand_of[src.name]
+        return
+    op = b.add_op("Tensor.slice", name, [src], node)
+    _param(op, "dims", dims)
+    _param(op, "starts", starts)
+    _param(op, "ends", ends)
+    _param(op, "steps", steps)
+
+
 def _export_method(b, node, name):
     mname = node.target
     act = {"relu": "nn.ReLU", "sigmoid": "nn.Sigmoid",
@@ -476,8 +586,14 @@ def _export_method(b, node, name):
     if mname == "chunk":
         _export_chunk(b, node, name)
         return
-    if mname == "contiguous":
+    if mname in ("contiguous", "clone", "detach"):
         b.operand_of[node.name] = b.operand_of[node.args[0].name]
+        return
+    if mname == "expand":
+        shape = (node.args[1] if isinstance(node.args[1], (tuple, list))
+                 else node.args[1:])
+        op = b.add_op("Tensor.expand", name, [node.args[0]], node)
+        _param(op, "shape", [int(s) for s in shape])
         return
     raise TorchExportError(f"unsupported method .{mname}() at node "
                            f"{node.name!r}")
@@ -525,10 +641,15 @@ def export_torch(module, example_input) -> tuple:
             _export_module(b, node, modules[node.target], name)
         elif node.op == "call_function":
             if node.target is operator.getitem:
-                # ONLY the select-one-output-of-a-multi-output-op form
-                # is supported (chunk/split); tensor indexing/slicing
-                # (x[0], x[:, :2]) must raise, not silently alias
+                # Two supported forms: select-one-output-of-a-multi-
+                # output-op (chunk/split), and basic slicing
+                # (x[:, 1:, ::2] -> Tensor.slice). Rank-reducing int
+                # indexing (x[0]) must raise, not silently alias.
                 src, j = node.args
+                if isinstance(j, (slice, tuple)) and not isinstance(
+                        j, int):
+                    _export_slice(b, node, src, j, name)
+                    continue
                 producer = b.operand_of[src.name].producer
                 if (producer is None
                         or producer.type not in ("torch.chunk",
@@ -537,8 +658,8 @@ def export_torch(module, example_input) -> tuple:
                         or j >= len(producer.outputs)):
                     raise TorchExportError(
                         f"getitem at {name!r}: only selecting an output "
-                        f"of chunk/split is supported (tensor "
-                        f"indexing/slicing is not)")
+                        f"of chunk/split or basic slicing is supported "
+                        f"(rank-reducing int indexing is not)")
                 b.operand_of[name] = producer.outputs[j]
             else:
                 _export_function(b, node, name)

@@ -222,8 +222,10 @@ def test_chunk_getitem_c2f_block():
     _check(_C2f(), (2, 8, 12, 12))
 
 
-def test_tensor_indexing_raises_not_aliases():
-    """x[0] / x[:, :2] must raise, not silently export the full tensor."""
+def test_rank_reducing_indexing_raises_not_aliases():
+    """x[0] (rank-reducing int index) must raise, not silently export
+    the full tensor. Basic slicing (x[:, :2]) exports as Tensor.slice
+    — covered in test_slice_getitem_exports below."""
     class M1(nn.Module):
         def __init__(self):
             super().__init__()
@@ -232,15 +234,83 @@ def test_tensor_indexing_raises_not_aliases():
         def forward(self, x):
             return self.c(x)[0]
 
-    class M2(nn.Module):
+    class M3(nn.Module):
         def forward(self, x):
-            return x[:, :2]
+            return x[:, 0]  # int inside a tuple index
 
     x = RNG.standard_normal((2, 3, 4, 4)).astype(np.float32)
     with pytest.raises(TorchExportError):
         export_torch(M1(), x)
     with pytest.raises(TorchExportError):
-        export_torch(M2(), x)
+        export_torch(M3(), x)
+
+
+def test_slice_getitem_exports():
+    class M(nn.Module):
+        def forward(self, x):
+            return x[:, 1:3, ::2]
+
+    _check(M(), (2, 4, 6, 6))
+
+
+def test_focus_stem_exports():
+    """YOLOv5 Focus: four strided slices + channel cat + conv."""
+    class Focus(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(12, 8, 1)
+
+        def forward(self, x):
+            return self.c(torch.cat(
+                [x[..., ::2, ::2], x[..., 1::2, ::2],
+                 x[..., ::2, 1::2], x[..., 1::2, 1::2]], 1))
+
+    _check(Focus(), (1, 3, 8, 8))
+
+
+def test_full_slice_aliases():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 4, 1)
+
+        def forward(self, x):
+            return self.c(x[:])
+
+    _check(M(), (1, 3, 4, 4))
+
+
+def test_functional_pools_export():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 8, 3, padding=1)
+
+        def forward(self, x):
+            x = F.max_pool2d(self.c(x), 2)
+            x = F.avg_pool2d(x, 2, 1, 1)
+            x = F.adaptive_avg_pool2d(x, 1)
+            return torch.flatten(x, 1)
+
+    _check(M(), (2, 3, 16, 16))
+
+
+def test_functional_leaky_elu_dropout_export():
+    class M(nn.Module):
+        def forward(self, x):
+            x = F.leaky_relu(x, 0.2)
+            x = F.dropout(x, p=0.5, training=False)
+            return F.elu(x, alpha=0.6)
+
+    _check(M(), (1, 3, 4, 4))
+
+
+def test_expand_clone_export():
+    class M(nn.Module):
+        def forward(self, x):
+            return x.clone().expand(-1, 4, -1, -1)
+
+    _check(M(), (2, 1, 3, 3))
 
 
 def test_add_with_alpha_raises():
