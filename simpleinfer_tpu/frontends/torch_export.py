@@ -601,8 +601,11 @@ def _export_method(b, node, name):
 
 def export_torch(module, example_input) -> tuple:
     """Trace `module` (eval-mode torch.nn.Module) and return
-    (Graph, input_name, output_name). Multi-output modules return a
-    list as the third element."""
+    (Graph, input_name, output_name). Multi-input modules pass a
+    tuple/list of example arrays and get a list of input names back;
+    multi-output modules return a list as the third element (mirroring
+    the reference engine's N-ary Input/Extract surface,
+    /root/reference/src/engine_impl.cpp:196-211)."""
     import torch
     import torch.fx
     from torch.fx.passes.shape_prop import ShapeProp
@@ -613,8 +616,15 @@ def export_torch(module, example_input) -> tuple:
 
     module = module.eval()
     gm = torch.fx.symbolic_trace(module)
-    example = torch.as_tensor(np.asarray(example_input, np.float32))
-    ShapeProp(gm).propagate(example)
+    multi_in = isinstance(example_input, (tuple, list))
+    examples = [torch.as_tensor(np.asarray(e, np.float32))
+                for e in (example_input if multi_in else [example_input])]
+    try:
+        ShapeProp(gm).propagate(*examples)
+    except RuntimeError as e:
+        raise TorchExportError(
+            f"example input mismatch: {e} (multi-input modules take a "
+            f"tuple/list of example arrays)") from e
 
     b = _Builder()
     modules = dict(gm.named_modules())
@@ -677,8 +687,10 @@ def export_torch(module, example_input) -> tuple:
         else:  # pragma: no cover
             raise TorchExportError(f"unknown fx op {node.op}")
 
-    if len(input_names) != 1:
+    if len(input_names) != len(examples):
         raise TorchExportError(
-            f"expected exactly one input, got {input_names}")
+            f"expected {len(examples)} example input(s) for placeholders "
+            f"{input_names}")
+    inp = input_names if multi_in else input_names[0]
     out = output_names if len(output_names) > 1 else output_names[0]
-    return b.g, input_names[0], out
+    return b.g, inp, out

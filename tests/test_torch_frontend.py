@@ -305,6 +305,40 @@ def test_functional_leaky_elu_dropout_export():
     _check(M(), (1, 3, 4, 4))
 
 
+def test_multi_input_export():
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 4, 1)
+
+        def forward(self, a, b):
+            return self.c(a) + self.c(b) * 0.5
+
+    torch.manual_seed(4)
+    m = M().eval()
+    a = RNG.standard_normal((1, 3, 6, 6)).astype(np.float32)
+    b = RNG.standard_normal((1, 3, 6, 6)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    graph, in_names, out_name = export_torch(m, (a, b))
+    assert in_names == ["a", "b"]
+    eng = Engine().load_model(None, graph=graph)
+    got = eng.run({"a": np.transpose(a, (0, 2, 3, 1)),
+                   "b": np.transpose(b, (0, 2, 3, 1))})[out_name]
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), want,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_missing_example_inputs_raise():
+    class M(nn.Module):
+        def forward(self, a, b):
+            return a + b
+
+    x = RNG.standard_normal((1, 3, 4, 4)).astype(np.float32)
+    with pytest.raises((TorchExportError, TypeError)):
+        export_torch(M(), x)
+
+
 def test_expand_clone_export():
     class M(nn.Module):
         def forward(self, x):
