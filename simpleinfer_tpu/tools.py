@@ -67,7 +67,8 @@ def cmd_detect(args) -> int:
         _maybe_calibrate(eng, np.stack(
             [letterbox(im, args.size)[0] for im in images]))
     results = detect_images(eng, images, size=args.size,
-                            conf_thresh=args.conf, iou_thresh=args.iou)
+                            conf_thresh=args.conf, iou_thresh=args.iou,
+                            device_decode=args.device_decode)
     for path, img, dets in zip(args.images, images, results):
         print(f"{path}: {len(dets)} detections")
         for d in dets:
@@ -265,6 +266,10 @@ def main(argv=None) -> int:
             p.add_argument("--conf", type=float, default=0.25)
             p.add_argument("--iou", type=float, default=0.45)
             p.add_argument("--out", help="directory for annotated images")
+            p.add_argument("--device-decode", action="store_true",
+                           help="run score-filter + NMS on the TPU and "
+                                "fetch only the kept rows (fast when "
+                                "the chip is remote)")
         else:
             p.add_argument("--topk", type=int, default=5)
         p.set_defaults(fn=fn)

@@ -132,6 +132,89 @@ def test_softmax_topk():
 
 
 # ------------------------------------------------------- end-to-end demo
+def test_nms_jax_matches_numpy():
+    from simpleinfer_tpu.zoo.detect import nms_jax
+
+    rng = np.random.default_rng(11)
+    boxes = rng.uniform(0, 80, (64, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 30, (64, 2))
+    scores = rng.permutation(64).astype(np.float32) / 64  # distinct
+    for thr in (0.3, 0.45, 0.7):
+        want = nms(boxes, scores, iou_thresh=thr)
+        got = np.asarray(nms_jax(boxes, scores, iou_thresh=thr,
+                                 max_keep=64))
+        got = got[got >= 0]
+        assert list(got) == list(want), thr
+
+
+def test_nms_jax_max_keep_and_padding():
+    from simpleinfer_tpu.zoo.detect import nms_jax
+
+    boxes = np.asarray([[i * 20.0, 0, i * 20 + 10, 10]
+                        for i in range(5)], np.float32)
+    scores = np.asarray([0.9, 0.8, 0.7, 0.6, 0.5], np.float32)
+    out = np.asarray(nms_jax(boxes, scores, max_keep=3))
+    assert list(out) == [0, 1, 2]  # truncated at max_keep
+    # negative scores are absent rows
+    scores[1] = -1.0
+    out = np.asarray(nms_jax(boxes, scores, max_keep=5))
+    assert list(out) == [0, 2, 3, 4, -1]
+
+
+def test_decode_device_matches_host():
+    from simpleinfer_tpu.zoo.detect import decode_device
+
+    rng = np.random.default_rng(12)
+    nc, m, n = 4, 96, 2
+    pred = np.zeros((n, m, 5 + nc), np.float32)
+    cxy = rng.uniform(30, 600, (n, m, 2))
+    wh = rng.uniform(8, 60, (n, m, 2))
+    pred[..., :2], pred[..., 2:4] = cxy, wh
+    pred[..., 4] = rng.uniform(0, 1, (n, m))
+    pred[..., 5:] = rng.dirichlet(np.ones(nc), (n, m))
+    rows = np.asarray(decode_device(pred, conf_thresh=0.25,
+                                    iou_thresh=0.45, max_det=96))
+    assert rows.shape == (n, 96, 6)
+    for i in range(n):
+        want = decode_predictions(pred[i], conf_thresh=0.25,
+                                  iou_thresh=0.45)
+        got = rows[i][rows[i][:, 4] >= 0]
+        assert len(got) == len(want)
+        for g, d in zip(got, want):  # both score-ordered
+            assert g[:4] == pytest.approx(d.box, abs=1e-3)
+            assert g[4] == pytest.approx(d.score, abs=1e-5)
+            assert int(g[5]) == d.class_id
+
+
+def test_decode_device_v8_and_empty():
+    from simpleinfer_tpu.zoo.detect import decode_device
+
+    pred = np.zeros((1, 20, 4 + 3), np.float32)  # all zero-confidence
+    rows = np.asarray(decode_device(pred, head="v8", max_det=8))
+    assert rows.shape == (1, 8, 6)
+    assert (rows[0, :, 4] < 0).all()
+
+
+def test_detect_images_device_decode_matches_host():
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    graph, in_name, _ = build_yolov5("n", batch=2, image_size=64)
+    eng = Engine().load_model(None, graph=graph)
+    imgs = [RNG.integers(0, 255, (48, 80, 3)).astype(np.uint8),
+            RNG.integers(0, 255, (80, 48, 3)).astype(np.uint8)]
+    host = detect_images(eng, imgs, size=64, conf_thresh=0.01)
+    dev = detect_images(eng, imgs, size=64, conf_thresh=0.01,
+                        device_decode=True)
+    assert len(dev) == len(host) == 2
+    for hd, dd in zip(host, dev):
+        assert len(hd) == len(dd)
+        for a, b in zip(hd, dd):
+            assert a.class_id == b.class_id
+            assert a.score == pytest.approx(b.score, abs=1e-4)
+            assert a.box == pytest.approx(b.box, abs=0.1)
+
+
 def test_detect_images_end_to_end():
     """Full demo path through a real (tiny) yolov5 engine."""
     from simpleinfer_tpu import Engine
