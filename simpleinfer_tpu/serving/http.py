@@ -11,6 +11,12 @@ no extra dependencies:
   ``{"input": <nested list>}``. The response mirrors the request
   encoding. Concurrent requests are merged into device batches by the
   BatchingService — the HTTP layer adds no batching logic of its own.
+- ``POST /v1/detect`` — one HWC image (``.npy`` or JSON ``{"image":
+  ...}``), letterboxed and decoded server-side; responds with JSON
+  detections ``{"detections": [{box, score, class_id, class_name}],
+  "count": N}``. Query params ``?conf=&iou=`` set host-decode
+  thresholds (ignored when the service decodes on device via
+  ``device_postprocess=decode_device(...)``).
 - ``GET /v1/stats``   — scheduler statistics as JSON; pass ``?slo_ms=N``
   to include the per-bucket SLO report.
 - ``GET /metrics``    — the same counters in Prometheus text exposition
@@ -113,6 +119,49 @@ class InferenceServer:
             out = out.astype(np.float32)  # wire format must be portable
         return out
 
+    def detect(self, image: np.ndarray, conf: float, iou: float) -> list:
+        """One HWC image -> list of detection dicts: letterbox to the
+        service's item size, submit, decode. Works with either service
+        shape: raw head rows (host decode with the given thresholds) or
+        device-decoded [max_det, 6] rows (thresholds were fixed at
+        BatchingService(device_postprocess=decode_device(...)) time —
+        conf/iou query params are ignored then)."""
+        from ..zoo.detect import (decode_predictions,
+                                  detections_from_decoded, letterbox)
+
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(
+                f"detect expects an HWC 3-channel image, got "
+                f"{tuple(image.shape)}")
+        size = self._item_shape[0]
+        if len(self._item_shape) != 3 or self._item_shape[:2] != (size,
+                                                                  size):
+            raise ValueError(
+                f"service input {self._item_shape} is not a square "
+                f"image — /v1/detect needs a detection model")
+        if image.dtype != np.uint8:
+            image = np.clip(image, 0, 255).astype(np.uint8)
+        canvas, lb = letterbox(image, size)
+        fut = self.service.submit(canvas)
+        rows = np.asarray(fut.result(timeout=self.request_timeout_s))
+        if rows.dtype.kind not in "fiub":
+            rows = rows.astype(np.float32)
+        if rows.ndim == 2 and rows.shape[-1] == 6:
+            dets = detections_from_decoded(rows, lb,
+                                           image_shape=image.shape)
+        else:
+            dets = decode_predictions(rows, lb, conf, iou,
+                                      image_shape=image.shape,
+                                      head=self._detect_head)
+        return [{"box": [float(v) for v in d.box],
+                 "score": float(d.score), "class_id": int(d.class_id),
+                 "class_name": d.class_name} for d in dets]
+
+    @property
+    def _detect_head(self) -> str:
+        types = {i.type for i in self.service.engine.program.impls}
+        return "v8" if "models.yolo.DetectV8" in types else "v5"
+
     def stats_dict(self, slo_ms: float | None = None) -> dict:
         s = self.service.stats
         out = {
@@ -203,7 +252,8 @@ def _make_handler(server: InferenceServer):
                 self._reply_json(404, {"error": f"no route {path}"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/v1/infer":
+            path, _, query = self.path.partition("?")
+            if path not in ("/v1/infer", "/v1/detect"):
                 self._reply_json(404, {"error": f"no route {self.path}"})
                 return
             try:
@@ -226,9 +276,36 @@ def _make_handler(server: InferenceServer):
                     arr = np.load(io.BytesIO(body), allow_pickle=False)
                 else:
                     payload = json.loads(body)
-                    arr = np.asarray(payload["input"], dtype=np.float32)
+                    key = "image" if path == "/v1/detect" else "input"
+                    arr = np.asarray(payload[key])
+                    if path != "/v1/detect":
+                        arr = arr.astype(np.float32)
             except Exception as e:  # noqa: BLE001 — client error
                 self._reply_json(400, {"error": f"bad body: {e}"})
+                return
+            if path == "/v1/detect":
+                from urllib.parse import parse_qs
+
+                q = parse_qs(query)
+
+                def qf(key, default):
+                    try:
+                        return float(q[key][0])
+                    except (KeyError, IndexError, ValueError):
+                        return default
+
+                try:
+                    dets = server.detect(arr, qf("conf", 0.25),
+                                         qf("iou", 0.45))
+                except ValueError as e:
+                    self._reply_json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001 — backend error
+                    self._reply_json(500,
+                                     {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self._reply_json(200, {"detections": dets,
+                                       "count": len(dets)})
                 return
             try:
                 out = server.infer(arr)

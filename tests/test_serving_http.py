@@ -231,3 +231,88 @@ def test_oversized_request_does_not_desync_keepalive(served):
             pass  # closed connection is the expected behavior
     finally:
         conn.close()
+
+
+# ----------------------------------------------------------- /v1/detect
+@pytest.fixture(scope="module")
+def detect_served():
+    from simpleinfer_tpu.zoo import build_yolov5
+    from simpleinfer_tpu.zoo.detect import decode_device
+
+    graph, _, _ = build_yolov5("n", batch=1, image_size=64)
+    eng = Engine().load_model(None, graph=graph)
+    svc = BatchingService(eng, max_batch=4, max_wait_ms=5).start()
+    server = InferenceServer(svc, port=0).start()
+    host, port = server.address[:2]
+
+    eng2 = Engine().load_model(None, graph=graph)
+    svc2 = BatchingService(
+        eng2, max_batch=4, max_wait_ms=5,
+        device_postprocess=lambda o: decode_device(
+            o, conf_thresh=0.01, max_det=64)).start()
+    server2 = InferenceServer(svc2, port=0).start()
+    host2, port2 = server2.address[:2]
+    yield f"http://{host}:{port}", f"http://{host2}:{port2}"
+    server.stop(); svc.stop(drain=False)
+    server2.stop(); svc2.stop(drain=False)
+
+
+def _detect_json(base, img, query=""):
+    body = json.dumps({"image": img.tolist()}).encode()
+    return _post(base + "/v1/detect" + query, body, "application/json")
+
+
+def test_detect_endpoint_host_decode(detect_served):
+    base, _ = detect_served
+    img = RNG.integers(0, 255, (48, 72, 3)).astype(np.uint8)
+    status, ctype, body = _detect_json(base, img, "?conf=0.01")
+    assert status == 200 and ctype.startswith("application/json")
+    out = json.loads(body)
+    assert out["count"] == len(out["detections"])
+    for d in out["detections"]:
+        x1, y1, x2, y2 = d["box"]
+        assert 0 <= x1 <= 72 and 0 <= y2 <= 48
+        assert 0 < d["score"] <= 1 and isinstance(d["class_name"], str)
+
+
+def test_detect_endpoint_npy_body(detect_served):
+    base, _ = detect_served
+    img = RNG.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    buf = io.BytesIO(); np.save(buf, img, allow_pickle=False)
+    status, _, body = _post(base + "/v1/detect?conf=0.01", buf.getvalue(),
+                            NPY_CONTENT_TYPE)
+    assert status == 200
+    assert json.loads(body)["count"] >= 0
+
+
+def test_detect_endpoint_device_decoded_rows(detect_served):
+    base_host, base_dev = detect_served
+    img = RNG.integers(0, 255, (48, 72, 3)).astype(np.uint8)
+    _, _, hb = _detect_json(base_host, img, "?conf=0.01")
+    _, _, db = _detect_json(base_dev, img)
+    host_dets = json.loads(hb)["detections"]
+    dev_dets = json.loads(db)["detections"]
+    # device decode caps at max_det=64; both paths agree on the top rows
+    n = min(len(host_dets), len(dev_dets))
+    assert n > 0
+    for a, b in zip(host_dets[:n], dev_dets[:n]):
+        assert a["class_id"] == b["class_id"]
+        assert abs(a["score"] - b["score"]) < 1e-3
+
+
+def test_detect_endpoint_bad_image_is_400(detect_served):
+    base, _ = detect_served
+    img = RNG.integers(0, 255, (8, 8)).astype(np.uint8)  # not HWC
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _detect_json(base, img)
+    assert ei.value.code == 400
+    assert "HWC" in json.loads(ei.value.read())["error"]
+
+
+def test_detect_endpoint_on_classifier_errors(served):
+    _, _, base = served  # resnet service: item is square, decode fails
+    img = RNG.integers(0, 255, (20, 20, 3)).astype(np.uint8)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _detect_json(base, img, "?conf=0.5")
+    # classifier output rows don't decode; server must answer, not hang
+    assert ei.value.code in (400, 500)
