@@ -320,6 +320,10 @@ def test_segment_pipeline_end_to_end():
     assert masks[0].shape == (48, 64) and masks[1].shape == (32, 32)
     assert masks[0].dtype == np.int32
     assert set(np.unique(masks[0])) <= set(range(4))
+    # device argmax (default) is bit-identical to the host path
+    host_masks = segment_images(eng, imgs, device_argmax=False)
+    for a, b in zip(masks, host_masks):
+        np.testing.assert_array_equal(a, b)
     overlay = colorize_mask(imgs[0], masks[0])
     assert overlay.shape == imgs[0].shape and overlay.dtype == np.uint8
     x = preprocess_segment(imgs[0], 32)
