@@ -455,7 +455,12 @@ def _export_function(b, node, name):
     if fn.__name__ == "adaptive_avg_pool2d" and getattr(
             fn, "__module__", "").endswith("functional"):
         op = b.add_op("F.adaptive_avg_pool2d", name, [node.args[0]], node)
-        _param(op, "output_size", _pair(node.args[1]))
+        out_size = (node.args[1] if len(node.args) > 1
+                    else node.kwargs.get("output_size"))
+        if out_size is None:
+            raise TorchExportError(
+                f"adaptive_avg_pool2d at {node.name!r} needs output_size")
+        _param(op, "output_size", _pair(out_size))
         return
     if fn.__name__ == "leaky_relu" and getattr(fn, "__module__", ""
                                                ).endswith("functional"):
@@ -592,6 +597,11 @@ def _export_method(b, node, name):
     if mname == "expand":
         shape = (node.args[1] if isinstance(node.args[1], (tuple, list))
                  else node.args[1:])
+        if not all(isinstance(s, int) for s in shape):
+            raise TorchExportError(
+                f".expand() at {node.name!r}: only static int sizes are "
+                f"supported, got {shape!r} (dynamic x.size(i) args are "
+                f"not)")
         op = b.add_op("Tensor.expand", name, [node.args[0]], node)
         _param(op, "shape", [int(s) for s in shape])
         return

@@ -22,7 +22,6 @@ Also here:
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..ir.graph import (
     PARAM_AFLOAT,
@@ -32,7 +31,8 @@ from ..ir.graph import (
     PARAM_INT,
     PARAM_STR,
 )
-from .extra import avg_pool_2d
+from .extra import (avg_pool_2d, lower_elu, lower_gelu, lower_leaky_relu,
+                    lower_tanh)
 from .pool import adaptive_avg_pool_2d, max_pool_2d
 from .registry import OpImpl, register_op, require_param
 from .shape import upsample_bilinear, upsample_nearest
@@ -50,21 +50,25 @@ def _pair(p):
     return tuple(p.ai)
 
 
+def _opt_pair(op, key, default):
+    """Optional int-or-[h,w] param with a default (F.* pooling args)."""
+    if op.has_param(key, PARAM_INT) or op.has_param(key, PARAM_AINT):
+        return _pair(op.params[key])
+    return default
+
+
+def _opt_bool(op, key, default):
+    return op.params[key].b if op.has_param(key, PARAM_BOOL) else default
+
+
 # ------------------------------------------------------------ F.pooling
 @register_op("F.max_pool2d")
 def lower_f_max_pool2d(op, cfg):
     kernel = _pair(require_param(op, "kernel_size"))
-    stride = _pair(op.params["stride"]) if (
-        op.has_param("stride", PARAM_INT)
-        or op.has_param("stride", PARAM_AINT)) else kernel
-    padding = _pair(op.params["padding"]) if (
-        op.has_param("padding", PARAM_INT)
-        or op.has_param("padding", PARAM_AINT)) else (0, 0)
-    dilation = _pair(op.params["dilation"]) if (
-        op.has_param("dilation", PARAM_INT)
-        or op.has_param("dilation", PARAM_AINT)) else (1, 1)
-    ceil_mode = (op.params["ceil_mode"].b
-                 if op.has_param("ceil_mode", PARAM_BOOL) else False)
+    stride = _opt_pair(op, "stride", kernel)
+    padding = _opt_pair(op, "padding", (0, 0))
+    dilation = _opt_pair(op, "dilation", (1, 1))
+    ceil_mode = _opt_bool(op, "ceil_mode", False)
 
     def apply(weights, x):
         return max_pool_2d(x, kernel, stride, padding, dilation, ceil_mode)
@@ -75,16 +79,10 @@ def lower_f_max_pool2d(op, cfg):
 @register_op("F.avg_pool2d")
 def lower_f_avg_pool2d(op, cfg):
     kernel = _pair(require_param(op, "kernel_size"))
-    stride = _pair(op.params["stride"]) if (
-        op.has_param("stride", PARAM_INT)
-        or op.has_param("stride", PARAM_AINT)) else kernel
-    padding = _pair(op.params["padding"]) if (
-        op.has_param("padding", PARAM_INT)
-        or op.has_param("padding", PARAM_AINT)) else (0, 0)
-    ceil_mode = (op.params["ceil_mode"].b
-                 if op.has_param("ceil_mode", PARAM_BOOL) else False)
-    cip = (op.params["count_include_pad"].b
-           if op.has_param("count_include_pad", PARAM_BOOL) else True)
+    stride = _opt_pair(op, "stride", kernel)
+    padding = _opt_pair(op, "padding", (0, 0))
+    ceil_mode = _opt_bool(op, "ceil_mode", False)
+    cip = _opt_bool(op, "count_include_pad", True)
 
     def apply(weights, x):
         return avg_pool_2d(x, kernel, stride, padding, ceil_mode, cip)
@@ -125,7 +123,9 @@ def _interp_args(op):
 def _lower_interp(op, mode, align, scale, size):
     if scale is None and size is None:
         raise ValueError(f"{op.type} {op.name}: need scale_factor or size")
-    if mode not in ("nearest", "bilinear", "linear"):
+    if mode not in ("nearest", "bilinear"):
+        # torch's mode="linear" applies to rank-3 (N,C,L) tensors; this
+        # pipeline is 2-D NHWC — reject at load, not at trace time
         raise ValueError(f"{op.type} {op.name}: unsupported mode {mode!r}")
 
     def apply(weights, x):
@@ -162,48 +162,13 @@ def lower_f_upsample_bilinear(op, cfg):
 
 
 # -------------------------------------------------- F.activation forms
-@register_op("F.leaky_relu")
-def lower_f_leaky_relu(op, cfg):
-    slope = (op.params["negative_slope"].f
-             if op.has_param("negative_slope", PARAM_FLOAT) else 0.01)
-
-    def apply(weights, x):
-        return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
-
-    return OpImpl(name=op.name, type=op.type, apply=apply)
-
-
-@register_op("F.elu")
-def lower_f_elu(op, cfg):
-    alpha = (op.params["alpha"].f
-             if op.has_param("alpha", PARAM_FLOAT) else 1.0)
-
-    def apply(weights, x):
-        return jnp.where(x > 0, x,
-                         jnp.asarray(alpha, x.dtype) * jnp.expm1(x))
-
-    return OpImpl(name=op.name, type=op.type, apply=apply)
-
-
-@register_op("F.gelu")
-def lower_f_gelu(op, cfg):
-    import jax
-
-    approx = (op.params["approximate"].s
-              if op.has_param("approximate", PARAM_STR) else "none") == "tanh"
-
-    def apply(weights, x):
-        return jax.nn.gelu(x, approximate=approx)
-
-    return OpImpl(name=op.name, type=op.type, apply=apply)
-
-
-@register_op("F.tanh")
-def lower_f_tanh(op, cfg):
-    def apply(weights, x):
-        return jnp.tanh(x)
-
-    return OpImpl(name=op.name, type=op.type, apply=apply)
+# identical param names/defaults/math as the module twins — register
+# the extra.py lowerings under the functional type strings rather than
+# duplicating the formulas
+register_op("F.leaky_relu")(lower_leaky_relu)
+register_op("F.elu")(lower_elu)
+register_op("F.gelu")(lower_gelu)
+register_op("F.tanh")(lower_tanh)
 
 
 # -------------------------------------------------------- Tensor.slice

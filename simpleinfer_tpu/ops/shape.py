@@ -128,7 +128,9 @@ def upsample_bilinear(x, scale=None, size=None, align_corners=False):
 @register_op("nn.Upsample")
 def lower_upsample(op, cfg):
     mode = require_param(op, "mode").s
-    if mode not in ("nearest", "bilinear", "linear"):
+    if mode not in ("nearest", "bilinear"):
+        # "linear" is torch's rank-3 (N,C,L) mode; this pipeline is 2-D
+        # NHWC, so rejecting at load beats an unpack crash at trace time
         raise ValueError(f"Upsample {op.name}: unsupported mode {mode!r}")
     align_corners = (op.params["align_corners"].b
                      if op.has_param("align_corners", 1) else False)

@@ -146,7 +146,9 @@ class InferenceServer:
         rows = np.asarray(fut.result(timeout=self.request_timeout_s))
         if rows.dtype.kind not in "fiub":
             rows = rows.astype(np.float32)
-        if rows.ndim == 2 and rows.shape[-1] == 6:
+        # branch on how the SERVICE was configured, not on row shape —
+        # a 1-class v5 / 2-class v8 raw head is also 6 columns wide
+        if self.service.device_post is not None:
             dets = detections_from_decoded(rows, lb,
                                            image_shape=image.shape)
         else:
@@ -289,10 +291,13 @@ def _make_handler(server: InferenceServer):
                 q = parse_qs(query)
 
                 def qf(key, default):
+                    if key not in q:
+                        return default
                     try:
                         return float(q[key][0])
-                    except (KeyError, IndexError, ValueError):
-                        return default
+                    except (IndexError, ValueError):
+                        raise ValueError(
+                            f"bad query param {key}={q[key]!r}") from None
 
                 try:
                     dets = server.detect(arr, qf("conf", 0.25),

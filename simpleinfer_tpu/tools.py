@@ -68,7 +68,8 @@ def cmd_detect(args) -> int:
             [letterbox(im, args.size)[0] for im in images]))
     results = detect_images(eng, images, size=args.size,
                             conf_thresh=args.conf, iou_thresh=args.iou,
-                            device_decode=args.device_decode)
+                            device_decode=args.device_decode,
+                            stage_uint8=args.stage_uint8)
     for path, img, dets in zip(args.images, images, results):
         print(f"{path}: {len(dets)} detections")
         for d in dets:
@@ -266,6 +267,10 @@ def main(argv=None) -> int:
             p.add_argument("--conf", type=float, default=0.25)
             p.add_argument("--iou", type=float, default=0.45)
             p.add_argument("--out", help="directory for annotated images")
+            p.add_argument("--stage-uint8", action="store_true",
+                           help="ship the letterboxed canvas as uint8 "
+                                "bytes and normalize on device (4x "
+                                "fewer upload bytes)")
             p.add_argument("--device-decode", action="store_true",
                            help="run score-filter + NMS on the TPU and "
                                 "fetch only the kept rows (fast when "

@@ -16,6 +16,7 @@ the numpy variant matches the reference's qsort+suppress exactly.
 """
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -237,8 +238,11 @@ def nms_jax(boxes, scores, iou_thresh: float = 0.45, max_keep: int = 300):
     import jax
     import jax.numpy as jnp
 
-    boxes = jnp.asarray(boxes)
-    scores = jnp.asarray(scores)
+    # f32 always: bf16 inputs (the headline engine dtype) cannot carry
+    # the 4096-per-class offset — ulp(4096*79) = 2048 px would collapse
+    # same-class boxes and disable suppression entirely
+    boxes = jnp.asarray(boxes, jnp.float32)
+    scores = jnp.asarray(scores, jnp.float32)
     k = boxes.shape[0]
     order = jnp.argsort(-scores)  # stable: ties keep input order
     b = boxes[order]
@@ -283,11 +287,19 @@ def decode_device(pred, conf_thresh: float = 0.25,
 
     Use inside jax.jit (e.g. BatchingService(device_postprocess=...))
     or via detect_images(device_decode=True).
+
+    Caveat vs the host path: only the pre_topk highest-confidence rows
+    enter NMS (fixed shapes require a static candidate count). With
+    the default 1024 this is lossless for any realistic scene; in a
+    synthetic >1024-above-threshold case the device path drops the
+    lowest-scoring tail candidates the host path would still consider.
     """
     import jax
     import jax.numpy as jnp
 
-    pred = jnp.asarray(pred)
+    # decode in f32 regardless of engine dtype: box coords + the
+    # class-offset trick need more mantissa than bf16 has (see nms_jax)
+    pred = jnp.asarray(pred, jnp.float32)
 
     def one(p):  # [M, 4+nc(+obj)]
         if head == "v8":
@@ -318,6 +330,18 @@ def decode_device(pred, conf_thresh: float = 0.25,
     return jax.vmap(one)(pred)
 
 
+@_functools.lru_cache(maxsize=64)
+def _decode_device_jit(conf_thresh: float, iou_thresh: float,
+                       max_det: int, head: str):
+    """Cached jitted decode_device closure — a fresh jax.jit(lambda)
+    per call would retrace + recompile every invocation (expensive on
+    the remote-attached chip)."""
+    import jax
+
+    return jax.jit(lambda p: decode_device(p, conf_thresh, iou_thresh,
+                                           max_det, head))
+
+
 def detections_from_decoded(rows: np.ndarray, lb: Letterbox | None = None,
                             image_shape: tuple | None = None) -> list:
     """[max_det, 6] device-decoded rows -> list[Detection] (host side:
@@ -340,7 +364,8 @@ def detect_images(engine, images: list, input_name: str | None = None,
                   size: int = 640, conf_thresh: float = 0.25,
                   iou_thresh: float = 0.45, head: str = "auto",
                   device_decode: bool = False,
-                  max_det: int = 300) -> list:
+                  max_det: int = 300,
+                  stage_uint8: bool = False) -> list:
     """End-to-end demo: HWC images -> list of per-image detections.
 
     The Python analog of test_yolo's main loop (:278-441): letterbox all
@@ -351,22 +376,28 @@ def detect_images(engine, images: list, input_name: str | None = None,
     device_decode=True runs score-filter + class-wise NMS on device
     (decode_device) and fetches only [N, max_det, 6] rows instead of
     the raw head output — the right mode when the chip is remote or
-    the batch is large."""
-    import jax
+    the batch is large.
 
+    stage_uint8=True ships the letterboxed canvas as raw uint8 bytes
+    and normalizes on device (the engine's u8 input path) — 4x fewer
+    host->device bytes. The canvas is rounded to integers first, a
+    <=0.5/255 perturbation (below bf16 resolution); keep it off when
+    comparing against an fp32 float-staged oracle bit-for-bit."""
     input_name = input_name or engine.input_names[0]
     if head == "auto":
         types = {i.type for i in engine.program.impls}
         head = "v8" if "models.yolo.DetectV8" in types else "v5"
-    canvases, lbs = zip(*(letterbox(im, size) for im in images))
+    canvases, lbs = zip(*(letterbox(im, size, normalize=not stage_uint8)
+                          for im in images))
     batch = np.stack(canvases)
+    if stage_uint8:
+        batch = np.clip(np.rint(batch), 0, 255).astype(np.uint8)
     if device_decode:
         engine.input(input_name, batch)
         engine.forward()
         raw = engine.extract(engine.output_names[0], as_numpy=False)
-        rows = np.asarray(jax.jit(
-            lambda p: decode_device(p, conf_thresh, iou_thresh, max_det,
-                                    head))(raw))
+        rows = np.asarray(_decode_device_jit(conf_thresh, iou_thresh,
+                                             max_det, head)(raw))
         return [detections_from_decoded(rows[i], lbs[i],
                                         image_shape=images[i].shape)
                 for i in range(len(images))]

@@ -11,6 +11,8 @@ zoo/classify.py so all three task families share one shape of API:
 """
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 from .classify import _resize_bilinear
@@ -36,6 +38,16 @@ def preprocess_segment(img: np.ndarray, size: int = 128,
     return x.astype(np.float32)
 
 
+@_functools.lru_cache(maxsize=1)
+def _argmax_jit():
+    """Cached jitted channel-argmax (one compile per process, not per
+    segment_images call)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda o: jnp.argmax(o, axis=-1).astype(jnp.int32))
+
+
 def mask_from_logits(logits: np.ndarray) -> np.ndarray:
     """[H, W, C] class logits -> [H, W] int32 argmax mask."""
     return np.argmax(logits, axis=-1).astype(np.int32)
@@ -59,15 +71,10 @@ def segment_images(engine, images: list, input_name: str | None = None,
     size = size or (spec.shape[1] if len(spec.shape) == 4 else 128)
     batch = np.stack([preprocess_segment(im, size) for im in images])
     if device_argmax:
-        import jax
-        import jax.numpy as jnp
-
         engine.input(input_name, batch)
         engine.forward()
         logits_dev = engine.extract(output_name, as_numpy=False)
-        ids = np.asarray(jax.jit(
-            lambda o: jnp.argmax(o, axis=-1).astype(jnp.int32))(
-                logits_dev))
+        ids = np.asarray(_argmax_jit()(logits_dev))
     else:
         ids = None
         logits = np.asarray(engine.run({input_name: batch})[output_name])

@@ -316,3 +316,40 @@ def test_detect_endpoint_on_classifier_errors(served):
         _detect_json(base, img, "?conf=0.5")
     # classifier output rows don't decode; server must answer, not hang
     assert ei.value.code in (400, 500)
+
+
+def test_detect_endpoint_single_class_raw_rows_host_decoded():
+    """A 1-class yolov5 raw head row is 6 columns wide — the server
+    must branch on service configuration (device_post), not row shape,
+    or raw xywh rows get misread as decoded xyxy (review finding)."""
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    graph, _, _ = build_yolov5("n", batch=1, image_size=64,
+                               num_classes=1)
+    eng = Engine().load_model(None, graph=graph)
+    svc = BatchingService(eng, max_batch=2, max_wait_ms=5).start()
+    server = InferenceServer(svc, port=0).start()
+    host, port = server.address[:2]
+    try:
+        img = RNG.integers(0, 255, (48, 72, 3)).astype(np.uint8)
+        _, _, body = _detect_json(f"http://{host}:{port}", img,
+                                  "?conf=0.01")
+        out = json.loads(body)
+        # host decode ran: boxes are inside the image, class ids valid
+        for d in out["detections"]:
+            x1, y1, x2, y2 = d["box"]
+            assert 0 <= x1 <= x2 <= 72 and 0 <= y1 <= y2 <= 48
+            assert d["class_id"] == 0
+            assert 0 < d["score"] <= 1
+    finally:
+        server.stop()
+        svc.stop(drain=False)
+
+
+def test_detect_endpoint_bad_query_param_is_400(detect_served):
+    base, _ = detect_served
+    img = RNG.integers(0, 255, (20, 20, 3)).astype(np.uint8)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _detect_json(base, img, "?conf=abc")
+    assert ei.value.code == 400
+    assert "conf" in json.loads(ei.value.read())["error"]

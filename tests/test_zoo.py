@@ -186,6 +186,37 @@ def test_decode_device_matches_host():
             assert int(g[5]) == d.class_id
 
 
+def test_decode_device_bf16_input_matches_f32():
+    """bf16 engine outputs must not break the 4096-class-offset NMS
+    (bf16's 8-bit mantissa would collapse same-class boxes and stop all
+    suppression — caught in review, fixed by decoding in f32)."""
+    import jax.numpy as jnp
+
+    from simpleinfer_tpu.zoo.detect import decode_device
+
+    rng = np.random.default_rng(13)
+    m = 60
+    pred = np.zeros((1, m, 5 + 3), np.float32)
+    # 10 clusters of 6 heavily-overlapping same-class boxes
+    centers = rng.uniform(100, 500, (10, 2))
+    for ci, (cx, cy) in enumerate(centers):
+        for j in range(6):
+            r = ci * 6 + j
+            pred[0, r, :2] = (cx + rng.uniform(-1, 1),
+                              cy + rng.uniform(-1, 1))
+            pred[0, r, 2:4] = (40, 40)
+            pred[0, r, 4] = 0.9 - 0.01 * j
+            pred[0, r, 5 + (ci % 3)] = 1.0
+    f32 = np.asarray(decode_device(pred, max_det=60))
+    b16 = np.asarray(decode_device(jnp.asarray(pred, jnp.bfloat16),
+                                   max_det=60))
+    n32 = int((f32[0, :, 4] >= 0).sum())
+    n16 = int((b16[0, :, 4] >= 0).sum())
+    assert n32 == 10  # one survivor per cluster
+    assert n16 == n32
+    np.testing.assert_array_equal(f32[0, :, 5], b16[0, :, 5])
+
+
 def test_decode_device_v8_and_empty():
     from simpleinfer_tpu.zoo.detect import decode_device
 
@@ -213,6 +244,28 @@ def test_detect_images_device_decode_matches_host():
             assert a.class_id == b.class_id
             assert a.score == pytest.approx(b.score, abs=1e-4)
             assert a.box == pytest.approx(b.box, abs=0.1)
+
+
+def test_detect_images_uint8_staging_close_to_float():
+    """stage_uint8 ships the canvas as bytes + normalizes on device;
+    the <=0.5/255 rounding perturbation must leave scores ~unchanged.
+    (Detections of a random-weight model have near-tied scores whose
+    ORDER can flip under any perturbation, so compare score/box
+    populations, not positions.)"""
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    graph, _, _ = build_yolov5("n", batch=1, image_size=64)
+    eng = Engine().load_model(None, graph=graph)
+    img = RNG.integers(0, 255, (48, 80, 3)).astype(np.uint8)
+    f32 = detect_images(eng, [img], size=64, conf_thresh=0.05)[0]
+    u8 = detect_images(eng, [img], size=64, conf_thresh=0.05,
+                       stage_uint8=True)[0]
+    assert abs(len(u8) - len(f32)) <= max(2, len(f32) // 20)
+    a = np.sort([d.score for d in f32])
+    b = np.sort([d.score for d in u8])
+    n = min(len(a), len(b))
+    np.testing.assert_allclose(a[-n:], b[-n:], atol=0.02)
 
 
 def test_detect_images_end_to_end():
