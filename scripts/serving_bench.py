@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--post", default="topk",
+                    choices=["topk", "decode", "none"],
+                    help="device postprocess: top-300 rows (topk), full "
+                         "on-device NMS -> [max_det,6] rows (decode), "
+                         "or raw head fetch (none)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -36,16 +41,19 @@ def main():
     from simpleinfer_tpu.serving import BatchingService
     from simpleinfer_tpu.zoo import build_yolov5
 
-    from simpleinfer_tpu.zoo.detect import topk_candidates
+    from simpleinfer_tpu.zoo.detect import decode_device, topk_candidates
 
     graph, in_name, out_name = build_yolov5(args.variant, batch=1,
                                             image_size=args.img)
     eng = Engine(EngineConfig(compute_dtype="bfloat16",
                               quant="int8w")).load_model(None, graph=graph)
+    post = {"topk": lambda o: topk_candidates(o, k=300),
+            "decode": lambda o: decode_device(o, max_det=100,
+                                              pre_topk=512),
+            "none": None}[args.post]
     svc = BatchingService(eng, in_name, out_name,
                           max_batch=args.max_batch, max_wait_ms=3.0,
-                          device_postprocess=lambda o: topk_candidates(
-                              o, k=300))
+                          device_postprocess=post)
     print("warming up batch buckets...", file=sys.stderr)
     svc.warmup()
     svc.start()
@@ -61,6 +69,9 @@ def main():
         for f in futs:
             f.result(timeout=600)
 
+    # one throwaway request so the device_postprocess jit compiles
+    # OUTSIDE the timed window (warmup() only compiles the forwards)
+    svc.submit(img).result(timeout=600)
     t0 = time.perf_counter()
     threads = [threading.Thread(target=client) for _ in range(args.clients)]
     for t in threads:

@@ -9,6 +9,7 @@ to real .pnnx.param/.bin files when on-disk fixtures are wanted.
 """
 from .builders import (
     build_convnext,
+    build_densenet,
     build_mobilenet_like,
     build_mobilenet_v3_like,
     build_resnet18,
@@ -18,6 +19,6 @@ from .builders import (
     build_yolov8,
 )
 
-__all__ = ["build_convnext", "build_mobilenet_like", "build_mobilenet_v3_like",
+__all__ = ["build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
            "build_resnet18", "build_resnet50", "build_unet", "build_yolov5",
            "build_yolov8"]

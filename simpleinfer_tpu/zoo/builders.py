@@ -211,6 +211,20 @@ class GraphBuilder:
         self.shape[out] = [n, c, oh, ow]
         return out
 
+    def avgpool(self, x: str, k: int, s: int | None = None,
+                p: int = 0) -> str:
+        s = s or k
+        n, c, h, w = self.shape[x]
+        (out,) = self._op("nn.AvgPool2d", self._name("avgpool"), [x],
+                          params=dict(ceil_mode=False,
+                                      count_include_pad=True,
+                                      kernel_size=[k, k], padding=[p, p],
+                                      stride=[s, s]))
+        oh = (h + 2 * p - k) // s + 1
+        ow = (w + 2 * p - k) // s + 1
+        self.shape[out] = [n, c, oh, ow]
+        return out
+
     def adaptive_avg_pool(self, x: str, size: int = 1) -> str:
         n, c, h, w = self.shape[x]
         (out,) = self._op("nn.AdaptiveAvgPool2d", self._name("gap"), [x],
@@ -744,3 +758,47 @@ def build_unet(batch: int = 1, image_size: int = 128, in_ch: int = 3,
     out = b.conv(x, num_classes, 1)
     b.output(out)
     return b.build(), "0", out
+
+
+_DENSENET_BLOCKS = {"121": (6, 12, 24, 16), "169": (6, 12, 32, 32),
+                    "201": (6, 12, 48, 32)}
+
+
+def build_densenet(variant: str | tuple = "121", batch: int = 1,
+                   image_size: int = 224, num_classes: int = 1000,
+                   growth_rate: int = 32, init_width: int = 64,
+                   seed: int = 0) -> tuple:
+    """DenseNet (dense concat-growth blocks, BN-ReLU-conv pre-activation
+    ordering, avgpool transitions) — a concat-heavy topology class the
+    zoo otherwise lacks; superset family (the reference's classify
+    fixtures are MobileNet/ResNet-style).
+
+    variant: "121"/"169"/"201" or a tuple of per-block layer counts.
+    Dense layer: BN-ReLU-1x1(4g)-BN-ReLU-3x3(g), concatenated onto the
+    running feature map; transition: BN-ReLU-1x1(c/2) + 2x2 avgpool s2.
+    """
+    blocks = (_DENSENET_BLOCKS[variant] if isinstance(variant, str)
+              else tuple(variant))
+    b = GraphBuilder(seed)
+    x = b.input([batch, 3, image_size, image_size], name="0")
+
+    def dense_layer(x):
+        y = b.conv(b.relu(b.bn(x)), 4 * growth_rate, 1, bias=False)
+        y = b.conv(b.relu(b.bn(y)), growth_rate, 3, 1, 1, bias=False)
+        return b.cat([x, y], 1)
+
+    x = b.relu(b.bn(b.conv(x, init_width, 7, 2, 3, bias=False)))
+    x = b.maxpool(x, 3, 2, 1)
+    for i, layers in enumerate(blocks):
+        for _ in range(layers):
+            x = dense_layer(x)
+        if i < len(blocks) - 1:  # transition
+            c = b.shape[x][1]
+            x = b.conv(b.relu(b.bn(x)), c // 2, 1, bias=False)
+            x = b.avgpool(x, 2)
+    x = b.relu(b.bn(x))
+    x = b.adaptive_avg_pool(x, 1)
+    x = b.flatten(x)
+    x = b.linear(x, num_classes)
+    b.output(x)
+    return b.build(), "0", x

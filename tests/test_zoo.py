@@ -357,6 +357,38 @@ def test_unet_parity():
     np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=1e-3)
 
 
+def test_densenet_parity():
+    """DenseNet builder vs the torch oracle (dense concat growth,
+    pre-activation BN-ReLU-conv, avgpool transitions)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from torch_ref import run_graph_torch
+
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_densenet
+
+    g, in_name, out_name = build_densenet((2, 3), batch=2, image_size=32,
+                                          num_classes=7, growth_rate=4,
+                                          init_width=8)
+    x = RNG.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    want = run_graph_torch(g, {in_name: x})[out_name]
+    eng = Engine().load_model(None, graph=g)
+    got = eng.run({in_name: np.transpose(x, (0, 2, 3, 1))})[out_name]
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=1e-3)
+
+
+def test_densenet_presets_build():
+    from simpleinfer_tpu.zoo import build_densenet
+
+    g, _, _ = build_densenet("121", batch=1, image_size=224)
+    convs = [op for op in g.ops if op.type == "nn.Conv2d"]
+    # 121 = 1 stem + 2*58 dense-layer convs + 3 transitions + classifier
+    assert len(convs) == 1 + 2 * (6 + 12 + 24 + 16) + 3
+    cats = [op for op in g.ops if op.type == "torch.cat"]
+    assert len(cats) == 6 + 12 + 24 + 16
+
+
 def test_segment_pipeline_end_to_end():
     from simpleinfer_tpu import Engine
     from simpleinfer_tpu.zoo import build_unet

@@ -167,6 +167,12 @@ def run_graph_torch(graph, feeds_nchw):
             out = _ACTS[t](args[0])
         elif t == "nn.MaxPool2d":
             out = _maxpool(op, args[0])
+        elif t == "nn.AvgPool2d":
+            p_ = op.params
+            out = F.avg_pool2d(
+                args[0], p_["kernel_size"].ai, p_["stride"].ai,
+                p_["padding"].ai, ceil_mode=p_["ceil_mode"].b,
+                count_include_pad=p_["count_include_pad"].b)
         elif t == "nn.AdaptiveAvgPool2d":
             out = F.adaptive_avg_pool2d(args[0], op.params["output_size"].ai)
         elif t in ("nn.Upsample", "nn.UpsamplingNearest2d"):
