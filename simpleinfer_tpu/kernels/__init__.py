@@ -13,6 +13,8 @@ plain tiled GEMM win. The reference's `GemmPack4F32Ref` testing discipline
 is kept: every kernel has a jnp reference implementation and tests compare
 against it (tests/test_kernels.py).
 """
-from .matmul import matmul, matmul_int8w, pallas_supported
+from .matmul import (matmul, matmul_int8w, matmul_s8s8,
+                     pallas_supported)
 
-__all__ = ["matmul", "matmul_int8w", "pallas_supported"]
+__all__ = ["matmul", "matmul_int8w", "matmul_s8s8",
+           "pallas_supported"]

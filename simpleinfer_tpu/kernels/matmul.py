@@ -184,6 +184,99 @@ def matmul_int8w(x, w_q, scale, bias=None, activation: Optional[str] = None,
                         out_dtype=out_dtype or x.dtype)
 
 
+def _matmul_s8s8_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref,
+                        *, n_k: int, act: Callable, has_bias: bool,
+                        out_dtype):
+    """s8 x s8 -> s32 on the MXU's native int8 path (2x the bf16 MAC
+    rate on v5e), f32 dequant/bias/activation epilogue. Correctness is
+    exact: int32 accumulation, no rounding until the epilogue."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out = acc_ref[:].astype(jnp.float32) * scale_ref[:]
+        if has_bias:
+            out = out + bias_ref[:].astype(jnp.float32)
+        o_ref[:] = act(out).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "block_m", "block_n", "block_k",
+                     "out_dtype"))
+def _matmul_s8s8_impl(x_q, w_q, scale, bias, *, activation, block_m,
+                      block_n, block_k, out_dtype):
+    m, k = x_q.shape
+    _, n = w_q.shape
+    mp, kp, np_ = _round_up(m, block_m), _round_up(k, block_k), _round_up(
+        n, block_n)
+    if (mp, kp) != (m, k):
+        x_q = jnp.pad(x_q, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        w_q = jnp.pad(w_q, ((0, kp - k), (0, np_ - n)))
+    has_bias = bias is not None
+    scale2d = jnp.pad(scale, (0, np_ - n)).reshape(1, np_)
+    bias2d = jnp.pad(bias, (0, np_ - n)).reshape(1, np_) if has_bias \
+        else jnp.zeros((1, np_), jnp.float32)
+    n_k = kp // block_k
+    kernel = functools.partial(
+        _matmul_s8s8_kernel, n_k=n_k, act=_ACTIVATIONS[activation],
+        has_bias=has_bias, out_dtype=out_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // block_m, np_ // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_
+            + mp * np_ * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0),
+    )(x_q, w_q, scale2d, bias2d)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def matmul_s8s8(x_q, w_q, scale, bias=None, activation: Optional[str] = None,
+                *, block_m: int = 512, block_n: int = 1024,
+                block_k: int = 1024, out_dtype=jnp.bfloat16):
+    """out = act((x_q[M,K]s8 @ w_q[K,N]s8).s32 * scale[N] + bias[N]).
+
+    The static-int8 GEMM (quant semantics of ops/conv.int8_epilogue:
+    scale = act_scale * w_scale per output channel, f32 epilogue).
+    Mosaic lowers the int8 dot to the MXU's native s8 path — verified
+    exact vs XLA's s32 dot_general. Default blocks from the probe sweep
+    (scripts/s8_matmul_experiment.py); per-shape perf vs XLA is still
+    an OPEN measurement (the sequential sweep produced physically
+    impossible readings, see docs/PERF.md) — use is opt-in, like the
+    other Pallas kernels."""
+    bm, bn, bk = _pick_blocks(x_q.shape[0], x_q.shape[1], w_q.shape[1],
+                              block_m, block_n, block_k)
+    scale = jnp.asarray(scale, jnp.float32)
+    if scale.ndim == 0:
+        scale = jnp.full((w_q.shape[1],), scale)
+    return _matmul_s8s8_impl(x_q, w_q, scale, bias, activation=activation,
+                             block_m=bm, block_n=bn, block_k=bk,
+                             out_dtype=out_dtype)
+
+
 # ---- jnp reference implementations (the GemmPack4F32Ref analog) --------
 # precision=HIGHEST so the reference is truly f32 on TPU too (the MXU's
 # default single bf16 pass would make the oracle as sloppy as the thing
@@ -206,3 +299,16 @@ def matmul_int8w_ref(x, w_q, scale, bias=None,
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return _ACTIVATIONS[activation](out).astype(x.dtype)
+
+
+def matmul_s8s8_ref(x_q, w_q, scale, bias=None,
+                    activation: Optional[str] = None,
+                    out_dtype=jnp.bfloat16):
+    """Exact s32 reference for matmul_s8s8 (XLA dot_general int8 path)."""
+    acc = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    scale = jnp.asarray(scale, jnp.float32)
+    out = acc.astype(jnp.float32) * scale
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return _ACTIVATIONS[activation](out).astype(out_dtype)

@@ -125,3 +125,34 @@ def test_conv3x3_kernel_matches_lax_reference():
         want = conv3x3_reference(x, wt, b, "silu")
         tol = 1e-4 if interpret else 5e-2  # real MXU multiplies in bf16
         assert float(jnp.abs(got - want).max()) < tol
+
+
+# ------------------------------------------------------- s8 x s8 GEMM
+@pytest.mark.parametrize("m,k,n", SHAPES)
+def test_matmul_s8s8_exact(m, k, n):
+    """Native int8-MXU GEMM vs XLA's s32 dot — EXACT (int32 accum;
+    rounding only in the shared f32 epilogue)."""
+    from simpleinfer_tpu.kernels import matmul_s8s8
+    from simpleinfer_tpu.kernels.matmul import matmul_s8s8_ref
+
+    xq = jnp.asarray(RNG.integers(-127, 127, (m, k), dtype=np.int8))
+    wq = jnp.asarray(RNG.integers(-127, 127, (k, n), dtype=np.int8))
+    scale = jnp.asarray(RNG.uniform(1e-3, 1e-2, n), jnp.float32)
+    bias = jnp.asarray(RNG.standard_normal(n), jnp.float32)
+    got = run_kernel(matmul_s8s8, xq, wq, scale, bias, "silu")
+    want = np.asarray(matmul_s8s8_ref(xq, wq, scale, bias, "silu"))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), want.astype(np.float32),
+        atol=2e-2, rtol=2e-2)  # bf16 output rounding only
+
+
+def test_matmul_s8s8_scalar_scale():
+    from simpleinfer_tpu.kernels import matmul_s8s8
+    from simpleinfer_tpu.kernels.matmul import matmul_s8s8_ref
+
+    xq = jnp.asarray(RNG.integers(-127, 127, (32, 64), dtype=np.int8))
+    wq = jnp.asarray(RNG.integers(-127, 127, (64, 48), dtype=np.int8))
+    got = run_kernel(matmul_s8s8, xq, wq, 0.01, out_dtype=jnp.float32)
+    want = np.asarray(matmul_s8s8_ref(xq, wq, 0.01,
+                                      out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=0, rtol=0)  # exact in f32
