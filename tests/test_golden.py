@@ -24,9 +24,11 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def _cases():
     from simpleinfer_tpu.zoo import (
+        build_densenet,
         build_mobilenet_like,
         build_resnet18,
         build_resnet50,
+        build_unet,
         build_yolov5,
     )
 
@@ -40,6 +42,12 @@ def _cases():
                            width_mult=0.5)),
         "yolov5n": (build_yolov5,
                     dict(variant="n", batch=1, image_size=32)),
+        "densenet": (build_densenet,
+                     dict(variant=(2, 2), batch=1, image_size=32,
+                          num_classes=6, growth_rate=4, init_width=8)),
+        "unet": (build_unet,
+                 dict(batch=1, image_size=32, num_classes=4, width=8,
+                      depth=2)),
     }
 
 
