@@ -351,6 +351,10 @@ def _export_function(b, node, name):
     if fn is torch.chunk:
         _export_chunk(b, node, name)
         return
+    if fn.__name__ == "split" and getattr(fn, "__module__", "") in (
+            "torch.functional", "torch"):
+        _export_split(b, node, name)
+        return
     if fn.__name__ == "softmax" and getattr(fn, "__module__", ""
                                             ).endswith("functional"):
         op = b.add_op("nn.Softmax", name, [node.args[0]], node)
@@ -499,6 +503,38 @@ def _export_function(b, node, name):
                            f"{node.name!r}")
 
 
+def _export_split(b, node, name):
+    """torch.split / Tensor.split -> multi-output torch.split op
+    (split_size int or explicit section list; n_out needs the input's
+    propagated dim size for the int form)."""
+    import torch
+
+    sections = (node.args[1] if len(node.args) > 1
+                else node.kwargs["split_size_or_sections"])
+    dim = int(node.args[2] if len(node.args) > 2
+              else node.kwargs.get("dim", 0))
+    src = node.args[0]
+    if isinstance(sections, (tuple, list)):
+        sections = [int(s) for s in sections]
+        n_out = len(sections)
+    else:
+        sections = int(sections)
+        shape = _node_shape(src)
+        if not shape:
+            raise TorchExportError(
+                f"split at {node.name!r}: int split_size needs a "
+                f"propagated input shape")
+        n_out = -(-shape[dim] // sections)
+    op = b.add_op("torch.split", name, [src], out_node=None, n_out=n_out)
+    _param(op, "split_size_or_sections", sections)
+    _param(op, "dim", dim)
+    tms = node.meta.get("tensor_meta")
+    if tms is not None:
+        for r, tm in zip(op.outputs, tms):
+            r.shape = list(tm.shape)
+    b.operand_of[node.name] = op.outputs[0]
+
+
 def _export_chunk(b, node, name):
     """torch.chunk / Tensor.chunk -> multi-output torch.chunk op; the
     following getitem nodes alias the individual outputs."""
@@ -590,6 +626,9 @@ def _export_method(b, node, name):
         return
     if mname == "chunk":
         _export_chunk(b, node, name)
+        return
+    if mname == "split":
+        _export_split(b, node, name)
         return
     if mname in ("contiguous", "clone", "detach"):
         b.operand_of[node.name] = b.operand_of[node.args[0].name]

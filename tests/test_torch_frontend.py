@@ -443,3 +443,18 @@ def test_relu6_softmax_pad_clamp_export():
             return F.softmax(y, dim=-1)
 
     _check(M(), (2, 3, 8, 8), tol=5e-4)
+
+
+def test_split_sections_and_int_export():
+    class M1(nn.Module):
+        def forward(self, x):
+            a, b, c = torch.split(x, [1, 2, 3], dim=1)
+            return a * 2 + torch.cat([b, c], 1)[:, :1]
+
+    class M2(nn.Module):
+        def forward(self, x):
+            parts = x.split(2, dim=1)  # 6 -> 3 parts of 2
+            return parts[0] + parts[1] * parts[2]
+
+    _check(M1(), (2, 6, 4, 4))
+    _check(M2(), (2, 6, 4, 4))
