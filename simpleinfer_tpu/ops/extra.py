@@ -326,7 +326,34 @@ def lower_pnnx_attribute(op, cfg):
                   weights={"value": arr})
 
 
-# ----------------------------------------------------------- mean/concat
+# ------------------------------------------------------ reductions/stack
+# physical NHWC axis -> logical NCHW dim (inverse of _NCHW_TO_NHWC_DIM)
+_NHWC_TO_NCHW_DIM = {0: 0, 1: 2, 2: 3, 3: 1}
+
+
+def _reduce_nchw(x, dims_logical, keepdim, reducer):
+    """Reduce over LOGICAL NCHW dims on physical-NHWC rank-4 storage.
+
+    With keepdim=False the surviving axes must come out in logical
+    order: e.g. mean over dim=2 (H) of a logical [N,C,H,W] is [N,C,W] —
+    but reducing physical axis 1 of NHWC leaves [N,W,C]. Reorder the
+    survivors by their logical ids (a no-op for rank<4, full reduces,
+    and channel/spatial-pair reduces, where both orders coincide)."""
+    ds = [d + x.ndim if d < 0 else d for d in dims_logical]
+    if x.ndim != 4:
+        return reducer(x, tuple(ds), keepdim)
+    phys = [_NCHW_TO_NHWC_DIM[d] for d in ds]
+    out = reducer(x, tuple(phys), keepdim)
+    if keepdim:
+        return out  # still rank-4 physical NHWC
+    survivors = [a for a in range(4) if a not in phys]
+    logical = [_NHWC_TO_NCHW_DIM[a] for a in survivors]
+    perm = sorted(range(len(logical)), key=lambda i: logical[i])
+    if perm != list(range(len(perm))):
+        out = jnp.transpose(out, perm)
+    return out
+
+
 @register_op("torch.mean")
 def lower_mean(op, cfg):
     dims = require_param(op, "dim", PARAM_AINT).ai
@@ -334,10 +361,59 @@ def lower_mean(op, cfg):
                if op.has_param("keepdim", PARAM_BOOL) else False)
 
     def apply(weights, x):
-        ds = [d + x.ndim if d < 0 else d for d in dims]
-        if x.ndim == 4:
-            ds = [_NCHW_TO_NHWC_DIM[d] for d in ds]
-        return jnp.mean(x, axis=tuple(ds), keepdims=keepdim)
+        return _reduce_nchw(x, dims, keepdim,
+                            lambda v, ax, kd: jnp.mean(v, axis=ax,
+                                                       keepdims=kd))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("torch.sum")
+def lower_sum(op, cfg):
+    dims = require_param(op, "dim", PARAM_AINT).ai
+    keepdim = (op.params["keepdim"].b
+               if op.has_param("keepdim", PARAM_BOOL) else False)
+
+    def apply(weights, x):
+        return _reduce_nchw(x, dims, keepdim,
+                            lambda v, ax, kd: jnp.sum(v, axis=ax,
+                                                      keepdims=kd))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("torch.amax")
+def lower_amax(op, cfg):
+    dims = require_param(op, "dim", PARAM_AINT).ai
+    keepdim = (op.params["keepdim"].b
+               if op.has_param("keepdim", PARAM_BOOL) else False)
+
+    def apply(weights, x):
+        return _reduce_nchw(x, dims, keepdim,
+                            lambda v, ax, kd: jnp.max(v, axis=ax,
+                                                      keepdims=kd))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("torch.stack")
+def lower_stack(op, cfg):
+    dim = require_param(op, "dim", PARAM_INT).i
+
+    def apply(weights, *inputs):
+        xs = list(inputs)
+        out_rank = xs[0].ndim + 1
+        d = dim + out_rank if dim < 0 else dim
+        if xs[0].ndim == 4:
+            # physical NHWC inputs -> logical for the stack; the 5-D
+            # result stays logical (only rank-4 operands are physical)
+            xs = [jnp.transpose(x, (0, 3, 1, 2)) for x in xs]
+            return jnp.stack(xs, axis=d)
+        out = jnp.stack(xs, axis=d)
+        if out.ndim == 4:
+            # rank-4 operands are stored physical NHWC by convention
+            out = jnp.transpose(out, (0, 2, 3, 1))
+        return out
 
     return OpImpl(name=op.name, type=op.type, apply=apply)
 

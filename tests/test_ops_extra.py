@@ -407,3 +407,49 @@ def test_f_pad_modes(mode):
     want = F.pad(torch.from_numpy(x), (1, 2, 2, 1), mode=mode,
                  **kwargs).numpy()
     np.testing.assert_allclose(got, nhwc(want), atol=1e-6)
+
+
+# ------------------------------------------------------ reductions/stack
+@pytest.mark.parametrize("dims,keepdim", [
+    ([2], False),   # single spatial dim: survivor order must be logical
+    ([1], False),   # channel
+    ([2, 3], False), ([1], True), ([2], True), ([1, 2, 3], False),
+])
+def test_sum_and_mean_dim_orders(dims, keepdim):
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    for typ, tfn in (("torch.sum", torch.sum), ("torch.mean", torch.mean)):
+        impl = lower_operator(make_op(typ, params=dict(
+            dim=dims, keepdim=keepdim)), CFG)
+        got = run(impl, nhwc(x))
+        want = tfn(torch.from_numpy(x), dim=dims, keepdim=keepdim).numpy()
+        if want.ndim == 4:
+            want = nhwc(want)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_amax_matches_torch():
+    x = RNG.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    impl = lower_operator(make_op("torch.amax", params=dict(
+        dim=[2], keepdim=False)), CFG)
+    got = run(impl, nhwc(x))
+    want = torch.amax(torch.from_numpy(x), dim=2).numpy()
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_stack_4d_inputs_gives_logical_5d():
+    a = RNG.standard_normal((1, 2, 3, 3)).astype(np.float32)
+    b = RNG.standard_normal((1, 2, 3, 3)).astype(np.float32)
+    impl = lower_operator(make_op("torch.stack", params=dict(dim=1)), CFG)
+    got = run(impl, nhwc(a), nhwc(b))
+    want = torch.stack([torch.from_numpy(a), torch.from_numpy(b)],
+                       dim=1).numpy()
+    np.testing.assert_allclose(got, want, atol=0)  # 5-D stays logical
+
+
+def test_stack_3d_inputs_gives_physical_nhwc():
+    a = RNG.standard_normal((2, 3, 4)).astype(np.float32)
+    b = RNG.standard_normal((2, 3, 4)).astype(np.float32)
+    impl = lower_operator(make_op("torch.stack", params=dict(dim=0)), CFG)
+    got = run(impl, a, b)
+    want = torch.stack([torch.from_numpy(a), torch.from_numpy(b)]).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=0)
