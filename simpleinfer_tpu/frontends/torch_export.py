@@ -485,6 +485,17 @@ def _export_function(b, node, name):
         # inference no-op: alias the input operand
         b.operand_of[node.name] = b.operand_of[node.args[0].name]
         return
+    if fn in (torch.sum, torch.amax):
+        _export_reduce(b, node, "torch.sum" if fn is torch.sum
+                       else "torch.amax", name)
+        return
+    if fn is torch.stack:
+        tensors = node.args[0]
+        op = b.add_op("torch.stack", name, list(tensors), node)
+        dim = node.args[1] if len(node.args) > 1 else node.kwargs.get(
+            "dim", 0)
+        _param(op, "dim", int(dim))
+        return
     if fn is torch.mean:
         dims = (node.args[1] if len(node.args) > 1
                 else node.kwargs.get("dim"))
@@ -597,6 +608,21 @@ def _export_slice(b, node, src, index, name):
     _param(op, "steps", steps)
 
 
+def _export_reduce(b, node, typ, name):
+    dims = (node.args[1] if len(node.args) > 1
+            else node.kwargs.get("dim"))
+    if dims is None:
+        raise TorchExportError(
+            f"{typ} without dim at {node.name!r} is not supported "
+            f"(full reduction loses the layout contract)")
+    dims = [int(dims)] if isinstance(dims, int) else [int(d)
+                                                      for d in dims]
+    op = b.add_op(typ, name, [node.args[0]], node)
+    _param(op, "dim", dims)
+    _param(op, "keepdim", bool(node.kwargs.get(
+        "keepdim", node.args[2] if len(node.args) > 2 else False)))
+
+
 def _export_method(b, node, name):
     mname = node.target
     act = {"relu": "nn.ReLU", "sigmoid": "nn.Sigmoid",
@@ -629,6 +655,10 @@ def _export_method(b, node, name):
         return
     if mname == "split":
         _export_split(b, node, name)
+        return
+    if mname in ("sum", "amax", "mean"):
+        _export_reduce(b, node, {"sum": "torch.sum", "amax": "torch.amax",
+                                 "mean": "torch.mean"}[mname], name)
         return
     if mname in ("contiguous", "clone", "detach"):
         b.operand_of[node.name] = b.operand_of[node.args[0].name]

@@ -341,7 +341,12 @@ def _reduce_nchw(x, dims_logical, keepdim, reducer):
     and channel/spatial-pair reduces, where both orders coincide)."""
     ds = [d + x.ndim if d < 0 else d for d in dims_logical]
     if x.ndim != 4:
-        return reducer(x, tuple(ds), keepdim)
+        out = reducer(x, tuple(ds), keepdim)
+        if out.ndim == 4:
+            # rank transition (e.g. 5-D logical -> 4-D): rank-4 operands
+            # are physical NHWC by convention
+            out = jnp.transpose(out, (0, 2, 3, 1))
+        return out
     phys = [_NCHW_TO_NHWC_DIM[d] for d in ds]
     out = reducer(x, tuple(phys), keepdim)
     if keepdim:

@@ -458,3 +458,13 @@ def test_split_sections_and_int_export():
 
     _check(M1(), (2, 6, 4, 4))
     _check(M2(), (2, 6, 4, 4))
+
+
+def test_sum_stack_amax_export():
+    class M(nn.Module):
+        def forward(self, x):
+            s = torch.sum(x, dim=2, keepdim=True)
+            m = torch.amax(x, dim=[2], keepdim=True)
+            return torch.stack([s, m], 0).sum(dim=0, keepdim=False)
+
+    _check(M(), (2, 3, 5, 5))
