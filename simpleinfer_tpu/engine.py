@@ -535,7 +535,9 @@ class Engine:
             if as_numpy:
                 return np.asarray(out).reshape(n, r * na, c // na)
             out = jnp.reshape(out, (n, r * na, c // na))
-        if as_numpy and self.config.io_layout == "nchw" and out.ndim == 4:
+        if self.config.io_layout == "nchw" and out.ndim == 4:
+            # the io_layout contract applies to device-side consumers
+            # (as_numpy=False) too — a jnp transpose, fused downstream
             out = jnp.transpose(out, (0, 3, 1, 2))
         return np.asarray(out) if as_numpy else out
 

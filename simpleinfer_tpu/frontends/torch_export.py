@@ -312,7 +312,8 @@ def _export_module(b, node, mod, name):
                else [int(p)] * 4)
         _param(op, "padding", pad)
         return
-    if t is nn.Identity or t is nn.Dropout:
+    if t in (nn.Identity, nn.Dropout, nn.Dropout2d, nn.Dropout3d,
+             nn.AlphaDropout):
         # inference no-ops: alias the input operand
         b.operand_of[node.name] = b.operand_of[node.args[0].name]
         return
@@ -391,7 +392,9 @@ def _export_function(b, node, name):
                                                 ).endswith("functional"):
         # signature: interpolate(input, size=None, scale_factor=None, ...)
         op = b.add_op("nn.Upsample", name, [node.args[0]], node)
-        mode = node.kwargs.get("mode", "nearest")
+        # signature: (input, size, scale_factor, mode, align_corners, ...)
+        mode = (node.args[3] if len(node.args) > 3
+                else node.kwargs.get("mode", "nearest"))
         _param(op, "mode", mode)
         sf = node.kwargs.get(
             "scale_factor",
@@ -410,8 +413,9 @@ def _export_function(b, node, name):
                 f"interpolate at {node.name!r} needs size or "
                 f"scale_factor")
         if mode in ("bilinear", "linear"):
-            _param(op, "align_corners",
-                   bool(node.kwargs.get("align_corners") or False))
+            align = (node.args[4] if len(node.args) > 4
+                     else node.kwargs.get("align_corners"))
+            _param(op, "align_corners", bool(align or False))
         return
     if fn.__name__ == "max_pool2d" and getattr(fn, "__module__", ""
                                                ).endswith("functional"):
@@ -553,8 +557,17 @@ def _export_chunk(b, node, name):
                  else node.kwargs["chunks"])
     dim = int(node.args[2] if len(node.args) > 2
               else node.kwargs.get("dim", 0))
+    # torch returns FEWER than `chunks` when ceil-splitting exhausts the
+    # dim early (chunk(5-wide, 4) -> 3 chunks of (2,2,1)); the actual
+    # count comes from the propagated shape
+    shape = _node_shape(node.args[0])
+    n_out = chunks
+    if shape:
+        size = shape[dim + len(shape) if dim < 0 else dim]
+        per = -(-size // chunks)
+        n_out = -(-size // per)
     op = b.add_op("torch.chunk", name, [node.args[0]], out_node=None,
-                  n_out=chunks)
+                  n_out=n_out)
     _param(op, "chunks", chunks)
     _param(op, "dim", dim)
     tms = node.meta.get("tensor_meta")

@@ -115,7 +115,10 @@ def storezip_index(buf: bytes) -> Optional[dict]:
     data_size = (ctypes.c_uint64 * cap)()
     n = lib.si_storezip_index(buf, len(buf), name_off, name_len, data_off,
                               data_size, cap)
-    if n < 0:
+    if n < 0 or n > cap:
+        # n > cap: the native walker counted more entries than it could
+        # write — a partial index would silently lose weights; fall back
+        # to the pure-Python walker instead
         return None
     out = {}
     for i in range(min(n, cap)):

@@ -464,11 +464,8 @@ def lower_conv2d(op, cfg):
                 c = x.shape[-1]
                 parts.append(lax.slice_in_dim(w, ofs, ofs + c, axis=2))
                 ofs += c
-        act_scale = weights.get("act_scale")
-        if (act_scale is not None and isinstance(w, QuantizedTensor)
-                and int8_conv_eligible(1, in_channels,
-                                       cfg.int8_min_channels,
-                                       cfg.int8_pointwise)):
+        act_scale = act_scale_
+        if use_int8:
             # static int8: every source shares the cat's per-tensor
             # scale, so the per-source s32 partial convs sum EXACTLY
             # (no f32 carry compromise) and dequantize once at the end

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ir.graph import PARAM_AINT, PARAM_BOOL, PARAM_FLOAT, PARAM_INT
+from ..ir.graph import (PARAM_AINT, PARAM_BOOL, PARAM_FLOAT, PARAM_INT,
+                        PARAM_STR)
 from .registry import OpImpl, register_op, require_attr, require_param
 
 _NCHW_TO_NHWC_DIM = {0: 0, 1: 3, 2: 1, 3: 2}
@@ -49,14 +50,23 @@ def avg_pool_2d(x, kernel, stride, padding, ceil_mode=False,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),
         padding=((0, 0), (ph, pad_b), (pw, pad_r), (0, 0)))
-    if count_include_pad:
+    if count_include_pad and not ceil_mode:
         return summed / jnp.asarray(kh * kw, x.dtype)
-    ones = jnp.ones((1, h, w, 1), x.dtype)
+    if count_include_pad:
+        # torch counts the symmetric padding in the divisor but CLIPS
+        # ceil-mode overhang (the window area beyond the padded input):
+        # count over ones of the PADDED extent, zero-extending only the
+        # ceil extra (pad_b - ph / pad_r - pw)
+        ones = jnp.ones((1, h + 2 * ph, w + 2 * pw, 1), x.dtype)
+        pad_cfg = ((0, 0), (0, pad_b - ph), (0, pad_r - pw), (0, 0))
+    else:
+        ones = jnp.ones((1, h, w, 1), x.dtype)
+        pad_cfg = ((0, 0), (ph, pad_b), (pw, pad_r), (0, 0))
     counts = lax.reduce_window(
         ones, jnp.zeros((), x.dtype), lax.add,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),
-        padding=((0, 0), (ph, pad_b), (pw, pad_r), (0, 0)))
+        padding=pad_cfg)
     return summed / counts
 
 
@@ -84,18 +94,25 @@ def lower_chunk(op, cfg):
     chunks = require_param(op, "chunks", PARAM_INT).i
     dim = require_param(op, "dim", PARAM_INT).i
 
+    n_declared = len(op.outputs) or chunks
+
     def apply(weights, x):
         d = dim + x.ndim if dim < 0 else dim
         if x.ndim == 4:
             d = _NCHW_TO_NHWC_DIM[d]
         size = x.shape[d]
         per = -(-size // chunks)  # torch: ceil split
+        n_eff = -(-size // per)   # torch returns FEWER chunks when the
+        if n_eff != n_declared:   # ceil split exhausts the dim early
+            raise ValueError(
+                f"chunk {op.name}: dim size {size} yields {n_eff} chunks "
+                f"of {per}, but the graph declares {n_declared} outputs")
         return tuple(
             lax.slice_in_dim(x, i * per, min((i + 1) * per, size), axis=d)
-            for i in range(chunks))
+            for i in range(n_eff))
 
     return OpImpl(name=op.name, type=op.type, apply=apply,
-                  n_outputs=len(op.outputs) or chunks)
+                  n_outputs=n_declared)
 
 
 @register_op("torch.split")
@@ -442,10 +459,21 @@ def lower_f_softmax(op, cfg):
     return lower_softmax(op, cfg)
 
 
+def _opt_float(op, key):
+    """Optional numeric param: float or int value, None/absent -> None
+    (pnnx writes unset optionals as `key=None`, parsed as PARAM_NULL —
+    an untyped has_param() check would match it and crash on .f)."""
+    if op.has_param(key, PARAM_FLOAT):
+        return op.params[key].f
+    if op.has_param(key, PARAM_INT):
+        return float(op.params[key].i)
+    return None
+
+
 @register_op("torch.clamp")
 def lower_clamp(op, cfg):
-    lo = op.params["min"].f if op.has_param("min") else None
-    hi = op.params["max"].f if op.has_param("max") else None
+    lo = _opt_float(op, "min")
+    hi = _opt_float(op, "max")
 
     def apply(weights, x):
         return jnp.clip(x, lo, hi)
@@ -471,8 +499,9 @@ def lower_f_pad(op, cfg):
     """Constant/replicate/reflect pad; `pad` pairs run from the LAST
     logical dim inward (torch semantics)."""
     pad = require_param(op, "pad", PARAM_AINT).ai
-    mode = op.params["mode"].s if op.has_param("mode") else "constant"
-    value = op.params["value"].f if op.has_param("value") else 0.0
+    mode = (op.params["mode"].s if op.has_param("mode", PARAM_STR)
+            else "constant")
+    value = _opt_float(op, "value") or 0.0
     jmode = {"constant": "constant", "replicate": "edge",
              "reflect": "reflect"}.get(mode)
     if jmode is None:

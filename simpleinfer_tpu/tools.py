@@ -150,8 +150,8 @@ def cmd_profile(args) -> int:
     from .ir.graph import Graph
     from .profiling import device_profile, format_hlo_stats
 
-    cfg = EngineConfig() if args.dtype == "float32" else EngineConfig(
-        compute_dtype=args.dtype, quant=args.quant)
+    cfg = EngineConfig(compute_dtype=args.dtype,
+                       quant=getattr(args, "quant", None))
     g = Graph.load(args.param, args.bin)
     eng = Engine(cfg).load_model(None, graph=g)
     spec = eng.program.inputs[0]

@@ -46,15 +46,41 @@ def imwrite(path: str, img: np.ndarray, bgr: bool = True) -> None:
 
 
 def _read_ppm(path: str) -> np.ndarray:
+    """Binary P6 parser. The header ends after EXACTLY ONE whitespace
+    byte following maxval — a split() on whitespace runs would eat
+    leading pixel bytes that happen to be 0x09/0x0A/0x0D/0x20."""
     with open(path, "rb") as f:
         data = f.read()
-    parts = data.split(maxsplit=4)
-    if parts[0] != b"P6":
+
+    pos = 0
+
+    def token():
+        nonlocal pos
+        # skip whitespace and '#' comment lines (PPM allows them in the
+        # header), then read one token
+        while pos < len(data):
+            c = data[pos:pos + 1]
+            if c in b" \t\r\n":
+                pos += 1
+            elif c == b"#":
+                while pos < len(data) and data[pos:pos + 1] != b"\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and data[pos:pos + 1] not in b" \t\r\n":
+            pos += 1
+        return data[start:pos]
+
+    if token() != b"P6":
         raise IOError("only binary P6 PPM supported")
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    w, h, maxval = int(token()), int(token()), int(token())
     if maxval != 255:
         raise IOError("only 8-bit PPM supported")
-    pix = parts[4][:w * h * 3]
+    pos += 1  # exactly one whitespace byte terminates the header
+    pix = data[pos:pos + w * h * 3]
+    if len(pix) < w * h * 3:
+        raise IOError(f"PPM truncated: {len(pix)} < {w * h * 3} bytes")
     return np.frombuffer(pix, np.uint8).reshape(h, w, 3).copy()
 
 

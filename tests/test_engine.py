@@ -458,3 +458,33 @@ def test_compiler_options_plumbing_and_fallback():
     assert eng2._effective_compiler_options() is None
     eng3 = Engine(EngineConfig(xla_compiler_options={}))
     assert eng3._effective_compiler_options() is None
+
+
+def test_extract_device_side_honors_nchw_layout():
+    """io_layout='nchw' must apply to extract(as_numpy=False) too
+    (review finding: device-side consumers silently got NHWC)."""
+    from simpleinfer_tpu.zoo import build_resnet18
+
+    g, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                          num_classes=4, width=8)
+    eng = Engine(EngineConfig(io_layout="nchw")).load_model(None, graph=g)
+    x = np.random.default_rng(0).standard_normal(
+        (1, 3, 32, 32)).astype(np.float32)
+    eng.input(in_name, x)
+    eng.forward()
+    host = eng.extract(out_name)                 # rank-2: layout-neutral
+    dev = np.asarray(eng.extract(out_name, as_numpy=False))
+    np.testing.assert_allclose(host, dev, atol=1e-6)
+
+    # a rank-4 output model: both forms must agree on layout
+    from simpleinfer_tpu.zoo import build_unet
+
+    g2, in2, out2 = build_unet(batch=1, image_size=32, num_classes=3,
+                               width=8, depth=1)
+    eng2 = Engine(EngineConfig(io_layout="nchw")).load_model(None, graph=g2)
+    eng2.input(in2, x)
+    eng2.forward()
+    host4 = eng2.extract(out2)
+    dev4 = np.asarray(eng2.extract(out2, as_numpy=False))
+    assert host4.shape == dev4.shape == (1, 3, 32, 32)
+    np.testing.assert_allclose(host4, dev4, atol=1e-6)

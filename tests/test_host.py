@@ -163,3 +163,25 @@ def test_nms_nan_scores_fall_back():
 
     keep = zoo_nms(boxes, scores, 0.45, 300)  # must not crash
     assert len(keep) >= 1
+
+
+def test_storezip_index_overflow_returns_none():
+    """>4096-entry archives overflow the native index buffers; the
+    walker must return None (python fallback) rather than a silently
+    truncated index."""
+    from simpleinfer_tpu import host
+    from simpleinfer_tpu.ir.storezip import StoreZipWriter
+
+    if not host.available():
+        import pytest
+
+        pytest.skip("native host library unavailable")
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".zip") as f:
+        w = StoreZipWriter(f.name)
+        for i in range(4100):
+            w.write_file(f"f{i:04d}", b"x")
+        w.close()
+        data = open(f.name, "rb").read()
+    assert host.storezip_index(data) is None  # fall back, don't truncate

@@ -63,3 +63,16 @@ def test_draw_detections():
     assert out.shape == img.shape
     assert not np.array_equal(out, img)  # something was drawn
     assert np.array_equal(img, np.asarray(img))  # original untouched
+
+
+def test_ppm_pixel_starting_with_whitespace_byte(tmp_path):
+    """P6 header ends after exactly ONE whitespace byte; pixels whose
+    first bytes are 0x20/0x0A must survive round-trip."""
+    from simpleinfer_tpu.zoo.imageio import imread, imwrite
+
+    img = np.full((3, 3, 3), 40, np.uint8)
+    img[0, 0] = (32, 10, 13)  # space, \n, \r as leading pixel bytes
+    p = str(tmp_path / "ws.ppm")
+    imwrite(p, img)  # writes BGR->RGB internally
+    back = imread(p)
+    np.testing.assert_array_equal(back, img)

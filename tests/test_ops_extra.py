@@ -453,3 +453,69 @@ def test_stack_3d_inputs_gives_physical_nhwc():
     got = run(impl, a, b)
     want = torch.stack([torch.from_numpy(a), torch.from_numpy(b)]).numpy()
     np.testing.assert_allclose(got, nhwc(want), atol=0)
+
+
+# ------------------------------------------------- review-fix regressions
+def test_avg_pool2d_ceil_overhang_divisor():
+    """ceil_mode adds a window hanging past the (padded) input; torch
+    clips the count_include_pad divisor to the padded extent."""
+    x = RNG.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    for cip in (True, False):
+        impl = lower_operator(make_op("nn.AvgPool2d", params=dict(
+            kernel_size=[3, 3], stride=[2, 2], padding=[0, 0],
+            ceil_mode=True, count_include_pad=cip)), CFG)
+        got = run(impl, nhwc(x))
+        want = F.avg_pool2d(torch.from_numpy(x), 3, 2, 0, ceil_mode=True,
+                            count_include_pad=cip).numpy()
+        np.testing.assert_allclose(got, nhwc(want), atol=1e-5, err_msg=str(cip))
+
+
+def test_avg_pool2d_ceil_overhang_with_padding():
+    x = RNG.standard_normal((1, 2, 7, 7)).astype(np.float32)
+    impl = lower_operator(make_op("nn.AvgPool2d", params=dict(
+        kernel_size=[3, 3], stride=[3, 3], padding=[1, 1],
+        ceil_mode=True, count_include_pad=True)), CFG)
+    got = run(impl, nhwc(x))
+    want = F.avg_pool2d(torch.from_numpy(x), 3, 3, 1, ceil_mode=True,
+                        count_include_pad=True).numpy()
+    np.testing.assert_allclose(got, nhwc(want), atol=1e-5)
+
+
+def test_clamp_none_min_param():
+    """pnnx writes unset optionals as `min=None` (PARAM_NULL) — must not
+    crash at load; clamps only the given bound."""
+    from simpleinfer_tpu.ir.graph import Parameter
+
+    op = make_op("torch.clamp", params=dict(max=0.5))
+    op.params["min"] = Parameter.from_value(None)
+    impl = lower_operator(op, CFG)
+    x = RNG.standard_normal((3, 4)).astype(np.float32)
+    np.testing.assert_allclose(run(impl, x), np.minimum(x, 0.5), atol=0)
+
+
+def test_clamp_int_params():
+    impl = lower_operator(make_op("torch.clamp",
+                                  params=dict(min=0, max=6)), CFG)
+    x = (RNG.standard_normal((3, 4)) * 10).astype(np.float32)
+    np.testing.assert_allclose(run(impl, x), np.clip(x, 0, 6), atol=0)
+
+
+def test_chunk_early_exhaustion_matches_torch():
+    """torch.chunk(5-wide, 4) returns 3 chunks of (2,2,1)."""
+    x = RNG.standard_normal((1, 5, 4, 4)).astype(np.float32)
+    want = torch.chunk(torch.from_numpy(x), 4, dim=1)
+    assert len(want) == 3
+    op = make_op("torch.chunk", params=dict(chunks=4, dim=1), n_out=3)
+    impl = lower_operator(op, CFG)
+    got = run(impl, nhwc(x))
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, nhwc(w.numpy()), atol=0)
+
+
+def test_chunk_declared_output_mismatch_raises():
+    op = make_op("torch.chunk", params=dict(chunks=4, dim=1), n_out=4)
+    impl = lower_operator(op, CFG)
+    x = RNG.standard_normal((1, 5, 4, 4)).astype(np.float32)
+    with pytest.raises(ValueError):
+        run(impl, nhwc(x))

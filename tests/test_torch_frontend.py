@@ -468,3 +468,26 @@ def test_sum_stack_amax_export():
             return torch.stack([s, m], 0).sum(dim=0, keepdim=False)
 
     _check(M(), (2, 3, 5, 5))
+
+
+def test_chunk_uneven_exports_actual_count():
+    class M(nn.Module):
+        def forward(self, x):
+            a, b, c = torch.chunk(x, 4, dim=1)  # 5 -> 3 chunks
+            return torch.cat([a, b, c, a[:, :1]], 1)
+
+    _check(M(), (1, 5, 4, 4))
+
+
+def test_interpolate_positional_mode():
+    class M(nn.Module):
+        def forward(self, x):
+            return F.interpolate(x, None, 2.0, "bilinear", False)
+
+    _check(M(), (1, 3, 5, 5), tol=2e-3)
+
+
+def test_dropout2d_module_aliases():
+    m = nn.Sequential(nn.Conv2d(3, 4, 1), nn.Dropout2d(0.5),
+                      nn.AlphaDropout(0.3), nn.ReLU())
+    _check(m, (1, 3, 6, 6))
