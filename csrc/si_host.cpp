@@ -28,20 +28,24 @@ extern "C" {
 
 // ---------------------------------------------------------------- crc32
 static uint32_t crc_table[8][256];
-static bool crc_init_done = false;
 
+// ctypes releases the GIL, so concurrent first calls are possible:
+// rely on C++11 thread-safe function-local static initialization
 static void crc_init() {
-  if (crc_init_done) return;
-  for (uint32_t i = 0; i < 256; i++) {
-    uint32_t c = i;
-    for (int k = 0; k < 8; k++) c = (c >> 1) ^ (0xEDB88320u & (~(c & 1) + 1));
-    crc_table[0][i] = c;
-  }
-  for (uint32_t i = 0; i < 256; i++)
-    for (int s = 1; s < 8; s++)
-      crc_table[s][i] =
-          (crc_table[s - 1][i] >> 8) ^ crc_table[0][crc_table[s - 1][i] & 0xff];
-  crc_init_done = true;
+  static const bool done = [] {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; k++)
+        c = (c >> 1) ^ (0xEDB88320u & (~(c & 1) + 1));
+      crc_table[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; i++)
+      for (int s = 1; s < 8; s++)
+        crc_table[s][i] = (crc_table[s - 1][i] >> 8) ^
+                          crc_table[0][crc_table[s - 1][i] & 0xff];
+    return true;
+  }();
+  (void)done;
 }
 
 // slice-by-8 crc32 (zlib polynomial), ~8x a byte-at-a-time loop
@@ -49,8 +53,10 @@ uint32_t si_crc32(const uint8_t* data, uint64_t n, uint32_t seed) {
   crc_init();
   uint32_t c = ~seed;
   while (n >= 8) {
-    c ^= *reinterpret_cast<const uint32_t*>(data);
-    uint32_t hi = *reinterpret_cast<const uint32_t*>(data + 4);
+    uint32_t lo, hi;  // memcpy: the buffer has no alignment guarantee
+    std::memcpy(&lo, data, 4);
+    std::memcpy(&hi, data + 4, 4);
+    c ^= lo;
     c = crc_table[7][c & 0xff] ^ crc_table[6][(c >> 8) & 0xff] ^
         crc_table[5][(c >> 16) & 0xff] ^ crc_table[4][c >> 24] ^
         crc_table[3][hi & 0xff] ^ crc_table[2][(hi >> 8) & 0xff] ^
@@ -74,14 +80,29 @@ struct SzEntry {
 static bool sz_parse(const uint8_t* buf, uint64_t n,
                      std::vector<SzEntry>* out) {
   uint64_t p = 0;
+  auto rd16 = [&](uint64_t off) {
+    uint16_t v;
+    std::memcpy(&v, buf + off, 2);
+    return v;
+  };
+  auto rd32 = [&](uint64_t off) {
+    uint32_t v;
+    std::memcpy(&v, buf + off, 4);
+    return v;
+  };
   while (p + 30 <= n) {
-    uint32_t sig = *reinterpret_cast<const uint32_t*>(buf + p);
+    uint32_t sig = rd32(p);
     if (sig != 0x04034b50u) break;  // central directory reached
-    uint16_t method = *reinterpret_cast<const uint16_t*>(buf + p + 8);
-    uint32_t csize = *reinterpret_cast<const uint32_t*>(buf + p + 18);
-    uint16_t nlen = *reinterpret_cast<const uint16_t*>(buf + p + 26);
-    uint16_t xlen = *reinterpret_cast<const uint16_t*>(buf + p + 28);
+    uint16_t flags = rd16(p + 6);
+    uint16_t method = rd16(p + 8);
+    uint32_t csize = rd32(p + 18);
+    uint16_t nlen = rd16(p + 26);
+    uint16_t xlen = rd16(p + 28);
     if (method != 0) return false;  // store-only
+    // data-descriptor entries (bit 3: sizes live AFTER the data) and
+    // zip64 sizes are handled by the Python walker — bail so the
+    // caller falls back instead of recording a wrong data_size
+    if ((flags & 0x8) != 0 || csize == 0xFFFFFFFFu) return false;
     SzEntry e;
     e.name_off = p + 30;
     e.name_len = nlen;
