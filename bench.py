@@ -75,6 +75,50 @@ def main():
     from simpleinfer_tpu.zoo import build_yolov5
 
     batch = int(os.environ.get("SI_BENCH_BATCH", "8"))
+    # The remote compile service sometimes wedges (observed 2026-08-17:
+    # >10 min per trivial program for hours). A hung compile would stall
+    # this process forever and the driver would record NOTHING — emit
+    # whatever completed when the deadline passes instead.
+    deadline_s = float(os.environ.get("SI_BENCH_DEADLINE_S", "3000"))
+    import threading
+
+    state = {"results": {}, "emitted": False,
+             "lock": threading.Lock(), "factor": float("nan")}
+
+    def _emit(results, factor, note=None):
+        with state["lock"]:
+            if state["emitted"]:
+                return
+            state["emitted"] = True
+        headline = next((w for w in ("int8w", "int8", "bf16", "fp32")
+                         if w in results), None)
+        out = {
+            "metric": f"yolov5{variant}_{image_size}_b{batch}_"
+                      f"{headline or 'none'}_throughput",
+            "value": round(results.get(headline, 0.0), 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(
+                results[headline] / results["fp32"]
+                if headline and "fp32" in results and headline != "fp32"
+                else 1.0, 3),
+        }
+        if factor == factor:  # not NaN
+            out["chip_speed_factor"] = round(factor, 3)
+        if note:
+            out["note"] = note
+        print(json.dumps(out), flush=True)
+
+    def _watchdog():
+        print(f"bench deadline ({deadline_s:.0f}s) reached with "
+              f"{sorted(state['results'])} done — emitting partial "
+              f"results and exiting", file=sys.stderr, flush=True)
+        _emit(dict(state["results"]), state["factor"],
+              note=f"deadline {deadline_s:.0f}s hit; partial")
+        os._exit(2)
+
+    timer = threading.Timer(deadline_s, _watchdog)
+    timer.daemon = True
+    timer.start()
     image_size = int(os.environ.get("SI_BENCH_IMG", "640"))
     variant = os.environ.get("SI_BENCH_VARIANT", "s")
     # two configs by default: each costs a full XLA compile (~2-4 min on
@@ -92,10 +136,11 @@ def main():
     # carries this factor for interpretability
     factor = (chip_speed_factor() if jax.default_backend() == "tpu"
               else float("nan"))
+    state["factor"] = factor
     print(f"chip_speed_factor {factor:.3f} (1.0 = healthy v5e)",
           file=sys.stderr, flush=True)
 
-    results = {}
+    results = state["results"]
     all_configs = {
         "fp32": EngineConfig(),
         "bf16": EngineConfig(compute_dtype="bfloat16"),
@@ -130,25 +175,11 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep earlier results
             print(f"{label}: failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
+    timer.cancel()
     if not results:
+        _emit({}, factor, note="no config completed")
         raise SystemExit("no benchmark config completed")
-
-    # headline: the most production-relevant config that actually ran
-    headline = next((w for w in ("int8w", "int8", "bf16")
-                     if w in results),
-                    next(w for w in wanted if w in results))
-    vs = (results[headline] / results["fp32"]
-          if "fp32" in results and headline != "fp32" else 1.0)
-    out = {
-        "metric": f"yolov5{variant}_{image_size}_b{batch}_{headline}"
-                  "_throughput",
-        "value": round(results[headline], 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 3),
-    }
-    if factor == factor:  # not NaN
-        out["chip_speed_factor"] = round(factor, 3)
-    print(json.dumps(out))
+    _emit(dict(results), factor)
 
 
 if __name__ == "__main__":
