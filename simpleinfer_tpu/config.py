@@ -17,20 +17,25 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Logical device mesh: data-parallel x model(tensor)-parallel axes.
+    """Logical device mesh: data x spatial x model parallel axes.
 
     The reference has no distributed story (SURVEY.md §2.5); this is the
     TPU-native replacement: axis sizes multiply to the device count,
     `data` shards the batch dim of activations, `model` shards conv/linear
-    output channels. Collectives ride ICI within a slice.
+    output channels (TP), and `spatial` shards the activation HEIGHT dim —
+    the CNN analog of sequence parallelism (GSPMD inserts the conv/pool
+    halo exchanges). Use `spatial` when batch alone cannot fill the mesh
+    (e.g. batch-1 latency on a multi-chip slice, or very large images).
+    Collectives ride ICI within a slice.
     """
 
     data: int = 1
     model: int = 1
+    spatial: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.model
+        return self.data * self.model * self.spatial
 
 
 @dataclass(frozen=True)

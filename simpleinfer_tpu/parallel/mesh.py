@@ -8,6 +8,11 @@ all-gather / reduce-scatter) onto ICI/DCN.
 Axes:
 - ``data``  — shards the batch dim of activations (DP). The inference
   analog of the reference's batch-4/8 workloads spread over chips.
+- ``spatial`` — shards the activation HEIGHT dim (the CNN analog of
+  sequence/context parallelism, SURVEY.md §2.5): GSPMD compiles the
+  conv/pool windows into halo exchanges (collective-permute of edge
+  rows) so no manual ring is needed. For when batch alone cannot fill
+  the mesh (batch-1 latency, very large images).
 - ``model`` — shards conv/linear output channels (TP), per the
   `shard_hints` each OpImpl declares (ops/registry.py).
 """
@@ -23,10 +28,12 @@ from ..config import MeshConfig
 
 AXIS_DATA = "data"
 AXIS_MODEL = "model"
+AXIS_SPATIAL = "spatial"
 
 
 def build_mesh(cfg: Optional[MeshConfig], devices=None) -> Optional[Mesh]:
-    """Create a (data, model) mesh from the config; None = single device."""
+    """Create a (data, spatial, model) mesh from the config; None =
+    single device."""
     if cfg is None or cfg.num_devices == 1:
         return None
     devices = devices if devices is not None else jax.devices()
@@ -34,18 +41,21 @@ def build_mesh(cfg: Optional[MeshConfig], devices=None) -> Optional[Mesh]:
     if len(devices) < n:
         raise ValueError(
             f"mesh needs {n} devices, only {len(devices)} visible")
-    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.model)
-    return Mesh(arr, (AXIS_DATA, AXIS_MODEL))
+    spatial = getattr(cfg, "spatial", 1)
+    arr = np.asarray(devices[:n]).reshape(cfg.data, spatial, cfg.model)
+    return Mesh(arr, (AXIS_DATA, AXIS_SPATIAL, AXIS_MODEL))
 
 
-def make_multihost_mesh(data: int, model: int = 1) -> Mesh:
+def make_multihost_mesh(data: int, model: int = 1,
+                        spatial: int = 1) -> Mesh:
     """Mesh over all globally visible devices (call after
     jax.distributed.initialize() on multi-host). Device order follows
-    jax.devices(), which keeps hosts contiguous so the `model` axis stays
-    intra-host (ICI) and `data` crosses hosts (DCN) — the cheap direction
-    for inference, where DP needs no inter-chip traffic at all."""
-    devices = np.asarray(jax.devices()).reshape(data, model)
-    return Mesh(devices, (AXIS_DATA, AXIS_MODEL))
+    jax.devices(), which keeps hosts contiguous so the `model`/`spatial`
+    axes stay intra-host (ICI) and `data` crosses hosts (DCN) — the
+    cheap direction for inference, where DP needs no inter-chip traffic
+    at all."""
+    devices = np.asarray(jax.devices()).reshape(data, spatial, model)
+    return Mesh(devices, (AXIS_DATA, AXIS_SPATIAL, AXIS_MODEL))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -53,7 +63,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def input_sharding(mesh: Mesh, rank: int) -> NamedSharding:
-    """Batch-dim sharding over `data` for an activation of this rank."""
+    """Activation sharding: batch over `data`; for rank-4 NHWC, height
+    over `spatial` too (a no-op when the axis has size 1)."""
+    if rank == 4 and mesh.shape.get(AXIS_SPATIAL, 1) > 1:
+        return NamedSharding(mesh, P(AXIS_DATA, AXIS_SPATIAL, None, None))
     return NamedSharding(mesh, P(AXIS_DATA, *([None] * (rank - 1))))
 
 

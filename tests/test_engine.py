@@ -293,6 +293,43 @@ def test_tensor_parallel_mesh_cpu():
                                rtol=1e-4)
 
 
+def test_spatial_parallel_mesh_cpu():
+    """Height-sharded activations (the CNN sequence-parallel analog):
+    GSPMD's conv halo exchange must reproduce the single-device output
+    exactly — including a batch-1 model that DP alone cannot shard."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    ref_graph, _, _ = build_resnet18(batch=1, image_size=32, num_classes=4,
+                                     width=8)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref_graph).run({in_name: x})
+    cfg = EngineConfig(mesh=MeshConfig(data=1, spatial=4, model=2))
+    eng = Engine(cfg).load_model(None, graph=graph)
+    got = eng.run({in_name: x})
+    np.testing.assert_allclose(got[out_name], want[out_name], atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_spatial_parallel_detect_model_cpu():
+    """data x spatial mesh on a detect topology (strided convs, pools,
+    upsample, concat head) — halo exchanges across every stage."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    graph, in_name, out_name = build_yolov5("n", batch=2, image_size=64)
+    ref_graph, _, _ = build_yolov5("n", batch=2, image_size=64)
+    x = RNG.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref_graph).run({in_name: x})
+    cfg = EngineConfig(mesh=MeshConfig(data=2, spatial=2, model=2))
+    eng = Engine(cfg).load_model(None, graph=graph)
+    got = eng.run({in_name: x})
+    np.testing.assert_allclose(got[out_name], want[out_name], atol=2e-4,
+                               rtol=1e-3)
+
+
 def test_stem_input_staged_packed():
     """Graph inputs feeding a W-pack-eligible stem stage pre-packed
     (Program.input_transforms), and the jitted fn accepts both the

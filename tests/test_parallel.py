@@ -22,8 +22,12 @@ needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
 
 @needs8
 def test_build_mesh_shapes():
+    from simpleinfer_tpu.parallel.mesh import AXIS_SPATIAL
+
     mesh = build_mesh(MeshConfig(data=4, model=2))
-    assert mesh.shape == {AXIS_DATA: 4, AXIS_MODEL: 2}
+    assert mesh.shape == {AXIS_DATA: 4, AXIS_SPATIAL: 1, AXIS_MODEL: 2}
+    mesh3 = build_mesh(MeshConfig(data=2, spatial=2, model=2))
+    assert mesh3.shape == {AXIS_DATA: 2, AXIS_SPATIAL: 2, AXIS_MODEL: 2}
     assert build_mesh(MeshConfig(data=1, model=1)) is None
     assert build_mesh(None) is None
     with pytest.raises(ValueError):
