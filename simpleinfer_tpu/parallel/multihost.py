@@ -29,7 +29,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import AXIS_DATA, AXIS_MODEL
+from .mesh import AXIS_DATA, AXIS_MODEL, AXIS_SPATIAL
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -50,15 +50,17 @@ def initialize(coordinator_address: Optional[str] = None,
         process_id=process_id)
 
 
-def make_mesh(model: int = 1) -> Mesh:
-    """(data, model) mesh over ALL global devices; `model` stays within
-    a host (ICI) by construction of jax.devices() ordering, `data`
-    spans hosts (DCN — free for inference DP)."""
+def make_mesh(model: int = 1, spatial: int = 1) -> Mesh:
+    """(data, spatial, model) mesh over ALL global devices; `model` and
+    `spatial` stay within a host (ICI) by construction of jax.devices()
+    ordering, `data` spans hosts (DCN — free for inference DP)."""
     n = len(jax.devices())
-    if n % model != 0:
-        raise ValueError(f"{n} devices not divisible by model={model}")
-    devices = np.asarray(jax.devices()).reshape(n // model, model)
-    return Mesh(devices, (AXIS_DATA, AXIS_MODEL))
+    if n % (model * spatial) != 0:
+        raise ValueError(f"{n} devices not divisible by "
+                         f"model*spatial={model * spatial}")
+    devices = np.asarray(jax.devices()).reshape(
+        n // (model * spatial), spatial, model)
+    return Mesh(devices, (AXIS_DATA, AXIS_SPATIAL, AXIS_MODEL))
 
 
 def host_local_batch(global_batch: np.ndarray, mesh: Mesh) -> jax.Array:

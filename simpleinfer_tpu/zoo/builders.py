@@ -802,3 +802,37 @@ def build_densenet(variant: str | tuple = "121", batch: int = 1,
     x = b.linear(x, num_classes)
     b.output(x)
     return b.build(), "0", x
+
+
+def build_squeezenet(batch: int = 1, image_size: int = 224,
+                     num_classes: int = 1000, width_mult: float = 1.0,
+                     seed: int = 0) -> tuple:
+    """SqueezeNet 1.1 (fire modules: 1x1 squeeze -> parallel 1x1/3x3
+    expands -> channel cat; fully-convolutional classifier head with
+    global average pooling). Superset family — parallel-branch cats and
+    a conv (not linear) classifier, unlike the other classify builders.
+    """
+    b = GraphBuilder(seed)
+    x = b.input([batch, 3, image_size, image_size], name="0")
+
+    def c(v):
+        return max(int(v * width_mult), 8)
+
+    def fire(x, squeeze, expand):
+        s = b.relu(b.conv(x, c(squeeze), 1, p=0))
+        e1 = b.relu(b.conv(s, c(expand), 1, p=0))
+        e3 = b.relu(b.conv(s, c(expand), 3, 1, 1))
+        return b.cat([e1, e3], 1)
+
+    x = b.relu(b.conv(x, c(64), 3, 2, 0))
+    x = b.maxpool(x, 3, 2)
+    x = fire(fire(x, 16, 64), 16, 64)
+    x = b.maxpool(x, 3, 2)
+    x = fire(fire(x, 32, 128), 32, 128)
+    x = b.maxpool(x, 3, 2)
+    x = fire(fire(fire(fire(x, 48, 192), 48, 192), 64, 256), 64, 256)
+    x = b.relu(b.conv(x, num_classes, 1, p=0))
+    x = b.adaptive_avg_pool(x, 1)
+    x = b.flatten(x)
+    b.output(x)
+    return b.build(), "0", x

@@ -389,6 +389,26 @@ def test_densenet_presets_build():
     assert len(cats) == 6 + 12 + 24 + 16
 
 
+def test_squeezenet_parity():
+    """SqueezeNet builder vs the torch oracle (fire modules: parallel
+    1x1/3x3 expand cats, conv classifier + GAP)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from torch_ref import run_graph_torch
+
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_squeezenet
+
+    g, in_name, out_name = build_squeezenet(batch=2, image_size=64,
+                                            num_classes=7, width_mult=0.25)
+    x = RNG.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    want = run_graph_torch(g, {in_name: x})[out_name]
+    eng = Engine().load_model(None, graph=g)
+    got = eng.run({in_name: np.transpose(x, (0, 2, 3, 1))})[out_name]
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=1e-3)
+
+
 def test_segment_pipeline_end_to_end():
     from simpleinfer_tpu import Engine
     from simpleinfer_tpu.zoo import build_unet
