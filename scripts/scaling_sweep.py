@@ -77,6 +77,29 @@ def main():
         print(f"# parallel efficiency at {rows[-1]['devices']} devices: "
               f"{eff:.0%}", flush=True)
 
+    # batch-1 latency row: spatial(+model) sharding — the axes that can
+    # fill a mesh when DP cannot (MeshConfig.spatial; GSPMD halo)
+    if n_dev >= 4:
+        cfg = EngineConfig(
+            compute_dtype="bfloat16" if not args.sim else "float32",
+            mesh=MeshConfig(data=1, spatial=2, model=2))
+        graph, in_name, out_name = build_yolov5(
+            args.variant, batch=1, image_size=args.img)
+        eng = Engine(cfg).load_model(None, graph=graph)
+        x = np.random.default_rng(0).standard_normal(
+            (1, args.img, args.img, 3)).astype(np.float32) / 4
+        eng.input(in_name, x)
+        eng.forward()
+        np.asarray(eng.extract(out_name))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            eng.forward()
+        np.asarray(eng.extract(out_name))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({"devices": 4, "mesh": "1x2sp x2tp", "batch": 1,
+                          "ms_per_batch": round(dt * 1e3, 2)}), flush=True)
+        eng.release()
+
 
 if __name__ == "__main__":
     main()
