@@ -7,7 +7,8 @@ hot kernels run on the MXU (Pallas int8 paths in kernels/), and scaling
 is declarative via jax.sharding meshes instead of a comm library.
 """
 from .config import EngineConfig, MeshConfig
-from .engine import Engine, EngineStateError, initialize_context
+from .engine import (Engine, EngineStateError, initialize_context,
+                     load_exported)
 from .executor import Program, build_program
 from .ir.graph import Graph
 from .tensor import DataType, Status, Tensor
@@ -19,6 +20,7 @@ __all__ = [
     "Engine",
     "EngineConfig",
     "EngineStateError",
+    "load_exported",
     "Graph",
     "MeshConfig",
     "Program",

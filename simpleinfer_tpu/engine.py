@@ -383,6 +383,64 @@ class Engine:
                 formats[n]
         return compiled, formats
 
+    def export_model(self, path: str, batch: Optional[int] = None) -> None:
+        """Serialize the forward as a self-contained StableHLO artifact
+        (jax.export): weights baked in as constants, one file, loadable
+        by `load_exported()` in a process that never sees the pnnx
+        sources or this engine's config. The deployment-artifact story
+        the reference lacks (its models re-parse .pnnx.* every start).
+
+        The artifact takes float32 inputs in the engine's io layout
+        (NHWC by default) at the declared shapes; `batch` overrides the
+        leading dim (the one re-jit axis). Exported for the CURRENT
+        backend's lowering but as portable StableHLO — jax guarantees
+        forward compatibility for serialized artifacts."""
+        from jax import export as jexport
+
+        self._require_loaded()
+        program = self._program
+        weights = self._device_weights
+        compute = self.config.compute_jnp_dtype
+        io_nchw = self.config.io_layout == "nchw"
+
+        specs = {}
+        for s in program.inputs:
+            if not s.shape:
+                raise EngineStateError(
+                    f"export needs a declared shape for input {s.name!r}")
+            lead = batch if batch is not None else (
+                1 if s.shape[0] == -1 else s.shape[0])
+            shape = [lead, *s.shape[1:]]  # program specs are NHWC
+            if io_nchw and len(shape) == 4:
+                shape = [shape[0], shape[3], shape[1], shape[2]]
+            specs[s.name] = jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
+
+        def run(inputs):
+            cast = {k: v.astype(compute) for k, v in inputs.items()}
+            if io_nchw:
+                cast = {k: (jnp.transpose(v, (0, 2, 3, 1))
+                            if v.ndim == 4 else v)
+                        for k, v in cast.items()}
+            out = dict(program.fn(weights, cast))
+            # undo packed terminal layouts (Engine.extract's host-side
+            # retile) so artifact consumers see logical shapes
+            for name, na in program.output_transforms.items():
+                v = out.get(name)
+                if v is not None and na and v.ndim == 3:
+                    n_, r_, c_ = v.shape
+                    out[name] = jnp.reshape(v, (n_, r_ * na, c_ // na))
+            if io_nchw:
+                out = {k: (jnp.transpose(v, (0, 3, 1, 2))
+                           if v.ndim == 4 else v)
+                       for k, v in out.items()}
+            return out
+
+        exported = jexport.export(jax.jit(run))(specs)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        logger.info("exported %d-input StableHLO artifact to %s",
+                    len(specs), path)
+
     def warmup(self, batch_sizes=(1,)) -> None:
         """Compile the forward for each batch size ahead of time (batch
         is the only re-jit axis). Requires declared input shapes. The
@@ -600,3 +658,23 @@ class Engine:
             scale = jax.device_put(jnp.asarray(w.scale), scale_sh)
             return QuantizedTensor(data=data, scale=scale, axis=w.axis)
         return jax.device_put(jnp.asarray(w), sharding)
+
+
+def load_exported(path: str):
+    """Load a StableHLO artifact written by Engine.export_model.
+
+    Returns fn(inputs: dict[str, array]) -> dict[str, np.ndarray] — a
+    self-contained compiled forward (weights baked in); the loading
+    process needs neither the pnnx sources nor the exporting engine's
+    config."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def call(inputs: dict) -> dict:
+        out = exported.call({k: jnp.asarray(v, jnp.float32)
+                             for k, v in inputs.items()})
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    return call

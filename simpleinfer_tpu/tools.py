@@ -14,6 +14,7 @@ Usage: python -m simpleinfer_tpu <command> [args]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -178,6 +179,23 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize a model as a self-contained StableHLO artifact."""
+    from .config import EngineConfig
+    from .engine import Engine
+    from .ir.graph import Graph
+
+    cfg = EngineConfig(compute_dtype=args.dtype,
+                       quant=getattr(args, "quant", None))
+    g = Graph.load(args.param, args.bin)
+    eng = Engine(cfg).load_model(None, graph=g)
+    if cfg.quant == "int8" and args.calibration:
+        eng.load_calibration(args.calibration)
+    eng.export_model(args.out, batch=args.batch)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_calibrate(args) -> int:
     """Offline static-int8 calibration: sample batches in -> reusable
     scales artifact out (Engine.save_calibration). Each sample file is
@@ -240,6 +258,14 @@ def cmd_serve(args) -> int:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS even when a TPU PJRT plugin is installed (the
+    # plugin registers itself above the env var; jax.config wins)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat.split(",")[0])
+
     ap = argparse.ArgumentParser(prog="simpleinfer_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -342,6 +368,22 @@ def main(argv=None) -> int:
     p.add_argument("--percentile", type=float,
                    help="clip to this percentile of |x| instead of absmax")
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("export",
+                       help="compile to a self-contained StableHLO "
+                            "artifact (weights baked in; load with "
+                            "simpleinfer_tpu.load_exported)")
+    p.add_argument("param")
+    p.add_argument("bin", nargs="?")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--quant", choices=["int8w", "int8"])
+    p.add_argument("--calibration",
+                   help="scales npz (from the calibrate command) for "
+                        "--quant int8")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("roofline", help="per-op roofline cost table")
     p.add_argument("param")

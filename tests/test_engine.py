@@ -525,3 +525,61 @@ def test_extract_device_side_honors_nchw_layout():
     dev4 = np.asarray(eng2.extract(out2, as_numpy=False))
     assert host4.shape == dev4.shape == (1, 3, 32, 32)
     np.testing.assert_allclose(host4, dev4, atol=1e-6)
+
+
+def test_export_model_roundtrip(tmp_path):
+    """StableHLO artifact export/load: same outputs as the live engine,
+    in a consumer that has no Graph/config (deployment story)."""
+    from simpleinfer_tpu import load_exported
+    from simpleinfer_tpu.zoo import build_resnet18
+
+    g, in_name, out_name = build_resnet18(batch=2, image_size=32,
+                                          num_classes=5, width=8)
+    eng = Engine().load_model(None, graph=g)
+    x = np.random.default_rng(5).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32)
+    want = eng.run({in_name: x})[out_name]
+    path = str(tmp_path / "m.shlo")
+    eng.export_model(path)
+    fn = load_exported(path)
+    got = fn({in_name: x})[out_name]
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_export_model_batch_override_and_nchw(tmp_path):
+    from simpleinfer_tpu import load_exported
+    from simpleinfer_tpu.zoo import build_unet
+
+    g, in_name, out_name = build_unet(batch=1, image_size=32,
+                                      num_classes=3, width=8, depth=1)
+    eng = Engine(EngineConfig(io_layout="nchw")).load_model(None, graph=g)
+    path = str(tmp_path / "m.shlo")
+    eng.export_model(path, batch=2)
+    fn = load_exported(path)
+    x = np.random.default_rng(6).standard_normal(
+        (2, 3, 32, 32)).astype(np.float32)
+    got = fn({in_name: x})[out_name]
+    assert got.shape == (2, 3, 32, 32)
+    # parity vs the live engine at the same batch
+    eng2 = Engine(EngineConfig(io_layout="nchw")).load_model(None, graph=g)
+    eng2.input(in_name, x)
+    eng2.forward()
+    np.testing.assert_allclose(got, eng2.extract(out_name), atol=1e-5)
+
+
+def test_export_model_packed_yolo_head(tmp_path):
+    """Artifact outputs are logical shapes even when the engine's
+    terminal op emits a packed layout (output_transforms)."""
+    from simpleinfer_tpu import load_exported
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    g, in_name, out_name = build_yolov5("n", batch=1, image_size=64)
+    eng = Engine().load_model(None, graph=g)
+    x = np.random.default_rng(7).standard_normal(
+        (1, 64, 64, 3)).astype(np.float32) / 4
+    want = eng.run({in_name: x})[out_name]
+    path = str(tmp_path / "y.shlo")
+    eng.export_model(path)
+    got = load_exported(path)({in_name: x})[out_name]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
