@@ -233,8 +233,16 @@ def cmd_serve(args) -> int:
                 "--calibration scales.npz (from the calibrate command) "
                 "or use --quant int8w")
         eng.load_calibration(args.calibration)
+    post = None
+    if args.device_decode:
+        from .zoo.detect import decode_device
+
+        post = (lambda o: decode_device(o, conf_thresh=args.conf,
+                                        iou_thresh=args.iou,
+                                        max_det=args.max_det))
     svc = BatchingService(eng, max_batch=args.max_batch,
-                          max_wait_ms=args.max_wait_ms)
+                          max_wait_ms=args.max_wait_ms,
+                          device_postprocess=post)
     if args.warmup:
         print("compiling buckets "
               f"{svc.buckets} ...", flush=True)
@@ -243,7 +251,8 @@ def cmd_serve(args) -> int:
     server = InferenceServer(svc, host=args.host, port=args.port).start()
     host, port = server.address[:2]
     print(f"serving {args.param} on http://{host}:{port} "
-          f"(POST /v1/infer, GET /v1/stats, GET /healthz)", flush=True)
+          f"(POST /v1/infer, POST /v1/detect, GET /v1/stats, "
+          f"GET /healthz)", flush=True)
     try:
         import time
 
@@ -353,6 +362,13 @@ def main(argv=None) -> int:
     p.add_argument("--calibration",
                    help="scales npz from the calibrate command "
                         "(required with --quant int8)")
+    p.add_argument("--device-decode", action="store_true",
+                   help="detection models: run score-filter + NMS on "
+                        "device; /v1/infer and /v1/detect return "
+                        "[max_det, 6] rows instead of the raw head")
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=300)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("calibrate",
