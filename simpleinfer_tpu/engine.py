@@ -398,6 +398,13 @@ class Engine:
         from jax import export as jexport
 
         self._require_loaded()
+        if self._mesh is not None:
+            raise EngineStateError(
+                "export_model requires a single-device engine: a mesh "
+                "engine's weights carry device-bound shardings that the "
+                "loading process may not be able to satisfy. Load the "
+                "model without a mesh for export; apply the mesh in the "
+                "serving engine instead.")
         program = self._program
         weights = self._device_weights
         compute = self.config.compute_jnp_dtype

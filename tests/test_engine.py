@@ -583,3 +583,16 @@ def test_export_model_packed_yolo_head(tmp_path):
     got = load_exported(path)({in_name: x})[out_name]
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_export_model_rejects_mesh_engine(tmp_path):
+    from simpleinfer_tpu.zoo import build_resnet18
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    g, _, _ = build_resnet18(batch=8, image_size=32, num_classes=4,
+                             width=8)
+    eng = Engine(EngineConfig(mesh=MeshConfig(data=8))).load_model(
+        None, graph=g)
+    with pytest.raises(EngineStateError):
+        eng.export_model(str(tmp_path / "x.shlo"))
