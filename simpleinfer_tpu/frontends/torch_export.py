@@ -164,6 +164,10 @@ def _export_module(b, node, mod, name):
         op = b.add_op("nn.LeakyReLU", name, [node.args[0]], node)
         _param(op, "negative_slope", float(mod.negative_slope))
         return
+    if t is nn.ELU:
+        op = b.add_op("nn.ELU", name, [node.args[0]], node)
+        _param(op, "alpha", float(mod.alpha))
+        return
     if t is nn.Conv2d:
         op = b.add_op("nn.Conv2d", name, [node.args[0]], node)
         if isinstance(mod.padding, str):

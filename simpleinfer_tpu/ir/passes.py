@@ -26,7 +26,8 @@ import numpy as np
 
 from .graph import Graph, Operator, Parameter
 
-# pnnx activation type -> epilogue name understood by kernels/matmul.py
+# pnnx activation type -> epilogue name understood by
+# kernels/matmul.resolve_activation
 FUSABLE_ACTIVATIONS = {
     "nn.ReLU": "relu",
     "F.relu": "relu",
@@ -38,7 +39,32 @@ FUSABLE_ACTIVATIONS = {
     "F.hardsigmoid": "hardsigmoid",
     "nn.Hardswish": "hardswish",
     "F.hardswish": "hardswish",
+    "nn.ReLU6": "relu6",       # mobilenet-v2 family: without this the
+    "F.relu6": "relu6",        # int8 chain breaks at EVERY block
+    "nn.Tanh": "tanh",
+    "F.tanh": "tanh",
+    "nn.Mish": "mish",
+    "F.mish": "mish",
 }
+
+
+def _parametrized_fusable(act_op) -> str | None:
+    """Epilogue name for activations that carry a parameter (encoded as
+    `name@value`) or a mode (GELU's approximate)."""
+    t = act_op.type
+    if t in ("nn.LeakyReLU", "F.leaky_relu"):
+        p = act_op.params.get("negative_slope")
+        slope = p.f if p is not None and p.type == 3 else 0.01
+        return f"leaky_relu@{slope!r}"
+    if t in ("nn.ELU", "F.elu"):
+        p = act_op.params.get("alpha")
+        alpha = p.f if p is not None and p.type == 3 else 1.0
+        return f"elu@{alpha!r}"
+    if t in ("nn.GELU", "F.gelu"):
+        p = act_op.params.get("approximate")
+        tanh = p is not None and p.type == 4 and p.s == "tanh"
+        return "gelu_tanh" if tanh else "gelu"
+    return None
 
 FUSED_ACT_PARAM = "si_fused_act"
 
@@ -115,6 +141,8 @@ def fuse_conv_activation(graph: Graph) -> int:
         if nxt is None:
             continue
         act = FUSABLE_ACTIVATIONS.get(nxt.type)
+        if act is None:
+            act = _parametrized_fusable(nxt)
         if act is None:
             continue
         op.params[FUSED_ACT_PARAM] = Parameter.from_value(act)

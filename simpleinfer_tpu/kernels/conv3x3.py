@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .matmul import _ACTIVATIONS
+from .matmul import resolve_activation
 
 
 # VMEM budget for one grid step: x block + w + acc (bytes, bf16/f32).
@@ -69,7 +69,7 @@ def _kernel(x_ref, w_ref, m_ref, b_ref, o_ref, *, shifts, act, has_bias,
         acc = y if acc is None else acc + y
     if has_bias:
         acc = acc + b_ref[:]
-    o_ref[0] = _ACTIVATIONS[act](acc).astype(out_dtype)
+    o_ref[0] = resolve_activation(act)(acc).astype(out_dtype)
 
 
 def conv3x3_vmem_ok(h: int, w: int, c: int, oc: int,
@@ -146,5 +146,5 @@ def conv3x3_reference(x, w_hwio, bias=None, activation=None):
         preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + jnp.asarray(bias, jnp.float32)
-    out = _ACTIVATIONS[activation](out)
+    out = resolve_activation(activation)(out)
     return out.astype(x.dtype)

@@ -37,7 +37,29 @@ _ACTIVATIONS: dict = {
     "sigmoid": jax.nn.sigmoid,
     "hardsigmoid": lambda x: jnp.clip(x * (1.0 / 6.0) + 0.5, 0.0, 1.0),
     "hardswish": lambda x: x * jnp.clip(x * (1.0 / 6.0) + 0.5, 0.0, 1.0),
+    "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+    "tanh": jnp.tanh,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
 }
+
+
+def resolve_activation(name):
+    """Epilogue-activation lookup; parameterized forms encode their
+    argument as `name@value` (e.g. "leaky_relu@0.1", "elu@1.0") so the
+    fusion pass (ir/passes.FUSABLE) can carry them in one string param."""
+    if name in _ACTIVATIONS:
+        return _ACTIVATIONS[name]
+    base, _, arg = (name or "").partition("@")
+    if base == "leaky_relu" and arg:
+        s = float(arg)
+        return lambda x: jnp.where(x >= 0, x, x * jnp.asarray(s, x.dtype))
+    if base == "elu" and arg:
+        a = float(arg)
+        return lambda x: jnp.where(x > 0, x,
+                                   jnp.asarray(a, x.dtype) * jnp.expm1(x))
+    raise KeyError(f"unknown epilogue activation {name!r}")
 
 
 def pallas_supported() -> bool:
@@ -125,7 +147,7 @@ def _matmul_impl(x, w, scale, bias, *, activation, block_m, block_n,
     n_k = kp // block_k
     grid = (mp // block_m, np_ // block_n, n_k)
     kernel = functools.partial(
-        _matmul_kernel, n_k=n_k, act=_ACTIVATIONS[activation],
+        _matmul_kernel, n_k=n_k, act=resolve_activation(activation),
         dequant=dequant, has_bias=has_bias, out_dtype=out_dtype)
     out = pl.pallas_call(
         kernel,
@@ -227,7 +249,7 @@ def _matmul_s8s8_impl(x_q, w_q, scale, bias, *, activation, block_m,
         else jnp.zeros((1, np_), jnp.float32)
     n_k = kp // block_k
     kernel = functools.partial(
-        _matmul_s8s8_kernel, n_k=n_k, act=_ACTIVATIONS[activation],
+        _matmul_s8s8_kernel, n_k=n_k, act=resolve_activation(activation),
         has_bias=has_bias, out_dtype=out_dtype)
     out = pl.pallas_call(
         kernel,
@@ -287,7 +309,7 @@ def matmul_ref(x, w, bias=None, activation: Optional[str] = None):
                   precision=jax.lax.Precision.HIGHEST)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
-    return _ACTIVATIONS[activation](out).astype(x.dtype)
+    return resolve_activation(activation)(out).astype(x.dtype)
 
 
 def matmul_int8w_ref(x, w_q, scale, bias=None,
@@ -298,7 +320,7 @@ def matmul_int8w_ref(x, w_q, scale, bias=None,
     out = out * scale.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
-    return _ACTIVATIONS[activation](out).astype(x.dtype)
+    return resolve_activation(activation)(out).astype(x.dtype)
 
 
 def matmul_s8s8_ref(x_q, w_q, scale, bias=None,
@@ -311,4 +333,4 @@ def matmul_s8s8_ref(x_q, w_q, scale, bias=None,
     out = acc.astype(jnp.float32) * scale
     if bias is not None:
         out = out + bias.astype(jnp.float32)
-    return _ACTIVATIONS[activation](out).astype(out_dtype)
+    return resolve_activation(activation)(out).astype(out_dtype)

@@ -61,7 +61,7 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
 
     `w` is HWIO (or a QuantizedTensor of it); `padding` is
     ((top, bottom), (left, right)); `activation` is an optional fused
-    epilogue name (kernels/matmul._ACTIVATIONS); `out_quant_scale`
+    epilogue name (kernels/matmul.resolve_activation); `out_quant_scale`
     requantizes the epilogue result to int8 (see `_finish`).
     """
     w = resolve_weight(w, x.dtype)
@@ -89,9 +89,9 @@ def conv2d_nhwc(x, w, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0)),
     if bias is not None:
         out = out + bias.astype(accum_dtype)
     if activation is not None:
-        from ..kernels.matmul import _ACTIVATIONS
+        from ..kernels.matmul import resolve_activation
 
-        out = _ACTIVATIONS[activation](out)
+        out = resolve_activation(activation)(out)
     return _finish(out, x.dtype, out_quant_scale)
 
 
@@ -113,9 +113,9 @@ def int8_epilogue(acc, act_scale, w_scale, bias, activation, out_dtype,
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     if activation is not None:
-        from ..kernels.matmul import _ACTIVATIONS
+        from ..kernels.matmul import resolve_activation
 
-        out = _ACTIVATIONS[activation](out)
+        out = resolve_activation(activation)(out)
     return _finish(out, out_dtype, out_quant_scale)
 
 
@@ -339,9 +339,9 @@ def lower_conv2d(op, cfg):
         if bias is not None:
             out = out + jnp.tile(bias.astype(jnp.float32), jo_count)
         if fused_act is not None:
-            from ..kernels.matmul import _ACTIVATIONS
+            from ..kernels.matmul import resolve_activation
 
-            out = _ACTIVATIONS[fused_act](out)
+            out = resolve_activation(fused_act)(out)
         return out.astype(dtype)
 
     def _apply_packed_in(weights, xp: PackedW, bias):
@@ -506,9 +506,9 @@ def lower_conv2d(op, cfg):
         if bias is not None:
             acc = acc + bias.astype(jnp.float32)
         if fused_act is not None:
-            from ..kernels.matmul import _ACTIVATIONS
+            from ..kernels.matmul import resolve_activation
 
-            acc = _ACTIVATIONS[fused_act](acc)
+            acc = resolve_activation(fused_act)(acc)
         return acc.astype(xs[0].dtype)
 
     def apply(weights, *xs):

@@ -33,9 +33,9 @@ def linear(x, w, bias=None, accum_dtype=jnp.float32, activation=None):
     if bias is not None:
         out = out + bias.astype(accum_dtype)
     if activation is not None:
-        from ..kernels.matmul import _ACTIVATIONS
+        from ..kernels.matmul import resolve_activation
 
-        out = _ACTIVATIONS[activation](out)
+        out = resolve_activation(activation)(out)
     return out.astype(x.dtype)
 
 

@@ -103,3 +103,34 @@ def test_fused_int8_accuracy_vs_unfused_fp32():
     q = Engine(EngineConfig(quant="int8w")).load_model(
         None, graph=g2).run({in_name: x})[out_name]
     assert np.abs(q - fp).max() < 0.05 * max(1.0, np.abs(fp).max())
+
+
+def test_fuse_extended_activations():
+    """relu6 (mobilenet-v2), mish, tanh, and parameterized leaky/elu/
+    gelu fuse into the conv epilogue with identical outputs."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.frontends import export_torch
+    from simpleinfer_tpu.ir.passes import FUSED_ACT_PARAM, fuse_conv_activation
+
+    for act, tol in ((nn.ReLU6(), 1e-5), (nn.LeakyReLU(0.2), 1e-5),
+                     (nn.ELU(0.7), 1e-5), (nn.GELU(), 2e-5),
+                     (nn.GELU(approximate="tanh"), 2e-5),
+                     (nn.Mish(), 2e-5), (nn.Tanh(), 1e-5)):
+        m = nn.Sequential(nn.Conv2d(3, 8, 3, padding=1), act).eval()
+        x = np.random.default_rng(1).standard_normal(
+            (1, 3, 8, 8)).astype(np.float32)
+        g, in_name, out_name = export_torch(m, x)
+        n = fuse_conv_activation(g)
+        assert n == 1, type(act).__name__
+        conv = next(op for op in g.ops if op.type == "nn.Conv2d")
+        assert FUSED_ACT_PARAM in conv.params
+        eng = Engine().load_model(None, graph=g)
+        got = eng.run({in_name: x.transpose(0, 2, 3, 1)})[out_name]
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, atol=tol, rtol=1e-4,
+                                   err_msg=type(act).__name__)
