@@ -459,3 +459,31 @@ def test_calibration_path_without_extension_roundtrips(tmp_path):
     p = str(tmp_path / "scales_no_ext")
     eng.save_calibration(p)
     assert eng.load_calibration(p)
+
+
+def test_int8_chain_survives_relu6_between_convs():
+    """MobileNetV2's relu6 fuses into the conv epilogue, so the
+    conv->relu6->conv edge stays an int8 chain (regression: relu6 was
+    absent from FUSABLE_ACTIVATIONS and broke every v2 block)."""
+    from simpleinfer_tpu.ir.passes import (
+        FUSED_Q_OUT, run_inference_fusions,
+    )
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    b = GraphBuilder(seed=5)
+    x = b.input([1, 8, 12, 12], name="0")
+    x = b.conv(x, 8, 3, 1, 1)
+    x = b._act("nn.ReLU6", x)
+    x = b.conv(x, 8, 3, 1, 1)
+    x = b._act("nn.LeakyReLU", x)
+    x = b.conv(x, 8, 3, 1, 1)
+    b.output(x)
+    g = b.build()
+    from simpleinfer_tpu import EngineConfig
+
+    cfg = EngineConfig(compute_dtype="bfloat16", quant="int8",
+                       int8_min_channels=8)
+    run_inference_fusions(g, cfg)
+    convs = [op for op in g.ops if op.type == "nn.Conv2d"]
+    assert FUSED_Q_OUT in convs[0].params  # chained THROUGH relu6
+    assert FUSED_Q_OUT in convs[1].params  # and through leaky_relu
