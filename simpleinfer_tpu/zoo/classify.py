@@ -51,7 +51,9 @@ def top_k(logits: np.ndarray, k: int = 5) -> list:
 def classify_images(engine, images: list, input_name: str | None = None,
                     size: int = 224, k: int = 5) -> list:
     """End-to-end: HWC images -> per-image top-k (class_id, prob)."""
+    from .common import stage_for_engine
+
     input_name = input_name or engine.input_names[0]
     batch = np.stack([preprocess_classify(im, size) for im in images])
-    out = engine.run({input_name: batch})
+    out = engine.run({input_name: stage_for_engine(engine, batch)})
     return top_k(out[engine.output_names[0]], k)

@@ -387,11 +387,14 @@ def detect_images(engine, images: list, input_name: str | None = None,
     if head == "auto":
         types = {i.type for i in engine.program.impls}
         head = "v8" if "models.yolo.DetectV8" in types else "v5"
+    from .common import stage_for_engine
+
     canvases, lbs = zip(*(letterbox(im, size, normalize=not stage_uint8)
                           for im in images))
     batch = np.stack(canvases)
     if stage_uint8:
         batch = np.clip(np.rint(batch), 0, 255).astype(np.uint8)
+    batch = stage_for_engine(engine, batch)
     if device_decode:
         engine.input(input_name, batch)
         engine.forward()

@@ -69,15 +69,20 @@ def segment_images(engine, images: list, input_name: str | None = None,
     output_name = output_name or engine.output_names[0]
     spec = next(s for s in engine.program.inputs if s.name == input_name)
     size = size or (spec.shape[1] if len(spec.shape) == 4 else 128)
+    from .common import fetch_nhwc, stage_for_engine
+
     batch = np.stack([preprocess_segment(im, size) for im in images])
+    staged = stage_for_engine(engine, batch)
     if device_argmax:
-        engine.input(input_name, batch)
+        engine.input(input_name, staged)
         engine.forward()
-        logits_dev = engine.extract(output_name, as_numpy=False)
+        logits_dev = fetch_nhwc(engine, output_name, as_numpy=False)
         ids = np.asarray(_argmax_jit()(logits_dev))
     else:
         ids = None
-        logits = np.asarray(engine.run({input_name: batch})[output_name])
+        engine.input(input_name, staged)
+        engine.forward()
+        logits = fetch_nhwc(engine, output_name)
     masks = []
     for i, im in enumerate(images):
         m = ids[i] if ids is not None else mask_from_logits(logits[i])

@@ -450,3 +450,42 @@ def test_segment_cli(tmp_path):
                "--out", str(tmp_path)])
     assert rc == 0
     assert (tmp_path / "img.ppm").exists()
+
+
+def test_pipelines_adapt_to_nchw_engines():
+    """zoo pipelines stage NHWC internally; an io_layout='nchw' engine
+    must produce the SAME detections/masks/top-k (was silently mangled
+    before zoo/common.stage_for_engine)."""
+    from simpleinfer_tpu import Engine, EngineConfig
+    from simpleinfer_tpu.zoo import build_unet, build_yolov5
+    from simpleinfer_tpu.zoo.classify import classify_images
+    from simpleinfer_tpu.zoo.segment import segment_images
+
+    img = RNG.integers(0, 255, (40, 56, 3)).astype(np.uint8)
+
+    gd, _, _ = build_yolov5("n", batch=1, image_size=64)
+    nhwc = Engine().load_model(None, graph=gd)
+    nchw = Engine(EngineConfig(io_layout="nchw")).load_model(None, graph=gd)
+    a = detect_images(nhwc, [img], size=64, conf_thresh=0.05)[0]
+    b = detect_images(nchw, [img], size=64, conf_thresh=0.05)[0]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.class_id == y.class_id
+        assert x.score == pytest.approx(y.score, abs=1e-5)
+
+    gs, _, _ = build_unet(batch=1, image_size=32, num_classes=4, width=8,
+                          depth=1)
+    m_nhwc = segment_images(Engine().load_model(None, graph=gs), [img])[0]
+    m_nchw = segment_images(Engine(EngineConfig(io_layout="nchw"))
+                            .load_model(None, graph=gs), [img])[0]
+    np.testing.assert_array_equal(m_nhwc, m_nchw)
+
+    from simpleinfer_tpu.zoo import build_resnet18
+    gc, _, _ = build_resnet18(batch=1, image_size=32, num_classes=6,
+                              width=8)
+    c_nhwc = classify_images(Engine().load_model(None, graph=gc), [img],
+                             size=32, k=3)
+    c_nchw = classify_images(Engine(EngineConfig(io_layout="nchw"))
+                             .load_model(None, graph=gc), [img],
+                             size=32, k=3)
+    assert [i for i, _ in c_nhwc[0]] == [i for i, _ in c_nchw[0]]
