@@ -306,7 +306,9 @@ def lower_conv_transpose_2d(op, cfg):
         for k, p, opad, d in zip(kernel, padding, output_padding, dilation))
 
     def apply(weights, x):
-        wt = weights["weight"].astype(x.dtype)
+        from ..quant.tensor import resolve_weight
+
+        wt = resolve_weight(weights["weight"], x.dtype)
         out = lax.conv_general_dilated(
             x, wt, window_strides=(1, 1), padding=pads,
             lhs_dilation=stride, rhs_dilation=dilation,
@@ -318,6 +320,9 @@ def lower_conv_transpose_2d(op, cfg):
         return out.astype(x.dtype)
 
     return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights,
+                  quantizable={"weight": 3},  # HWIO: oc on axis 3
+                  shard_hints={"weight": (None, None, None, "model"),
+                               "bias": ("model",)},
                   flops_per_pixel=2 * in_channels * out_channels * kh * kw)
 
 

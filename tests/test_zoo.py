@@ -489,3 +489,23 @@ def test_pipelines_adapt_to_nchw_engines():
                              .load_model(None, graph=gc), [img],
                              size=32, k=3)
     assert [i for i, _ in c_nhwc[0]] == [i for i, _ in c_nchw[0]]
+
+
+def test_unet_int8w_close_to_fp32():
+    """ConvTranspose2d weights now quantize (int8w): UNet masks under
+    weight-only int8 should rarely differ from fp32 (decoder weights
+    dominate the model)."""
+    from simpleinfer_tpu import Engine, EngineConfig
+    from simpleinfer_tpu.zoo import build_unet
+    from simpleinfer_tpu.zoo.segment import segment_images
+
+    g, _, _ = build_unet(batch=1, image_size=32, num_classes=4, width=8,
+                         depth=2)
+    img = RNG.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    m_fp = segment_images(Engine().load_model(None, graph=g), [img])[0]
+    m_q = segment_images(Engine(EngineConfig(
+        compute_dtype="bfloat16", quant="int8w")).load_model(
+            None, graph=g), [img])[0]
+    # random-weight logits are near-tied, so allow some flips; bulk must
+    # agree
+    assert (m_fp == m_q).mean() > 0.85
