@@ -6,6 +6,7 @@ DEFINE_LAYER_REGISTRY static registrations in the reference,
 """
 from . import (  # noqa: F401
     activation,
+    attention,
     binary,
     conv,
     extra,

@@ -1,0 +1,273 @@
+"""Transformer op lowerings: MultiheadAttention, SDPA, matmul, Embedding.
+
+Superset of the reference (zpye/SimpleInfer ships 15 CNN layers,
+/root/reference/src/layer_registry.cpp:34-48 — no attention ops); these
+follow the same registry/OpImpl discipline (ops/registry.py) and the
+pnnx type-string + param/attr layout that pnnx emits for transformer
+modules, so real ViT/BERT-style pnnx exports load unmodified.
+
+TPU mapping: every projection and the two attention einsums land on the
+MXU; softmax runs in f32 for numerical stability (bf16 logits lose mass
+at long sequence lengths) and XLA fuses the scale+mask+softmax chain
+into the surrounding matmuls' epilogues. Rank-3 [N, L, E] tensors are
+logical == physical (the NHWC convention applies to rank 4 only,
+ops/shape.py).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..ir.graph import PARAM_BOOL, PARAM_FLOAT, PARAM_INT
+from .extra import _to_logical, _to_physical
+from .registry import OpImpl, register_op, require_attr, require_param
+
+
+# ------------------------------------------------------------- matmul/bmm
+def _batched_matmul(a, b):
+    precision = (lax.Precision.HIGHEST if a.dtype == jnp.float32
+                 else lax.Precision.DEFAULT)
+    return jnp.matmul(a, b, precision=precision)
+
+
+for _t in ("torch.matmul", "torch.bmm"):
+    @register_op(_t)
+    def lower_matmul(op, cfg, _t=_t):
+        def apply(weights, a, b):
+            return _to_physical(_batched_matmul(_to_logical(a),
+                                                _to_logical(b)))
+
+        return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+@register_op("torch.select")
+def lower_select(op, cfg):
+    dim = require_param(op, "dim", PARAM_INT).i
+    index = require_param(op, "index", PARAM_INT).i
+
+    def apply(weights, x):
+        y = _to_logical(x)
+        d = dim + y.ndim if dim < 0 else dim
+        return _to_physical(lax.index_in_dim(y, index, axis=d,
+                                             keepdims=False))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+# ------------------------------------------------------------- embedding
+@register_op("nn.Embedding")
+def lower_embedding(op, cfg):
+    num_embeddings = require_param(op, "num_embeddings", PARAM_INT).i
+    embedding_dim = require_param(op, "embedding_dim", PARAM_INT).i
+    w = require_attr(op, "weight").array()
+    if list(w.shape) != [num_embeddings, embedding_dim]:
+        raise ValueError(f"Embedding {op.name}: weight shape {w.shape} "
+                         f"does not match params")
+    weights = {"weight": w.astype(np.float32)}
+
+    def apply(weights, idx):
+        # engine inputs may arrive as float arrays; gather wants ints
+        idx = idx.astype(jnp.int32)
+        return jnp.take(weights["weight"], idx, axis=0)
+
+    return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights,
+                  shard_hints={"weight": (None, "model")})
+
+
+# --------------------------------------------------------------- core SDPA
+def _sdpa(q, k, v, mask=None, is_causal=False, scale=None,
+          mask_mode="sdpa"):
+    """Scaled dot-product attention on [..., L, d] tensors.
+
+    Logits accumulate and softmax runs in f32; the PV matmul runs in the
+    input dtype (bf16 on TPU) so both einsums stay on the MXU.
+    mask_mode: "sdpa" = bool True MEANS attend (F.scaled_dot_product_
+    attention semantics); "mha" = bool True means MASK OUT
+    (nn.MultiheadAttention.attn_mask semantics).
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            keep = mask if mask_mode == "sdpa" else ~mask
+            logits = jnp.where(keep, logits, neg)
+        else:
+            logits = logits + mask.astype(jnp.float32)
+    if is_causal:
+        Lq, Lk = logits.shape[-2], logits.shape[-1]
+        causal = jnp.tril(jnp.ones((Lq, Lk), jnp.bool_), k=Lk - Lq)
+        logits = jnp.where(causal, logits, neg)
+    p = _softmax_f32(logits).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", p, v)
+
+
+def _softmax_f32(logits):
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - lax.stop_gradient(m))
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+@register_op("F.scaled_dot_product_attention")
+def lower_sdpa(op, cfg):
+    is_causal = (op.params["is_causal"].b
+                 if op.has_param("is_causal", PARAM_BOOL) else False)
+    scale = (op.params["scale"].f
+             if op.has_param("scale", PARAM_FLOAT) else None)
+
+    def apply(weights, *inputs):
+        # [N, h, L, d] inputs are rank 4, hence physically NHWC-permuted
+        q, k, v = (_to_logical(t) for t in inputs[:3])
+        mask = _to_logical(inputs[3]) if len(inputs) > 3 else None
+        return _to_physical(_sdpa(q, k, v, mask=mask, is_causal=is_causal,
+                                  scale=scale, mask_mode="sdpa"))
+
+    return OpImpl(name=op.name, type=op.type, apply=apply)
+
+
+# ----------------------------------------------------- MultiheadAttention
+def _split_heads(x, num_heads):
+    n, l, e = x.shape
+    return jnp.transpose(x.reshape(n, l, num_heads, e // num_heads),
+                         (0, 2, 1, 3))
+
+
+def _merge_heads(x):
+    n, h, l, d = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(n, l, h * d)
+
+
+@register_op("nn.MultiheadAttention")
+def lower_multihead_attention(op, cfg):
+    """nn.MultiheadAttention, pnnx module capture.
+
+    pnnx param/attr layout: params num_heads, embed_dim, batch_first,
+    kdim/vdim (when separate), add_zero_attn; attrs in_proj_weight
+    [3E, E] + in_proj_bias [3E] (packed, same-dim case) or
+    q/k/v_proj_weight, plus out_proj.weight [E, E] / out_proj.bias [E].
+    Inputs: 1 (self-attention, q=k=v), 2 (q, kv), or 3 (q, k, v); an
+    extra trailing input is attn_mask. Outputs: attn_output
+    [+ head-averaged attn_weights when the graph declares 2 outputs,
+    torch's average_attn_weights=True default].
+    """
+    embed_dim = require_param(op, "embed_dim", PARAM_INT).i
+    num_heads = require_param(op, "num_heads", PARAM_INT).i
+    batch_first = (op.params["batch_first"].b
+                   if op.has_param("batch_first", PARAM_BOOL) else False)
+    if embed_dim % num_heads:
+        raise ValueError(f"MultiheadAttention {op.name}: embed_dim "
+                         f"{embed_dim} not divisible by {num_heads} heads")
+    kdim = op.params["kdim"].i if op.has_param("kdim", PARAM_INT) else embed_dim
+    vdim = op.params["vdim"].i if op.has_param("vdim", PARAM_INT) else embed_dim
+
+    weights: dict[str, np.ndarray] = {}
+    if op.has_attr("in_proj_weight"):
+        w = require_attr(op, "in_proj_weight").array()
+        if list(w.shape) != [3 * embed_dim, embed_dim]:
+            raise ValueError(f"MultiheadAttention {op.name}: in_proj_weight "
+                             f"shape {w.shape}")
+        wq, wk, wv = np.split(w, 3, axis=0)
+    else:
+        wq = require_attr(op, "q_proj_weight").array()
+        wk = require_attr(op, "k_proj_weight").array()
+        wv = require_attr(op, "v_proj_weight").array()
+    # [out, in] -> [in, out], the linear-layer streaming order
+    weights["wq"] = np.ascontiguousarray(wq.T).astype(np.float32)
+    weights["wk"] = np.ascontiguousarray(wk.T).astype(np.float32)
+    weights["wv"] = np.ascontiguousarray(wv.T).astype(np.float32)
+    if op.has_attr("in_proj_bias"):
+        b = require_attr(op, "in_proj_bias").array().astype(np.float32)
+        weights["bq"], weights["bk"], weights["bv"] = np.split(b, 3)
+    wo = require_attr(op, "out_proj.weight").array()
+    weights["wo"] = np.ascontiguousarray(wo.T).astype(np.float32)
+    if op.has_attr("out_proj.bias"):
+        weights["bo"] = require_attr(op, "out_proj.bias").array().astype(
+            np.float32)
+
+    n_declared = max(1, len(op.outputs))
+    # q [+2 kv proj] [+out proj] matmuls + 2 attention matmuls, per token
+    Lq = None
+    if op.inputs and len(op.inputs[0].shape) >= 2:
+        s = op.inputs[0].shape
+        Lq = s[1] if batch_first else s[0]
+    flops = 0
+    if Lq and Lq > 0:
+        proj = 2 * embed_dim * (embed_dim + kdim + vdim + embed_dim)
+        attn = 2 * 2 * Lq * embed_dim
+        flops = Lq * (proj + attn)
+
+    def apply(weights, *inputs):
+        from ..quant.tensor import resolve_weight
+
+        xs = list(inputs)
+        mask = None
+        if len(xs) == 4:
+            mask = xs.pop()
+        elif len(xs) in (2, 3):
+            # a trailing operand whose last dim is not the expected k/v
+            # feature dim (or that is rank 2) is attn_mask
+            expect = kdim if len(xs) == 2 else vdim
+            if xs[-1].ndim == 2 or xs[-1].shape[-1] != expect:
+                mask = xs.pop()
+        q = xs[0]
+        k = xs[1] if len(xs) > 1 else q
+        v = xs[2] if len(xs) > 2 else k
+        if not batch_first:  # [L, N, E] -> [N, L, E]
+            q, k, v = (jnp.transpose(t, (1, 0, 2)) for t in (q, k, v))
+        dt = q.dtype
+        cast = lambda w: resolve_weight(w, dt)
+
+        def proj(x, wkey, bkey):
+            y = jnp.einsum("nli,io->nlo", x, cast(weights[wkey]),
+                           preferred_element_type=jnp.float32)
+            if bkey in weights:
+                y = y + weights[bkey]
+            return y.astype(dt)
+
+        qh = _split_heads(proj(q, "wq", "bq"), num_heads)
+        kh = _split_heads(proj(k, "wk", "bk"), num_heads)
+        vh = _split_heads(proj(v, "wv", "bv"), num_heads)
+        if mask is not None and mask.ndim == 3:
+            # [N*h, Lq, Lk] -> [N, h, Lq, Lk]
+            mask = mask.reshape(qh.shape[0], num_heads, *mask.shape[-2:])
+        d = embed_dim // num_heads
+        scale = 1.0 / math.sqrt(d)
+        logits = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            neg = jnp.float32(jnp.finfo(jnp.float32).min)
+            if mask.dtype == jnp.bool_:
+                logits = jnp.where(mask, neg, logits)  # True = mask out
+            else:
+                logits = logits + mask.astype(jnp.float32)
+        p32 = _softmax_f32(logits)
+        ctx = _merge_heads(jnp.einsum("nhqk,nhkd->nhqd",
+                                      p32.astype(dt), vh))
+        out = jnp.einsum("nli,io->nlo", ctx, cast(weights["wo"]),
+                         preferred_element_type=jnp.float32)
+        if "bo" in weights:
+            out = out + weights["bo"]
+        out = out.astype(dt)
+        if not batch_first:
+            out = jnp.transpose(out, (1, 0, 2))
+        if n_declared == 1:
+            return out
+        # torch default: weights averaged over heads, [N, Lq, Lk]
+        return out, jnp.mean(p32, axis=1).astype(dt)
+
+    return OpImpl(
+        name=op.name, type=op.type, apply=apply, weights=weights,
+        n_outputs=n_declared,
+        quantizable={"wq": 1, "wk": 1, "wv": 1, "wo": 1},
+        shard_hints={"wq": (None, "model"), "wk": (None, "model"),
+                     "wv": (None, "model"), "wo": ("model", None),
+                     "bq": ("model",), "bk": ("model",),
+                     "bv": ("model",)},
+        flops_per_item=flops,
+    )

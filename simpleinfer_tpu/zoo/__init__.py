@@ -16,10 +16,11 @@ from .builders import (
     build_resnet50,
     build_squeezenet,
     build_unet,
+    build_vit,
     build_yolov5,
     build_yolov8,
 )
 
 __all__ = ["build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
-           "build_resnet18", "build_resnet50", "build_squeezenet", "build_unet", "build_yolov5",
-           "build_yolov8"]
+           "build_resnet18", "build_resnet50", "build_squeezenet", "build_unet", "build_vit",
+           "build_yolov5", "build_yolov8"]

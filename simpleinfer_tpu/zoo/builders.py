@@ -291,6 +291,63 @@ class GraphBuilder:
             self.shape[o] = so
         return outs
 
+    def attr_const(self, value: np.ndarray) -> str:
+        """Constant tensor as a pnnx.Attribute op (what real pnnx exports
+        emit for cls tokens / position embeddings)."""
+        name = self._name("const")
+        (out,) = self._op("pnnx.Attribute", name, [],
+                          attrs={"data": np.asarray(value, np.float32)})
+        self.shape[out] = list(np.asarray(value).shape)
+        return out
+
+    def transpose(self, x: str, d0: int, d1: int) -> str:
+        (out,) = self._op("torch.transpose", self._name("tr"), [x],
+                          params=dict(dim0=d0, dim1=d1))
+        s = list(self.shape[x])
+        s[d0], s[d1] = s[d1], s[d0]
+        self.shape[out] = s
+        return out
+
+    def reshape(self, x: str, shape: list) -> str:
+        (out,) = self._op("torch.reshape", self._name("rs"), [x],
+                          params=dict(shape=[int(d) for d in shape]))
+        self.shape[out] = [int(d) for d in shape]
+        return out
+
+    def select(self, x: str, dim: int, index: int) -> str:
+        (out,) = self._op("torch.select", self._name("sel"), [x],
+                          params=dict(dim=dim, index=index))
+        s = list(self.shape[x])
+        del s[dim]
+        self.shape[out] = s
+        return out
+
+    def expand(self, x: str, shape: list) -> str:
+        (out,) = self._op("Tensor.expand", self._name("exp"), [x],
+                          params=dict(shape=[int(d) for d in shape]))
+        self.shape[out] = [int(d) for d in shape]
+        return out
+
+    def mha(self, x: str, num_heads: int) -> str:
+        """Self-attention nn.MultiheadAttention (batch_first, packed
+        in_proj) on [N, L, E]."""
+        e = self.shape[x][-1]
+        name = self._name("mha")
+        attrs = {
+            "in_proj_weight": self._rand((3 * e, e), fan_in=e),
+            "in_proj_bias": (self.rng.standard_normal(3 * e)
+                             .astype(np.float32) * 0.02),
+            "out_proj.weight": self._rand((e, e), fan_in=e),
+            "out_proj.bias": (self.rng.standard_normal(e)
+                              .astype(np.float32) * 0.02),
+        }
+        (out,) = self._op("nn.MultiheadAttention", name, [x], params=dict(
+            embed_dim=e, num_heads=num_heads, batch_first=True,
+            add_zero_attn=False, add_bias_kv=False, bias=True),
+            attrs=attrs)
+        self.shape[out] = list(self.shape[x])
+        return out
+
     def yolo_detect_v8(self, features: list, nc: int = 80,
                        reg_max: int = 16,
                        strides=(8.0, 16.0, 32.0)) -> str:
@@ -834,5 +891,66 @@ def build_squeezenet(batch: int = 1, image_size: int = 224,
     x = b.relu(b.conv(x, num_classes, 1, p=0))
     x = b.adaptive_avg_pool(x, 1)
     x = b.flatten(x)
+    b.output(x)
+    return b.build(), "0", x
+
+
+VIT_PRESETS = {
+    # depth, embed_dim, heads (vit paper table 1 / timm vit_*_patch16)
+    "tiny": (12, 192, 3),
+    "small": (12, 384, 6),
+    "base": (12, 768, 12),
+}
+
+
+def build_vit(variant: str = "tiny", batch: int = 1, image_size: int = 224,
+              patch_size: int = 16, num_classes: int = 1000,
+              depth: int | None = None, embed_dim: int | None = None,
+              num_heads: int | None = None, seed: int = 0) -> tuple:
+    """Vision Transformer classifier (superset family — the reference is
+    CNN-only, SURVEY.md §2.3 / layer_registry.cpp:34-48).
+
+    Emits the op sequence a pnnx export of timm/torchvision ViT produces:
+    patch-embed Conv2d(p, p, s=p) -> reshape [N, E, L] -> transpose(1,2)
+    -> cat(expanded cls-token pnnx.Attribute, x) -> + pos-embed
+    pnnx.Attribute (broadcast Expression add) -> depth x [pre-LN
+    nn.MultiheadAttention block + pre-LN Linear/GELU/Linear MLP, residual
+    adds] -> final LayerNorm -> torch.select cls token -> Linear head.
+    Every projection and both attention einsums map onto the MXU.
+    """
+    if variant not in VIT_PRESETS:
+        raise ValueError(f"variant must be one of {list(VIT_PRESETS)}")
+    d0, e0, h0 = VIT_PRESETS[variant]
+    depth = d0 if depth is None else depth
+    e = e0 if embed_dim is None else embed_dim
+    heads = h0 if num_heads is None else num_heads
+    if image_size % patch_size:
+        raise ValueError("image_size must be a multiple of patch_size")
+    n_patch = (image_size // patch_size) ** 2
+
+    b = GraphBuilder(seed)
+    x = b.input([batch, 3, image_size, image_size], name="0")
+    x = b.conv(x, e, patch_size, patch_size, 0)          # [N, E, H/p, W/p]
+    x = b.reshape(x, [batch, e, n_patch])                # [N, E, L]
+    x = b.transpose(x, 1, 2)                             # [N, L, E]
+    cls = b.attr_const(b._rand((1, 1, e)) * 0.02)
+    cls = b.expand(cls, [batch, 1, e])
+    x = b.cat([cls, x], dim=1)                           # [N, L+1, E]
+    pos = b.attr_const(b._rand((1, n_patch + 1, e)) * 0.02)
+    x = b.add(x, pos)
+
+    for _ in range(depth):
+        y = b.layer_norm(x)
+        y = b.mha(y, heads)
+        x = b.add(x, y)
+        y = b.layer_norm(x)
+        y = b.linear(y, 4 * e)
+        y = b.gelu(y)
+        y = b.linear(y, e)
+        x = b.add(x, y)
+
+    x = b.layer_norm(x)
+    x = b.select(x, dim=1, index=0)                      # cls token [N, E]
+    x = b.linear(x, num_classes)
     b.output(x)
     return b.build(), "0", x

@@ -18,6 +18,7 @@ from simpleinfer_tpu.zoo import (
     build_mobilenet_v3_like,
     build_resnet18,
     build_resnet50,
+    build_vit,
     build_yolov5,
 )
 from torch_ref import run_graph_torch
@@ -68,6 +69,31 @@ def test_convnext_parity():
     GELU blocks (permute round-trips, rank-4 Linear)."""
     _parity(build_convnext, (1, 3, 64, 64), variant="atto", batch=1,
             image_size=64, num_classes=12)
+
+
+def test_vit_parity():
+    """ViT: patch-embed conv -> token reshape/transpose -> cls-token
+    cat + pos-embed add -> pre-LN MultiheadAttention/MLP blocks ->
+    cls-token select head. End-to-end vs the torch oracle."""
+    _parity(build_vit, (2, 3, 32, 32), variant="tiny", batch=2,
+            image_size=32, patch_size=8, num_classes=19, depth=2,
+            embed_dim=48, num_heads=4)
+
+
+def test_vit_int8w_bf16_runs_close():
+    """Quantized (weight-only int8) + bf16 ViT: the MHA lowering must
+    resolve QuantizedTensor projections; outputs stay close to f32."""
+    kw = dict(variant="tiny", batch=1, image_size=32, patch_size=8,
+              num_classes=11, depth=2, embed_dim=48, num_heads=4)
+    graph, in_name, out_name = build_vit(**kw)
+    ref_graph, _, _ = build_vit(**kw)
+    x = RNG.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref_graph).run({in_name: x})
+    cfg = EngineConfig(compute_dtype="bfloat16", quant="int8w")
+    got = Engine(cfg).load_model(None, graph=graph).run({in_name: x})
+    g, w = got[out_name].astype(np.float64), want[out_name].astype(np.float64)
+    cos = float((g * w).sum() / (np.linalg.norm(g) * np.linalg.norm(w)))
+    assert g.shape == w.shape and cos > 0.98, cos
 
 
 def test_yolov5n_parity():
@@ -284,6 +310,26 @@ def test_tensor_parallel_mesh_cpu():
                                               num_classes=4, width=8)
     ref_graph, _, _ = build_resnet18(batch=2, image_size=32, num_classes=4,
                                      width=8)
+    x = RNG.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    want = Engine().load_model(None, graph=ref_graph).run({in_name: x})
+    cfg = EngineConfig(mesh=MeshConfig(data=2, model=4))
+    eng = Engine(cfg).load_model(None, graph=graph)
+    got = eng.run({in_name: x})
+    np.testing.assert_allclose(got[out_name], want[out_name], atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_vit_tensor_parallel_mesh_cpu():
+    """ViT under a data x model mesh: head-sharded q/k/v projections
+    (column-parallel) + row-parallel out_proj must match the
+    single-device output — the Megatron attention-sharding pattern
+    expressed declaratively via GSPMD."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    kw = dict(variant="tiny", batch=2, image_size=32, patch_size=8,
+              num_classes=7, depth=2, embed_dim=32, num_heads=4)
+    graph, in_name, out_name = build_vit(**kw)
+    ref_graph, _, _ = build_vit(**kw)
     x = RNG.standard_normal((2, 32, 32, 3)).astype(np.float32)
     want = Engine().load_model(None, graph=ref_graph).run({in_name: x})
     cfg = EngineConfig(mesh=MeshConfig(data=2, model=4))

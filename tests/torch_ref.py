@@ -76,6 +76,26 @@ def _linear(op, x):
     return F.linear(x, _t(op.attrs["weight"].array()), b)
 
 
+def _mha(op, args):
+    p = op.params
+    E = p["embed_dim"].i
+    kdim = p["kdim"].i if "kdim" in p else None
+    vdim = p["vdim"].i if "vdim" in p else None
+    has_bias = "in_proj_bias" in op.attrs
+    m = torch.nn.MultiheadAttention(
+        E, p["num_heads"].i, bias=has_bias,
+        batch_first=p["batch_first"].b if "batch_first" in p else False,
+        kdim=kdim, vdim=vdim).eval()
+    sd = {k: _t(op.attrs[k].array()) for k in op.attrs}
+    m.load_state_dict(sd, strict=False)
+    q = args[0]
+    k = args[1] if len(args) > 1 else q
+    v = args[2] if len(args) > 2 else k
+    with torch.no_grad():
+        out, _ = m(q, k, v, need_weights=False)
+    return out
+
+
 def _expression(op, args):
     expr = op.params["expr"].s
     if expr == "add(@0,@1)":
@@ -227,6 +247,20 @@ def run_graph_torch(graph, feeds_nchw):
             for r, o in zip(op.outputs, outs):
                 env[r.name] = o
             continue
+        elif t == "torch.reshape":
+            out = args[0].reshape(*op.params["shape"].ai)
+        elif t == "torch.transpose":
+            out = args[0].transpose(op.params["dim0"].i,
+                                    op.params["dim1"].i)
+        elif t == "torch.select":
+            out = args[0].select(op.params["dim"].i, op.params["index"].i)
+        elif t == "Tensor.expand":
+            out = args[0].expand(*op.params["shape"].ai)
+        elif t == "pnnx.Attribute":
+            (a,) = op.attrs.values()
+            out = _t(a.array())
+        elif t == "nn.MultiheadAttention":
+            out = _mha(op, args)
         else:
             raise NotImplementedError(f"torch oracle: op type {t!r}")
         env[op.outputs[0].name] = out
