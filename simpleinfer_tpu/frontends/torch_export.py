@@ -50,6 +50,10 @@ class _Builder:
     def __init__(self):
         self.g = Graph()
         self.operand_of = {}  # fx node name -> Operand
+        # fx node name -> static python value (shape tuples / ints from
+        # x.shape[i] / x.size(i) — resolved via ShapeProp metadata so
+        # "dynamic" size uses trace to compile-time constants)
+        self.const_of = {}
 
     def add_op(self, type_, name, in_nodes, out_node=None, n_out=1):
         op = self.g.new_operator(type_, name)
@@ -68,6 +72,20 @@ class _Builder:
             outs[0].shape = _node_shape(out_node)
             self.operand_of[out_node.name] = outs[0]
         return op
+
+
+def _static_int(b, v, ctx):
+    """Resolve an int-valued arg that may be a traced x.shape[i] node."""
+    if isinstance(v, int):
+        return v
+    import torch.fx
+
+    if isinstance(v, torch.fx.Node) and v.name in b.const_of:
+        c = b.const_of[v.name]
+        if isinstance(c, int):
+            return c
+    raise TorchExportError(
+        f"{ctx}: only static int sizes are supported, got {v!r}")
 
 
 def _scalar_binary(b, node, code, tensor_node, scalar, name):
@@ -321,6 +339,53 @@ def _export_module(b, node, mod, name):
         # inference no-ops: alias the input operand
         b.operand_of[node.name] = b.operand_of[node.args[0].name]
         return
+    if t is nn.Embedding:
+        op = b.add_op("nn.Embedding", name, [node.args[0]], node)
+        _param(op, "num_embeddings", int(mod.num_embeddings))
+        _param(op, "embedding_dim", int(mod.embedding_dim))
+        _param(op, "sparse", bool(mod.sparse))
+        _attr(op, "weight", mod.weight)
+        return
+    if t is nn.MultiheadAttention:
+        import torch.fx
+        if node.kwargs.get("key_padding_mask") is not None:
+            raise TorchExportError(
+                f"MultiheadAttention at {node.name!r}: key_padding_mask "
+                f"is not supported (merge it into attn_mask)")
+        if mod.bias_k is not None or mod.bias_v is not None \
+                or mod.add_zero_attn:
+            raise TorchExportError(
+                f"MultiheadAttention at {node.name!r}: add_bias_kv/"
+                f"add_zero_attn are not supported")
+        in_nodes = [a for a in node.args[:3]
+                    if isinstance(a, torch.fx.Node)]
+        mask = node.kwargs.get("attn_mask")
+        if isinstance(mask, torch.fx.Node):
+            in_nodes.append(mask)
+        # module returns a (output, weights) tuple -> 2 declared outputs;
+        # downstream getitem nodes alias them (tuple-output handler)
+        op = b.add_op("nn.MultiheadAttention", name, in_nodes, n_out=2)
+        b.operand_of[node.name] = op.outputs[0]
+        _param(op, "embed_dim", int(mod.embed_dim))
+        _param(op, "num_heads", int(mod.num_heads))
+        _param(op, "batch_first", bool(mod.batch_first))
+        _param(op, "add_zero_attn", False)
+        _param(op, "add_bias_kv", False)
+        _param(op, "bias", mod.in_proj_bias is not None)
+        if mod._qkv_same_embed_dim:
+            _attr(op, "in_proj_weight", mod.in_proj_weight)
+        else:
+            _param(op, "kdim", int(mod.kdim))
+            _param(op, "vdim", int(mod.vdim))
+            _attr(op, "q_proj_weight", mod.q_proj_weight)
+            _attr(op, "k_proj_weight", mod.k_proj_weight)
+            _attr(op, "v_proj_weight", mod.v_proj_weight)
+        if mod.in_proj_bias is not None:
+            _attr(op, "in_proj_bias", mod.in_proj_bias)
+        _attr(op, "out_proj.weight", mod.out_proj.weight)
+        if mod.out_proj.bias is not None:
+            _attr(op, "out_proj.bias", mod.out_proj.bias)
+        return
     raise TorchExportError(f"unsupported module type {t.__name__} "
                            f"at node {node.name!r}")
 
@@ -518,6 +583,37 @@ def _export_function(b, node, name):
         _param(op, "keepdim", bool(node.kwargs.get(
             "keepdim", node.args[2] if len(node.args) > 2 else False)))
         return
+    if fn is torch.matmul or fn is operator.matmul:
+        b.add_op("torch.matmul", name, [node.args[0], node.args[1]], node)
+        return
+    if fn is torch.bmm:
+        b.add_op("torch.bmm", name, [node.args[0], node.args[1]], node)
+        return
+    if fn is torch.select:
+        op = b.add_op("torch.select", name, [node.args[0]], node)
+        _param(op, "dim", int(node.args[1]))
+        _param(op, "index", int(node.args[2]))
+        return
+    # note: F.scaled_dot_product_attention is a torch._C._nn builtin, so
+    # its __module__ is not *.functional — match by name alone
+    if fn.__name__ == "scaled_dot_product_attention":
+        if node.kwargs.get("dropout_p", 0.0) not in (0.0, None):
+            pass  # inference: dropout is identity
+        in_nodes = list(node.args[:3])
+        mask = (node.args[3] if len(node.args) > 3
+                else node.kwargs.get("attn_mask"))
+        if mask is not None and not isinstance(mask, (int, float)):
+            in_nodes.append(mask)
+        op = b.add_op("F.scaled_dot_product_attention", name, in_nodes,
+                      node)
+        _param(op, "dropout_p", 0.0)
+        is_causal = (node.args[5] if len(node.args) > 5
+                     else node.kwargs.get("is_causal", False))
+        _param(op, "is_causal", bool(is_causal))
+        scale = node.kwargs.get("scale")
+        if scale is not None:
+            _param(op, "scale", float(scale))
+        return
     raise TorchExportError(f"unsupported function {fn} at node "
                            f"{node.name!r}")
 
@@ -655,11 +751,13 @@ def _export_method(b, node, name):
         _export_flatten(b, node, name)
         return
     if mname in ("view", "reshape"):
-        shape = [int(s) for s in node.args[1:]] if not isinstance(
-            node.args[1], (tuple, list)) else [int(s)
-                                               for s in node.args[1]]
+        raw = (node.args[1] if isinstance(node.args[1], (tuple, list))
+               else node.args[1:])
+        shape = [s if isinstance(s, int)
+                 else _static_int(b, s, f".{mname}() at {node.name!r}")
+                 for s in raw]
         op = b.add_op("Tensor.reshape", name, [node.args[0]], node)
-        _param(op, "shape", shape)
+        _param(op, "shape", [int(s) for s in shape])
         return
     if mname == "permute":
         dims = node.args[1:] if not isinstance(
@@ -683,13 +781,30 @@ def _export_method(b, node, name):
     if mname == "expand":
         shape = (node.args[1] if isinstance(node.args[1], (tuple, list))
                  else node.args[1:])
-        if not all(isinstance(s, int) for s in shape):
-            raise TorchExportError(
-                f".expand() at {node.name!r}: only static int sizes are "
-                f"supported, got {shape!r} (dynamic x.size(i) args are "
-                f"not)")
+        shape = [s if isinstance(s, int)
+                 else _static_int(b, s, f".expand() at {node.name!r}")
+                 for s in shape]
         op = b.add_op("Tensor.expand", name, [node.args[0]], node)
         _param(op, "shape", [int(s) for s in shape])
+        return
+    if mname == "size":
+        src_shape = list(_node_shape(node.args[0]))
+        b.const_of[node.name] = (src_shape[int(node.args[1])]
+                                 if len(node.args) > 1 else src_shape)
+        return
+    if mname == "transpose":
+        op = b.add_op("torch.transpose", name, [node.args[0]], node)
+        _param(op, "dim0", int(node.args[1]))
+        _param(op, "dim1", int(node.args[2]))
+        return
+    if mname == "select":
+        op = b.add_op("torch.select", name, [node.args[0]], node)
+        _param(op, "dim", int(node.args[1]))
+        _param(op, "index", int(node.args[2]))
+        return
+    if mname in ("matmul", "bmm"):
+        b.add_op(f"torch.{mname}", name, [node.args[0], node.args[1]],
+                 node)
         return
     raise TorchExportError(f"unsupported method .{mname}() at node "
                            f"{node.name!r}")
@@ -713,7 +828,15 @@ def export_torch(module, example_input) -> tuple:
     module = module.eval()
     gm = torch.fx.symbolic_trace(module)
     multi_in = isinstance(example_input, (tuple, list))
-    examples = [torch.as_tensor(np.asarray(e, np.float32))
+
+    def _ex(e):
+        a = np.asarray(e)
+        # keep integer feeds integral (Embedding indices); floats -> f32
+        if not np.issubdtype(a.dtype, np.integer):
+            a = a.astype(np.float32)
+        return torch.as_tensor(a)
+
+    examples = [_ex(e)
                 for e in (example_input if multi_in else [example_input])]
     try:
         ShapeProp(gm).propagate(*examples)
@@ -746,26 +869,38 @@ def export_torch(module, example_input) -> tuple:
         elif node.op == "call_module":
             _export_module(b, node, modules[node.target], name)
         elif node.op == "call_function":
+            if node.target is getattr:
+                # x.shape traces as getattr(x, "shape"); resolve it to
+                # the static shape ShapeProp recorded
+                if node.args[1] == "shape":
+                    b.const_of[name] = list(_node_shape(node.args[0]))
+                    continue
+                raise TorchExportError(
+                    f"unsupported getattr {node.args[1]!r} at {name!r}")
             if node.target is operator.getitem:
+                src, j = node.args
+                if src.name in b.const_of:
+                    # static shape-tuple indexing: x.shape[0]
+                    b.const_of[name] = b.const_of[src.name][j]
+                    continue
                 # Two supported forms: select-one-output-of-a-multi-
-                # output-op (chunk/split), and basic slicing
+                # output-op (chunk/split/attention), and basic slicing
                 # (x[:, 1:, ::2] -> Tensor.slice). Rank-reducing int
                 # indexing (x[0]) must raise, not silently alias.
-                src, j = node.args
                 if isinstance(j, (slice, tuple)) and not isinstance(
                         j, int):
                     _export_slice(b, node, src, j, name)
                     continue
                 producer = b.operand_of[src.name].producer
                 if (producer is None
-                        or producer.type not in ("torch.chunk",
-                                                 "torch.split")
+                        or len(producer.outputs) < 2
                         or not isinstance(j, int)
                         or j >= len(producer.outputs)):
                     raise TorchExportError(
                         f"getitem at {name!r}: only selecting an output "
-                        f"of chunk/split or basic slicing is supported "
-                        f"(rank-reducing int indexing is not)")
+                        f"of a multi-output op (chunk/split/attention) "
+                        f"or basic slicing is supported (rank-reducing "
+                        f"int indexing is not)")
                 b.operand_of[name] = producer.outputs[j]
             else:
                 _export_function(b, node, name)

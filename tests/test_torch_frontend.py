@@ -491,3 +491,124 @@ def test_dropout2d_module_aliases():
     m = nn.Sequential(nn.Conv2d(3, 4, 1), nn.Dropout2d(0.5),
                       nn.AlphaDropout(0.3), nn.ReLU())
     _check(m, (1, 3, 6, 6))
+
+
+# ------------------------------------------------------ transformer export
+class _MiniViT(nn.Module):
+    """timm-style ViT block stack: patch conv, cls token + pos embed
+    parameters (get_attr -> pnnx.Attribute), pre-LN MHA via tuple
+    outputs, transpose/select method calls."""
+
+    def __init__(self, e=32, heads=4, depth=2, patches=16, classes=9):
+        super().__init__()
+        self.patch = nn.Conv2d(3, e, 8, 8)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, e) * 0.02)
+        self.pos = nn.Parameter(torch.randn(1, patches + 1, e) * 0.02)
+        self.ln1 = nn.ModuleList([nn.LayerNorm(e) for _ in range(depth)])
+        self.attn = nn.ModuleList(
+            [nn.MultiheadAttention(e, heads, batch_first=True)
+             for _ in range(depth)])
+        self.ln2 = nn.ModuleList([nn.LayerNorm(e) for _ in range(depth)])
+        self.fc1 = nn.ModuleList([nn.Linear(e, 4 * e) for _ in range(depth)])
+        self.fc2 = nn.ModuleList([nn.Linear(4 * e, e) for _ in range(depth)])
+        self.ln_f = nn.LayerNorm(e)
+        self.head = nn.Linear(e, classes)
+        self.depth = depth
+
+    def forward(self, x):
+        n = x.shape[0]
+        x = self.patch(x)
+        x = torch.flatten(x, 2).transpose(1, 2)
+        cls = self.cls_token.expand(n, 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos
+        for i in range(self.depth):
+            y, _ = self.attn[i](self.ln1[i](x), self.ln1[i](x),
+                                self.ln1[i](x), need_weights=False)
+            x = x + y
+            y = self.fc2[i](F.gelu(self.fc1[i](self.ln2[i](x))))
+            x = x + y
+        return self.head(self.ln_f(x).select(1, 0))
+
+
+def test_export_mini_vit():
+    torch.manual_seed(11)
+    m = _MiniViT()
+    # .expand(n, 1, -1) uses a traced size -> symbolic_trace keeps it
+    # static because n comes from example shape; feed matching batch
+    _check(m, (2, 3, 32, 32), tol=5e-4)
+
+
+class _SDPA(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.q = nn.Linear(16, 16)
+        self.k = nn.Linear(16, 16)
+        self.v = nn.Linear(16, 16)
+
+    def forward(self, x):  # x [N, L, E]
+        n, l, e = 2, 5, 16
+        q = self.q(x).reshape(n, l, 4, 4).permute(0, 2, 1, 3)
+        k = self.k(x).reshape(n, l, 4, 4).permute(0, 2, 1, 3)
+        v = self.v(x).reshape(n, l, 4, 4).permute(0, 2, 1, 3)
+        o = F.scaled_dot_product_attention(q, k, v, is_causal=True)
+        return o.permute(0, 2, 1, 3).reshape(n, l, e)
+
+
+def test_export_sdpa_causal():
+    torch.manual_seed(12)
+    _check(_SDPA(), (2, 5, 16), tol=5e-4)
+
+
+class _MatmulNet(nn.Module):
+    def forward(self, x):  # [N, L, E]
+        g = torch.matmul(x, x.transpose(1, 2))  # gram [N, L, L]
+        return torch.bmm(g, x)
+
+
+def test_export_matmul_bmm():
+    _check(_MatmulNet(), (2, 6, 8), tol=5e-4)
+
+
+class _EmbeddingNet(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.emb = nn.Embedding(12, 6)
+        self.fc = nn.Linear(6, 3)
+
+    def forward(self, idx):
+        return self.fc(self.emb(idx))
+
+
+def test_export_embedding():
+    torch.manual_seed(13)
+    m = _EmbeddingNet().eval()
+    idx = RNG.integers(0, 12, size=(2, 7)).astype(np.int64)
+    with torch.no_grad():
+        want = m(torch.from_numpy(idx)).numpy()
+    graph, in_name, out_name = export_torch(m, idx)
+    got = Engine().load_model(None, graph=graph).run(
+        {in_name: idx.astype(np.float32)})[out_name]
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+class _CrossAttn(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(8, 2, batch_first=True)
+
+    def forward(self, q, kv):
+        out, _ = self.attn(q, kv, kv, need_weights=False)
+        return out
+
+
+def test_export_cross_attention_multi_input():
+    torch.manual_seed(14)
+    m = _CrossAttn().eval()
+    q = RNG.standard_normal((1, 4, 8)).astype(np.float32)
+    kv = RNG.standard_normal((1, 6, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(q), torch.from_numpy(kv)).numpy()
+    graph, in_names, out_name = export_torch(m, (q, kv))
+    got = Engine().load_model(None, graph=graph).run(
+        {in_names[0]: q, in_names[1]: kv})[out_name]
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
