@@ -29,6 +29,7 @@ def _cases():
         build_resnet18,
         build_resnet50,
         build_unet,
+        build_vit,
         build_yolov5,
     )
 
@@ -48,6 +49,9 @@ def _cases():
         "unet": (build_unet,
                  dict(batch=1, image_size=32, num_classes=4, width=8,
                       depth=2)),
+        "vit": (build_vit,
+                dict(variant="tiny", batch=1, image_size=32, patch_size=8,
+                     num_classes=6, depth=2, embed_dim=32, num_heads=4)),
     }
 
 
