@@ -8,6 +8,7 @@ weights, exercising the exact same op surface. `Graph.save` writes them
 to real .pnnx.param/.bin files when on-disk fixtures are wanted.
 """
 from .builders import (
+    build_bert,
     build_convnext,
     build_densenet,
     build_mobilenet_like,
@@ -21,6 +22,6 @@ from .builders import (
     build_yolov8,
 )
 
-__all__ = ["build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
+__all__ = ["build_bert", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
            "build_resnet18", "build_resnet50", "build_squeezenet", "build_unet", "build_vit",
            "build_yolov5", "build_yolov8"]

@@ -348,6 +348,19 @@ class GraphBuilder:
         self.shape[out] = list(self.shape[x])
         return out
 
+    def embedding(self, idx: str, num_embeddings: int,
+                  embedding_dim: int) -> str:
+        name = self._name("emb")
+        (out,) = self._op("nn.Embedding", name, [idx], params=dict(
+            num_embeddings=num_embeddings, embedding_dim=embedding_dim,
+            sparse=False), attrs={
+            "weight": self._rand((num_embeddings, embedding_dim)) * 0.05})
+        self.shape[out] = list(self.shape[idx]) + [embedding_dim]
+        return out
+
+    def tanh(self, x: str) -> str:
+        return self._act("nn.Tanh", x)
+
     def yolo_detect_v8(self, features: list, nc: int = 80,
                        reg_max: int = 16,
                        strides=(8.0, 16.0, 32.0)) -> str:
@@ -954,3 +967,56 @@ def build_vit(variant: str = "tiny", batch: int = 1, image_size: int = 224,
     x = b.linear(x, num_classes)
     b.output(x)
     return b.build(), "0", x
+
+
+BERT_PRESETS = {
+    # depth, hidden, heads (BERT paper table 1 / tiny-BERT distillations)
+    "tiny": (2, 128, 2),
+    "mini": (4, 256, 4),
+    "small": (4, 512, 8),
+    "base": (12, 768, 12),
+}
+
+
+def build_bert(variant: str = "tiny", batch: int = 1, seq_len: int = 128,
+               vocab_size: int = 30522, num_classes: int = 2,
+               depth: int | None = None, hidden: int | None = None,
+               num_heads: int | None = None, seed: int = 0) -> tuple:
+    """BERT-style text classifier (superset family — the reference is a
+    vision-only CNN engine, SURVEY.md §2.3).
+
+    The zoo's NLP workload: token-id input [N, L] -> nn.Embedding +
+    learned position embedding (pnnx.Attribute, broadcast add) ->
+    post-LN encoder stack (nn.MultiheadAttention + GELU MLP, residuals
+    NORMALIZED AFTER the add like the original BERT, vs the ViT
+    builder's pre-LN) -> [CLS] pooler (select + Linear + Tanh) ->
+    classifier head. Exercises integer gather inputs, rank-3 attention
+    at NLP sequence lengths, and the same MXU einsum path as ViT.
+    """
+    if variant not in BERT_PRESETS:
+        raise ValueError(f"variant must be one of {list(BERT_PRESETS)}")
+    d0, h0, a0 = BERT_PRESETS[variant]
+    depth = d0 if depth is None else depth
+    h = h0 if hidden is None else hidden
+    heads = a0 if num_heads is None else num_heads
+
+    b = GraphBuilder(seed)
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, vocab_size, h)                  # [N, L, H]
+    pos = b.attr_const(b._rand((1, seq_len, h)) * 0.02)
+    x = b.add(x, pos)
+    x = b.layer_norm(x)
+
+    for _ in range(depth):
+        y = b.mha(x, heads)
+        x = b.layer_norm(b.add(x, y))                    # post-LN
+        y = b.linear(x, 4 * h)
+        y = b.gelu(y)
+        y = b.linear(y, h)
+        x = b.layer_norm(b.add(x, y))
+
+    cls = b.select(x, dim=1, index=0)                    # [CLS] [N, H]
+    pooled = b.tanh(b.linear(cls, h))
+    logits = b.linear(pooled, num_classes)
+    b.output(logits)
+    return b.build(), "0", logits

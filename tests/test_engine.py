@@ -96,6 +96,21 @@ def test_vit_int8w_bf16_runs_close():
     assert g.shape == w.shape and cos > 0.98, cos
 
 
+def test_bert_parity():
+    """BERT-style text encoder: integer token-id input through
+    nn.Embedding, post-LN MultiheadAttention stack, [CLS] pooler."""
+    from simpleinfer_tpu.zoo import build_bert
+
+    kw = dict(variant="tiny", batch=2, seq_len=16, vocab_size=50,
+              num_classes=3, depth=2, hidden=32, num_heads=4)
+    graph, in_name, out_name = build_bert(**kw)
+    ids = RNG.integers(0, 50, size=(2, 16)).astype(np.float32)
+    want = run_graph_torch(graph, {in_name: ids})[out_name]
+    got = Engine().load_model(None, graph=graph).run({in_name: ids})[out_name]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
 def test_yolov5n_parity():
     eng, got = _parity(build_yolov5, (1, 3, 64, 64), variant="n", batch=1,
                        image_size=64)

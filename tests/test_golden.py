@@ -24,6 +24,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def _cases():
     from simpleinfer_tpu.zoo import (
+        build_bert,
         build_densenet,
         build_mobilenet_like,
         build_resnet18,
@@ -52,6 +53,9 @@ def _cases():
         "vit": (build_vit,
                 dict(variant="tiny", batch=1, image_size=32, patch_size=8,
                      num_classes=6, depth=2, embed_dim=32, num_heads=4)),
+        "bert": (build_bert,
+                 dict(variant="tiny", batch=2, seq_len=16, vocab_size=64,
+                      num_classes=4, depth=2, hidden=32, num_heads=4)),
     }
 
 
@@ -61,9 +65,14 @@ def _run(name):
     build, kw = _cases()[name]
     graph, in_name, out_name = build(**kw)
     batch = kw.get("batch", 1)
-    size = kw.get("image_size")
-    x = np.random.default_rng(1234).standard_normal(
-        (batch, size, size, 3)).astype(np.float32) / 3
+    rng = np.random.default_rng(1234)
+    if "seq_len" in kw:  # text model: integer token ids
+        x = rng.integers(0, kw["vocab_size"],
+                         size=(batch, kw["seq_len"])).astype(np.float32)
+    else:
+        size = kw.get("image_size")
+        x = rng.standard_normal(
+            (batch, size, size, 3)).astype(np.float32) / 3
     out = Engine().load_model(None, graph=graph).run({in_name: x})
     return out[out_name]
 

@@ -261,6 +261,11 @@ def run_graph_torch(graph, feeds_nchw):
             out = _t(a.array())
         elif t == "nn.MultiheadAttention":
             out = _mha(op, args)
+        elif t == "nn.Embedding":
+            out = F.embedding(args[0].long(),
+                              _t(op.attrs["weight"].array()))
+        elif t == "nn.Tanh":
+            out = torch.tanh(args[0])
         else:
             raise NotImplementedError(f"torch oracle: op type {t!r}")
         env[op.outputs[0].name] = out
