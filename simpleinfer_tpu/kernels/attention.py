@@ -1,0 +1,180 @@
+"""Flash attention (online-softmax) Pallas kernel.
+
+The transformer analog of the reference's register-blocked GEMM
+(/root/reference/src/layer/simd/gemm.cpp:295-385) applied to the
+attention hot path: instead of materializing the [Lq, Lk] score matrix
+in HBM (what the naive jnp lowering in ops/attention.py does via XLA),
+the kernel streams K/V blocks through VMEM and keeps a running
+(max, sum, accumulator) per query block — softmax renormalization
+happens on the VPU between the two MXU matmuls, so HBM traffic drops
+from O(Lq*Lk) to O(L*D) and the working set stays in the ~16 MB VMEM.
+
+Logits and the accumulator are f32 (the bf16 MXU product is exact
+enough for QK^T; the running-exp arithmetic is not safe in bf16); P·V
+runs in the input dtype so both matmuls hit the MXU native path.
+
+Opt-in like the other Pallas kernels (EngineConfig.use_pallas): XLA's
+fused unblocked attention wins at the short sequence lengths of the
+zoo's ViT/BERT presets, and pallas_call is a fusion barrier — measure
+per shape with profiling.measure_device_time before defaulting.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .matmul import _round_up
+
+_NEG_INF = float("-inf")
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  n_kv: int, scale: float, causal: bool, lq: int, lk: int,
+                  block_q: int, block_k: int, out_dtype):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # causal: blocks strictly above the diagonal band contribute nothing
+    q_start = qi * block_q
+    k_start = kj * block_k
+    live = (k_start <= q_start + block_q - 1) if causal else True
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+
+        # mask: key padding always; the triangle only in causal blocks
+        k_idx = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = k_idx < lk
+        if causal:
+            q_idx = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            mask = mask & (k_idx <= q_idx)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_ref[:, :1]                              # [BQ, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # fully-masked rows keep m = -inf; exp(-inf - -inf) would be NaN
+        safe_m = jnp.where(m_new == _NEG_INF, 0.0, m_new)
+        alpha = jnp.exp(jnp.where(m_prev == _NEG_INF, _NEG_INF,
+                                  m_prev - safe_m))        # [BQ, 1]
+        p = jnp.exp(jnp.where(s == _NEG_INF, _NEG_INF, s - safe_m))
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(kj == n_kv - 1)
+    def _():
+        l = l_ref[:, :1]
+        # padded / fully-masked query rows have l = 0: emit 0, not NaN
+        o_ref[0] = jnp.where(
+            l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0
+        ).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"))
+def _flash_impl(q, k, v, *, causal, scale, block_q, block_k, interpret):
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    bq = min(block_q, _round_up(lq, 8))
+    bk = min(block_k, _round_up(lk, 128))
+    lqp, lkp, dp = _round_up(lq, bq), _round_up(lk, bk), _round_up(d, 128)
+    if (lqp, dp) != (lq, d):
+        q = jnp.pad(q, ((0, 0), (0, lqp - lq), (0, dp - d)))
+    if (lkp, dp) != (lk, d):
+        k = jnp.pad(k, ((0, 0), (0, lkp - lk), (0, dp - d)))
+        v = jnp.pad(v, ((0, 0), (0, lkp - lk), (0, dp - d)))
+
+    n_kv = lkp // bk
+    grid = (bh, lqp // bq, n_kv)
+    kernel = functools.partial(
+        _flash_kernel, n_kv=n_kv, scale=scale, causal=causal, lq=lq,
+        lk=lk, block_q=bq, block_k=bk, out_dtype=q.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # running max
+            pltpu.VMEM((bq, 128), jnp.float32),   # running sum
+            pltpu.VMEM((bq, dp), jnp.float32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lqp * lkp * dp,
+            bytes_accessed=(bh * (lqp + 2 * lkp) * dp * q.dtype.itemsize
+                            + bh * lqp * dp * q.dtype.itemsize),
+            transcendentals=bh * lqp * lkp),
+        interpret=interpret,
+    )(q, k, v)
+    if (lqp, dp) != (lq, d):
+        out = out[:, :lq, :d]
+    return out
+
+
+def flash_attention(q, k, v, *, causal: bool = False,
+                    scale: float | None = None, block_q: int = 128,
+                    block_k: int = 128, interpret: bool = False):
+    """Online-softmax attention over [B, H, L, D] (or [BH, L, D]) inputs.
+
+    Causal masking assumes aligned ends (the last query attends to the
+    last key), the torch is_causal convention for Lq == Lk.
+    """
+    rank4 = q.ndim == 4
+    if rank4:
+        b, h, lq, d = q.shape
+        q, k, v = (t.reshape(b * h, t.shape[2], d) for t in (q, k, v))
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    out = _flash_impl(q, k, v, causal=causal, scale=float(scale),
+                      block_q=block_q, block_k=block_k,
+                      interpret=interpret)
+    if rank4:
+        out = out.reshape(b, h, out.shape[1], out.shape[2])
+    return out
+
+
+def flash_attention_ref(q, k, v, *, causal: bool = False,
+                        scale: float | None = None):
+    """Unblocked jnp oracle (the GemmPack4F32Ref discipline: same math,
+    simplest possible form) — used by tests and as the XLA baseline in
+    perf A/Bs."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    s = jnp.einsum("...qd,...kd->...qk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        lq, lk = s.shape[-2], s.shape[-1]
+        keep = jnp.tril(jnp.ones((lq, lk), jnp.bool_), k=lk - lq)
+        s = jnp.where(keep, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", p.astype(q.dtype), v)

@@ -121,10 +121,21 @@ def lower_sdpa(op, cfg):
     scale = (op.params["scale"].f
              if op.has_param("scale", PARAM_FLOAT) else None)
 
+    allow_pallas = bool(getattr(cfg, "use_pallas", False)) \
+        and getattr(cfg, "mesh", None) is None
+
     def apply(weights, *inputs):
         # [N, h, L, d] inputs are rank 4, hence physically NHWC-permuted
         q, k, v = (_to_logical(t) for t in inputs[:3])
         mask = _to_logical(inputs[3]) if len(inputs) > 3 else None
+        if mask is None and allow_pallas:
+            from ..kernels.matmul import pallas_supported
+
+            if pallas_supported():
+                from ..kernels.attention import flash_attention
+
+                return _to_physical(flash_attention(
+                    q, k, v, causal=is_causal, scale=scale))
         return _to_physical(_sdpa(q, k, v, mask=mask, is_causal=is_causal,
                                   scale=scale, mask_mode="sdpa"))
 
@@ -141,6 +152,12 @@ def _split_heads(x, num_heads):
 def _merge_heads(x):
     n, h, l, d = x.shape
     return jnp.transpose(x, (0, 2, 1, 3)).reshape(n, l, h * d)
+
+
+def _pallas_ok() -> bool:
+    from ..kernels.matmul import pallas_supported
+
+    return pallas_supported()
 
 
 @register_op("nn.MultiheadAttention")
@@ -165,6 +182,8 @@ def lower_multihead_attention(op, cfg):
                          f"{embed_dim} not divisible by {num_heads} heads")
     kdim = op.params["kdim"].i if op.has_param("kdim", PARAM_INT) else embed_dim
     vdim = op.params["vdim"].i if op.has_param("vdim", PARAM_INT) else embed_dim
+    # opt-in, like conv/linear (see EngineConfig.use_pallas)
+    allow_pallas = bool(cfg.use_pallas) and cfg.mesh is None
 
     weights: dict[str, np.ndarray] = {}
     if op.has_attr("in_proj_weight"):
@@ -233,6 +252,19 @@ def lower_multihead_attention(op, cfg):
         qh = _split_heads(proj(q, "wq", "bq"), num_heads)
         kh = _split_heads(proj(k, "wk", "bk"), num_heads)
         vh = _split_heads(proj(v, "wv", "bv"), num_heads)
+        if (mask is None and n_declared == 1 and allow_pallas
+                and _pallas_ok()):
+            # opt-in flash path: O(L*d) HBM traffic instead of O(L^2)
+            from ..kernels.attention import flash_attention
+
+            ctx = _merge_heads(flash_attention(
+                qh, kh, vh, scale=1.0 / math.sqrt(embed_dim // num_heads)))
+            out = jnp.einsum("nli,io->nlo", ctx, cast(weights["wo"]),
+                             preferred_element_type=jnp.float32)
+            if "bo" in weights:
+                out = out + weights["bo"]
+            out = out.astype(dt)
+            return out if batch_first else jnp.transpose(out, (1, 0, 2))
         if mask is not None and mask.ndim == 3:
             # [N*h, Lq, Lk] -> [N, h, Lq, Lk]
             mask = mask.reshape(qh.shape[0], num_heads, *mask.shape[-2:])

@@ -240,3 +240,27 @@ def test_mha_separate_kdim_vdim():
     got = run(impl, q, k, v)
     np.testing.assert_allclose(got, ref.detach().numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mha_flash_path_matches(monkeypatch):
+    """use_pallas engines route maskless single-output attention through
+    the flash kernel; interpreted here, same gate as the real chip."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import simpleinfer_tpu.ops.attention as A
+
+    E, H = 16, 4
+    m = _mha_module(E, H, batch_first=True, seed=9)
+    x = randn(2, 33, E)  # unaligned L exercises kernel padding
+    ref, _ = m(torch.from_numpy(x), torch.from_numpy(x),
+               torch.from_numpy(x), need_weights=False)
+    cfg = EngineConfig(use_pallas=True)
+    impl = lower_operator(make_op(
+        "nn.MultiheadAttention",
+        params={"embed_dim": E, "num_heads": H, "batch_first": True},
+        attrs=_mha_attrs(m)), cfg)
+    monkeypatch.setattr(A, "_pallas_ok", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        got = run(impl, x)
+    np.testing.assert_allclose(got, ref.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)

@@ -156,3 +156,68 @@ def test_matmul_s8s8_scalar_scale():
     want = np.asarray(matmul_s8s8_ref(xq, wq, 0.01,
                                       out_dtype=jnp.float32))
     np.testing.assert_allclose(got, want, atol=0, rtol=0)  # exact in f32
+
+
+# ------------------------------------------------------- flash attention
+from simpleinfer_tpu.kernels.attention import (  # noqa: E402
+    flash_attention,
+    flash_attention_ref,
+)
+
+# (BH, Lq, Lk, D): aligned, tails, cross-attention lengths, small head
+ATTN_SHAPES = [
+    (2, 128, 128, 64),
+    (3, 100, 100, 32),    # unaligned L
+    (1, 257, 257, 128),   # just over two k-blocks
+    (2, 64, 200, 64),     # cross-attention Lq != Lk
+    (1, 8, 8, 16),        # tiny
+]
+
+
+@pytest.mark.parametrize("bh,lq,lk,d", ATTN_SHAPES)
+def test_flash_attention_fp32(bh, lq, lk, d):
+    q = RNG.standard_normal((bh, lq, d), dtype=np.float32)
+    k = RNG.standard_normal((bh, lk, d), dtype=np.float32)
+    v = RNG.standard_normal((bh, lk, d), dtype=np.float32)
+    got = run_kernel(flash_attention, *map(jnp.asarray, (q, k, v)))
+    want = np.asarray(flash_attention_ref(*map(jnp.asarray, (q, k, v))))
+    tol = 5e-6 if not ON_TPU else 2e-2  # real MXU multiplies in bf16
+    np.testing.assert_allclose(got, want, atol=tol * np.sqrt(d), rtol=1e-3)
+
+
+@pytest.mark.parametrize("bh,lq,lk,d", [(2, 128, 128, 64),
+                                        (1, 100, 100, 32)])
+def test_flash_attention_causal(bh, lq, lk, d):
+    q = RNG.standard_normal((bh, lq, d), dtype=np.float32)
+    k = RNG.standard_normal((bh, lk, d), dtype=np.float32)
+    v = RNG.standard_normal((bh, lk, d), dtype=np.float32)
+    got = run_kernel(flash_attention, *map(jnp.asarray, (q, k, v)),
+                     causal=True)
+    want = np.asarray(flash_attention_ref(*map(jnp.asarray, (q, k, v)),
+                                          causal=True))
+    tol = 5e-6 if not ON_TPU else 2e-2
+    np.testing.assert_allclose(got, want, atol=tol * np.sqrt(d), rtol=1e-3)
+
+
+def test_flash_attention_rank4_bf16():
+    q = RNG.standard_normal((2, 3, 96, 32)).astype(jnp.bfloat16)
+    k = RNG.standard_normal((2, 3, 96, 32)).astype(jnp.bfloat16)
+    v = RNG.standard_normal((2, 3, 96, 32)).astype(jnp.bfloat16)
+    got = run_kernel(flash_attention, q, k, v)
+    want = np.asarray(flash_attention_ref(q, k, v), np.float32)
+    assert got.shape == (2, 3, 96, 32)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=0.05, rtol=0.05)
+
+
+def test_flash_attention_matches_multiblock_q():
+    """Several q blocks + several k blocks exercise the running
+    (max, sum) renormalization across the arbitrary grid dim."""
+    q = RNG.standard_normal((1, 384, 64), dtype=np.float32)
+    k = RNG.standard_normal((1, 384, 64), dtype=np.float32)
+    v = RNG.standard_normal((1, 384, 64), dtype=np.float32)
+    got = run_kernel(flash_attention, *map(jnp.asarray, (q, k, v)),
+                     block_q=128, block_k=128)
+    want = np.asarray(flash_attention_ref(*map(jnp.asarray, (q, k, v))))
+    tol = 5e-6 if not ON_TPU else 2e-2
+    np.testing.assert_allclose(got, want, atol=tol * 8, rtol=1e-3)
