@@ -339,6 +339,19 @@ def _export_module(b, node, mod, name):
         # inference no-ops: alias the input operand
         b.operand_of[node.name] = b.operand_of[node.args[0].name]
         return
+    if getattr(nn, "RMSNorm", None) is not None and t is nn.RMSNorm:
+        import torch
+
+        op = b.add_op("nn.RMSNorm", name, [node.args[0]], node)
+        _param(op, "elementwise_affine", bool(mod.elementwise_affine))
+        eps = mod.eps if mod.eps is not None else torch.finfo(
+            torch.float32).eps
+        _param(op, "eps", float(eps))
+        _param(op, "normalized_shape", [int(d) for d in
+                                        mod.normalized_shape])
+        if mod.elementwise_affine:
+            _attr(op, "weight", mod.weight)
+        return
     if t is nn.Embedding:
         op = b.add_op("nn.Embedding", name, [node.args[0]], node)
         _param(op, "num_embeddings", int(mod.num_embeddings))
@@ -366,28 +379,154 @@ def _export_module(b, node, mod, name):
         # downstream getitem nodes alias them (tuple-output handler)
         op = b.add_op("nn.MultiheadAttention", name, in_nodes, n_out=2)
         b.operand_of[node.name] = op.outputs[0]
-        _param(op, "embed_dim", int(mod.embed_dim))
-        _param(op, "num_heads", int(mod.num_heads))
-        _param(op, "batch_first", bool(mod.batch_first))
-        _param(op, "add_zero_attn", False)
-        _param(op, "add_bias_kv", False)
-        _param(op, "bias", mod.in_proj_bias is not None)
-        if mod._qkv_same_embed_dim:
-            _attr(op, "in_proj_weight", mod.in_proj_weight)
-        else:
-            _param(op, "kdim", int(mod.kdim))
-            _param(op, "vdim", int(mod.vdim))
-            _attr(op, "q_proj_weight", mod.q_proj_weight)
-            _attr(op, "k_proj_weight", mod.k_proj_weight)
-            _attr(op, "v_proj_weight", mod.v_proj_weight)
-        if mod.in_proj_bias is not None:
-            _attr(op, "in_proj_bias", mod.in_proj_bias)
-        _attr(op, "out_proj.weight", mod.out_proj.weight)
-        if mod.out_proj.bias is not None:
-            _attr(op, "out_proj.bias", mod.out_proj.bias)
+        _fill_mha(op, mod)
+        return
+    if t is nn.TransformerEncoderLayer:
+        if node.kwargs.get("src_mask") is not None or \
+                node.kwargs.get("src_key_padding_mask") is not None:
+            raise TorchExportError(
+                f"TransformerEncoderLayer at {node.name!r}: masks are "
+                f"not supported in export")
+        r = _emit_encoder_layer(b, b.operand_of[node.args[0].name],
+                                mod, name)
+        r.shape = _node_shape(node)
+        b.operand_of[node.name] = r
+        return
+    if t is nn.TransformerEncoder:
+        if node.kwargs.get("mask") is not None or \
+                node.kwargs.get("src_key_padding_mask") is not None:
+            raise TorchExportError(
+                f"TransformerEncoder at {node.name!r}: masks are not "
+                f"supported in export")
+        r = b.operand_of[node.args[0].name]
+        for i, layer in enumerate(mod.layers):
+            r = _emit_encoder_layer(b, r, layer, f"{name}_l{i}")
+        if mod.norm is not None:
+            r = _emit_ln(b, r, mod.norm, f"{name}_norm")
+        r.shape = _node_shape(node)
+        b.operand_of[node.name] = r
         return
     raise TorchExportError(f"unsupported module type {t.__name__} "
                            f"at node {node.name!r}")
+
+
+def _fill_mha(op, mod):
+    """Shared nn.MultiheadAttention param/attr emission (used by the
+    direct module handler and the TransformerEncoderLayer decomposer)."""
+    _param(op, "embed_dim", int(mod.embed_dim))
+    _param(op, "num_heads", int(mod.num_heads))
+    _param(op, "batch_first", bool(mod.batch_first))
+    _param(op, "add_zero_attn", False)
+    _param(op, "add_bias_kv", False)
+    _param(op, "bias", mod.in_proj_bias is not None)
+    if mod._qkv_same_embed_dim:
+        _attr(op, "in_proj_weight", mod.in_proj_weight)
+    else:
+        _param(op, "kdim", int(mod.kdim))
+        _param(op, "vdim", int(mod.vdim))
+        _attr(op, "q_proj_weight", mod.q_proj_weight)
+        _attr(op, "k_proj_weight", mod.k_proj_weight)
+        _attr(op, "v_proj_weight", mod.v_proj_weight)
+    if mod.in_proj_bias is not None:
+        _attr(op, "in_proj_bias", mod.in_proj_bias)
+    _attr(op, "out_proj.weight", mod.out_proj.weight)
+    if mod.out_proj.bias is not None:
+        _attr(op, "out_proj.bias", mod.out_proj.bias)
+
+
+# ---- raw-operand emitters (decomposing container modules like
+#      TransformerEncoderLayer into primitive ops; no fx nodes involved)
+def _raw_op(b, type_, name, in_rs, n_out=1):
+    op = b.g.new_operator(type_, name)
+    for r in in_rs:
+        r.consumers.append(op)
+        op.inputs.append(r)
+    for j in range(n_out):
+        r = b.g.new_operand(name if n_out == 1 else f"{name}_{j}")
+        r.producer = op
+        r.type = 1
+        op.outputs.append(r)
+    return op
+
+
+def _emit_ln(b, r, mod, name):
+    op = _raw_op(b, "nn.LayerNorm", name, [r])
+    _param(op, "elementwise_affine", bool(mod.elementwise_affine))
+    _param(op, "eps", float(mod.eps))
+    _param(op, "normalized_shape", [int(d) for d in mod.normalized_shape])
+    if mod.elementwise_affine:
+        _attr(op, "weight", mod.weight)
+        _attr(op, "bias", mod.bias)
+    return op.outputs[0]
+
+
+def _emit_linear(b, r, mod, name):
+    op = _raw_op(b, "nn.Linear", name, [r])
+    _param(op, "bias", mod.bias is not None)
+    _param(op, "in_features", int(mod.in_features))
+    _param(op, "out_features", int(mod.out_features))
+    _attr(op, "weight", mod.weight)
+    if mod.bias is not None:
+        _attr(op, "bias", mod.bias)
+    return op.outputs[0]
+
+
+def _emit_add(b, a, c, name):
+    op = _raw_op(b, "BinaryOp", name, [a, c])
+    _param(op, "0", 0)  # add
+    return op.outputs[0]
+
+
+def _emit_activation(b, r, act, name):
+    """Map a TransformerEncoderLayer activation (F.relu/F.gelu function
+    or an activation module instance) onto a registered op."""
+    import torch.nn as nn
+    import torch.nn.functional as tF
+
+    if isinstance(act, nn.Module):
+        type_ = {"ReLU": "nn.ReLU", "GELU": "nn.GELU",
+                 "SiLU": "nn.SiLU"}.get(type(act).__name__)
+    else:
+        type_ = {tF.relu: "nn.ReLU", tF.gelu: "nn.GELU",
+                 tF.silu: "nn.SiLU"}.get(act)
+    if type_ is None:
+        raise TorchExportError(
+            f"unsupported encoder-layer activation {act!r} at {name!r}")
+    op = _raw_op(b, type_, name, [r])
+    if type_ == "nn.GELU":
+        approx = getattr(act, "approximate", "none")
+        _param(op, "approximate", approx)
+    return op.outputs[0]
+
+
+def _emit_encoder_layer(b, r, mod, prefix):
+    """Decompose nn.TransformerEncoderLayer (inference: dropout =
+    identity) into MHA + Linear/act/Linear with pre- or post-LN
+    residual wiring, matching torch's norm_first semantics."""
+    def sa(x, tag):
+        op = _raw_op(b, "nn.MultiheadAttention", f"{prefix}_{tag}",
+                     [x], n_out=2)
+        _fill_mha(op, mod.self_attn)
+        return op.outputs[0]
+
+    def ff(x, tag):
+        y = _emit_linear(b, x, mod.linear1, f"{prefix}_{tag}_fc1")
+        y = _emit_activation(b, y, mod.activation, f"{prefix}_{tag}_act")
+        return _emit_linear(b, y, mod.linear2, f"{prefix}_{tag}_fc2")
+
+    if mod.norm_first:
+        r = _emit_add(b, r, sa(_emit_ln(b, r, mod.norm1,
+                                        f"{prefix}_ln1"), "sa"),
+                      f"{prefix}_add1")
+        r = _emit_add(b, r, ff(_emit_ln(b, r, mod.norm2,
+                                        f"{prefix}_ln2"), "ff"),
+                      f"{prefix}_add2")
+    else:
+        r = _emit_ln(b, _emit_add(b, r, sa(r, "sa"), f"{prefix}_add1"),
+                     mod.norm1, f"{prefix}_ln1")
+        r = _emit_ln(b, _emit_add(b, r, ff(r, "ff"), f"{prefix}_add2"),
+                     mod.norm2, f"{prefix}_ln2")
+    return r
 
 
 def _export_function(b, node, name):

@@ -19,6 +19,7 @@ digits).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .registry import OpImpl, register_op, require_attr, require_param
@@ -170,6 +171,46 @@ def lower_instance_norm_2d(op, cfg):
         if affine:
             y = (y * weights["gamma"].astype(y.dtype)
                  + weights["beta"].astype(y.dtype))
+        return y
+
+    return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights)
+
+
+@register_op("nn.RMSNorm")
+def lower_rms_norm(op, cfg):
+    """Root-mean-square norm (llama-style, superset op): no mean
+    subtraction, optional gamma, over the trailing `normalized_shape`
+    logical dims. Statistics in f32 like the other norms."""
+    shape = tuple(require_param(op, "normalized_shape", PARAM_AINT).ai)
+    eps = require_param(op, "eps", PARAM_FLOAT).f
+    affine = (op.params["elementwise_affine"].b
+              if op.has_param("elementwise_affine", PARAM_BOOL)
+              else op.has_attr("weight"))
+    nd = len(shape)
+    weights = {}
+    if affine:
+        g = require_attr(op, "weight").array()
+        if tuple(g.shape) != shape:
+            raise ValueError(f"RMSNorm {op.name}: weight shape {g.shape} "
+                             f"!= normalized_shape {shape}")
+        weights["gamma"] = g.astype(np.float32)
+
+    def apply(weights, x):
+        phys4 = x.ndim == 4
+        if phys4:
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        if tuple(x.shape[-nd:]) != shape:
+            raise ValueError(
+                f"RMSNorm {op.name}: input trailing dims "
+                f"{tuple(x.shape[-nd:])} != normalized_shape {shape}")
+        axes = tuple(range(x.ndim - nd, x.ndim))
+        ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes,
+                      keepdims=True)
+        y = (x.astype(jnp.float32) * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
+        if affine:
+            y = y * weights["gamma"].astype(y.dtype)
+        if phys4:
+            y = jnp.transpose(y, (0, 2, 3, 1))
         return y
 
     return OpImpl(name=op.name, type=op.type, apply=apply, weights=weights)

@@ -264,3 +264,35 @@ def test_mha_flash_path_matches(monkeypatch):
         got = run(impl, x)
     np.testing.assert_allclose(got, ref.detach().numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("affine", [True, False])
+def test_rms_norm(affine):
+    torch.manual_seed(15)
+    m = torch.nn.RMSNorm(12, eps=1e-6, elementwise_affine=affine).eval()
+    x = randn(2, 5, 12)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy()
+    attrs = {"weight": m.weight.detach().numpy()} if affine else {}
+    impl = lower_operator(make_op(
+        "nn.RMSNorm",
+        params={"normalized_shape": [12], "eps": 1e-6,
+                "elementwise_affine": affine},
+        attrs=attrs), CFG)
+    got = run(impl, x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rms_norm_rank4_nhwc():
+    torch.manual_seed(16)
+    m = torch.nn.RMSNorm([3, 4], eps=1e-6).eval()
+    x = randn(2, 5, 3, 4)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy()
+    impl = lower_operator(make_op(
+        "nn.RMSNorm",
+        params={"normalized_shape": [3, 4], "eps": 1e-6,
+                "elementwise_affine": True},
+        attrs={"weight": m.weight.detach().numpy()}), CFG)
+    got = run(impl, nhwc(x))
+    np.testing.assert_allclose(nchw(got), want, rtol=1e-5, atol=1e-6)

@@ -612,3 +612,26 @@ def test_export_cross_attention_multi_input():
     got = Engine().load_model(None, graph=graph).run(
         {in_names[0]: q, in_names[1]: kv})[out_name]
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("norm_first", [True, False])
+def test_export_transformer_encoder(norm_first):
+    """nn.TransformerEncoder decomposes into MHA/Linear/LayerNorm ops
+    with the right pre-/post-LN residual wiring."""
+    torch.manual_seed(17)
+    m = nn.Sequential(
+        nn.Linear(8, 16),
+        nn.TransformerEncoder(
+            nn.TransformerEncoderLayer(
+                16, 4, dim_feedforward=32, batch_first=True,
+                norm_first=norm_first, dropout=0.0),
+            num_layers=2, norm=nn.LayerNorm(16)),
+        nn.Linear(16, 3),
+    )
+    _check(m, (2, 5, 8), tol=5e-4)
+
+
+def test_export_rms_norm():
+    torch.manual_seed(18)
+    m = nn.Sequential(nn.Linear(6, 12), nn.RMSNorm(12), nn.Linear(12, 4))
+    _check(m, (2, 7, 6), tol=5e-4)
