@@ -9,6 +9,7 @@ to real .pnnx.param/.bin files when on-disk fixtures are wanted.
 """
 from .builders import (
     build_bert,
+    build_gpt,
     build_convnext,
     build_densenet,
     build_mobilenet_like,
@@ -21,7 +22,8 @@ from .builders import (
     build_yolov5,
     build_yolov8,
 )
+from .generate import greedy_generate
 
-__all__ = ["build_bert", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
+__all__ = ["build_bert", "build_gpt", "greedy_generate", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
            "build_resnet18", "build_resnet50", "build_squeezenet", "build_unet", "build_vit",
            "build_yolov5", "build_yolov8"]

@@ -328,9 +328,10 @@ class GraphBuilder:
         self.shape[out] = [int(d) for d in shape]
         return out
 
-    def mha(self, x: str, num_heads: int) -> str:
+    def mha(self, x: str, num_heads: int, mask: str | None = None) -> str:
         """Self-attention nn.MultiheadAttention (batch_first, packed
-        in_proj) on [N, L, E]."""
+        in_proj) on [N, L, E]; optional additive attn_mask operand
+        (e.g. a causal -inf upper triangle from attr_const)."""
         e = self.shape[x][-1]
         name = self._name("mha")
         attrs = {
@@ -341,7 +342,9 @@ class GraphBuilder:
             "out_proj.bias": (self.rng.standard_normal(e)
                               .astype(np.float32) * 0.02),
         }
-        (out,) = self._op("nn.MultiheadAttention", name, [x], params=dict(
+        inputs = [x] if mask is None else [x, mask]
+        (out,) = self._op("nn.MultiheadAttention", name, inputs,
+                          params=dict(
             embed_dim=e, num_heads=num_heads, batch_first=True,
             add_zero_attn=False, add_bias_kv=False, bias=True),
             attrs=attrs)
@@ -1018,5 +1021,60 @@ def build_bert(variant: str = "tiny", batch: int = 1, seq_len: int = 128,
     cls = b.select(x, dim=1, index=0)                    # [CLS] [N, H]
     pooled = b.tanh(b.linear(cls, h))
     logits = b.linear(pooled, num_classes)
+    b.output(logits)
+    return b.build(), "0", logits
+
+
+GPT_PRESETS = {
+    # depth, width, heads (GPT-2 family ladder, scaled-down entries first)
+    "nano": (3, 48, 3),
+    "micro": (4, 128, 4),
+    "mini": (6, 192, 6),
+    "small": (12, 768, 12),
+}
+
+
+def build_gpt(variant: str = "nano", batch: int = 1, seq_len: int = 64,
+              vocab_size: int = 50257, depth: int | None = None,
+              width: int | None = None, num_heads: int | None = None,
+              seed: int = 0) -> tuple:
+    """GPT-style causal decoder LM (superset family — the reference has
+    no autoregressive workload).
+
+    Token ids [N, L] -> nn.Embedding + learned position embedding ->
+    pre-LN blocks whose nn.MultiheadAttention takes an additive causal
+    mask (pnnx.Attribute [L, L], -inf above the diagonal — the mask-
+    operand form real pnnx exports of masked attention produce) ->
+    final LayerNorm -> vocab head. Output: next-token logits [N, L, V].
+    `zoo.generate.greedy_generate` drives it autoregressively.
+    """
+    if variant not in GPT_PRESETS:
+        raise ValueError(f"variant must be one of {list(GPT_PRESETS)}")
+    d0, w0, h0 = GPT_PRESETS[variant]
+    depth = d0 if depth is None else depth
+    w = w0 if width is None else width
+    heads = h0 if num_heads is None else num_heads
+
+    b = GraphBuilder(seed)
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, vocab_size, w)
+    pos = b.attr_const(b._rand((1, seq_len, w)) * 0.02)
+    x = b.add(x, pos)
+
+    causal = np.triu(np.full((seq_len, seq_len), -1e9, np.float32), k=1)
+    mask = b.attr_const(causal)
+
+    for _ in range(depth):
+        y = b.layer_norm(x)
+        y = b.mha(y, heads, mask=mask)
+        x = b.add(x, y)
+        y = b.layer_norm(x)
+        y = b.linear(y, 4 * w)
+        y = b.gelu(y)
+        y = b.linear(y, w)
+        x = b.add(x, y)
+
+    x = b.layer_norm(x)
+    logits = b.linear(x, vocab_size, bias=False)
     b.output(logits)
     return b.build(), "0", logits

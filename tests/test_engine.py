@@ -657,3 +657,46 @@ def test_export_model_rejects_mesh_engine(tmp_path):
         None, graph=g)
     with pytest.raises(EngineStateError):
         eng.export_model(str(tmp_path / "x.shlo"))
+
+
+def test_gpt_parity_and_causality():
+    """GPT decoder: causal-mask attention matches the torch oracle, and
+    future tokens cannot influence earlier positions' logits."""
+    from simpleinfer_tpu.zoo import build_gpt
+
+    kw = dict(variant="nano", batch=2, seq_len=12, vocab_size=40,
+              depth=2, width=32, num_heads=4)
+    graph, in_name, out_name = build_gpt(**kw)
+    ids = RNG.integers(0, 40, size=(2, 12)).astype(np.float32)
+    want = run_graph_torch(graph, {in_name: ids})[out_name]
+    eng = Engine().load_model(None, graph=graph)
+    got = eng.run({in_name: ids})[out_name]
+    assert got.shape == (2, 12, 40)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    # causality: perturb the tail, logits at earlier positions unchanged
+    ids2 = ids.copy()
+    ids2[:, 8:] = (ids2[:, 8:] + 7) % 40
+    got2 = eng.run({in_name: ids2})[out_name]
+    np.testing.assert_allclose(got[:, :8], got2[:, :8], atol=1e-5,
+                               rtol=1e-5)
+    assert np.abs(got[:, 8:] - got2[:, 8:]).max() > 1e-3
+
+
+def test_greedy_generate():
+    from simpleinfer_tpu.zoo import build_gpt, greedy_generate
+
+    graph, in_name, out_name = build_gpt(variant="nano", batch=2,
+                                         seq_len=16, vocab_size=30,
+                                         depth=2, width=32, num_heads=4)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = RNG.integers(1, 30, size=(2, 4))
+    out = greedy_generate(eng, prompt, steps=5)
+    assert out.shape == (2, 9)
+    np.testing.assert_array_equal(out[:, :4], prompt)
+    assert ((out >= 0) & (out < 30)).all()
+    # deterministic: same prompt -> same continuation
+    out2 = greedy_generate(eng, prompt, steps=5)
+    np.testing.assert_array_equal(out, out2)
+    # window overflow raises
+    with pytest.raises(ValueError):
+        greedy_generate(eng, prompt, steps=13)

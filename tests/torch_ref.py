@@ -88,11 +88,22 @@ def _mha(op, args):
         kdim=kdim, vdim=vdim).eval()
     sd = {k: _t(op.attrs[k].array()) for k in op.attrs}
     m.load_state_dict(sd, strict=False)
+    # mirror the lowering's mask heuristic (ops/attention.py): a
+    # trailing rank-2 operand (or one whose last dim is not the k/v
+    # feature dim) is attn_mask, not a k/v input
+    args = list(args)
+    mask = None
+    if len(args) == 4:
+        mask = args.pop()
+    elif len(args) in (2, 3):
+        expect = (kdim or E) if len(args) == 2 else (vdim or E)
+        if args[-1].ndim == 2 or args[-1].shape[-1] != expect:
+            mask = args.pop()
     q = args[0]
     k = args[1] if len(args) > 1 else q
     v = args[2] if len(args) > 2 else k
     with torch.no_grad():
-        out, _ = m(q, k, v, need_weights=False)
+        out, _ = m(q, k, v, attn_mask=mask, need_weights=False)
     return out
 
 
