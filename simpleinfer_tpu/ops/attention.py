@@ -302,4 +302,7 @@ def lower_multihead_attention(op, cfg):
                      "bq": ("model",), "bk": ("model",),
                      "bv": ("model",)},
         flops_per_item=flops,
+        decode_info={"embed_dim": embed_dim, "num_heads": num_heads,
+                     "batch_first": batch_first, "kdim": kdim,
+                     "vdim": vdim},
     )

@@ -63,6 +63,10 @@ class OpImpl:
     # fold factor `na`, and the host reshapes [N,R,na*c] -> [N,R*na,c]
     # for free at extract (Program.output_transforms)
     host_output_retile: object = None
+    # metadata a KV-cache decode walk needs that the apply closure hides
+    # (attention head geometry — zoo/generate.CachedDecoder); None for
+    # ops with no decode-specific form
+    decode_info: object = None
 
 
 class UnsupportedOpError(Exception):

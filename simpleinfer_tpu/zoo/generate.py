@@ -59,3 +59,198 @@ def greedy_generate(engine, prompt_ids, steps: int, *,
         if eos_id is not None and done.all():
             break
     return buf[:, :cur].astype(np.int64)
+
+
+class CachedDecoder:
+    """KV-cache decode for causal-LM engines: O(L) per generated token
+    instead of greedy_generate's O(L^2) full-window re-forward.
+
+    Walks the engine's compiled plan (Program.plan) and re-traces it as
+    a single-token step function: nn.MultiheadAttention ops project
+    only the new token's q/k/v, append k/v into per-layer caches with
+    `lax.dynamic_update_slice`, and attend over the cache under a
+    position mask — so shapes stay static, one jitted step executable
+    serves every position, and cache buffers are donated between steps
+    (true in-place update on TPU, zero realloc traffic).
+
+    Supported plan ops: token-pointwise ops (Embedding/LayerNorm/
+    RMSNorm/Linear/activations/BinaryOp), graph constants
+    (pnnx.Attribute, auto-sliced at the current position when they span
+    the sequence axis — position embeddings), and self-attention
+    nn.MultiheadAttention (its baked causal-mask operand is dropped:
+    causality is implicit in the cache). Anything else raises.
+    """
+
+    _POINTWISE = {
+        "nn.Embedding", "pnnx.Attribute", "BinaryOp", "nn.LayerNorm",
+        "nn.RMSNorm", "nn.Linear", "nn.GELU", "nn.ReLU", "nn.SiLU",
+        "nn.Tanh", "nn.Sigmoid", "nn.Softmax", "nn.Identity",
+        "nn.Dropout",
+    }
+
+    def __init__(self, engine):
+        import jax
+
+        program = engine.program
+        if getattr(engine, "_mesh", None) is not None:
+            raise ValueError("CachedDecoder supports single-device "
+                             "engines (shard the batch instead)")
+        if len(program.input_names) != 1 or len(program.output_names) != 1:
+            raise ValueError("CachedDecoder expects one input (token "
+                             "ids) and one output (logits)")
+        spec = program.inputs[0]
+        if not spec.shape or len(spec.shape) != 2:
+            raise ValueError(f"token input must be [N, L], got "
+                             f"{spec.shape}")
+        self._batch = int(spec.shape[0]) if spec.shape[0] > 0 else 1
+        self._window = int(spec.shape[1])
+        self._in_name = program.input_names[0]
+        self._out_name = program.output_names[0]
+        self._plan = program.plan
+        self._weights = engine._device_weights
+        self._mha_ops = []
+        for impl, _ins, _outs in self._plan:
+            if impl.type == "nn.MultiheadAttention":
+                info = impl.decode_info
+                if not info or not info.get("batch_first"):
+                    raise ValueError(
+                        f"{impl.name}: KV-cache decode needs batch_first "
+                        f"self-attention")
+                if (info["kdim"] != info["embed_dim"]
+                        or info["vdim"] != info["embed_dim"]):
+                    raise ValueError(f"{impl.name}: kdim/vdim != "
+                                     f"embed_dim unsupported")
+                self._mha_ops.append((impl.name, info))
+            elif impl.type not in self._POINTWISE:
+                raise ValueError(
+                    f"KV-cache decode: unsupported op type {impl.type!r} "
+                    f"({impl.name}); supported: "
+                    f"{sorted(self._POINTWISE)} + nn.MultiheadAttention")
+        self._step = jax.jit(self._step_fn, donate_argnums=(3,))
+
+    # ---- cache ----------------------------------------------------------
+    def init_cache(self, batch: int, dtype=None):
+        import jax.numpy as jnp
+
+        dtype = dtype or jnp.float32
+        caches = {}
+        for name, info in self._mha_ops:
+            h = info["num_heads"]
+            d = info["embed_dim"] // h
+            shape = (batch, h, self._window, d)
+            caches[name] = (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        return caches
+
+    # ---- the jitted step ------------------------------------------------
+    def _mha_decode(self, w, q, cache, pos, info):
+        import jax
+        import jax.numpy as jnp
+
+        from ..quant.tensor import resolve_weight
+
+        heads = info["num_heads"]
+        e = info["embed_dim"]
+        d = e // heads
+        dt = q.dtype
+        n = q.shape[0]
+
+        def proj(wkey, bkey):
+            y = jnp.einsum("nli,io->nlo", q, resolve_weight(w[wkey], dt),
+                           preferred_element_type=jnp.float32)
+            if bkey in w:
+                y = y + w[bkey]
+            # [N,1,E] -> [N,H,1,D]
+            return jnp.transpose(
+                y.astype(dt).reshape(n, 1, heads, d), (0, 2, 1, 3))
+
+        qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
+        k_cache, v_cache = cache
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, kh.astype(k_cache.dtype), (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, vh.astype(v_cache.dtype), (0, 0, pos, 0))
+        s = jnp.einsum("nhqd,nhkd->nhqk", qh, k_cache.astype(dt),
+                       preferred_element_type=jnp.float32)
+        s = s * (1.0 / (d ** 0.5))
+        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(idx <= pos, s, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        ctx = jnp.einsum("nhqk,nhkd->nhqd", p, v_cache.astype(dt))
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, e)
+        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
+                         preferred_element_type=jnp.float32)
+        if "bo" in w:
+            out = out + w["bo"]
+        return out.astype(dt), (k_cache, v_cache)
+
+    def _slice_seq(self, args, pos):
+        """Align operands on the sequence axis: a graph constant spanning
+        the full window (position embeddings) is sliced down to the
+        current position when the running activation has seq len 1."""
+        import jax
+        import jax.numpy as jnp
+
+        lens = [a.shape[1] if (a is not None and a.ndim == 3) else None
+                for a in args]
+        if 1 in lens and self._window in lens:
+            args = list(args)
+            for i, a in enumerate(args):
+                if lens[i] == self._window:
+                    args[i] = jax.lax.dynamic_slice_in_dim(
+                        a, pos, 1, axis=1)
+        return args
+
+    def _step_fn(self, weights, token, pos, caches):
+        new_caches = dict(caches)
+        env = {self._in_name: token}
+        for impl, ins, outs in self._plan:
+            w = weights.get(impl.name, {})
+            if impl.type == "nn.MultiheadAttention":
+                info = dict(impl.decode_info)
+                out, new_caches[impl.name] = self._mha_decode(
+                    w, env[ins[0]], caches[impl.name], pos, info)
+                env[outs[0]] = out
+                for o in outs[1:]:
+                    env[o] = None
+                continue
+            args = [env[n] for n in ins]
+            if len(args) > 1:
+                args = self._slice_seq(args, pos)
+            r = impl.apply(w, *args)
+            if impl.n_outputs == 1:
+                env[outs[0]] = r
+            else:
+                for o, v in zip(outs, r):
+                    env[o] = v
+        return env[self._out_name], new_caches
+
+    # ---- user API -------------------------------------------------------
+    def generate(self, prompt_ids, steps: int,
+                 eos_id: int | None = None) -> np.ndarray:
+        """Greedy decode with the KV cache: prompt tokens prefill the
+        cache one step at a time (same executable), then `steps` tokens
+        are generated at O(window) cost each."""
+        import jax.numpy as jnp
+
+        prompt = np.asarray(prompt_ids)
+        n, p = prompt.shape
+        if p + steps > self._window:
+            raise ValueError(f"prompt ({p}) + steps ({steps}) exceeds "
+                             f"the compiled window {self._window}")
+        caches = self.init_cache(n)
+        buf = np.zeros((n, p + steps), np.int64)
+        buf[:, :p] = prompt
+        done = np.zeros(n, bool)
+        logits = None
+        for t in range(p + steps - 1):
+            token = jnp.asarray(buf[:, t:t + 1], jnp.float32)
+            logits, caches = self._step(self._weights, token,
+                                        jnp.int32(t), caches)
+            if t >= p - 1:
+                nxt = np.asarray(jnp.argmax(logits[:, 0, :], axis=-1))
+                buf[:, t + 1] = np.where(done, 0, nxt)
+                if eos_id is not None:
+                    done |= (nxt == eos_id)
+                    if done.all():
+                        return buf[:, :t + 2]
+        return buf

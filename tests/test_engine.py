@@ -700,3 +700,30 @@ def test_greedy_generate():
     # window overflow raises
     with pytest.raises(ValueError):
         greedy_generate(eng, prompt, steps=13)
+
+
+def test_cached_decoder_matches_full_window():
+    """KV-cache decode must reproduce greedy_generate token-for-token:
+    O(L) steps vs O(L^2) re-forwards, same compiled-weights engine."""
+    from simpleinfer_tpu.zoo import build_gpt, greedy_generate
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    graph, in_name, out_name = build_gpt(variant="nano", batch=2,
+                                         seq_len=20, vocab_size=50,
+                                         depth=2, width=32, num_heads=4)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = RNG.integers(1, 50, size=(2, 5))
+    want = greedy_generate(eng, prompt, steps=8)
+    dec = CachedDecoder(eng)
+    got = dec.generate(prompt, steps=8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cached_decoder_rejects_non_lm():
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    graph, _, _ = build_resnet18(batch=1, image_size=32, num_classes=4,
+                                 width=8)
+    eng = Engine().load_model(None, graph=graph)
+    with pytest.raises(ValueError):
+        CachedDecoder(eng)
