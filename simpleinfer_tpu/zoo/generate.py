@@ -8,9 +8,12 @@ real position, and every call hits the same compiled executable — no
 recompiles, no dynamic shapes. The causal mask baked into build_gpt
 guarantees padding positions cannot influence earlier logits.
 
-This is the inference-engine shape of sampling (prefill-style compute
-per step). A KV-cache decode path would change per-step cost from
-O(L^2) to O(L) — tracked as future work in docs/ROADMAP.md.
+Two drivers:
+- greedy_generate: fixed-window re-forward per step (O(L^2)/token but
+  zero extra machinery — reuses the engine's one executable).
+- CachedDecoder: KV-cache decode, O(L)/token, per-row positions so a
+  continuous-batching service (serving/llm.py) can mix prefill and
+  decode rows in one step batch.
 """
 from __future__ import annotations
 
@@ -143,6 +146,8 @@ class CachedDecoder:
 
     # ---- the jitted step ------------------------------------------------
     def _mha_decode(self, w, q, cache, pos, info):
+        """pos: [N] int32, PER-ROW positions — rows of one step batch can
+        sit at different depths (continuous batching, serving/llm.py)."""
         import jax
         import jax.numpy as jnp
 
@@ -165,15 +170,17 @@ class CachedDecoder:
 
         qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
         k_cache, v_cache = cache
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, kh.astype(k_cache.dtype), (0, 0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, vh.astype(v_cache.dtype), (0, 0, pos, 0))
+        rows = jnp.arange(n)
+        k_cache = k_cache.at[rows, :, pos, :].set(
+            kh[:, :, 0, :].astype(k_cache.dtype))
+        v_cache = v_cache.at[rows, :, pos, :].set(
+            vh[:, :, 0, :].astype(v_cache.dtype))
         s = jnp.einsum("nhqd,nhkd->nhqk", qh, k_cache.astype(dt),
                        preferred_element_type=jnp.float32)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        s = jnp.where(idx <= pos, s, jnp.finfo(jnp.float32).min)
+        s = jnp.where(idx <= pos[:, None, None, None], s,
+                      jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         ctx = jnp.einsum("nhqk,nhkd->nhqd", p, v_cache.astype(dt))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, e)
@@ -185,19 +192,20 @@ class CachedDecoder:
 
     def _slice_seq(self, args, pos):
         """Align operands on the sequence axis: a graph constant spanning
-        the full window (position embeddings) is sliced down to the
-        current position when the running activation has seq len 1."""
-        import jax
+        the full window (position embeddings) is gathered down to each
+        row's position when the running activation has seq len 1."""
         import jax.numpy as jnp
 
         lens = [a.shape[1] if (a is not None and a.ndim == 3) else None
                 for a in args]
         if 1 in lens and self._window in lens:
             args = list(args)
+            n = pos.shape[0]
             for i, a in enumerate(args):
                 if lens[i] == self._window:
-                    args[i] = jax.lax.dynamic_slice_in_dim(
-                        a, pos, 1, axis=1)
+                    full = jnp.broadcast_to(a, (n,) + a.shape[1:])
+                    args[i] = jnp.take_along_axis(
+                        full, pos[:, None, None], axis=1)
         return args
 
     def _step_fn(self, weights, token, pos, caches):
@@ -225,6 +233,16 @@ class CachedDecoder:
         return env[self._out_name], new_caches
 
     # ---- user API -------------------------------------------------------
+    def step(self, tokens, pos, caches):
+        """One decode step: tokens [N, 1], pos [N] per-row positions.
+        Returns (logits [N, 1, V], new caches). The raw substrate the
+        continuous-batching service (serving/llm.py) drives."""
+        import jax.numpy as jnp
+
+        return self._step(self._weights,
+                          jnp.asarray(tokens, jnp.float32),
+                          jnp.asarray(pos, jnp.int32), caches)
+
     def generate(self, prompt_ids, steps: int,
                  eos_id: int | None = None) -> np.ndarray:
         """Greedy decode with the KV cache: prompt tokens prefill the
@@ -245,7 +263,8 @@ class CachedDecoder:
         for t in range(p + steps - 1):
             token = jnp.asarray(buf[:, t:t + 1], jnp.float32)
             logits, caches = self._step(self._weights, token,
-                                        jnp.int32(t), caches)
+                                        jnp.full((n,), t, jnp.int32),
+                                        caches)
             if t >= p - 1:
                 nxt = np.asarray(jnp.argmax(logits[:, 0, :], axis=-1))
                 buf[:, t + 1] = np.where(done, 0, nxt)

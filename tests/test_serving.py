@@ -206,3 +206,65 @@ def test_per_bucket_latency_stats_and_slo(engine):
         assert not any(v["within"] for v in rep_tight.values())
     finally:
         svc.stop()
+
+
+# ------------------------------------------------- LLM generation service
+def _gpt_engine(seq_len=24, vocab=40):
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_gpt
+
+    graph, _, _ = build_gpt(variant="nano", batch=1, seq_len=seq_len,
+                            vocab_size=vocab, depth=2, width=32,
+                            num_heads=4)
+    return Engine().load_model(None, graph=graph)
+
+
+def test_generation_service_matches_solo_decode():
+    """Continuous batching must be RESULT-INVARIANT: rows admitted
+    mid-flight (mixed prefill/decode depths in one step batch) produce
+    exactly the tokens a solo KV-cache decode produces."""
+    import time as _time
+
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 40, size=p).tolist() for p in (3, 5, 2, 7)]
+    dec = CachedDecoder(eng)
+    want = [dec.generate(np.asarray([p]), steps=6)[0] for p in prompts]
+
+    svc = GenerationService(eng, slots=2).start()  # 4 reqs > 2 slots
+    futs = []
+    for p in prompts:
+        futs.append(svc.submit(p, max_new=6))
+        _time.sleep(0.01)  # stagger admissions mid-flight
+    got = [f.result(timeout=60) for f in futs]
+    svc.stop()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert svc.stats.completed == 4
+    assert svc.stats.tokens_out == 4 * 6
+    assert 0 < svc.stats.mean_occupancy <= 1.0
+
+
+def test_generation_service_eos_and_errors():
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec = CachedDecoder(eng)
+    ref = dec.generate(np.asarray([[4, 8]]), steps=10)[0]
+    eos = int(ref[4])  # a token the greedy continuation emits
+    first = 2 + int(np.argmax(ref[2:] == eos))  # its first occurrence
+    svc = GenerationService(eng, slots=2).start()
+    out = svc.submit([4, 8], max_new=10, eos_id=eos).result(timeout=60)
+    # stops right after emitting the FIRST eos occurrence
+    np.testing.assert_array_equal(out, ref[:first + 1])
+    with pytest.raises(ValueError):
+        svc.submit([1] * 30, max_new=10)  # window overflow
+    with pytest.raises(ValueError):
+        svc.submit([], max_new=2)
+    svc.stop()
+    with pytest.raises(RuntimeError):
+        svc.submit([1], max_new=1)
