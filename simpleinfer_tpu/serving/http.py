@@ -54,12 +54,21 @@ class InferenceServer:
     """
 
     def __init__(self, service, host: str = "127.0.0.1", port: int = 8000,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0, gen_service=None):
+        """`service`: a started BatchingService (image/tensor inference),
+        or None when only serving generation. `gen_service`: a started
+        serving.llm.GenerationService exposing POST /v1/generate."""
+        if service is None and gen_service is None:
+            raise ValueError("need a BatchingService, a "
+                             "GenerationService, or both")
         self.service = service
+        self.gen_service = gen_service
         self.request_timeout_s = request_timeout_s
-        self._item_shape = self._resolve_item_shape(service)
+        self._item_shape = (self._resolve_item_shape(service)
+                            if service is not None else None)
         self._u8_scale = float(getattr(
-            service.engine.config, "u8_scale", 1.0 / 255.0))
+            service.engine.config, "u8_scale", 1.0 / 255.0)) \
+            if service is not None else 1.0 / 255.0
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._httpd.daemon_threads = True
@@ -95,6 +104,8 @@ class InferenceServer:
 
     # ---- request handling (called from handler threads) ----------------
     def infer(self, array: np.ndarray) -> np.ndarray:
+        if self.service is None:
+            raise ValueError("this server only exposes /v1/generate")
         if tuple(array.shape) != self._item_shape:
             raise ValueError(
                 f"expected item shape {self._item_shape}, "
@@ -118,6 +129,22 @@ class InferenceServer:
         if out.dtype.kind not in "fiub":  # e.g. ml_dtypes bfloat16 (kind V)
             out = out.astype(np.float32)  # wire format must be portable
         return out
+
+    def generate(self, payload: dict) -> dict:
+        if self.gen_service is None:
+            raise ValueError("no generation service attached "
+                             "(serve a causal LM with --generate)")
+        prompt = payload.get("prompt")
+        if not isinstance(prompt, list) or not prompt:
+            raise ValueError('body needs "prompt": [token ids]')
+        max_new = int(payload.get("max_new", 32))
+        eos = payload.get("eos_id")
+        fut = self.gen_service.submit(
+            prompt, max_new=max_new,
+            eos_id=int(eos) if eos is not None else None)
+        ids = fut.result(timeout=self.request_timeout_s)
+        return {"ids": np.asarray(ids).tolist(),
+                "prompt_len": len(prompt)}
 
     def detect(self, image: np.ndarray, conf: float, iou: float) -> list:
         """One HWC image -> list of detection dicts: letterbox to the
@@ -165,6 +192,12 @@ class InferenceServer:
         return "v8" if "models.yolo.DetectV8" in types else "v5"
 
     def stats_dict(self, slo_ms: float | None = None) -> dict:
+        if self.service is None:
+            g = self.gen_service.stats
+            return {"requests": g.requests, "completed": g.completed,
+                    "steps": g.steps, "tokens_out": g.tokens_out,
+                    "mean_occupancy": g.mean_occupancy,
+                    "mean_latency_ms": g.mean_latency_ms}
         s = self.service.stats
         out = {
             "requests": s.requests,
@@ -186,6 +219,18 @@ class InferenceServer:
 
     def metrics_text(self) -> str:
         """ServiceStats in Prometheus text exposition format."""
+        if self.service is None:
+            g = self.gen_service.stats
+            return "\n".join([
+                "# TYPE si_gen_requests_total counter",
+                f"si_gen_requests_total {g.requests}",
+                "# TYPE si_gen_tokens_total counter",
+                f"si_gen_tokens_total {g.tokens_out}",
+                "# TYPE si_gen_steps_total counter",
+                f"si_gen_steps_total {g.steps}",
+                "# TYPE si_gen_slot_occupancy gauge",
+                f"si_gen_slot_occupancy {g.mean_occupancy:.6f}",
+            ]) + "\n"
         s = self.service.stats
         lines = [
             "# TYPE si_requests_total counter",
@@ -255,7 +300,8 @@ def _make_handler(server: InferenceServer):
 
         def do_POST(self):  # noqa: N802
             path, _, query = self.path.partition("?")
-            if path not in ("/v1/infer", "/v1/detect"):
+            if path not in ("/v1/infer", "/v1/detect",
+                            "/v1/generate"):
                 self._reply_json(404, {"error": f"no route {self.path}"})
                 return
             try:
@@ -278,12 +324,32 @@ def _make_handler(server: InferenceServer):
                     arr = np.load(io.BytesIO(body), allow_pickle=False)
                 else:
                     payload = json.loads(body)
-                    key = "image" if path == "/v1/detect" else "input"
-                    arr = np.asarray(payload[key])
-                    if path != "/v1/detect":
-                        arr = arr.astype(np.float32)
+                    if path == "/v1/generate":
+                        arr = payload  # raw dict; validated in generate()
+                    else:
+                        key = ("image" if path == "/v1/detect"
+                               else "input")
+                        arr = np.asarray(payload[key])
+                        if path != "/v1/detect":
+                            arr = arr.astype(np.float32)
             except Exception as e:  # noqa: BLE001 — client error
                 self._reply_json(400, {"error": f"bad body: {e}"})
+                return
+            if path == "/v1/generate":
+                if ctype == NPY_CONTENT_TYPE:
+                    self._reply_json(400, {"error": "/v1/generate takes "
+                                           "a JSON body"})
+                    return
+                try:
+                    out = server.generate(arr)
+                except ValueError as e:
+                    self._reply_json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001 — backend error
+                    self._reply_json(500,
+                                     {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self._reply_json(200, out)
                 return
             if path == "/v1/detect":
                 from urllib.parse import parse_qs

@@ -233,6 +233,27 @@ def cmd_serve(args) -> int:
                 "--calibration scales.npz (from the calibrate command) "
                 "or use --quant int8w")
         eng.load_calibration(args.calibration)
+    if args.generate:
+        from .serving.llm import GenerationService
+
+        gsvc = GenerationService(eng, slots=args.max_batch).start()
+        server = InferenceServer(None, host=args.host, port=args.port,
+                                 gen_service=gsvc).start()
+        host, port = server.address[:2]
+        print(f"serving {args.param} on http://{host}:{port} "
+              f"(POST /v1/generate, GET /v1/stats, GET /healthz)",
+              flush=True)
+        try:
+            import time
+
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            print("shutting down", flush=True)
+        finally:
+            server.stop()
+            gsvc.stop()
+        return 0
     post = None
     if args.device_decode:
         from .zoo.detect import decode_device
@@ -369,6 +390,10 @@ def main(argv=None) -> int:
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--generate", action="store_true",
+                   help="causal LM: serve continuous-batching KV-cache "
+                        "generation (POST /v1/generate) instead of "
+                        "/v1/infer; --max-batch sets the slot count")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("calibrate",

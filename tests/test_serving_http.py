@@ -353,3 +353,51 @@ def test_detect_endpoint_bad_query_param_is_400(detect_served):
         _detect_json(base, img, "?conf=abc")
     assert ei.value.code == 400
     assert "conf" in json.loads(ei.value.read())["error"]
+
+
+# ---------------------------------------------------------- /v1/generate
+@pytest.fixture(scope="module")
+def gen_served():
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo import build_gpt
+
+    graph, _, _ = build_gpt(variant="nano", batch=1, seq_len=24,
+                            vocab_size=40, depth=2, width=32, num_heads=4)
+    eng = Engine().load_model(None, graph=graph)
+    gsvc = GenerationService(eng, slots=2).start()
+    server = InferenceServer(None, port=0, gen_service=gsvc).start()
+    host, port = server.address[:2]
+    yield eng, gsvc, f"http://{host}:{port}"
+    server.stop()
+    gsvc.stop()
+
+
+def test_generate_endpoint(gen_served):
+    eng, _, base = gen_served
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    want = CachedDecoder(eng).generate(np.asarray([[3, 7, 11]]),
+                                       steps=5)[0]
+    body = json.dumps({"prompt": [3, 7, 11], "max_new": 5}).encode()
+    status, _, out = _post(base + "/v1/generate", body, "application/json")
+    assert status == 200
+    payload = json.loads(out)
+    assert payload["prompt_len"] == 3
+    np.testing.assert_array_equal(payload["ids"], want)
+
+
+def test_generate_validation_and_stats(gen_served):
+    _, _, base = gen_served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/generate",
+              json.dumps({"max_new": 5}).encode(), "application/json")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/infer",
+              json.dumps({"input": [1.0]}).encode(), "application/json")
+    assert ei.value.code == 400  # generation-only server
+    status, stats = _get_json(base + "/v1/stats")
+    assert status == 200 and stats["tokens_out"] >= 5
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert "si_gen_tokens_total" in text
