@@ -141,7 +141,10 @@ class InferenceServer:
         eos = payload.get("eos_id")
         fut = self.gen_service.submit(
             prompt, max_new=max_new,
-            eos_id=int(eos) if eos is not None else None)
+            eos_id=int(eos) if eos is not None else None,
+            temperature=float(payload.get("temperature", 0.0)),
+            top_k=int(payload.get("top_k", 0)),
+            top_p=float(payload.get("top_p", 1.0)))
         ids = fut.result(timeout=self.request_timeout_s)
         return {"ids": np.asarray(ids).tolist(),
                 "prompt_len": len(prompt)}

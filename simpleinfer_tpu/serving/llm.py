@@ -3,11 +3,18 @@
 The LLM analog of serving/batcher.py's image service: a fixed pool of
 `slots` rows steps through ONE jitted KV-cache decode executable
 (zoo/generate.CachedDecoder), and requests are admitted into free rows
-MID-FLIGHT — a new prompt starts prefilling while neighbours are deep
-in decode (per-row positions make the step batch heterogeneous). This
-is the orca/vllm-style scheduling shape, expressed with static XLA
-shapes: the step batch is always [slots, 1], caches are [slots, H, L,
-D] donated buffers, and admission is just writing a row.
+MID-FLIGHT — a new prompt prefills while neighbours are deep in decode
+(per-row positions make the step batch heterogeneous). This is the
+orca/vllm-style scheduling shape, expressed with static XLA shapes: the
+step batch is always [slots, 1], caches are [slots, H, L, D] donated
+buffers, and admission is a batched prefill (ONE dispatch for the whole
+prompt — each dispatch costs a full relay RTT on this chip,
+docs/PERF.md) scattered into the free row.
+
+Sampling (temperature / top-k / top-p, zoo/sampling.py) runs on device
+inside the step executable with PER-ROW parameters, so greedy and
+sampled requests share one step batch and only one int per row crosses
+the host link per step.
 
 No preemption/paging: a request holds its row until done (bounded by
 the compiled window), which matches the engine's static-shape design.
@@ -29,6 +36,9 @@ class _GenRequest:
     prompt: np.ndarray          # [P] int
     max_new: int
     eos_id: int | None
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.perf_counter)
 
@@ -38,6 +48,7 @@ class GenStats:
     requests: int = 0
     completed: int = 0
     steps: int = 0
+    prefills: int = 0
     tokens_out: int = 0
     occupancy_sum: float = 0.0
     latency_sum_ms: float = 0.0
@@ -52,23 +63,33 @@ class GenStats:
 
 
 class GenerationService:
-    """Slot-scheduled greedy generation over one causal-LM engine.
+    """Slot-scheduled generation over one causal-LM engine.
 
     usage:
         svc = GenerationService(engine, slots=8).start()
-        fut = svc.submit([1, 5, 9], max_new=32, eos_id=2)
+        fut = svc.submit([1, 5, 9], max_new=32, eos_id=2,
+                         temperature=0.8, top_k=40)
         ids = fut.result()            # np.int64 [P + generated]
         svc.stop()
+
+    Greedy requests (temperature=0, the default) are deterministic and
+    batch-invariant. Sampled requests draw from the service-level seed
+    stream; their draws depend on admission timing, so per-request
+    reproducibility under concurrency is not guaranteed (use
+    CachedDecoder.generate(seed=...) for that).
     """
 
     def __init__(self, engine, slots: int = 8,
-                 tick_timeout_s: float = 0.01):
+                 tick_timeout_s: float = 0.01, seed: int = 0):
+        import jax
+
         from ..zoo.generate import CachedDecoder
 
         self._dec = CachedDecoder(engine)
         self._slots = int(slots)
         self._window = self._dec._window
         self._tick_timeout = tick_timeout_s
+        self._key = jax.random.PRNGKey(seed)
         self._queue: list[_GenRequest] = []
         self._cv = threading.Condition()
         self._thread: threading.Thread | None = None
@@ -77,15 +98,24 @@ class GenerationService:
 
     # ---- client API ------------------------------------------------------
     def submit(self, prompt_ids, max_new: int,
-               eos_id: int | None = None) -> Future:
+               eos_id: int | None = None, *, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 1.0) -> Future:
         prompt = np.asarray(prompt_ids, np.int64).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
+        if max_new < 1:
+            raise ValueError(f"max_new must be >= 1, got {max_new}")
         if len(prompt) + max_new > self._window:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new ({max_new}) exceeds "
                 f"the compiled window {self._window}")
-        req = _GenRequest(prompt=prompt, max_new=max_new, eos_id=eos_id)
+        if not (0 <= top_p <= 1.0):
+            raise ValueError(f"top_p must be in [0, 1], got {top_p}")
+        if top_k < 0:
+            raise ValueError(f"top_k must be >= 0, got {top_k}")
+        req = _GenRequest(prompt=prompt, max_new=max_new, eos_id=eos_id,
+                          temperature=float(temperature),
+                          top_k=int(top_k), top_p=float(top_p))
         with self._cv:
             if not self._running:
                 raise RuntimeError("service not started")
@@ -115,26 +145,24 @@ class GenerationService:
         caches = self._dec.init_cache(n)
         active: list[_GenRequest | None] = [None] * n
         bufs = np.zeros((n, self._window), np.int64)
-        pos = np.zeros(n, np.int32)        # next position to feed
-        plen = np.zeros(n, np.int32)       # prompt length per row
-        deadline = np.zeros(n, np.int32)   # stop when pos reaches this
+        pos = np.zeros(n, np.int32)        # index of the token to feed
+        deadline = np.zeros(n, np.int32)   # stop when the write reaches this
+        temp = np.zeros(n, np.float32)
+        topk = np.zeros(n, np.int32)
+        topp = np.ones(n, np.float32)
+        seq = 0                            # fold_in counter for the PRNG
 
         while True:
             with self._cv:
                 if not self._running and not self._queue and not any(
                         r is not None for r in active):
                     return
-                # admit queued requests into free rows (mid-flight)
+                admitted: list[tuple[int, _GenRequest]] = []
                 for i in range(n):
                     if active[i] is None and self._queue:
                         req = self._queue.pop(0)
                         active[i] = req
-                        p = len(req.prompt)
-                        bufs[i, :] = 0
-                        bufs[i, :p] = req.prompt
-                        pos[i] = 0
-                        plen[i] = p
-                        deadline[i] = min(p + req.max_new, self._window)
+                        admitted.append((i, req))
                 idle = not any(r is not None for r in active)
                 if idle:
                     if not self._running:
@@ -142,11 +170,41 @@ class GenerationService:
                     self._cv.wait(timeout=self._tick_timeout)
                     continue
 
+            # admission: ONE prefill dispatch per request (whole prompt),
+            # scattered into the free row's cache slot
+            for i, req in admitted:
+                p = len(req.prompt)
+                bufs[i, :] = 0
+                bufs[i, :p] = req.prompt
+                deadline[i] = min(p + req.max_new, self._window)
+                temp[i], topk[i], topp[i] = (req.temperature, req.top_k,
+                                             req.top_p)
+                window = np.zeros((1, self._window), np.float32)
+                window[0, :p] = req.prompt
+                seq += 1
+                tok, row_caches = self._dec.prefill_sample(
+                    window, np.array([p]), self._key, seq,
+                    temp[i:i + 1], topk[i:i + 1], topp[i:i + 1])
+                caches = self._dec.install_row(caches, row_caches, i)
+                self.stats.prefills += 1
+                nxt = int(np.asarray(tok)[0])
+                bufs[i, p] = nxt
+                self.stats.tokens_out += 1
+                if (req.eos_id is not None and nxt == req.eos_id) \
+                        or p + 1 >= deadline[i]:
+                    self._finish(i, active, bufs, p + 1, req)
+                else:
+                    pos[i] = p
+            if not any(r is not None for r in active):
+                continue
+
+            # one decode step for the whole pool (mixed depths/settings)
             live = np.array([r is not None for r in active])
             tokens = bufs[np.arange(n), pos].reshape(n, 1)
-            logits, caches = self._dec.step(tokens, pos, caches)
-            nxt = np.asarray(np.argmax(np.asarray(logits)[:, 0, :],
-                                       axis=-1))
+            seq += 1
+            tok, caches = self._dec.step_sample(
+                tokens, pos, caches, self._key, seq, temp, topk, topp)
+            nxt = np.asarray(tok)
             self.stats.steps += 1
             self.stats.occupancy_sum += float(live.mean())
 
@@ -155,13 +213,6 @@ class GenerationService:
                 if req is None:
                     continue
                 new_pos = pos[i] + 1  # index the fed token predicted
-                if new_pos < plen[i]:
-                    # still prefilling: next prompt token is already in buf
-                    pos[i] = new_pos
-                    continue
-                if new_pos >= deadline[i]:
-                    self._finish(i, active, bufs, int(deadline[i]), req)
-                    continue
                 bufs[i, new_pos] = nxt[i]
                 self.stats.tokens_out += 1
                 if (req.eos_id is not None and nxt[i] == req.eos_id) \

@@ -130,6 +130,11 @@ class CachedDecoder:
                     f"({impl.name}); supported: "
                     f"{sorted(self._POINTWISE)} + nn.MultiheadAttention")
         self._step = jax.jit(self._step_fn, donate_argnums=(3,))
+        self._step_sample = jax.jit(self._step_sample_fn,
+                                    donate_argnums=(3,))
+        self._prefill_sample = jax.jit(self._prefill_sample_fn)
+        self._prefill_logits = jax.jit(self._prefill_logits_fn)
+        self._install = jax.jit(self._install_fn, donate_argnums=(0,))
 
     # ---- cache ----------------------------------------------------------
     def init_cache(self, batch: int, dtype=None):
@@ -190,6 +195,118 @@ class CachedDecoder:
             out = out + w["bo"]
         return out.astype(dt), (k_cache, v_cache)
 
+    def _mha_prefill(self, w, x, info):
+        """Full-window causal self-attention that ALSO returns the k/v
+        projections as a ready cache: the whole prompt prefills in ONE
+        dispatch instead of one step per token (each step costs a full
+        relay RTT on this chip — docs/PERF.md). Padding beyond a row's
+        prompt writes garbage k/v at positions >= length, but decode's
+        position mask (idx <= pos) never reads them."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..quant.tensor import resolve_weight
+
+        heads = info["num_heads"]
+        e = info["embed_dim"]
+        d = e // heads
+        dt = x.dtype
+        n, l = x.shape[0], x.shape[1]
+
+        def proj(wkey, bkey):
+            y = jnp.einsum("nli,io->nlo", x, resolve_weight(w[wkey], dt),
+                           preferred_element_type=jnp.float32)
+            if bkey in w:
+                y = y + w[bkey]
+            # [N,L,E] -> [N,H,L,D]
+            return jnp.transpose(
+                y.astype(dt).reshape(n, l, heads, d), (0, 2, 1, 3))
+
+        qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
+        s = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
+                       preferred_element_type=jnp.float32)
+        s = s * (1.0 / (d ** 0.5))
+        qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(ki <= qi, s, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        ctx = jnp.einsum("nhqk,nhkd->nhqd", p, vh)
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, e)
+        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
+                         preferred_element_type=jnp.float32)
+        if "bo" in w:
+            out = out + w["bo"]
+        return out.astype(dt), (kh, vh)
+
+    def _prefill_plan(self, weights, tokens):
+        """Walk the plan at full window width [N, L], capturing each
+        attention op's k/v as a cache. Returns (logits [N,L,V], caches).
+        Same op math as _step_fn, so prefill+decode is numerically the
+        step-by-step decode."""
+        import jax.numpy as jnp
+
+        caches = {}
+        env = {self._in_name: tokens}
+        for impl, ins, outs in self._plan:
+            w = weights.get(impl.name, {})
+            if impl.type == "nn.MultiheadAttention":
+                info = dict(impl.decode_info)
+                out, (kh, vh) = self._mha_prefill(w, env[ins[0]], info)
+                caches[impl.name] = (kh.astype(jnp.float32),
+                                     vh.astype(jnp.float32))
+                env[outs[0]] = out
+                for o in outs[1:]:
+                    env[o] = None
+                continue
+            args = [env[n] for n in ins]
+            r = impl.apply(w, *args)
+            if impl.n_outputs == 1:
+                env[outs[0]] = r
+            else:
+                for o, v in zip(outs, r):
+                    env[o] = v
+        return env[self._out_name], caches
+
+    def _prefill_logits_fn(self, weights, tokens, last_pos):
+        import jax.numpy as jnp
+
+        logits, caches = self._prefill_plan(weights, tokens)
+        last = jnp.take_along_axis(
+            logits, last_pos[:, None, None], axis=1)[:, 0, :]
+        return last, caches
+
+    def _prefill_sample_fn(self, weights, tokens, last_pos, key, step,
+                           temperature, top_k, top_p):
+        import jax
+
+        from .sampling import sample_logits
+
+        last, caches = self._prefill_logits_fn(weights, tokens, last_pos)
+        tok = sample_logits(last, jax.random.fold_in(key, step),
+                            temperature, top_k, top_p)
+        return tok, caches
+
+    def _step_sample_fn(self, weights, token, pos, caches, key, step,
+                        temperature, top_k, top_p):
+        import jax
+
+        from .sampling import sample_logits
+
+        logits, new_caches = self._step_fn(weights, token, pos, caches)
+        tok = sample_logits(logits[:, 0, :], jax.random.fold_in(key, step),
+                            temperature, top_k, top_p)
+        return tok, new_caches
+
+    @staticmethod
+    def _install_fn(pool, new, row):
+        """Write a prefilled batch-1 cache into row `row` of a slot-pool
+        cache (serving/llm.py admission) — one donated dispatch."""
+        import jax
+
+        return jax.tree_util.tree_map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(
+                a, b.astype(a.dtype), row, axis=0), pool, new)
+
     def _slice_seq(self, args, pos):
         """Align operands on the sequence axis: a graph constant spanning
         the full window (position embeddings) is gathered down to each
@@ -243,11 +360,68 @@ class CachedDecoder:
                           jnp.asarray(tokens, jnp.float32),
                           jnp.asarray(pos, jnp.int32), caches)
 
+    def prefill(self, tokens, lengths):
+        """Batched prompt prefill in ONE dispatch: tokens [N, L] padded
+        to the full window, lengths [N] real prompt lengths. Returns
+        (last_logits [N, V] at each row's final prompt position, caches
+        ready for decode at pos=length). Causality guarantees padding
+        cannot leak into the returned logits."""
+        import jax.numpy as jnp
+
+        tokens = np.asarray(tokens)
+        if tokens.shape[1] != self._window:
+            raise ValueError(f"prefill tokens must span the compiled "
+                             f"window [N, {self._window}], got "
+                             f"{tokens.shape}")
+        last_pos = jnp.asarray(np.asarray(lengths) - 1, jnp.int32)
+        return self._prefill_logits(self._weights,
+                                    jnp.asarray(tokens, jnp.float32),
+                                    last_pos)
+
+    def prefill_sample(self, tokens, lengths, key, step,
+                       temperature, top_k, top_p):
+        """prefill + on-device sampling of the first new token: returns
+        (token [N] int32, caches). One dispatch per admitted request —
+        the serving admission path (serving/llm.py)."""
+        import jax.numpy as jnp
+
+        last_pos = jnp.asarray(np.asarray(lengths) - 1, jnp.int32)
+        return self._prefill_sample(
+            self._weights, jnp.asarray(tokens, jnp.float32), last_pos,
+            key, jnp.int32(step), jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32),
+            jnp.asarray(top_p, jnp.float32))
+
+    def step_sample(self, tokens, pos, caches, key, step,
+                    temperature, top_k, top_p):
+        """One decode step returning the SAMPLED token [N] int32 instead
+        of logits — the sampler fuses into the step executable and only
+        one int per row crosses the host link."""
+        import jax.numpy as jnp
+
+        return self._step_sample(
+            self._weights, jnp.asarray(tokens, jnp.float32),
+            jnp.asarray(pos, jnp.int32), caches, key, jnp.int32(step),
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32),
+            jnp.asarray(top_p, jnp.float32))
+
+    def install_row(self, pool_caches, row_caches, row: int):
+        """Scatter a batch-1 prefilled cache into row `row` of a pooled
+        cache (one donated dispatch)."""
+        import jax.numpy as jnp
+
+        return self._install(pool_caches, row_caches, jnp.int32(row))
+
     def generate(self, prompt_ids, steps: int,
-                 eos_id: int | None = None) -> np.ndarray:
-        """Greedy decode with the KV cache: prompt tokens prefill the
-        cache one step at a time (same executable), then `steps` tokens
-        are generated at O(window) cost each."""
+                 eos_id: int | None = None, *, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0,
+                 seed: int = 0) -> np.ndarray:
+        """Decode with the KV cache: the whole prompt prefills in one
+        dispatch, then `steps` tokens are generated at O(window) cost
+        each. temperature<=0 (default) is greedy; otherwise on-device
+        temperature/top-k/top-p sampling seeded by `seed`."""
+        import jax
         import jax.numpy as jnp
 
         prompt = np.asarray(prompt_ids)
@@ -255,21 +429,28 @@ class CachedDecoder:
         if p + steps > self._window:
             raise ValueError(f"prompt ({p}) + steps ({steps}) exceeds "
                              f"the compiled window {self._window}")
-        caches = self.init_cache(n)
+        t_arr = np.full(n, temperature, np.float32)
+        k_arr = np.full(n, top_k, np.int32)
+        p_arr = np.full(n, top_p, np.float32)
+        key = jax.random.PRNGKey(seed)
+
         buf = np.zeros((n, p + steps), np.int64)
         buf[:, :p] = prompt
         done = np.zeros(n, bool)
-        logits = None
-        for t in range(p + steps - 1):
-            token = jnp.asarray(buf[:, t:t + 1], jnp.float32)
-            logits, caches = self._step(self._weights, token,
-                                        jnp.full((n,), t, jnp.int32),
-                                        caches)
-            if t >= p - 1:
-                nxt = np.asarray(jnp.argmax(logits[:, 0, :], axis=-1))
-                buf[:, t + 1] = np.where(done, 0, nxt)
-                if eos_id is not None:
-                    done |= (nxt == eos_id)
-                    if done.all():
-                        return buf[:, :t + 2]
+        window = np.zeros((n, self._window), np.float32)
+        window[:, :p] = prompt
+        tok, caches = self.prefill_sample(window, np.full(n, p), key, 0,
+                                          t_arr, k_arr, p_arr)
+        for t in range(p, p + steps):
+            nxt = np.asarray(tok)
+            buf[:, t] = np.where(done, 0, nxt)
+            if eos_id is not None:
+                done |= (nxt == eos_id)
+                if done.all():
+                    return buf[:, :t + 1]
+            if t + 1 >= p + steps:
+                break
+            tok, caches = self.step_sample(
+                buf[:, t:t + 1], np.full(n, t, np.int32), caches, key,
+                t - p + 1, t_arr, k_arr, p_arr)
         return buf

@@ -1,0 +1,262 @@
+"""Sampling (temperature/top-k/top-p) + batched-prefill decode tests.
+
+Oracle discipline mirrors the reference's kernel-vs-scalar-reference
+pattern (SURVEY.md §4.1): the jax sampler is checked against closed
+properties (greedy limits, support sets) and against the numpy
+reference's support; prefill is checked token-for-token and
+cache-for-cache against step-by-step decode.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simpleinfer_tpu.zoo.sampling import sample_logits, sample_logits_np
+
+
+def _rand_logits(n=4, v=50, seed=0):
+    return np.random.default_rng(seed).normal(size=(n, v)).astype(
+        np.float32) * 3.0
+
+
+def _gpt_engine(seq_len=24, vocab=40):
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.zoo import build_gpt
+
+    graph, _, _ = build_gpt(variant="nano", batch=1, seq_len=seq_len,
+                            vocab_size=vocab, depth=2, width=32,
+                            num_heads=4)
+    return Engine().load_model(None, graph=graph)
+
+
+# ---- sampler properties ---------------------------------------------------
+
+def test_sampler_greedy_at_zero_temperature():
+    logits = _rand_logits()
+    n = logits.shape[0]
+    tok = sample_logits(jnp.asarray(logits), jax.random.PRNGKey(0),
+                        jnp.zeros(n), jnp.zeros(n, jnp.int32),
+                        jnp.ones(n))
+    np.testing.assert_array_equal(np.asarray(tok),
+                                  logits.argmax(-1))
+
+
+def test_sampler_topk1_and_tiny_topp_are_greedy():
+    logits = _rand_logits(seed=1)
+    n = logits.shape[0]
+    for key in range(5):
+        tok = sample_logits(jnp.asarray(logits), jax.random.PRNGKey(key),
+                            jnp.full(n, 0.9), jnp.ones(n, jnp.int32),
+                            jnp.ones(n))
+        np.testing.assert_array_equal(np.asarray(tok), logits.argmax(-1))
+        # top_p below the max token's probability keeps only rank 0
+        tok = sample_logits(jnp.asarray(logits), jax.random.PRNGKey(key),
+                            jnp.full(n, 0.7), jnp.zeros(n, jnp.int32),
+                            jnp.full(n, 1e-9))
+        np.testing.assert_array_equal(np.asarray(tok), logits.argmax(-1))
+
+
+def test_sampler_respects_topk_support():
+    logits = _rand_logits(n=3, v=64, seed=2)
+    n = logits.shape[0]
+    k = 5
+    allowed = np.argsort(-logits, axis=-1)[:, :k]
+    for key in range(20):
+        tok = np.asarray(sample_logits(
+            jnp.asarray(logits), jax.random.PRNGKey(key),
+            jnp.full(n, 1.3), jnp.full(n, k, jnp.int32), jnp.ones(n)))
+        for i in range(n):
+            assert tok[i] in allowed[i]
+
+
+def test_sampler_respects_topp_support():
+    logits = _rand_logits(n=3, v=64, seed=3)
+    n = logits.shape[0]
+    p = 0.6
+    # allowed = smallest prefix of the sorted softmax reaching mass p
+    order = np.argsort(-logits, axis=-1)
+    s = np.take_along_axis(logits, order, -1).astype(np.float64)
+    probs = np.exp(s - s.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    keep = (np.cumsum(probs, -1) - probs) < p
+    for key in range(20):
+        tok = np.asarray(sample_logits(
+            jnp.asarray(logits), jax.random.PRNGKey(key),
+            jnp.ones(n), jnp.zeros(n, jnp.int32), jnp.full(n, p)))
+        for i in range(n):
+            assert tok[i] in order[i][keep[i]]
+
+
+def test_sampler_per_row_settings_mix():
+    """One batch can mix greedy and sampled rows (the serving shape)."""
+    logits = _rand_logits(n=4, v=32, seed=4)
+    temp = jnp.asarray([0.0, 1.0, 0.0, 2.0])
+    topk = jnp.asarray([0, 3, 0, 0], jnp.int32)
+    topp = jnp.asarray([1.0, 1.0, 1.0, 0.5])
+    allowed1 = np.argsort(-logits[1])[:3]
+    for key in range(10):
+        tok = np.asarray(sample_logits(jnp.asarray(logits),
+                                       jax.random.PRNGKey(key),
+                                       temp, topk, topp))
+        assert tok[0] == logits[0].argmax()
+        assert tok[2] == logits[2].argmax()
+        assert tok[1] in allowed1
+
+
+def test_sampler_numpy_reference_support_matches():
+    """The numpy reference and the jax sampler draw from the SAME
+    support (different streams): over many draws each only ever emits
+    tokens the other can emit."""
+    logits = _rand_logits(n=2, v=16, seed=5)
+    n = logits.shape[0]
+    t = np.full(n, 1.0, np.float32)
+    k = np.full(n, 4, np.int32)
+    p = np.full(n, 0.9, np.float32)
+    rng = np.random.default_rng(0)
+    np_support = [set() for _ in range(n)]
+    jax_support = [set() for _ in range(n)]
+    for it in range(60):
+        a = sample_logits_np(logits, rng, t, k, p)
+        b = np.asarray(sample_logits(jnp.asarray(logits),
+                                     jax.random.PRNGKey(it),
+                                     jnp.asarray(t), jnp.asarray(k),
+                                     jnp.asarray(p)))
+        for i in range(n):
+            np_support[i].add(int(a[i]))
+            jax_support[i].add(int(b[i]))
+    for i in range(n):
+        assert jax_support[i] <= np_support[i] or \
+            np_support[i] <= jax_support[i]
+
+
+def test_sampler_distribution_shifts_with_temperature():
+    """Higher temperature spreads the draw: unique-token count over a
+    fixed key set must not shrink when temperature rises."""
+    logits = _rand_logits(n=1, v=32, seed=6)
+    uniques = []
+    for t in (0.2, 2.0):
+        seen = {int(np.asarray(sample_logits(
+            jnp.asarray(logits), jax.random.PRNGKey(key),
+            jnp.full(1, t), jnp.zeros(1, jnp.int32), jnp.ones(1)))[0])
+            for key in range(40)}
+        uniques.append(len(seen))
+    assert uniques[1] >= uniques[0]
+
+
+# ---- batched prefill ------------------------------------------------------
+
+def test_prefill_matches_stepwise_decode():
+    """One-dispatch prefill must reproduce step-by-step prefill: same
+    caches (where defined) and the same next token."""
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec = CachedDecoder(eng)
+    prompt = np.array([[3, 7, 11, 2, 9]])
+    n, p = prompt.shape
+
+    # stepwise: feed prompt tokens one at a time
+    caches = dec.init_cache(n)
+    logits = None
+    for t in range(p):
+        logits, caches = dec.step(prompt[:, t:t + 1],
+                                  np.full(n, t, np.int32), caches)
+    want_next = np.asarray(jnp.argmax(logits[:, 0, :], -1))
+
+    window = np.zeros((n, dec._window), np.float32)
+    window[:, :p] = prompt
+    last, pre_caches = dec.prefill(window, np.full(n, p))
+    got_next = np.asarray(jnp.argmax(last, -1))
+    np.testing.assert_array_equal(got_next, want_next)
+
+    for name in caches:
+        for j in (0, 1):  # k, v
+            a = np.asarray(caches[name][j])[:, :, :p, :]
+            b = np.asarray(pre_caches[name][j])[:, :, :p, :]
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_prefill_batched_rows_with_mixed_lengths():
+    """Batched prefill with different per-row lengths must equal
+    per-row solo prefill (padding must not leak — causality)."""
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec = CachedDecoder(eng)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 40, size=p) for p in (3, 7)]
+    window = np.zeros((2, dec._window), np.float32)
+    lengths = np.array([len(q) for q in prompts])
+    for i, q in enumerate(prompts):
+        window[i, :len(q)] = q
+    last, _ = dec.prefill(window, lengths)
+
+    for i, q in enumerate(prompts):
+        solo = np.zeros((1, dec._window), np.float32)
+        solo[0, :len(q)] = q
+        want, _ = dec.prefill(solo, lengths[i:i + 1])
+        np.testing.assert_allclose(np.asarray(last)[i], np.asarray(want)[0],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_generate_uses_prefill_and_matches_greedy():
+    from simpleinfer_tpu.zoo import greedy_generate
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec = CachedDecoder(eng)
+    prompt = np.array([[5, 1, 8]])
+    want = greedy_generate(eng, prompt, steps=8)
+    got = dec.generate(prompt, steps=8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_generate_sampled_topk1_is_greedy_and_seed_reproducible():
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec = CachedDecoder(eng)
+    prompt = np.array([[5, 1, 8]])
+    greedy = dec.generate(prompt, steps=6)
+    got = dec.generate(prompt, steps=6, temperature=0.8, top_k=1)
+    np.testing.assert_array_equal(got, greedy)
+
+    a = dec.generate(prompt, steps=6, temperature=1.2, top_k=8, seed=7)
+    b = dec.generate(prompt, steps=6, temperature=1.2, top_k=8, seed=7)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (1, 3 + 6)
+    assert (a[0, :3] == prompt[0]).all()
+
+
+# ---- service sampling -----------------------------------------------------
+
+def test_generation_service_sampled_requests():
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=2, seed=3).start()
+    futs = [svc.submit([4, 8, 2], max_new=5, temperature=0.9, top_k=6)
+            for _ in range(3)]
+    outs = [f.result(timeout=60) for f in futs]
+    svc.stop()
+    for out in outs:
+        assert out.shape == (3 + 5,)
+        np.testing.assert_array_equal(out[:3], [4, 8, 2])
+        assert ((out >= 0) & (out < 40)).all()
+    assert svc.stats.prefills == 3
+    assert svc.stats.completed == 3
+
+
+def test_generation_service_rejects_bad_params():
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=1).start()
+    with pytest.raises(ValueError):
+        svc.submit([1], max_new=0)
+    with pytest.raises(ValueError):
+        svc.submit([1], max_new=2, top_p=1.5)
+    with pytest.raises(ValueError):
+        svc.submit([1], max_new=2, top_k=-1)
+    svc.stop()
