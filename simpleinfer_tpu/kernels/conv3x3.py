@@ -69,7 +69,7 @@ def _kernel(x_ref, w_ref, m_ref, b_ref, o_ref, *, shifts, act, has_bias,
         acc = y if acc is None else acc + y
     if has_bias:
         acc = acc + b_ref[:]
-    o_ref[0] = resolve_activation(act)(acc).astype(out_dtype)
+    o_ref[0] = resolve_activation(act, kernel=True)(acc).astype(out_dtype)
 
 
 def conv3x3_vmem_ok(h: int, w: int, c: int, oc: int,

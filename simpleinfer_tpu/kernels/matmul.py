@@ -45,10 +45,36 @@ _ACTIVATIONS: dict = {
 }
 
 
-def resolve_activation(name):
+def _erf_as(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7): Mosaic
+    has no erf/erfc lowering (probed on-chip 2026-08-18 — erf, erfc and
+    expm1 all raise NotImplementedError inside pallas_call; the CPU
+    interpreter hides this), so exact-GELU epilogues use this inside
+    kernels. 1.5e-7 is below f32 matmul accumulation noise."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+# Mosaic-safe overrides used when the activation runs INSIDE a Pallas
+# kernel body (see _erf_as; expm1(x<=0) = exp(x)-1 loses only absolute
+# ~1e-7 near 0, negligible in an f32 epilogue)
+_KERNEL_OVERRIDES: dict = {
+    "gelu": lambda x: 0.5 * x * (1.0 + _erf_as(x * 0.7071067811865476)),
+}
+
+
+def resolve_activation(name, kernel: bool = False):
     """Epilogue-activation lookup; parameterized forms encode their
     argument as `name@value` (e.g. "leaky_relu@0.1", "elu@1.0") so the
-    fusion pass (ir/passes.FUSABLE) can carry them in one string param."""
+    fusion pass (ir/passes.FUSABLE) can carry them in one string param.
+    `kernel=True` swaps in Mosaic-lowerable variants for the primitives
+    Pallas TPU cannot lower (erf/erfc/expm1)."""
+    if kernel and name in _KERNEL_OVERRIDES:
+        return _KERNEL_OVERRIDES[name]
     if name in _ACTIVATIONS:
         return _ACTIVATIONS[name]
     base, _, arg = (name or "").partition("@")
@@ -57,6 +83,10 @@ def resolve_activation(name):
         return lambda x: jnp.where(x >= 0, x, x * jnp.asarray(s, x.dtype))
     if base == "elu" and arg:
         a = float(arg)
+        if kernel:  # Mosaic has no expm1
+            return lambda x: jnp.where(
+                x > 0, x, jnp.asarray(a, x.dtype)
+                * (jnp.exp(jnp.minimum(x, 0.0)) - 1.0))
         return lambda x: jnp.where(x > 0, x,
                                    jnp.asarray(a, x.dtype) * jnp.expm1(x))
     raise KeyError(f"unknown epilogue activation {name!r}")
@@ -147,7 +177,8 @@ def _matmul_impl(x, w, scale, bias, *, activation, block_m, block_n,
     n_k = kp // block_k
     grid = (mp // block_m, np_ // block_n, n_k)
     kernel = functools.partial(
-        _matmul_kernel, n_k=n_k, act=resolve_activation(activation),
+        _matmul_kernel, n_k=n_k,
+        act=resolve_activation(activation, kernel=True),
         dequant=dequant, has_bias=has_bias, out_dtype=out_dtype)
     out = pl.pallas_call(
         kernel,
@@ -249,7 +280,8 @@ def _matmul_s8s8_impl(x_q, w_q, scale, bias, *, activation, block_m,
         else jnp.zeros((1, np_), jnp.float32)
     n_k = kp // block_k
     kernel = functools.partial(
-        _matmul_s8s8_kernel, n_k=n_k, act=resolve_activation(activation),
+        _matmul_s8s8_kernel, n_k=n_k,
+        act=resolve_activation(activation, kernel=True),
         has_bias=has_bias, out_dtype=out_dtype)
     out = pl.pallas_call(
         kernel,

@@ -306,3 +306,147 @@ def lower_multihead_attention(op, cfg):
                      "batch_first": batch_first, "kdim": kdim,
                      "vdim": vdim},
     )
+
+
+# ------------------------------------------------------- rotary attention
+def rope_cos_sin(positions, dim, theta):
+    """HF-convention RoPE tables: positions [...] int -> (cos, sin)
+    [..., dim] f32, frequencies duplicated across the two halves."""
+    half = dim // 2
+    inv = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32)
+                           / float(half)))
+    freqs = positions.astype(jnp.float32)[..., None] * inv
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x, cos, sin):
+    """Rotate the last dim of x [..., D] by (cos, sin) broadcastable to
+    x's shape (HF rotate_half convention: [x1, x2] -> [-x2, x1])."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    dt = x.dtype
+    return (x.astype(jnp.float32) * cos
+            + rot.astype(jnp.float32) * sin).astype(dt)
+
+
+def repeat_kv(x, group):
+    """GQA: [N, Hkv, L, D] -> [N, Hkv*group, L, D] (each kv head serves
+    `group` query heads)."""
+    if group == 1:
+        return x
+    return jnp.repeat(x, group, axis=1)
+
+
+@register_op("si.RotaryAttention")
+def lower_rotary_attention(op, cfg):
+    """Llama-style decoder self-attention as ONE composite op: q/k/v/o
+    projections, rotary position embedding (RoPE, HF rotate_half
+    convention), grouped-query attention (num_kv_heads <= num_heads),
+    and an INTRINSIC causal mask.
+
+    Composite-op precedent: the reference folds the whole YOLOv5 head
+    into one `models.yolo.Detect` layer (/root/reference/src/layer/
+    yolo_detect.cpp:31-155) rather than exploding it into primitives;
+    this op plays that role for llama-family attention, and gives the
+    KV-cache decoder (zoo/generate.CachedDecoder) a single node whose
+    decode_info carries the head geometry.
+
+    Params: embed_dim, num_heads, num_kv_heads (default = num_heads),
+    rope_theta (default 1e4), bias (default False, qwen2-style q/k/v
+    biases when True). Attrs: {q,k,v,o}_proj.weight ([out, in], llama
+    checkpoint layout) + optional {q,k,v}_proj.bias.
+    Input x [N, L, E] batch-first; output [N, L, E].
+    """
+    embed_dim = require_param(op, "embed_dim", PARAM_INT).i
+    num_heads = require_param(op, "num_heads", PARAM_INT).i
+    num_kv = (op.params["num_kv_heads"].i
+              if op.has_param("num_kv_heads", PARAM_INT) else num_heads)
+    theta = (op.params["rope_theta"].f
+             if op.has_param("rope_theta", PARAM_FLOAT) else 10000.0)
+    if embed_dim % num_heads:
+        raise ValueError(f"RotaryAttention {op.name}: embed_dim "
+                         f"{embed_dim} not divisible by {num_heads} heads")
+    if num_heads % num_kv:
+        raise ValueError(f"RotaryAttention {op.name}: num_heads "
+                         f"{num_heads} not divisible by num_kv_heads "
+                         f"{num_kv}")
+    d = embed_dim // num_heads
+    if d % 2:
+        raise ValueError(f"RotaryAttention {op.name}: head_dim {d} must "
+                         f"be even for RoPE")
+    group = num_heads // num_kv
+
+    weights: dict[str, np.ndarray] = {}
+    for key, out_dim in (("q", num_heads * d), ("k", num_kv * d),
+                         ("v", num_kv * d), ("o", embed_dim)):
+        w = require_attr(op, f"{key}_proj.weight").array()
+        in_dim = num_heads * d if key == "o" else embed_dim
+        if list(w.shape) != [out_dim, in_dim]:
+            raise ValueError(f"RotaryAttention {op.name}: "
+                             f"{key}_proj.weight shape {w.shape} != "
+                             f"[{out_dim}, {in_dim}]")
+        weights[f"w{key}"] = np.ascontiguousarray(w.T).astype(np.float32)
+        if op.has_attr(f"{key}_proj.bias"):
+            weights[f"b{key}"] = (require_attr(op, f"{key}_proj.bias")
+                                  .array().astype(np.float32))
+
+    Lq = op.inputs[0].shape[1] if (op.inputs and
+                                   len(op.inputs[0].shape) == 3) else None
+    flops = 0
+    if Lq and Lq > 0:
+        proj = 2 * embed_dim * d * (num_heads + 2 * num_kv + num_heads)
+        attn = 2 * 2 * Lq * num_heads * d
+        flops = Lq * (proj + attn)
+
+    def apply(weights, x):
+        from ..quant.tensor import resolve_weight
+
+        dt = x.dtype
+        n, l = x.shape[0], x.shape[1]
+
+        def proj(key, heads):
+            y = jnp.einsum("nli,io->nlo", x,
+                           resolve_weight(weights[f"w{key}"], dt),
+                           preferred_element_type=jnp.float32)
+            if f"b{key}" in weights:
+                y = y + weights[f"b{key}"]
+            return jnp.transpose(y.astype(dt).reshape(n, l, heads, d),
+                                 (0, 2, 1, 3))
+
+        qh, kh, vh = proj("q", num_heads), proj("k", num_kv), proj(
+            "v", num_kv)
+        cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
+        qh = apply_rope(qh, cos[None, None], sin[None, None])
+        kh = apply_rope(kh, cos[None, None], sin[None, None])
+        s = jnp.einsum("nhqd,nhkd->nhqk", qh, repeat_kv(kh, group),
+                       preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(d))
+        qi = lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        ki = lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(ki <= qi, s, jnp.finfo(jnp.float32).min)
+        p = _softmax_f32(s).astype(dt)
+        ctx = jnp.einsum("nhqk,nhkd->nhqd", p, repeat_kv(vh, group))
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l,
+                                                       num_heads * d)
+        out = jnp.einsum("nli,io->nlo", ctx,
+                         resolve_weight(weights["wo"], dt),
+                         preferred_element_type=jnp.float32)
+        if "bo" in weights:
+            out = out + weights["bo"]
+        return out.astype(dt)
+
+    return OpImpl(
+        name=op.name, type=op.type, apply=apply, weights=weights,
+        quantizable={"wq": 1, "wk": 1, "wv": 1, "wo": 1},
+        shard_hints={"wq": (None, "model"), "wk": (None, "model"),
+                     "wv": (None, "model"), "wo": ("model", None),
+                     "bq": ("model",), "bk": ("model",),
+                     "bv": ("model",)},
+        flops_per_item=flops,
+        decode_info={"embed_dim": embed_dim, "num_heads": num_heads,
+                     "num_kv_heads": num_kv, "head_dim": d,
+                     "rope_theta": theta, "rotary": True,
+                     "batch_first": True},
+    )

@@ -82,6 +82,19 @@ def lower_linear(op, cfg):
             from .conv import int8_epilogue
 
             q = quantize_act(x, act_scale)
+            lead = x.shape[:-1]
+            m = int(np.prod(lead)) if lead else 1
+            if (allow_pallas and pallas_supported()
+                    and min(m, in_features, out_features) >= 256):
+                # native s8xs8 Pallas GEMM: measured 264 vs 218 T/s
+                # XLA-s8 at 4096^3 (docs/PERF.md); requant fused in the
+                # kernel epilogue. Gated to MXU-sized operands.
+                from ..kernels.matmul import matmul_s8s8
+
+                out = matmul_s8s8(q.reshape(-1, in_features), w.data,
+                                  act_scale * w.scale, bias, fused_act,
+                                  out_dtype=x.dtype)
+                return back(out.reshape(*lead, out_features))
             acc = jnp.einsum("...i,io->...o", q, w.data,
                              preferred_element_type=jnp.int32)
             return back(int8_epilogue(acc, act_scale, w.scale, bias,

@@ -10,6 +10,7 @@ to real .pnnx.param/.bin files when on-disk fixtures are wanted.
 from .builders import (
     build_bert,
     build_gpt,
+    build_llama,
     build_convnext,
     build_densenet,
     build_mobilenet_like,
@@ -24,6 +25,6 @@ from .builders import (
 )
 from .generate import greedy_generate
 
-__all__ = ["build_bert", "build_gpt", "greedy_generate", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
+__all__ = ["build_bert", "build_gpt", "build_llama", "greedy_generate", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
            "build_resnet18", "build_resnet50", "build_squeezenet", "build_unet", "build_vit",
            "build_yolov5", "build_yolov8"]

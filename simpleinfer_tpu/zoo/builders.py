@@ -351,6 +351,52 @@ class GraphBuilder:
         self.shape[out] = list(self.shape[x])
         return out
 
+    def rms_norm(self, x: str, affine: bool = True) -> str:
+        e = self.shape[x][-1]
+        name = self._name("rms")
+        attrs = {}
+        if affine:
+            attrs["weight"] = np.ones(e, np.float32) + (
+                self.rng.standard_normal(e).astype(np.float32) * 0.02)
+        (out,) = self._op("nn.RMSNorm", name, [x], params=dict(
+            normalized_shape=[e], eps=1e-6, elementwise_affine=affine),
+            attrs=attrs)
+        self.shape[out] = list(self.shape[x])
+        return out
+
+    def silu_act(self, x: str) -> str:
+        return self._act("nn.SiLU", x)
+
+    def rotary_attention(self, x: str, num_heads: int,
+                         num_kv_heads: int | None = None,
+                         rope_theta: float = 10000.0,
+                         bias: bool = False) -> str:
+        """Llama-style causal self-attention (si.RotaryAttention
+        composite, ops/attention.py): RoPE + GQA, intrinsic causal
+        mask, llama checkpoint weight layout."""
+        e = self.shape[x][-1]
+        kv = num_kv_heads or num_heads
+        d = e // num_heads
+        name = self._name("rattn")
+        attrs = {
+            "q_proj.weight": self._rand((num_heads * d, e), fan_in=e),
+            "k_proj.weight": self._rand((kv * d, e), fan_in=e),
+            "v_proj.weight": self._rand((kv * d, e), fan_in=e),
+            "o_proj.weight": self._rand((e, num_heads * d),
+                                        fan_in=num_heads * d),
+        }
+        if bias:
+            for k in ("q", "k", "v"):
+                heads = num_heads if k == "q" else kv
+                attrs[f"{k}_proj.bias"] = (
+                    self.rng.standard_normal(heads * d)
+                    .astype(np.float32) * 0.02)
+        (out,) = self._op("si.RotaryAttention", name, [x], params=dict(
+            embed_dim=e, num_heads=num_heads, num_kv_heads=kv,
+            rope_theta=rope_theta, bias=bias), attrs=attrs)
+        self.shape[out] = list(self.shape[x])
+        return out
+
     def embedding(self, idx: str, num_embeddings: int,
                   embedding_dim: int) -> str:
         name = self._name("emb")
@@ -1075,6 +1121,64 @@ def build_gpt(variant: str = "nano", batch: int = 1, seq_len: int = 64,
         x = b.add(x, y)
 
     x = b.layer_norm(x)
+    logits = b.linear(x, vocab_size, bias=False)
+    b.output(logits)
+    return b.build(), "0", logits
+
+
+LLAMA_PRESETS = {
+    # depth, width, heads, kv_heads (nano/micro are test-scale; the
+    # ratios mirror llama-2/3 blocks: GQA, SwiGLU at 8/3 expansion)
+    "nano": (2, 64, 4, 2),
+    "micro": (4, 128, 8, 4),
+    "small": (8, 512, 16, 8),
+}
+
+
+def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
+                vocab_size: int = 128, depth: int | None = None,
+                width: int | None = None, num_heads: int | None = None,
+                num_kv_heads: int | None = None,
+                rope_theta: float = 10000.0, seed: int = 0) -> tuple:
+    """Llama-family causal decoder LM (superset family — the reference
+    has no autoregressive workload, and the GPT builder covers the
+    learned-position/LayerNorm/packed-MHA lineage).
+
+    Token ids [N, L] -> nn.Embedding (no position embedding: positions
+    enter through RoPE) -> pre-RMSNorm blocks of si.RotaryAttention
+    (RoPE + grouped-query attention, intrinsic causal mask) and SwiGLU
+    MLP (gate/up nn.Linear, silu*up via BinaryOp mul, down nn.Linear;
+    no biases anywhere, llama convention) -> final RMSNorm -> vocab
+    head. Output: next-token logits [N, L, V]. Drivable by
+    greedy_generate, CachedDecoder (KV-cache decode with on-device
+    RoPE), and serving.GenerationService.
+    """
+    if variant not in LLAMA_PRESETS:
+        raise ValueError(f"variant must be one of {list(LLAMA_PRESETS)}")
+    d0, w0, h0, kv0 = LLAMA_PRESETS[variant]
+    depth = d0 if depth is None else depth
+    w = w0 if width is None else width
+    heads = h0 if num_heads is None else num_heads
+    kv = kv0 if num_kv_heads is None else num_kv_heads
+    inter = max(1, int(w * 8 / 3) // 16 * 16)  # llama 8/3, 16-aligned
+
+    b = GraphBuilder(seed)
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, vocab_size, w)
+
+    for _ in range(depth):
+        y = b.rms_norm(x)
+        y = b.rotary_attention(y, heads, num_kv_heads=kv,
+                               rope_theta=rope_theta)
+        x = b.add(x, y)
+        y = b.rms_norm(x)
+        gate = b.silu_act(b.linear(y, inter, bias=False))
+        up = b.linear(y, inter, bias=False)
+        y = b.mul(gate, up)
+        y = b.linear(y, w, bias=False)
+        x = b.add(x, y)
+
+    x = b.rms_norm(x)
     logits = b.linear(x, vocab_size, bias=False)
     b.output(logits)
     return b.build(), "0", logits

@@ -79,9 +79,11 @@ class CachedDecoder:
     Supported plan ops: token-pointwise ops (Embedding/LayerNorm/
     RMSNorm/Linear/activations/BinaryOp), graph constants
     (pnnx.Attribute, auto-sliced at the current position when they span
-    the sequence axis — position embeddings), and self-attention
+    the sequence axis — position embeddings), self-attention
     nn.MultiheadAttention (its baked causal-mask operand is dropped:
-    causality is implicit in the cache). Anything else raises.
+    causality is implicit in the cache), and si.RotaryAttention
+    (llama-family: on-device RoPE at per-row positions, GQA kv-head
+    cache). Anything else raises.
     """
 
     _POINTWISE = {
@@ -124,6 +126,8 @@ class CachedDecoder:
                     raise ValueError(f"{impl.name}: kdim/vdim != "
                                      f"embed_dim unsupported")
                 self._mha_ops.append((impl.name, info))
+            elif impl.type == "si.RotaryAttention":
+                self._mha_ops.append((impl.name, impl.decode_info))
             elif impl.type not in self._POINTWISE:
                 raise ValueError(
                     f"KV-cache decode: unsupported op type {impl.type!r} "
@@ -144,8 +148,9 @@ class CachedDecoder:
         caches = {}
         for name, info in self._mha_ops:
             h = info["num_heads"]
-            d = info["embed_dim"] // h
-            shape = (batch, h, self._window, d)
+            kv = info.get("num_kv_heads", h)  # GQA: kv heads cached
+            d = info.get("head_dim", info["embed_dim"] // h)
+            shape = (batch, kv, self._window, d)
             caches[name] = (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         return caches
 
@@ -194,6 +199,106 @@ class CachedDecoder:
         if "bo" in w:
             out = out + w["bo"]
         return out.astype(dt), (k_cache, v_cache)
+
+    def _rope_decode(self, w, q, cache, pos, info):
+        """si.RotaryAttention decode step: RoPE applied at each row's
+        position on device, rotated k cached (standard practice — the
+        cache never needs re-rotation), GQA kv heads repeated at the
+        attention einsum only."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.attention import apply_rope, repeat_kv, rope_cos_sin
+        from ..quant.tensor import resolve_weight
+
+        heads = info["num_heads"]
+        kvh = info["num_kv_heads"]
+        d = info["head_dim"]
+        theta = info["rope_theta"]
+        group = heads // kvh
+        dt = q.dtype
+        n = q.shape[0]
+
+        def proj(key, h):
+            y = jnp.einsum("nli,io->nlo", q,
+                           resolve_weight(w[f"w{key}"], dt),
+                           preferred_element_type=jnp.float32)
+            if f"b{key}" in w:
+                y = y + w[f"b{key}"]
+            return jnp.transpose(y.astype(dt).reshape(n, 1, h, d),
+                                 (0, 2, 1, 3))  # [N,h,1,D]
+
+        qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        cos, sin = rope_cos_sin(pos, d, theta)          # [N, D]
+        qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
+        kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
+        k_cache, v_cache = cache
+        rows = jnp.arange(n)
+        k_cache = k_cache.at[rows, :, pos, :].set(
+            kh[:, :, 0, :].astype(k_cache.dtype))
+        v_cache = v_cache.at[rows, :, pos, :].set(
+            vh[:, :, 0, :].astype(v_cache.dtype))
+        s = jnp.einsum("nhqd,nhkd->nhqk", qh,
+                       repeat_kv(k_cache.astype(dt), group),
+                       preferred_element_type=jnp.float32)
+        s = s * (1.0 / (d ** 0.5))
+        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(idx <= pos[:, None, None, None], s,
+                      jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        ctx = jnp.einsum("nhqk,nhkd->nhqd", p,
+                         repeat_kv(v_cache.astype(dt), group))
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
+        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
+                         preferred_element_type=jnp.float32)
+        if "bo" in w:
+            out = out + w["bo"]
+        return out.astype(dt), (k_cache, v_cache)
+
+    def _rope_prefill(self, w, x, info):
+        """Full-window si.RotaryAttention with k/v capture (rotated k —
+        same convention as _rope_decode)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.attention import apply_rope, repeat_kv, rope_cos_sin
+        from ..quant.tensor import resolve_weight
+
+        heads = info["num_heads"]
+        kvh = info["num_kv_heads"]
+        d = info["head_dim"]
+        theta = info["rope_theta"]
+        group = heads // kvh
+        dt = x.dtype
+        n, l = x.shape[0], x.shape[1]
+
+        def proj(key, h):
+            y = jnp.einsum("nli,io->nlo", x,
+                           resolve_weight(w[f"w{key}"], dt),
+                           preferred_element_type=jnp.float32)
+            if f"b{key}" in w:
+                y = y + w[f"b{key}"]
+            return jnp.transpose(y.astype(dt).reshape(n, l, h, d),
+                                 (0, 2, 1, 3))
+
+        qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
+        qh = apply_rope(qh, cos[None, None], sin[None, None])
+        kh = apply_rope(kh, cos[None, None], sin[None, None])
+        s = jnp.einsum("nhqd,nhkd->nhqk", qh, repeat_kv(kh, group),
+                       preferred_element_type=jnp.float32)
+        s = s * (1.0 / (d ** 0.5))
+        qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(ki <= qi, s, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        ctx = jnp.einsum("nhqk,nhkd->nhqd", p, repeat_kv(vh, group))
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, heads * d)
+        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
+                         preferred_element_type=jnp.float32)
+        if "bo" in w:
+            out = out + w["bo"]
+        return out.astype(dt), (kh, vh)
 
     def _mha_prefill(self, w, x, info):
         """Full-window causal self-attention that ALSO returns the k/v
@@ -249,9 +354,12 @@ class CachedDecoder:
         env = {self._in_name: tokens}
         for impl, ins, outs in self._plan:
             w = weights.get(impl.name, {})
-            if impl.type == "nn.MultiheadAttention":
+            if impl.type in ("nn.MultiheadAttention",
+                             "si.RotaryAttention"):
                 info = dict(impl.decode_info)
-                out, (kh, vh) = self._mha_prefill(w, env[ins[0]], info)
+                fill = (self._rope_prefill if info.get("rotary")
+                        else self._mha_prefill)
+                out, (kh, vh) = fill(w, env[ins[0]], info)
                 caches[impl.name] = (kh.astype(jnp.float32),
                                      vh.astype(jnp.float32))
                 env[outs[0]] = out
@@ -330,9 +438,12 @@ class CachedDecoder:
         env = {self._in_name: token}
         for impl, ins, outs in self._plan:
             w = weights.get(impl.name, {})
-            if impl.type == "nn.MultiheadAttention":
+            if impl.type in ("nn.MultiheadAttention",
+                             "si.RotaryAttention"):
                 info = dict(impl.decode_info)
-                out, new_caches[impl.name] = self._mha_decode(
+                dec = (self._rope_decode if info.get("rotary")
+                       else self._mha_decode)
+                out, new_caches[impl.name] = dec(
                     w, env[ins[0]], caches[impl.name], pos, info)
                 env[outs[0]] = out
                 for o in outs[1:]:

@@ -221,3 +221,20 @@ def test_flash_attention_matches_multiblock_q():
     want = np.asarray(flash_attention_ref(*map(jnp.asarray, (q, k, v))))
     tol = 5e-6 if not ON_TPU else 2e-2
     np.testing.assert_allclose(got, want, atol=tol * 8, rtol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["gelu", "elu@1.0"])
+def test_kernel_safe_activation_variants(name):
+    """Mosaic has no erf/erfc/expm1 lowering (probed on-chip
+    2026-08-18): resolve_activation(kernel=True) must swap in
+    lowerable variants that match the exact forms to ~1e-6. The
+    on-chip compile itself is covered by SI_TPU_TESTS kernel runs."""
+    from simpleinfer_tpu.kernels.matmul import resolve_activation
+
+    x = jnp.linspace(-4, 4, 1024, dtype=jnp.float32)
+    exact = resolve_activation(name)(x)
+    safe = resolve_activation(name, kernel=True)(x)
+    assert resolve_activation(name, kernel=True) is not \
+        resolve_activation(name)
+    np.testing.assert_allclose(np.asarray(safe), np.asarray(exact),
+                               atol=2e-6)

@@ -1,0 +1,231 @@
+"""Llama-family tests: si.RotaryAttention op, build_llama, KV-cache
+decode with RoPE/GQA, serving.
+
+Oracle discipline (SURVEY.md §4.1): the composite attention op is
+checked against a float64 numpy loop oracle (the reference's
+naive-loop-vs-kernel pattern); the decode path is checked
+token-for-token against the full-window re-forward, which is an
+independent implementation of the same math.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from simpleinfer_tpu import Engine, EngineConfig
+from simpleinfer_tpu.ops import lower_operator
+from simpleinfer_tpu.zoo import build_llama, greedy_generate
+from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+from test_ops_extra import make_op
+
+RNG = np.random.default_rng(21)
+
+
+# ------------------------------------------------------------ numpy oracle
+def _rope_tables(length, dim, theta):
+    half = dim // 2
+    inv = 1.0 / (theta ** (np.arange(half, dtype=np.float64) / half))
+    freqs = np.arange(length, dtype=np.float64)[:, None] * inv
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return np.cos(emb), np.sin(emb)
+
+
+def _rope_rotate(x, cos, sin):
+    half = x.shape[-1] // 2
+    rot = np.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return x * cos + rot * sin
+
+
+def rotary_attention_np(x, wq, wk, wv, wo, heads, kv_heads, theta,
+                        bq=None, bk=None, bv=None):
+    """float64 reference: x [N,L,E], weights in llama [out,in] layout."""
+    x = x.astype(np.float64)
+    n, l, e = x.shape
+    d = e // heads
+    group = heads // kv_heads
+
+    def proj(w, b, h):
+        y = x @ w.T.astype(np.float64)
+        if b is not None:
+            y = y + b
+        return y.reshape(n, l, h, d).transpose(0, 2, 1, 3)
+
+    q = proj(wq, bq, heads)
+    k = proj(wk, bk, kv_heads)
+    v = proj(wv, bv, kv_heads)
+    cos, sin = _rope_tables(l, d, theta)
+    q = _rope_rotate(q, cos, sin)
+    k = _rope_rotate(k, cos, sin)
+    k = np.repeat(k, group, axis=1)
+    v = np.repeat(v, group, axis=1)
+    s = np.einsum("nhqd,nhkd->nhqk", q, k) / np.sqrt(d)
+    mask = np.triu(np.ones((l, l), bool), k=1)
+    s = np.where(mask, -1e30, s)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ctx = np.einsum("nhqk,nhkd->nhqd", p, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(n, l, heads * d)
+    return ctx @ wo.T.astype(np.float64)
+
+
+def _rotary_op(e, heads, kv_heads, theta=10000.0, bias=False, seed=0):
+    rng = np.random.default_rng(seed)
+    d = e // heads
+    scale = 1.0 / np.sqrt(e)
+    attrs = {
+        "q_proj.weight": rng.standard_normal((heads * d, e)).astype(
+            np.float32) * scale,
+        "k_proj.weight": rng.standard_normal((kv_heads * d, e)).astype(
+            np.float32) * scale,
+        "v_proj.weight": rng.standard_normal((kv_heads * d, e)).astype(
+            np.float32) * scale,
+        "o_proj.weight": rng.standard_normal((e, heads * d)).astype(
+            np.float32) * scale,
+    }
+    if bias:
+        attrs["q_proj.bias"] = rng.standard_normal(heads * d).astype(
+            np.float32) * 0.05
+        attrs["k_proj.bias"] = rng.standard_normal(kv_heads * d).astype(
+            np.float32) * 0.05
+        attrs["v_proj.bias"] = rng.standard_normal(kv_heads * d).astype(
+            np.float32) * 0.05
+    op = make_op("si.RotaryAttention", params=dict(
+        embed_dim=e, num_heads=heads, num_kv_heads=kv_heads,
+        rope_theta=theta, bias=bias), attrs=attrs)
+    return op, attrs
+
+
+@pytest.mark.parametrize("heads,kv_heads,bias", [
+    (4, 4, False),   # MHA
+    (4, 2, False),   # GQA
+    (8, 1, False),   # MQA extreme
+    (4, 2, True),    # qwen2-style biases
+])
+def test_rotary_attention_vs_numpy_oracle(heads, kv_heads, bias):
+    e, l, n = 32, 9, 2
+    op, attrs = _rotary_op(e, heads, kv_heads, bias=bias, seed=3)
+    impl = lower_operator(op, EngineConfig())
+    x = RNG.standard_normal((n, l, e)).astype(np.float32)
+    weights = {k: jnp.asarray(v) for k, v in impl.weights.items()}
+    got = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    want = rotary_attention_np(
+        x, attrs["q_proj.weight"], attrs["k_proj.weight"],
+        attrs["v_proj.weight"], attrs["o_proj.weight"], heads, kv_heads,
+        10000.0,
+        bq=attrs.get("q_proj.bias"), bk=attrs.get("k_proj.bias"),
+        bv=attrs.get("v_proj.bias"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_rotary_attention_validates():
+    from simpleinfer_tpu.ir.graph import Parameter
+
+    op, _ = _rotary_op(32, 4, 4)
+    op.params["num_heads"] = Parameter.from_value(3)  # 32 % 3 != 0
+    with pytest.raises(ValueError):
+        lower_operator(op, EngineConfig())
+    op, _ = _rotary_op(32, 4, 4)
+    op.params["num_kv_heads"] = Parameter.from_value(3)  # 4 % 3 != 0
+    with pytest.raises(ValueError):
+        lower_operator(op, EngineConfig())
+
+
+def test_rope_positions_matter():
+    """Positions enter ONLY through RoPE here (no learned pos emb).
+    Plain causal attention is permutation-INVARIANT over earlier (k,v)
+    pairs — swapping tokens 0 and 1 cannot change position-3's output
+    without positional encoding. With RoPE it must."""
+    e, heads = 16, 2
+    op, _ = _rotary_op(e, heads, heads, seed=5)
+    impl = lower_operator(op, EngineConfig())
+    weights = {k: jnp.asarray(v) for k, v in impl.weights.items()}
+    x = RNG.standard_normal((1, 4, e)).astype(np.float32)
+    x_swapped = x[:, [1, 0, 2, 3], :]
+    out = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    out2 = np.asarray(impl.apply(weights, jnp.asarray(x_swapped)))
+    assert np.abs(out[0, 3] - out2[0, 3]).max() > 1e-5
+
+
+# ------------------------------------------------------------- engine e2e
+def _llama_engine(seq_len=24, vocab=40, **kw):
+    graph, _, _ = build_llama("nano", batch=1, seq_len=seq_len,
+                              vocab_size=vocab, **kw)
+    return Engine().load_model(None, graph=graph)
+
+
+def test_llama_forward_finite_and_causal():
+    eng = _llama_engine()
+    ids = np.zeros((1, 24), np.float32)
+    ids[0, :4] = [3, 7, 11, 2]
+    out = eng.run({"0": ids})
+    logits = out[next(iter(out))]
+    assert logits.shape == (1, 24, 40)
+    assert np.isfinite(np.asarray(logits)).all()
+    # causality: changing a LATER token must not change earlier logits
+    ids2 = ids.copy()
+    ids2[0, 10] = 17
+    logits2 = eng.run({"0": ids2})[next(iter(out))]
+    np.testing.assert_allclose(np.asarray(logits)[0, :10],
+                               np.asarray(logits2)[0, :10],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_llama_decode_matches_full_forward():
+    """KV-cache decode (RoPE at per-row positions, GQA cache) must
+    reproduce greedy_generate token-for-token."""
+    eng = _llama_engine()
+    prompt = np.array([[5, 1, 8]])
+    want = greedy_generate(eng, prompt, steps=8)
+    dec = CachedDecoder(eng)
+    got = dec.generate(prompt, steps=8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_llama_gqa_decode_matches_full_forward():
+    graph, _, _ = build_llama("nano", batch=1, seq_len=20, vocab_size=50,
+                              num_heads=4, num_kv_heads=1, seed=9)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = np.array([[9, 2, 4, 31]])
+    want = greedy_generate(eng, prompt, steps=6)
+    got = CachedDecoder(eng).generate(prompt, steps=6)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_llama_prefill_matches_stepwise():
+    eng = _llama_engine()
+    dec = CachedDecoder(eng)
+    prompt = np.array([[3, 7, 11, 2, 9]])
+    n, p = prompt.shape
+    caches = dec.init_cache(n)
+    logits = None
+    for t in range(p):
+        logits, caches = dec.step(prompt[:, t:t + 1],
+                                  np.full(n, t, np.int32), caches)
+    want_next = np.asarray(jnp.argmax(logits[:, 0, :], -1))
+    window = np.zeros((n, dec._window), np.float32)
+    window[:, :p] = prompt
+    last, pre_caches = dec.prefill(window, np.full(n, p))
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(last, -1)),
+                                  want_next)
+    for name in caches:
+        for j in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(caches[name][j])[:, :, :p, :],
+                np.asarray(pre_caches[name][j])[:, :, :p, :],
+                rtol=1e-5, atol=1e-5)
+
+
+def test_llama_generation_service():
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine()
+    dec = CachedDecoder(eng)
+    prompts = [[4, 8, 2], [7, 1]]
+    want = [dec.generate(np.asarray([p]), steps=5)[0] for p in prompts]
+    svc = GenerationService(eng, slots=2).start()
+    futs = [svc.submit(p, max_new=5) for p in prompts]
+    got = [f.result(timeout=60) for f in futs]
+    svc.stop()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

@@ -262,6 +262,49 @@ def test_linear_int8_static_close_to_fp32():
     assert np.abs(q_out - fp_out).max() < 0.05 * np.abs(fp_out).max()
 
 
+def test_linear_int8_static_pallas_matches_xla(monkeypatch):
+    """use_pallas static-int8 linears route MXU-sized operands through
+    the native s8xs8 Pallas GEMM (measured faster than XLA-s8 on chip,
+    docs/PERF.md); interpreted here, the result must match the XLA s32
+    einsum path to f32 rounding."""
+    import sys
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import simpleinfer_tpu.kernels.matmul  # noqa: F401 (registers module)
+    KM = sys.modules["simpleinfer_tpu.kernels.matmul"]
+
+    in_f = out_f = m = 256  # the dispatch gate needs min(M,K,N) >= 256
+    wt = RNG.standard_normal((out_f, in_f)).astype(np.float32)
+    b = RNG.standard_normal(out_f).astype(np.float32)
+    op = Operator(type="nn.Linear", name="l0")
+    for kk, v in dict(in_features=in_f, out_features=out_f,
+                      bias=True).items():
+        op.params[kk] = Parameter.from_value(v)
+    op.attrs["weight"] = Attribute.from_array(wt)
+    op.attrs["bias"] = Attribute.from_array(b)
+    x = RNG.standard_normal((m, in_f)).astype(np.float32)
+
+    base = lower_operator(op, EngineConfig(quant="int8"))
+    weights = dict(base.weights)
+    weights["weight"] = quantize_per_channel(wt.T, 1)
+    weights["act_scale"] = jnp.float32(np.abs(x).max() / 127.0)
+    want = np.asarray(base.apply(weights, jnp.asarray(x)))
+
+    impl = lower_operator(op, EngineConfig(quant="int8", use_pallas=True))
+    monkeypatch.setattr(KM, "pallas_supported", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # below the gate the XLA path must be taken even with use_pallas
+    small = RNG.standard_normal((4, in_f)).astype(np.float32)
+    weights["act_scale"] = jnp.float32(np.abs(small).max() / 127.0)
+    a = np.asarray(base.apply(weights, jnp.asarray(small)))
+    b2 = np.asarray(impl.apply(weights, jnp.asarray(small)))
+    np.testing.assert_array_equal(a, b2)
+
+
 def test_yolov5_int8_static_covers_cat_split_path():
     """yolov5 C3/SPPF blocks hit the cat->conv1x1 weight-split path;
     in int8 mode its partial convs must sum exactly in s32 and match
