@@ -1,0 +1,112 @@
+"""HuggingFace llama-family -> ir.Graph converter.
+
+Real-model import for the LLM serving path: takes an in-memory
+`transformers` causal-LM (llama / qwen2 / mistral — the RMSNorm + RoPE
++ GQA + SwiGLU lineage) and emits the same graph shape as
+zoo.build_llama, with the checkpoint's actual weights. The resulting
+engine is a drop-in for greedy_generate / CachedDecoder /
+GenerationService, and tests/test_hf_llama.py checks logits parity
+against the HF forward — the independent-oracle discipline the repo
+uses everywhere (tests/torch_ref.py, SURVEY.md §4.4).
+
+The reference has no model importer at all (models arrive as pnnx
+files, SURVEY.md §1.6); frontends/torch_export.py covers torch.fx
+module export, and this module covers the HF transformer lineage whose
+attention would otherwise be captured as an opaque python callable.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ir.graph import Attribute, Parameter
+from ..zoo.builders import GraphBuilder
+
+_SUPPORTED = ("llama", "qwen2", "mistral")
+
+
+def llama_graph_from_hf(model, batch: int = 1,
+                        seq_len: int | None = None) -> tuple:
+    """Convert a transformers LlamaForCausalLM-style model.
+
+    Returns (graph, input_name, output_name): token ids [batch,
+    seq_len] -> logits [batch, seq_len, vocab]. seq_len defaults to
+    config.max_position_embeddings (the compile-time window).
+    """
+    cfg = model.config
+    mt = getattr(cfg, "model_type", None)
+    if mt not in _SUPPORTED:
+        raise ValueError(f"unsupported model_type {mt!r}; expected one "
+                         f"of {_SUPPORTED} (RMSNorm+RoPE+SwiGLU lineage)")
+    heads = cfg.num_attention_heads
+    kv = getattr(cfg, "num_key_value_heads", heads) or heads
+    e = cfg.hidden_size
+    d = getattr(cfg, "head_dim", None) or e // heads
+    if d * heads != e:
+        raise ValueError(f"head_dim {d} * heads {heads} != hidden {e} "
+                         f"(unsupported projection geometry)")
+    seq_len = int(seq_len or cfg.max_position_embeddings)
+    theta = float(getattr(cfg, "rope_theta", 10000.0))
+    eps = float(getattr(cfg, "rms_norm_eps", 1e-6))
+    scaling = getattr(cfg, "rope_scaling", None)
+    if scaling and scaling.get("rope_type", scaling.get("type")) not in (
+            None, "default"):
+        raise ValueError(f"rope_scaling {scaling!r} not supported")
+
+    sd = {k: v.detach().cpu().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+
+    def attr(b, op_out, key, array):
+        # attach a weight attribute onto the op that PRODUCED op_out
+        op = b.g.get_operand(op_out).producer
+        op.attrs[key] = Attribute.from_array(np.ascontiguousarray(array))
+
+    b = GraphBuilder()
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, cfg.vocab_size, e)
+    attr(b, x, "weight", sd["model.embed_tokens.weight"])
+
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        y = b.rms_norm(x)
+        attr(b, y, "weight", sd[f"{p}.input_layernorm.weight"])
+        b.g.get_operand(y).producer.params["eps"] = \
+            Parameter.from_value(eps)
+
+        bias = f"{p}.self_attn.q_proj.bias" in sd  # qwen2-style
+        y = b.rotary_attention(y, heads, num_kv_heads=kv,
+                               rope_theta=theta, bias=bias)
+        aop = b.g.get_operand(y).producer
+        for key in ("q", "k", "v", "o"):
+            aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
+                np.ascontiguousarray(sd[f"{p}.self_attn.{key}_proj"
+                                        f".weight"]))
+            bkey = f"{p}.self_attn.{key}_proj.bias"
+            if bkey in sd:
+                aop.attrs[f"{key}_proj.bias"] = Attribute.from_array(
+                    sd[bkey])
+        x = b.add(x, y)
+
+        y = b.rms_norm(x)
+        attr(b, y, "weight", sd[f"{p}.post_attention_layernorm.weight"])
+        b.g.get_operand(y).producer.params["eps"] = \
+            Parameter.from_value(eps)
+        gate = b.linear(y, cfg.intermediate_size, bias=False)
+        attr(b, gate, "weight", sd[f"{p}.mlp.gate_proj.weight"])
+        gate = b.silu_act(gate)
+        up = b.linear(y, cfg.intermediate_size, bias=False)
+        attr(b, up, "weight", sd[f"{p}.mlp.up_proj.weight"])
+        y = b.mul(gate, up)
+        y = b.linear(y, e, bias=False)
+        attr(b, y, "weight", sd[f"{p}.mlp.down_proj.weight"])
+        x = b.add(x, y)
+
+    x = b.rms_norm(x)
+    attr(b, x, "weight", sd["model.norm.weight"])
+    b.g.get_operand(x).producer.params["eps"] = \
+        Parameter.from_value(eps)
+    logits = b.linear(x, cfg.vocab_size, bias=False)
+    head = ("lm_head.weight" if "lm_head.weight" in sd
+            else "model.embed_tokens.weight")  # tied embeddings
+    attr(b, logits, "weight", sd[head])
+    b.output(logits)
+    return b.build(), "0", logits

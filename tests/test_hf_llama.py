@@ -1,0 +1,108 @@
+"""Real-model parity: HF transformers llama-family -> engine.
+
+The strongest oracle available in-container for the LLM path: an
+actual `transformers` implementation (the de-facto RoPE/GQA reference)
+run side by side with the converted engine, fp32 both sides.
+"""
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from simpleinfer_tpu import Engine
+from simpleinfer_tpu.frontends.hf_llama import llama_graph_from_hf
+from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+
+def _llama(tie=False, kv_heads=2):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(7)
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=kv_heads, max_position_embeddings=16,
+        rope_theta=10000.0, tie_word_embeddings=tie)
+    return LlamaForCausalLM(cfg).eval()
+
+
+def _engine_for(model, seq_len=16):
+    graph, in_name, out_name = llama_graph_from_hf(model,
+                                                   seq_len=seq_len)
+    return Engine().load_model(None, graph=graph), in_name, out_name
+
+
+def _hf_logits(model, ids):
+    with torch.no_grad():
+        return model(torch.from_numpy(ids)).logits.numpy()
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2, 1])
+def test_hf_llama_logits_parity(kv_heads):
+    model = _llama(kv_heads=kv_heads)
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_llama_tied_embeddings():
+    model = _llama(tie=True)
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[5, 1, 8, 44, 2, 9, 0, 7, 3, 11, 6, 2, 4, 1, 0, 9]],
+                   np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_qwen2_with_attention_bias():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(9)
+    cfg = Qwen2Config(
+        vocab_size=48, hidden_size=32, intermediate_size=40,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=16,
+        rope_theta=1e6)
+    model = Qwen2ForCausalLM(cfg).eval()
+    assert "model.layers.0.self_attn.q_proj.bias" in model.state_dict()
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 43, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_llama_greedy_decode_matches_hf():
+    """Engine KV-cache decode reproduces HF's own greedy continuation
+    token-for-token."""
+    model = _llama()
+    eng, in_name, _ = _engine_for(model)
+    prompt = np.array([[3, 7, 11]], np.int64)
+    # HF manual greedy loop (fp32, no cache tricks)
+    ids = torch.from_numpy(prompt)
+    for _ in range(8):
+        with torch.no_grad():
+            logits = model(ids).logits
+        nxt = logits[:, -1, :].argmax(-1, keepdim=True)
+        ids = torch.cat([ids, nxt], dim=1)
+    want = ids.numpy()[0]
+    got = CachedDecoder(eng).generate(prompt, steps=8)[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hf_rejects_unsupported():
+    model = _llama()
+    model.config.model_type = "gpt2"
+    with pytest.raises(ValueError):
+        llama_graph_from_hf(model)
