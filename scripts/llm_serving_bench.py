@@ -1,0 +1,112 @@
+"""LLM decode/prefill wall-clock on the real chip.
+
+Quantifies the serving overhaul (batched prefill + fused sampling):
+- per-step decode wall (the [slots,1] step executable, token fetch)
+- whole-prompt prefill: ONE batched-prefill dispatch vs stepping the
+  prompt token-by-token (what admission cost before 2026-08-18)
+- GenerationService end-to-end tokens/s under concurrent requests
+
+Wall numbers on the relay-attached chip are dominated by the ~26 ms
+dispatch RTT (docs/PERF.md) — the point is the DISPATCH-COUNT ratio,
+which carries to any deployment.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/simpleinfer_tpu/xla"))
+
+from simpleinfer_tpu import Engine, EngineConfig
+from simpleinfer_tpu.zoo import build_llama
+from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+VARIANT = os.environ.get("SI_LLM_VARIANT", "small")
+WINDOW = int(os.environ.get("SI_LLM_WINDOW", "256"))
+SLOTS = int(os.environ.get("SI_LLM_SLOTS", "8"))
+PROMPT = 64
+
+graph, in_name, out_name = build_llama(VARIANT, batch=1, seq_len=WINDOW,
+                                       vocab_size=32000)
+cfg = EngineConfig(compute_dtype="bfloat16")
+eng = Engine(cfg).load_model(None, graph=graph)
+dec = CachedDecoder(eng)
+print(f"model {VARIANT} window {WINDOW} slots {SLOTS}", file=sys.stderr)
+
+rng = np.random.default_rng(0)
+prompt = rng.integers(1, 32000, size=(1, PROMPT))
+
+# ---- decode step wall (slots batch) --------------------------------------
+key = jax.random.PRNGKey(0)
+caches = dec.init_cache(SLOTS)
+t_arr = np.zeros(SLOTS, np.float32)
+k_arr = np.zeros(SLOTS, np.int32)
+p_arr = np.ones(SLOTS, np.float32)
+toks = np.ones((SLOTS, 1))
+tok, caches = dec.step_sample(toks, np.zeros(SLOTS, np.int32), caches,
+                              key, 0, t_arr, k_arr, p_arr)  # compile
+np.asarray(tok)
+N = 50
+t0 = time.perf_counter()
+for i in range(1, N + 1):
+    tok, caches = dec.step_sample(toks, np.full(SLOTS, i, np.int32),
+                                  caches, key, i, t_arr, k_arr, p_arr)
+    np.asarray(tok)  # the service fetches the token each step
+step_ms = (time.perf_counter() - t0) / N * 1e3
+print(f"decode step [{SLOTS},1]: {step_ms:.1f} ms "
+      f"= {SLOTS / step_ms * 1e3:.0f} tok/s at full occupancy",
+      file=sys.stderr)
+
+# ---- prefill: batched vs token-by-token -----------------------------------
+window = np.zeros((1, WINDOW), np.float32)
+window[0, :PROMPT] = prompt
+t1 = np.ones(1, np.float32) * 0
+k1 = np.zeros(1, np.int32)
+p1 = np.ones(1, np.float32)
+tok, rc = dec.prefill_sample(window, np.array([PROMPT]), key, 0,
+                             t1, k1, p1)  # compile
+np.asarray(tok)
+t0 = time.perf_counter()
+for _ in range(5):
+    tok, rc = dec.prefill_sample(window, np.array([PROMPT]), key, 0,
+                                 t1, k1, p1)
+    np.asarray(tok)
+pre_ms = (time.perf_counter() - t0) / 5 * 1e3
+print(f"batched prefill P={PROMPT}: {pre_ms:.1f} ms (1 dispatch)",
+      file=sys.stderr)
+
+c1 = dec.init_cache(1)
+_, c1 = dec.step(prompt[:, :1], np.zeros(1, np.int32), c1)  # compile
+t0 = time.perf_counter()
+for t in range(PROMPT):
+    lg, c1 = dec.step(prompt[:, t:t + 1], np.full(1, t, np.int32), c1)
+np.asarray(lg)
+stepwise_ms = (time.perf_counter() - t0) * 1e3
+print(f"stepwise prefill P={PROMPT}: {stepwise_ms:.1f} ms "
+      f"({PROMPT} dispatches) -> batched is "
+      f"{stepwise_ms / pre_ms:.1f}x", file=sys.stderr)
+
+# ---- service end-to-end ----------------------------------------------------
+from simpleinfer_tpu.serving.llm import GenerationService
+
+svc = GenerationService(eng, slots=SLOTS).start()
+MAXNEW = 48
+t0 = time.perf_counter()
+futs = [svc.submit(rng.integers(1, 32000, size=PROMPT).tolist(),
+                   max_new=MAXNEW, temperature=0.8, top_k=40)
+        for _ in range(2 * SLOTS)]
+outs = [f.result(timeout=600) for f in futs]
+wall = time.perf_counter() - t0
+svc.stop()
+tokens = sum(len(o) - PROMPT for o in outs)
+print(f"service: {len(futs)} reqs x {MAXNEW} new tok in {wall:.1f} s "
+      f"= {tokens / wall:.0f} tok/s, occupancy "
+      f"{svc.stats.mean_occupancy:.2f}, prefills {svc.stats.prefills}",
+      file=sys.stderr)
+print(f'{{"metric": "llm_decode_toks_per_s", '
+      f'"value": {tokens / wall:.1f}, "unit": "tok/s"}}')
