@@ -21,6 +21,7 @@ per shape with profiling.measure_device_time before defaulting.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -138,6 +139,24 @@ def _flash_impl(q, k, v, *, causal, scale, block_q, block_k, interpret):
     if (lqp, dp) != (lq, d):
         out = out[:, :lq, :d]
     return out
+
+
+_FLASH_MIN_LK = int(os.environ.get("SI_FLASH_MIN_LK", "1024"))
+_FLASH_MIN_LQ = int(os.environ.get("SI_FLASH_MIN_LQ", "256"))
+
+
+def flash_profitable(lq: int, lk: int) -> bool:
+    """Sequence-length dispatch gate for the flash kernel.
+
+    Measured (docs/PERF.md, scripts/s8_linear_e2e.py): at ViT's L=197
+    d=64 the flash kernel LOSES 2x e2e to XLA's fused sdpa — the O(L^2)
+    scores tensor fits VMEM trivially and the online-softmax machinery
+    is pure overhead. Flash pays off when the scores tensor is too big
+    to fuse: long-KV prefill. Default thresholds Lk >= 1024 and
+    Lq >= 256 (decode's Lq = 1 always stays on XLA); override with
+    SI_FLASH_MIN_LK / SI_FLASH_MIN_LQ for per-chip retuning.
+    """
+    return lk >= _FLASH_MIN_LK and lq >= _FLASH_MIN_LQ
 
 
 def flash_attention(q, k, v, *, causal: bool = False,

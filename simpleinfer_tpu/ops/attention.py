@@ -132,10 +132,12 @@ def lower_sdpa(op, cfg):
             from ..kernels.matmul import pallas_supported
 
             if pallas_supported():
-                from ..kernels.attention import flash_attention
+                from ..kernels.attention import (flash_attention,
+                                                 flash_profitable)
 
-                return _to_physical(flash_attention(
-                    q, k, v, causal=is_causal, scale=scale))
+                if flash_profitable(q.shape[-2], k.shape[-2]):
+                    return _to_physical(flash_attention(
+                        q, k, v, causal=is_causal, scale=scale))
         return _to_physical(_sdpa(q, k, v, mask=mask, is_causal=is_causal,
                                   scale=scale, mask_mode="sdpa"))
 
@@ -252,9 +254,13 @@ def lower_multihead_attention(op, cfg):
         qh = _split_heads(proj(q, "wq", "bq"), num_heads)
         kh = _split_heads(proj(k, "wk", "bk"), num_heads)
         vh = _split_heads(proj(v, "wv", "bv"), num_heads)
+        from ..kernels.attention import flash_profitable
         if (mask is None and n_declared == 1 and allow_pallas
+                and flash_profitable(qh.shape[-2], kh.shape[-2])
                 and _pallas_ok()):
-            # opt-in flash path: O(L*d) HBM traffic instead of O(L^2)
+            # opt-in flash path: O(L*d) HBM traffic instead of O(L^2);
+            # flash_profitable gates out the short sequences where the
+            # kernel measured a 2x e2e LOSS vs XLA (docs/PERF.md)
             from ..kernels.attention import flash_attention
 
             ctx = _merge_heads(flash_attention(

@@ -199,6 +199,18 @@ def test_flash_attention_causal(bh, lq, lk, d):
     np.testing.assert_allclose(got, want, atol=tol * np.sqrt(d), rtol=1e-3)
 
 
+def test_flash_profitable_gate():
+    """Sequence-length dispatch gate (docs/PERF.md: flash LOSES 2x at
+    ViT's L=197; decode Lq=1 must always stay on XLA)."""
+    from simpleinfer_tpu.kernels.attention import flash_profitable
+
+    assert not flash_profitable(197, 197)     # ViT-base: measured loss
+    assert not flash_profitable(1, 4096)      # decode: single query row
+    assert not flash_profitable(512, 512)     # short-KV prefill
+    assert flash_profitable(2048, 2048)       # long prefill: flash wins
+    assert flash_profitable(256, 1024)        # threshold boundary
+
+
 def test_flash_attention_rank4_bf16():
     q = RNG.standard_normal((2, 3, 96, 32)).astype(jnp.bfloat16)
     k = RNG.standard_normal((2, 3, 96, 32)).astype(jnp.bfloat16)
