@@ -20,6 +20,36 @@ from __future__ import annotations
 import numpy as np
 
 
+def _causal_ctx(qh, kh, vh, d, use_pallas: bool):
+    """Aligned-causal attention context [N, H, L, D] for prefill.
+
+    XLA's fused sdpa by default; the Pallas flash kernel when the
+    engine opted in (use_pallas) AND the sequence clears the measured
+    profitability gate (kernels/attention.flash_profitable — flash
+    LOSES 2x at short L, docs/PERF.md). Both paths: f32 logits/softmax,
+    context in the input dtype.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    l = qh.shape[2]
+    if use_pallas:
+        from ..kernels.attention import flash_attention, flash_profitable
+        from ..kernels.matmul import pallas_supported
+
+        if flash_profitable(l, l) and pallas_supported():
+            return flash_attention(qh, kh, vh, causal=True,
+                                   scale=1.0 / (d ** 0.5))
+    s = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
+                   preferred_element_type=jnp.float32)
+    s = s * (1.0 / (d ** 0.5))
+    qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    s = jnp.where(ki <= qi, s, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1).astype(qh.dtype)
+    return jnp.einsum("nhqk,nhkd->nhqd", p, vh)
+
+
 def greedy_generate(engine, prompt_ids, steps: int, *,
                     input_name: str | None = None,
                     output_name: str | None = None,
@@ -113,6 +143,8 @@ class CachedDecoder:
         self._out_name = program.output_names[0]
         self._plan = program.plan
         self._weights = engine._device_weights
+        self._use_pallas = bool(getattr(engine.config, "use_pallas",
+                                        False))
         self._mha_ops = []
         for impl, _ins, _outs in self._plan:
             if impl.type == "nn.MultiheadAttention":
@@ -258,7 +290,6 @@ class CachedDecoder:
     def _rope_prefill(self, w, x, info):
         """Full-window si.RotaryAttention with k/v capture (rotated k —
         same convention as _rope_decode)."""
-        import jax
         import jax.numpy as jnp
 
         from ..ops.attention import apply_rope, repeat_kv, rope_cos_sin
@@ -285,14 +316,8 @@ class CachedDecoder:
         cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
-        s = jnp.einsum("nhqd,nhkd->nhqk", qh, repeat_kv(kh, group),
-                       preferred_element_type=jnp.float32)
-        s = s * (1.0 / (d ** 0.5))
-        qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        s = jnp.where(ki <= qi, s, jnp.finfo(jnp.float32).min)
-        p = jax.nn.softmax(s, axis=-1).astype(dt)
-        ctx = jnp.einsum("nhqk,nhkd->nhqd", p, repeat_kv(vh, group))
+        ctx = _causal_ctx(qh, repeat_kv(kh, group), repeat_kv(vh, group),
+                          d, self._use_pallas)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, heads * d)
         out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
                          preferred_element_type=jnp.float32)
@@ -307,7 +332,6 @@ class CachedDecoder:
         relay RTT on this chip — docs/PERF.md). Padding beyond a row's
         prompt writes garbage k/v at positions >= length, but decode's
         position mask (idx <= pos) never reads them."""
-        import jax
         import jax.numpy as jnp
 
         from ..quant.tensor import resolve_weight
@@ -328,14 +352,7 @@ class CachedDecoder:
                 y.astype(dt).reshape(n, l, heads, d), (0, 2, 1, 3))
 
         qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
-        s = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
-                       preferred_element_type=jnp.float32)
-        s = s * (1.0 / (d ** 0.5))
-        qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        s = jnp.where(ki <= qi, s, jnp.finfo(jnp.float32).min)
-        p = jax.nn.softmax(s, axis=-1).astype(dt)
-        ctx = jnp.einsum("nhqk,nhkd->nhqd", p, vh)
+        ctx = _causal_ctx(qh, kh, vh, d, self._use_pallas)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, e)
         out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
                          preferred_element_type=jnp.float32)
