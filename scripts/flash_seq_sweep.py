@@ -59,8 +59,8 @@ for rnd in range(ROUNDS):
           flush=True)
     for L in LENGTHS:
         q, k, v = cases[L]
-        # causal: ~half the full-matrix flops
-        flops = 2 * 2 * BH * L * L * D
+        # causal workload: ~half the full-matrix 2*2*BH*L*L*D flops
+        flops = 2 * BH * L * L * D
         for name, fn in (("xla", xla_fn), ("flash", pallas_fn)):
             it = max(4, min(40, (1 << 22) // L))
             dt = measure_device_time(fn, q, k, v, iters=it)

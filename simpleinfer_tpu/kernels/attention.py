@@ -141,10 +141,6 @@ def _flash_impl(q, k, v, *, causal, scale, block_q, block_k, interpret):
     return out
 
 
-_FLASH_MIN_LK = int(os.environ.get("SI_FLASH_MIN_LK", "1024"))
-_FLASH_MIN_LQ = int(os.environ.get("SI_FLASH_MIN_LQ", "256"))
-
-
 def flash_profitable(lq: int, lk: int) -> bool:
     """Sequence-length dispatch gate for the flash kernel.
 
@@ -154,9 +150,12 @@ def flash_profitable(lq: int, lk: int) -> bool:
     is pure overhead. Flash pays off when the scores tensor is too big
     to fuse: long-KV prefill. Default thresholds Lk >= 1024 and
     Lq >= 256 (decode's Lq = 1 always stays on XLA); override with
-    SI_FLASH_MIN_LK / SI_FLASH_MIN_LQ for per-chip retuning.
+    SI_FLASH_MIN_LK / SI_FLASH_MIN_LQ for per-chip retuning (read at
+    call time — trace time only — so a long-lived process can retune).
     """
-    return lk >= _FLASH_MIN_LK and lq >= _FLASH_MIN_LQ
+    min_lk = int(os.environ.get("SI_FLASH_MIN_LK", "1024"))
+    min_lq = int(os.environ.get("SI_FLASH_MIN_LQ", "256"))
+    return lk >= min_lk and lq >= min_lq
 
 
 def flash_attention(q, k, v, *, causal: bool = False,
@@ -164,9 +163,17 @@ def flash_attention(q, k, v, *, causal: bool = False,
                     block_k: int = 128, interpret: bool = False):
     """Online-softmax attention over [B, H, L, D] (or [BH, L, D]) inputs.
 
-    Causal masking assumes aligned ends (the last query attends to the
-    last key), the torch is_causal convention for Lq == Lk.
+    Causal masking requires Lq == Lk (query i attends keys <= i — the
+    torch is_causal convention, which for Lq != Lk would be ambiguous
+    between top-left and bottom-right alignment; _sdpa in
+    ops/attention.py aligns bottom-right, so dispatch between the two
+    must never cross a causal Lq != Lk shape).
     """
+    if causal and q.shape[-2] != k.shape[-2]:
+        raise ValueError(
+            f"flash_attention causal requires Lq == Lk, got "
+            f"{q.shape[-2]} != {k.shape[-2]} (alignment convention "
+            f"would silently diverge from ops.attention._sdpa)")
     rank4 = q.ndim == 4
     if rank4:
         b, h, lq, d = q.shape

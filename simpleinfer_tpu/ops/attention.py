@@ -128,7 +128,11 @@ def lower_sdpa(op, cfg):
         # [N, h, L, d] inputs are rank 4, hence physically NHWC-permuted
         q, k, v = (_to_logical(t) for t in inputs[:3])
         mask = _to_logical(inputs[3]) if len(inputs) > 3 else None
-        if mask is None and allow_pallas:
+        # causal Lq != Lk stays on XLA: the flash kernel aligns causal
+        # masks top-left while _sdpa aligns bottom-right (torch sdpa),
+        # so the gate must only ever change speed, never semantics
+        if (mask is None and allow_pallas
+                and (not is_causal or q.shape[-2] == k.shape[-2])):
             from ..kernels.matmul import pallas_supported
 
             if pallas_supported():
@@ -254,10 +258,16 @@ def lower_multihead_attention(op, cfg):
         qh = _split_heads(proj(q, "wq", "bq"), num_heads)
         kh = _split_heads(proj(k, "wk", "bk"), num_heads)
         vh = _split_heads(proj(v, "wv", "bv"), num_heads)
-        from ..kernels.attention import flash_profitable
-        if (mask is None and n_declared == 1 and allow_pallas
-                and flash_profitable(qh.shape[-2], kh.shape[-2])
-                and _pallas_ok()):
+        # the kernel-module import stays behind the pallas opt-in so a
+        # pallas import failure (jax version skew) can never break
+        # engines that did not ask for it
+        flash = False
+        if mask is None and n_declared == 1 and allow_pallas:
+            from ..kernels.attention import flash_profitable
+
+            flash = (flash_profitable(qh.shape[-2], kh.shape[-2])
+                     and _pallas_ok())
+        if flash:
             # opt-in flash path: O(L*d) HBM traffic instead of O(L^2);
             # flash_profitable gates out the short sequences where the
             # kernel measured a 2x e2e LOSS vs XLA (docs/PERF.md)

@@ -199,6 +199,28 @@ def test_flash_attention_causal(bh, lq, lk, d):
     np.testing.assert_allclose(got, want, atol=tol * np.sqrt(d), rtol=1e-3)
 
 
+def test_flash_causal_requires_square():
+    """Causal Lq != Lk is rejected: the kernel aligns causal top-left,
+    ops.attention._sdpa aligns bottom-right — dispatch between them must
+    never cross such a shape (ADVICE r1)."""
+    q = jnp.zeros((1, 64, 32))
+    k = jnp.zeros((1, 128, 32))
+    with pytest.raises(ValueError, match="Lq == Lk"):
+        flash_attention(q, k, k, causal=True)
+
+
+def test_flash_gate_env_override(monkeypatch):
+    """SI_FLASH_MIN_* are read at call time, so a long-lived process can
+    retune without re-importing (ADVICE r1)."""
+    from simpleinfer_tpu.kernels.attention import flash_profitable
+
+    monkeypatch.setenv("SI_FLASH_MIN_LK", "64")
+    monkeypatch.setenv("SI_FLASH_MIN_LQ", "16")
+    assert flash_profitable(16, 64)
+    monkeypatch.setenv("SI_FLASH_MIN_LK", "100000")
+    assert not flash_profitable(2048, 2048)
+
+
 def test_flash_profitable_gate():
     """Sequence-length dispatch gate (docs/PERF.md: flash LOSES 2x at
     ViT's L=197; decode Lq=1 must always stay on XLA)."""
