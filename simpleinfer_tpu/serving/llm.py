@@ -80,13 +80,19 @@ class GenerationService:
     """
 
     def __init__(self, engine, slots: int = 8,
-                 tick_timeout_s: float = 0.01, seed: int = 0):
+                 tick_timeout_s: float = 0.01, seed: int = 0,
+                 decode_horizon: int = 1):
         import jax
 
         from ..zoo.generate import CachedDecoder
 
         self._dec = CachedDecoder(engine)
         self._slots = int(slots)
+        # decode steps per dispatch (CachedDecoder.decode_block): >1
+        # amortizes the ~26 ms relay RTT across K tokens at the cost of
+        # up to K-1 wasted steps per row end and K-step admission
+        # latency. 1 = one dispatch per token (the classic tick).
+        self._horizon = max(1, int(decode_horizon))
         self._window = self._dec._window
         self._tick_timeout = tick_timeout_s
         self._key = jax.random.PRNGKey(seed)
@@ -170,56 +176,80 @@ class GenerationService:
                     self._cv.wait(timeout=self._tick_timeout)
                     continue
 
-            # admission: ONE prefill dispatch per request (whole prompt),
-            # scattered into the free row's cache slot
-            for i, req in admitted:
-                p = len(req.prompt)
-                bufs[i, :] = 0
-                bufs[i, :p] = req.prompt
-                deadline[i] = min(p + req.max_new, self._window)
-                temp[i], topk[i], topp[i] = (req.temperature, req.top_k,
-                                             req.top_p)
-                window = np.zeros((1, self._window), np.float32)
-                window[0, :p] = req.prompt
+            # admission: ONE batched prefill dispatch for ALL admitted
+            # requests (padded to the slot count — a fixed shape, one
+            # executable) + ONE scatter-install into their cache rows.
+            # Before 2026-08-19 this was 2 dispatches PER request; on a
+            # ~26 ms-RTT link admission dominated the service wall once
+            # decode was blocked (docs/PERF.md).
+            if admitted:
+                window = np.zeros((n, self._window), np.float32)
+                lengths = np.ones(n, np.int32)
+                rows = np.full(n, n + 7, np.int32)   # OOB = dropped
+                t_a = np.zeros(n, np.float32)
+                k_a = np.zeros(n, np.int32)
+                p_a = np.ones(n, np.float32)
+                for j, (i, req) in enumerate(admitted):
+                    p = len(req.prompt)
+                    window[j, :p] = req.prompt
+                    lengths[j] = p
+                    rows[j] = i
+                    t_a[j], k_a[j], p_a[j] = (req.temperature, req.top_k,
+                                              req.top_p)
                 seq += 1
                 tok, row_caches = self._dec.prefill_sample(
-                    window, np.array([p]), self._key, seq,
-                    temp[i:i + 1], topk[i:i + 1], topp[i:i + 1])
-                caches = self._dec.install_row(caches, row_caches, i)
-                self.stats.prefills += 1
-                nxt = int(np.asarray(tok)[0])
-                bufs[i, p] = nxt
-                self.stats.tokens_out += 1
-                if (req.eos_id is not None and nxt == req.eos_id) \
-                        or p + 1 >= deadline[i]:
-                    self._finish(i, active, bufs, p + 1, req)
-                else:
-                    pos[i] = p
+                    window, lengths, self._key, seq, t_a, k_a, p_a)
+                caches = self._dec.install_rows(caches, row_caches, rows)
+                self.stats.prefills += len(admitted)
+                nxt_a = np.asarray(tok)
+                for j, (i, req) in enumerate(admitted):
+                    p = len(req.prompt)
+                    bufs[i, :] = 0
+                    bufs[i, :p] = req.prompt
+                    deadline[i] = min(p + req.max_new, self._window)
+                    temp[i], topk[i], topp[i] = (req.temperature,
+                                                 req.top_k, req.top_p)
+                    nxt = int(nxt_a[j])
+                    bufs[i, p] = nxt
+                    self.stats.tokens_out += 1
+                    if (req.eos_id is not None and nxt == req.eos_id) \
+                            or p + 1 >= deadline[i]:
+                        self._finish(i, active, bufs, p + 1, req)
+                    else:
+                        pos[i] = p
             if not any(r is not None for r in active):
                 continue
 
-            # one decode step for the whole pool (mixed depths/settings)
+            # K decode steps for the whole pool in ONE dispatch (mixed
+            # depths/settings; K = decode_horizon). Rows that finish
+            # mid-block decode garbage for the block's tail — discarded
+            # below, the RTT amortization pays for the waste.
             live = np.array([r is not None for r in active])
-            tokens = bufs[np.arange(n), pos].reshape(n, 1)
-            seq += 1
-            tok, caches = self._dec.step_sample(
-                tokens, pos, caches, self._key, seq, temp, topk, topp)
-            nxt = np.asarray(tok)
-            self.stats.steps += 1
-            self.stats.occupancy_sum += float(live.mean())
+            k = self._horizon
+            tokens = bufs[np.arange(n), pos]
+            seq += k
+            toks, caches = self._dec.decode_block(
+                tokens, pos, caches, self._key, seq - k + 1, temp, topk,
+                topp, k)
+            toks = np.asarray(toks)                     # [n, k]
+            self.stats.steps += k
+            self.stats.occupancy_sum += float(live.mean()) * k
 
             for i in range(n):
                 req = active[i]
                 if req is None:
                     continue
-                new_pos = pos[i] + 1  # index the fed token predicted
-                bufs[i, new_pos] = nxt[i]
-                self.stats.tokens_out += 1
-                if (req.eos_id is not None and nxt[i] == req.eos_id) \
-                        or new_pos + 1 >= deadline[i]:
-                    self._finish(i, active, bufs, int(new_pos) + 1, req)
-                    continue
-                pos[i] = new_pos
+                for j in range(k):
+                    new_pos = pos[i] + 1  # index the fed token predicted
+                    bufs[i, new_pos] = toks[i, j]
+                    self.stats.tokens_out += 1
+                    if (req.eos_id is not None
+                            and toks[i, j] == req.eos_id) \
+                            or new_pos + 1 >= deadline[i]:
+                        self._finish(i, active, bufs, int(new_pos) + 1,
+                                     req)
+                        break
+                    pos[i] = new_pos
 
     def _finish(self, i, active, bufs, end, req) -> None:
         out = bufs[i, :end].copy()

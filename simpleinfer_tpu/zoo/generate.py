@@ -171,6 +171,9 @@ class CachedDecoder:
         self._prefill_sample = jax.jit(self._prefill_sample_fn)
         self._prefill_logits = jax.jit(self._prefill_logits_fn)
         self._install = jax.jit(self._install_fn, donate_argnums=(0,))
+        self._install_rows = jax.jit(self._install_rows_fn,
+                                     donate_argnums=(0,))
+        self._block_fns: dict[int, object] = {}  # k_steps -> jitted fn
 
     # ---- cache ----------------------------------------------------------
     def init_cache(self, batch: int, dtype=None):
@@ -422,6 +425,47 @@ class CachedDecoder:
                             temperature, top_k, top_p)
         return tok, new_caches
 
+    def _build_decode_block(self, k_steps: int):
+        """jit a K-token decode loop: `lax.scan` over the single-token
+        step (sampling fused), so K tokens cost ONE host dispatch
+        instead of K. On the relay-attached chip each dispatch is a full
+        ~26 ms RTT (docs/PERF.md) while the step itself is ~1 ms of
+        device work — the host loop, not the model, was the decode
+        bottleneck. Early exit (eos) is handled by the caller masking
+        the fetched [N, K] tokens; rows past their end decode garbage
+        that is discarded, the same waste profile as padding.
+
+        PRNG parity: step i of the block folds `step0 + i`, the exact
+        numbering the per-token path uses, so blocked and step-by-step
+        decode produce identical token streams for the same seed.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .sampling import sample_logits
+
+        last = self._window - 1
+
+        def block_fn(weights, token, pos, caches, key, step0,
+                     temperature, top_k, top_p):
+            def body(carry, i):
+                tok, p, c = carry
+                logits, c = self._step_fn(
+                    weights, tok.astype(jnp.float32)[:, None], p, c)
+                nxt = sample_logits(logits[:, 0, :],
+                                    jax.random.fold_in(key, step0 + i),
+                                    temperature, top_k, top_p)
+                # clamp: an overrun tail (host discards it) must not
+                # index past the compiled window
+                return (nxt, jnp.minimum(p + 1, last), c), nxt
+
+            (_, _, caches), toks = jax.lax.scan(
+                body, (token, pos, caches),
+                jnp.arange(k_steps, dtype=jnp.int32))
+            return jnp.transpose(toks), caches          # [N, K]
+
+        return jax.jit(block_fn, donate_argnums=(3,))
+
     @staticmethod
     def _install_fn(pool, new, row):
         """Write a prefilled batch-1 cache into row `row` of a slot-pool
@@ -431,6 +475,17 @@ class CachedDecoder:
         return jax.tree_util.tree_map(
             lambda a, b: jax.lax.dynamic_update_slice_in_dim(
                 a, b.astype(a.dtype), row, axis=0), pool, new)
+
+    @staticmethod
+    def _install_rows_fn(pool, new, rows):
+        """Scatter a batch-S prefilled cache into rows `rows` of a
+        slot-pool cache in ONE donated dispatch (batched admission,
+        serving/llm.py). rows[j] >= slots drops row j (padding)."""
+        import jax
+
+        return jax.tree_util.tree_map(
+            lambda a, b: a.at[rows].set(b.astype(a.dtype), mode="drop"),
+            pool, new)
 
     def _slice_seq(self, args, pos):
         """Align operands on the sequence axis: a graph constant spanning
@@ -534,6 +589,28 @@ class CachedDecoder:
             jnp.asarray(top_k, jnp.int32),
             jnp.asarray(top_p, jnp.float32))
 
+    def decode_block(self, tokens, pos, caches, key, step0, temperature,
+                     top_k, top_p, k_steps: int):
+        """K decode steps in ONE dispatch: tokens [N] (the last sampled
+        token per row), pos [N] (its position). Returns
+        (sampled tokens [N, K] int32, new caches). One executable per
+        distinct K, cached on the decoder. The caller masks the fetched
+        tokens for eos/deadline host-side — tokens past a row's end are
+        garbage by construction and must be discarded."""
+        import jax.numpy as jnp
+
+        fn = self._block_fns.get(k_steps)
+        if fn is None:
+            fn = self._block_fns[k_steps] = self._build_decode_block(
+                int(k_steps))
+        return fn(self._weights,
+                  jnp.asarray(tokens, jnp.int32).reshape(-1),
+                  jnp.asarray(pos, jnp.int32), caches, key,
+                  jnp.int32(step0),
+                  jnp.asarray(temperature, jnp.float32),
+                  jnp.asarray(top_k, jnp.int32),
+                  jnp.asarray(top_p, jnp.float32))
+
     def install_row(self, pool_caches, row_caches, row: int):
         """Scatter a batch-1 prefilled cache into row `row` of a pooled
         cache (one donated dispatch)."""
@@ -541,16 +618,29 @@ class CachedDecoder:
 
         return self._install(pool_caches, row_caches, jnp.int32(row))
 
+    def install_rows(self, pool_caches, batch_caches, rows):
+        """Scatter a batch-S prefilled cache into the given pool rows in
+        ONE donated dispatch; rows[j] >= pool size marks row j as
+        padding and is dropped."""
+        import jax.numpy as jnp
+
+        return self._install_rows(pool_caches, batch_caches,
+                                  jnp.asarray(rows, jnp.int32))
+
     def generate(self, prompt_ids, steps: int,
                  eos_id: int | None = None, *, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0,
-                 seed: int = 0) -> np.ndarray:
+                 seed: int = 0, block: int | None = None) -> np.ndarray:
         """Decode with the KV cache: the whole prompt prefills in one
-        dispatch, then `steps` tokens are generated at O(window) cost
-        each. temperature<=0 (default) is greedy; otherwise on-device
-        temperature/top-k/top-p sampling seeded by `seed`."""
+        dispatch, then tokens are generated in device-side blocks of
+        `block` steps per dispatch (decode_block — the host loop pays
+        one relay RTT per BLOCK, not per token). temperature<=0
+        (default) is greedy; otherwise on-device temperature/top-k/top-p
+        sampling seeded by `seed`. block=None picks min(32, steps-1);
+        block=1 reproduces the per-token path dispatch-for-dispatch.
+        Token streams are identical for any block size (same PRNG
+        fold numbering)."""
         import jax
-        import jax.numpy as jnp
 
         prompt = np.asarray(prompt_ids)
         n, p = prompt.shape
@@ -561,6 +651,7 @@ class CachedDecoder:
         k_arr = np.full(n, top_k, np.int32)
         p_arr = np.full(n, top_p, np.float32)
         key = jax.random.PRNGKey(seed)
+        blk = int(block) if block else max(1, min(32, steps - 1))
 
         buf = np.zeros((n, p + steps), np.int64)
         buf[:, :p] = prompt
@@ -569,16 +660,24 @@ class CachedDecoder:
         window[:, :p] = prompt
         tok, caches = self.prefill_sample(window, np.full(n, p), key, 0,
                                           t_arr, k_arr, p_arr)
-        for t in range(p, p + steps):
-            nxt = np.asarray(tok)
+        pending = [np.asarray(tok)]   # raw sampled tokens, FIFO
+        last_raw = pending[0]         # last device-sampled token [N]
+        t = p                         # next buf position to fill
+        step_no = 1                   # PRNG fold counter (prefill = 0)
+        while t < p + steps:
+            if not pending:
+                toks, caches = self.decode_block(
+                    last_raw, np.full(n, t - 1, np.int32), caches, key,
+                    step_no, t_arr, k_arr, p_arr, blk)
+                toks = np.asarray(toks)
+                step_no += blk
+                last_raw = toks[:, -1]
+                pending = [toks[:, j] for j in range(blk)]
+            nxt = pending.pop(0)
             buf[:, t] = np.where(done, 0, nxt)
             if eos_id is not None:
                 done |= (nxt == eos_id)
                 if done.all():
                     return buf[:, :t + 1]
-            if t + 1 >= p + steps:
-                break
-            tok, caches = self.step_sample(
-                buf[:, t:t + 1], np.full(n, t, np.int32), caches, key,
-                t - p + 1, t_arr, k_arr, p_arr)
+            t += 1
         return buf

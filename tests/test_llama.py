@@ -216,6 +216,55 @@ def test_llama_prefill_matches_stepwise():
                 rtol=1e-5, atol=1e-5)
 
 
+def test_llama_blocked_decode_matches_per_token():
+    """decode_block (K steps per dispatch) must reproduce the per-token
+    path token-for-token — greedy AND sampled (the PRNG fold numbering
+    is block-size-invariant by construction)."""
+    eng = _llama_engine()
+    dec = CachedDecoder(eng)
+    prompt = np.array([[5, 1, 8], [2, 9, 3]])
+    want = dec.generate(prompt, steps=9, block=1)
+    for blk in (3, 4, 16):  # divides / straddles / overruns steps-1=8
+        got = dec.generate(prompt, steps=9, block=blk)
+        np.testing.assert_array_equal(got, want)
+    sampled_want = dec.generate(prompt, steps=9, block=1,
+                                temperature=0.9, top_k=7, seed=3)
+    sampled_got = dec.generate(prompt, steps=9, block=4,
+                               temperature=0.9, top_k=7, seed=3)
+    np.testing.assert_array_equal(sampled_got, sampled_want)
+
+
+def test_llama_blocked_decode_eos_early_exit():
+    """eos rows are frozen host-side mid-block exactly as per-token."""
+    eng = _llama_engine()
+    dec = CachedDecoder(eng)
+    prompt = np.array([[5, 1, 8]])
+    base = dec.generate(prompt, steps=10, block=1)
+    # pick the 3rd generated token as a fake eos so the exit lands
+    # mid-block for block=4
+    eos = int(base[0, prompt.shape[1] + 2])
+    want = dec.generate(prompt, steps=10, eos_id=eos, block=1)
+    got = dec.generate(prompt, steps=10, eos_id=eos, block=4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_llama_generation_service_horizon():
+    """decode_horizon > 1 (K decode steps per dispatch) returns the same
+    greedy completions as the per-token tick."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine()
+    dec = CachedDecoder(eng)
+    prompts = [[4, 8, 2], [7, 1]]
+    want = [dec.generate(np.asarray([p]), steps=6)[0] for p in prompts]
+    svc = GenerationService(eng, slots=2, decode_horizon=3).start()
+    futs = [svc.submit(p, max_new=6) for p in prompts]
+    got = [f.result(timeout=60) for f in futs]
+    svc.stop()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_llama_generation_service():
     from simpleinfer_tpu.serving.llm import GenerationService
 
