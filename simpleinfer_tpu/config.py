@@ -66,6 +66,10 @@ class EngineConfig:
     io_layout: str = "nhwc"
     # device mesh; None = single device
     mesh: Optional[MeshConfig] = None
+    # pin a single-device engine to jax.devices()[device_index]
+    # (DP engine pools: one engine per chip, serving/batcher.py).
+    # None = the process default device. Mutually exclusive with mesh.
+    device_index: Optional[int] = None
     # run load-time graph fusions (conv+bn fold, conv+activation tagging;
     # ir/passes.py). Off = every op runs standalone like the reference.
     fuse: bool = True
@@ -119,6 +123,12 @@ class EngineConfig:
             raise ValueError("io_layout must be 'nhwc' or 'nchw'")
         if self.input_layout not in ("auto", "default"):
             raise ValueError("input_layout must be 'auto' or 'default'")
+        if self.device_index is not None:
+            if self.mesh is not None:
+                raise ValueError("device_index pins a SINGLE-device "
+                                 "engine; it cannot combine with a mesh")
+            if self.device_index < 0:
+                raise ValueError("device_index must be >= 0")
 
     @property
     def compute_jnp_dtype(self):

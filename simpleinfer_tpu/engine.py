@@ -121,6 +121,7 @@ class Engine:
         self._program: Optional[Program] = None
         self._jitted = None
         self._mesh = None
+        self._device = None  # pinned device (config.device_index)
         self._device_weights = None
         self._staged: dict = {}
         self._outputs: dict = {}
@@ -145,6 +146,13 @@ class Engine:
             graph = Graph.load(parampath, binpath)
         program = build_program(graph, self.config)
         self._mesh = build_mesh(self.config.mesh)
+        if self.config.device_index is not None:
+            devs = jax.devices()
+            if self.config.device_index >= len(devs):
+                raise ValueError(
+                    f"device_index {self.config.device_index} out of "
+                    f"range: {len(devs)} device(s) visible")
+            self._device = devs[self.config.device_index]
         self._device_weights = self._place_weights(program)
         self._program = program
 
@@ -169,6 +177,7 @@ class Engine:
         self._program = None
         self._jitted = None
         self._mesh = None
+        self._device = None
         self._device_weights = None
         self._staged = {}
         self._outputs = {}
@@ -237,6 +246,10 @@ class Engine:
         x = self._program.pack_input(name, x)
         if self._mesh is not None:
             x = jax.device_put(x, input_sharding(self._mesh, x.ndim))
+        elif self._device is not None:
+            # pinned engine (DP pool): commit the input to this
+            # engine's chip so the jitted call runs there
+            x = jax.device_put(x, self._device)
         else:
             # stage straight into the layout the compiled forward wants
             # (known after the first forward of this signature)
@@ -306,7 +319,9 @@ class Engine:
         (EngineConfig.input_layout). None = use the default-layout jit
         (mesh configured, disabled, or the layout API failed once)."""
         if (self.config.input_layout != "auto" or self._mesh is not None
-                or self._aot_cache is None):
+                or self._device is not None or self._aot_cache is None):
+            # a pinned engine skips the AUTO-layout AOT path: it
+            # compiles against the process default device
             return None
         key = tuple(sorted(
             (n, tuple(v.shape), str(v.dtype))
@@ -638,8 +653,11 @@ class Engine:
         per each OpImpl's shard_hints when a mesh is configured."""
         fp32_keys = {impl.name: impl.fp32_keys for impl in program.impls}
         if self._mesh is None:
+            place = ((lambda w: w) if self._device is None
+                     else (lambda w: self._put_single(w, self._device)))
             return {
-                opname: {k: self._cast(w, k, fp32_keys.get(opname, ()))
+                opname: {k: place(self._cast(w, k,
+                                             fp32_keys.get(opname, ())))
                          for k, w in wdict.items()}
                 for opname, wdict in program.weights.items()}
         placed = {}
@@ -652,6 +670,18 @@ class Engine:
                              shardings[k])
                 for k, w in wdict.items()}
         return placed
+
+    @staticmethod
+    def _put_single(w, dev):
+        """Commit one weight to a pinned device (config.device_index).
+        Committed weights make jit run the program on that device, so a
+        DP pool's engines compute concurrently on their own chips."""
+        if isinstance(w, QuantizedTensor):
+            return QuantizedTensor(
+                data=jax.device_put(jnp.asarray(w.data), dev),
+                scale=jax.device_put(jnp.asarray(w.scale), dev),
+                axis=w.axis)
+        return jax.device_put(jnp.asarray(w), dev)
 
     def _put(self, w, sharding):
         if isinstance(w, QuantizedTensor):

@@ -144,16 +144,18 @@ def _flash_impl(q, k, v, *, causal, scale, block_q, block_k, interpret):
 def flash_profitable(lq: int, lk: int) -> bool:
     """Sequence-length dispatch gate for the flash kernel.
 
-    Measured (docs/PERF.md, scripts/s8_linear_e2e.py): at ViT's L=197
-    d=64 the flash kernel LOSES 2x e2e to XLA's fused sdpa — the O(L^2)
-    scores tensor fits VMEM trivially and the online-softmax machinery
-    is pure overhead. Flash pays off when the scores tensor is too big
-    to fuse: long-KV prefill. Default thresholds Lk >= 1024 and
-    Lq >= 256 (decode's Lq = 1 always stays on XLA); override with
-    SI_FLASH_MIN_LK / SI_FLASH_MIN_LQ for per-chip retuning (read at
-    call time — trace time only — so a long-lived process can retune).
+    Measured (docs/PERF.md): at ViT's L=197 d=64 the flash kernel LOSES
+    2x e2e to XLA's fused sdpa, and the interleaved causal sweep
+    (scripts/flash_seq_sweep.py, 2026-08-19, bh=16 d=128 bf16) put the
+    crossover far higher than first assumed: flash is 0.42x/0.54x/0.47x
+    at L=512/1024/2048 and only wins (1.12x, both rounds) at L=4096,
+    where XLA's fused sdpa finally spills the scores tensor. Default
+    thresholds Lk >= 4096 and Lq >= 256 (decode's Lq = 1 always stays
+    on XLA); override with SI_FLASH_MIN_LK / SI_FLASH_MIN_LQ for
+    per-chip retuning (read at call time — trace time only — so a
+    long-lived process can retune).
     """
-    min_lk = int(os.environ.get("SI_FLASH_MIN_LK", "1024"))
+    min_lk = int(os.environ.get("SI_FLASH_MIN_LK", "4096"))
     min_lq = int(os.environ.get("SI_FLASH_MIN_LQ", "256"))
     return lk >= min_lk and lq >= min_lq
 

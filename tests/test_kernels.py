@@ -229,8 +229,9 @@ def test_flash_profitable_gate():
     assert not flash_profitable(197, 197)     # ViT-base: measured loss
     assert not flash_profitable(1, 4096)      # decode: single query row
     assert not flash_profitable(512, 512)     # short-KV prefill
-    assert flash_profitable(2048, 2048)       # long prefill: flash wins
-    assert flash_profitable(256, 1024)        # threshold boundary
+    assert not flash_profitable(2048, 2048)   # measured 0.47x: XLA wins
+    assert flash_profitable(4096, 4096)       # measured 1.12x crossover
+    assert flash_profitable(256, 4096)        # threshold boundary
 
 
 def test_flash_attention_rank4_bf16():

@@ -165,6 +165,66 @@ def test_multi_engine_pool_round_robins(engine):
         svc.stop()
 
 
+def test_device_pinned_engines_distinct_devices():
+    """EngineConfig.device_index commits weights + compute to that chip
+    (here: distinct devices of the simulated 8-CPU-device slice)."""
+    import jax
+
+    from simpleinfer_tpu import EngineConfig
+
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=6, width=8)
+    engines = [
+        Engine(EngineConfig(device_index=i)).load_model(None, graph=graph)
+        for i in (0, 1)]
+    x = RNG.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    outs = []
+    for i, eng in enumerate(engines):
+        eng.input(in_name, x)
+        eng.forward()
+        out = eng.extract(out_name, as_numpy=False)
+        assert out.devices() == {jax.devices()[i]}, \
+            f"engine {i} output not on its pinned device"
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5, rtol=1e-5)
+
+
+def test_multi_engine_pool_pinned_devices():
+    """BASELINE config-5 shape on the simulated slice: a DP pool of
+    engines pinned to their own devices, round-robin dispatch, pipeline
+    overlap, per-request latency + occupancy accounted."""
+    from simpleinfer_tpu import EngineConfig
+
+    graph, _, _ = build_resnet18(batch=1, image_size=32, num_classes=6,
+                                 width=8, seed=5)
+    engines = [
+        Engine(EngineConfig(device_index=i)).load_model(None, graph=graph)
+        for i in range(4)]
+    svc = BatchingService(engines, max_batch=4, buckets=[1, 2, 4],
+                          max_wait_ms=1.0).start()
+    try:
+        xs = [RNG.standard_normal((32, 32, 3)).astype(np.float32)
+              for _ in range(24)]
+        futs = [svc.submit(x) for x in xs]
+        got = np.stack([f.result(timeout=120) for f in futs])
+        want = _ref_outputs(engines[0], xs)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+        # every pinned engine took batches; totals reconcile
+        assert all(b > 0 for b in svc.stats.batches_per_engine)
+        assert sum(svc.stats.batches_per_engine) == svc.stats.batches
+        assert svc.stats.requests == len(xs)
+        # per-request latency was recorded (mean > 0) and the bucket
+        # SLO report covers every bucket used
+        assert svc.stats.mean_latency_ms > 0
+        report = svc.stats.slo_report(target_ms=60_000)
+        assert sum(s["items"] for s in report.values()) == len(xs)
+        assert all(s["within"] for s in report.values())
+        # occupancy: bucketing never padded more than it served
+        assert svc.stats.mean_batch_occupancy > 0.5
+    finally:
+        svc.stop()
+
+
 def test_multi_engine_single_is_default(engine):
     svc = BatchingService(engine, max_batch=4)
     assert svc.engines == [engine]
