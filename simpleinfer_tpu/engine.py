@@ -485,6 +485,35 @@ class Engine:
         finally:
             self._staged, self._outputs = staged_backup, outputs_backup
 
+    def temp_bytes(self, batch_size: int) -> Optional[int]:
+        """XLA temp-buffer bytes of the compiled forward at this batch
+        size (compiled.memory_analysis) — the b16/b32 spill signal: at
+        b8 yolov5s compiles with temp_size=0 (fully fused), at b16 XLA
+        materializes 216 MB of stage temporaries and the batch pays a
+        ~24% throughput tax (docs/PERF.md). None when the backend does
+        not expose the report. Compiles the shape if not cached (the
+        persistent compile cache makes repeat calls cheap)."""
+        self._require_loaded()
+        staged = {}
+        for spec in self._program.inputs:
+            if not spec.shape:
+                raise EngineStateError(
+                    f"temp_bytes needs a declared shape for input "
+                    f"{spec.name!r}")
+            shape = [batch_size] + [1 if d == -1 else d
+                                    for d in spec.shape[1:]]
+            staged[spec.name] = self._prepare_input(
+                spec.name, np.zeros(shape, np.float32))
+        try:
+            compiled = self._jitted.lower(
+                self._device_weights, staged).compile()
+            report = compiled.memory_analysis()
+            return int(report.temp_size_in_bytes)
+        except Exception as e:  # noqa: BLE001 — backend-dependent API
+            logger.info("memory_analysis unavailable at b%d (%s: %s)",
+                        batch_size, type(e).__name__, e)
+            return None
+
     def calibrate(self, sample_batches) -> dict:
         """Static-int8 activation calibration (quant='int8' only).
 

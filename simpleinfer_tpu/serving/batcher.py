@@ -142,10 +142,38 @@ class BatchingService:
         self._q.put(req)
         return req.future
 
-    def warmup(self) -> None:
+    def warmup(self, probe_spill: bool = False,
+               spill_budget_bytes: int = 32 << 20) -> None:
         """Compile every bucket up front (avoids first-request stalls).
         Engines sharing a model compile once each — identical programs
-        on different devices still need their own executable."""
+        on different devices still need their own executable.
+
+        probe_spill=True additionally asks XLA how many TEMP bytes each
+        bucket's executable materializes (Engine.temp_bytes) and DROPS
+        buckets above `spill_budget_bytes`: measured on yolov5s-640
+        int8w, b8 compiles fully fused (temp 0) while b16 spills 216 MB
+        of stage temporaries and pays ~24% throughput (docs/PERF.md) —
+        a b32 offered load is then served as 4 x b8 waves instead of
+        paying the spill implicitly. The smallest bucket is always
+        kept; a backend without memory_analysis keeps all buckets.
+        """
+        if probe_spill:
+            kept = self.buckets[:1]
+            for b in self.buckets[1:]:
+                t = self.engine.temp_bytes(b)
+                if t is None or t <= spill_budget_bytes:
+                    kept.append(b)
+                else:
+                    import logging
+
+                    logging.getLogger("simpleinfer_tpu").warning(
+                        "serving bucket b%d drops: XLA temp spill "
+                        "%.0f MB > budget %.0f MB (served as %dx b%d "
+                        "waves instead)", b, t / 2**20,
+                        spill_budget_bytes / 2**20, b // kept[-1],
+                        kept[-1])
+            self.buckets = kept
+            self.max_batch = min(self.max_batch, kept[-1])
         for eng in self.engines:
             eng.warmup(self.buckets)
 

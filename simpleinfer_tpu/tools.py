@@ -267,7 +267,9 @@ def cmd_serve(args) -> int:
     if args.warmup:
         print("compiling buckets "
               f"{svc.buckets} ...", flush=True)
-        svc.warmup()
+        svc.warmup(probe_spill=args.probe_spill)
+        if args.probe_spill:
+            print(f"spill-probed buckets: {svc.buckets}", flush=True)
     svc.start()
     server = InferenceServer(svc, host=args.host, port=args.port).start()
     host, port = server.address[:2]
@@ -380,6 +382,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--warmup", action="store_true",
                    help="compile every bucket before accepting traffic")
+    p.add_argument("--probe-spill", action="store_true",
+                   help="with --warmup: drop buckets whose executables "
+                        "spill XLA temps (>32 MB) — large offered "
+                        "loads are served as clean-bucket waves "
+                        "instead of paying the spill (docs/PERF.md)")
     p.add_argument("--calibration",
                    help="scales npz from the calibrate command "
                         "(required with --quant int8)")

@@ -225,6 +225,38 @@ def test_multi_engine_pool_pinned_devices():
         svc.stop()
 
 
+def test_temp_bytes_report(engine):
+    """Engine.temp_bytes returns an int (or None on backends without
+    memory_analysis) — the b16 spill signal used by the serving probe."""
+    t = engine.temp_bytes(2)
+    assert t is None or (isinstance(t, int) and t >= 0)
+
+
+def test_warmup_spill_probe_drops_spilled_buckets(engine, monkeypatch):
+    """Buckets whose executables spill XLA temps beyond the budget are
+    dropped: a b16 offered load is then served as b8 waves instead of
+    paying the measured ~24% spill tax implicitly (docs/PERF.md)."""
+    svc = BatchingService(engine, max_batch=16, buckets=[1, 4, 8, 16],
+                          max_wait_ms=20.0)
+    spill = {1: 0, 4: 0, 8: 0, 16: 216 << 20}
+    monkeypatch.setattr(engine, "temp_bytes", lambda b: spill[b])
+    svc.warmup(probe_spill=True)
+    assert svc.buckets == [1, 4, 8]
+    assert svc.max_batch == 8
+    svc.start()
+    try:
+        xs = [RNG.standard_normal((32, 32, 3)).astype(np.float32)
+              for _ in range(16)]
+        futs = [svc.submit(x) for x in xs]
+        got = np.stack([f.result(timeout=120) for f in futs])
+        np.testing.assert_allclose(got, _ref_outputs(engine, xs),
+                                   atol=1e-4, rtol=1e-4)
+        # nothing dispatched above the capped bucket
+        assert max(svc.stats.per_bucket) <= 8
+    finally:
+        svc.stop()
+
+
 def test_multi_engine_single_is_default(engine):
     svc = BatchingService(engine, max_batch=4)
     assert svc.engines == [engine]
