@@ -52,6 +52,17 @@ class EngineConfig:
     # in (0, 100) — e.g. 99.99 clips outliers (quantize_act saturates
     # them), trading saturation error for finer resolution everywhere else
     act_clip_percentile: Optional[float] = None
+    # per-CHANNEL activation scales (quant="int8"): ops that can fold
+    # (OpImpl.act_fold — plain convs/linears on the guaranteed s8 path)
+    # calibrate one scale per input channel, folded into the quantized
+    # weight at install so the MXU epilogue stays a single per-out-
+    # channel dequant. Ops that cannot fold keep per-tensor scales.
+    # Costs nothing at inference; helps models with skewed per-channel
+    # activation ranges (the usual real-weights failure mode of
+    # per-tensor calibration). Chain requant (mark_int8_chains) is
+    # disabled on per-channel consumers — correctness over the measured-
+    # neutral chain win.
+    act_per_channel: bool = False
     # static-int8 profitability gate (measured on v5e,
     # scripts/int8_conv_probe.py): s8xs8 conv beats bf16 only for
     # k>1 convs with >= this many input channels (1.12-1.56x); 1x1

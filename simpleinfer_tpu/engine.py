@@ -126,6 +126,9 @@ class Engine:
         self._staged: dict = {}
         self._outputs: dict = {}
         self._observer = None  # cached jitted calibration observer
+        # pre-fold quantized weights (per-channel act scales fold the
+        # act factor into the weight; re-installs restore from here)
+        self._pristine_qweights: dict = {}
         # AUTO-input-layout state (config.input_layout == "auto"):
         # {input-signature: (compiled, {name: Format})}; None after a
         # failed attempt (permanently fall back to default layouts)
@@ -182,6 +185,7 @@ class Engine:
         self._staged = {}
         self._outputs = {}
         self._observer = None
+        self._pristine_qweights = {}
         self._aot_cache = {}
         self._input_formats = {}
 
@@ -535,7 +539,8 @@ class Engine:
 
         if self._observer is None:
             self._observer = jax.jit(build_observer_fn(
-                self._program, self.config.act_clip_percentile))
+                self._program, self.config.act_clip_percentile,
+                per_channel=self.config.act_per_channel))
         agg: dict = {}
         n_batches = 0
         for feeds in sample_batches:
@@ -550,36 +555,115 @@ class Engine:
             stats = jax.device_get(self._observer(self._device_weights,
                                                   staged))
             for k, v in stats.items():
-                v = float(v)
-                agg[k] = max(agg.get(k, 0.0), v)
+                v = np.asarray(v, np.float32)  # scalar or per-channel
+                agg[k] = np.maximum(agg[k], v) if k in agg else v
             n_batches += 1
         if not n_batches:
             raise EngineStateError("calibrate() needs at least one batch")
         scales = scales_from_stats(agg)
+        if self.config.act_per_channel:
+            scales = self._balance_per_channel(scales, agg)
         self._install_act_scales(scales)
         logger.info("calibrated %d ops over %d batches (observer=%s)",
                     len(scales), n_batches,
                     self.config.act_clip_percentile or "absmax")
         return scales
 
+    def _balance_per_channel(self, scales: dict, stats: dict) -> dict:
+        """Replace raw per-channel scale vectors (absmax/127) with
+        SmoothQuant-balanced ones (quant/calibrate.smooth_balanced_scales)
+        for ops whose weight they will fold into. save_calibration
+        artifacts store the BALANCED vectors, so load_calibration folds
+        them verbatim and round-trips exactly."""
+        from .quant.calibrate import smooth_balanced_scales
+        from .quant.tensor import QuantizedTensor
+
+        impls = {i.name: i for i in self._program.impls}
+        out = {}
+        for name, s in scales.items():
+            s = np.asarray(s, np.float32)
+            impl = impls.get(name)
+            w = self._pristine_qweights.get(name)
+            if w is None:
+                w = self._program.weights[name].get("weight")
+            fold = impl.act_fold if impl is not None else None
+            if (s.ndim == 1 and fold is not None
+                    and isinstance(w, QuantizedTensor)
+                    and w.data.shape[fold[1]] == s.size):
+                w_fp = self._program.fp_weights.get(name)
+                if w_fp is None:  # pre-quantization copy preferred
+                    w_fp = np.asarray(w.dequantize())
+                ic = fold[1] % w_fp.ndim
+                w_ic = np.abs(w_fp).max(
+                    axis=tuple(i for i in range(w_fp.ndim) if i != ic))
+                out[name] = smooth_balanced_scales(s * 127.0, w_ic)
+            else:
+                out[name] = s
+        return out
+
     def _install_act_scales(self, scales: dict) -> None:
         """Install per-op activation scales into the weight pytree and
-        re-place weights (switches conv/linear onto s8×s8 at retrace)."""
+        re-place weights (switches conv/linear onto s8×s8 at retrace).
+
+        Vector (per-channel) scales are FOLDED into the op's quantized
+        weight along its input-channel axis (OpImpl.act_fold): with
+        w~ = w·s[ic] requantized per-out-channel and x̂ = x/s[ic], the
+        s32 accumulator dequantizes by w~'s per-out-channel scale alone
+        — per-channel activation quant at zero inference cost. The
+        pre-fold weight is kept so re-installs (re-calibration, loading
+        a different artifact) never double-fold."""
         unknown = [k for k in scales
                    if k not in self._program.weights]
         if unknown:
             raise EngineStateError(
                 f"calibration names not in this model: {unknown[:5]}")
+        from .quant.tensor import QuantizedTensor, quantize_per_channel
+
+        impls = {i.name: i for i in self._program.impls}
+        # restore pre-fold weights before applying the new scales
+        for opname, w0 in self._pristine_qweights.items():
+            self._program.weights[opname]["weight"] = w0
         for opname, s in scales.items():
-            self._program.weights[opname]["act_scale"] = np.asarray(
-                s, np.float32)
+            s = np.asarray(s, np.float32)
+            if s.ndim == 1:
+                impl = impls.get(opname)
+                w = self._program.weights[opname].get("weight")
+                fold = impl.act_fold if impl is not None else None
+                if (fold is None or not isinstance(w, QuantizedTensor)
+                        or w.data.shape[fold[1]] != s.size):
+                    logger.warning(
+                        "per-channel act scale for %r cannot fold "
+                        "(act_fold=%s); reducing to per-tensor",
+                        opname, fold)
+                    s = np.float32(s.max())
+                else:
+                    w0 = self._pristine_qweights.setdefault(opname, w)
+                    wf = self._program.fp_weights.get(opname)
+                    if wf is None:  # pre-quantization copy preferred:
+                        # per-out-channel weight quant may have zeroed
+                        # small input channels irrecoverably
+                        wf = np.asarray(w0.dequantize())
+                    wf = np.asarray(wf, np.float32)
+                    bshape = [1] * wf.ndim
+                    bshape[fold[1] % wf.ndim] = s.size
+                    self._program.weights[opname]["weight"] = (
+                        quantize_per_channel(wf * s.reshape(bshape),
+                                             axis=w0.axis))
+            self._program.weights[opname]["act_scale"] = s
         # chain producers (ir/passes.mark_int8_chains) requantize their
-        # output to the consumer's scale: install it as out_scale
+        # output to the consumer's scale: install it as out_scale.
+        # Per-channel (vector) consumer scales disable the chain — the
+        # producer would have to requantize per-channel while sibling
+        # consumers may be per-tensor; without out_scale every consumer
+        # quantizes its own input, which is always correct.
         for impl in self._program.impls:
             c = impl.q_out_consumer
             if c is not None and c in scales:
-                self._program.weights[impl.name]["out_scale"] = np.asarray(
-                    scales[c], np.float32)
+                s = np.asarray(scales[c], np.float32)
+                if s.ndim == 0:
+                    self._program.weights[impl.name]["out_scale"] = s
+                else:
+                    self._program.weights[impl.name].pop("out_scale", None)
         self._device_weights = self._place_weights(self._program)
         if self._aot_cache:
             # weight pytree changed shape (act_scale/out_scale entries):
@@ -613,7 +697,8 @@ class Engine:
             raise EngineStateError(
                 "load_calibration() requires EngineConfig(quant='int8')")
         with np.load(path) as z:
-            scales = {k: float(z[k]) for k in z.files}
+            # scalar (per-tensor) or vector (per-channel) scales
+            scales = {k: np.asarray(z[k], np.float32) for k in z.files}
         self._install_act_scales(scales)
         logger.info("loaded calibration for %d ops from %s",
                     len(scales), path)

@@ -89,6 +89,14 @@ class Program:
     # na; Engine.extract reshapes [N,R,na*c] -> [N,R*na,c] host-side
     # (free) instead of paying the device retile copy
     output_transforms: dict = field(default_factory=dict)
+    # HOST-only pre-quantization fp32 weights for per-channel activation
+    # folding (EngineConfig.act_per_channel): op name -> fp array. The
+    # fold (engine._install_act_scales) requantizes w·s from THESE, not
+    # from the already-quantized weight — per-out-channel weight quant
+    # can zero whole input channels (small |w| against a large-|w|
+    # sibling), and dequantize() cannot bring them back. Never placed on
+    # device.
+    fp_weights: dict = field(default_factory=dict)
 
     def pack_input(self, name: str, x):
         """Reshape a staged NHWC input to its stem-packed form (no-op
@@ -266,6 +274,7 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
 
     impls: list[OpImpl] = []
     weights: dict = {}
+    fp_weights: dict = {}
     plan: list[tuple] = []  # (impl, in_names, out_names)
     for op in order:
         if op.type in ("pnnx.Input", "pnnx.Output"):
@@ -274,6 +283,9 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         if cfg.quant in ("int8w", "int8") and impl.quantizable:
             for key, axis in impl.quantizable.items():
                 if key in impl.weights:
+                    if (key == "weight" and cfg.quant == "int8"
+                            and cfg.act_per_channel and impl.act_fold):
+                        fp_weights[impl.name] = impl.weights[key]
                     impl.weights[key] = quantize_per_channel(
                         impl.weights[key], axis)
         impls.append(impl)
@@ -347,4 +359,5 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         input_transforms=input_transforms,
         wrap_inputs=wrap_inputs,
         output_transforms=output_transforms,
+        fp_weights=fp_weights,
     )

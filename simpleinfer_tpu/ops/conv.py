@@ -108,8 +108,17 @@ def int8_epilogue(acc, act_scale, w_scale, bias, activation, out_dtype,
                   out_quant_scale=None):
     """Shared s32→f32 dequant + bias + activation epilogue for every
     static-int8 matmul/conv site (conv, cat-split conv, linear) — one
-    place to change the int8 numerics."""
-    out = acc.astype(jnp.float32) * (act_scale * w_scale)
+    place to change the int8 numerics.
+
+    A rank-1 `act_scale` means per-CHANNEL activation scales, which were
+    FOLDED into the quantized weight at install time
+    (engine._install_act_scales, see OpImpl.act_fold): the epilogue
+    dequant is then `w_scale` alone — the act factor is already inside
+    the weight's per-out-channel scale."""
+    if getattr(act_scale, "ndim", 0):
+        out = acc.astype(jnp.float32) * w_scale
+    else:
+        out = acc.astype(jnp.float32) * (act_scale * w_scale)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     if activation is not None:
@@ -584,6 +593,12 @@ def lower_conv2d(op, cfg):
         flops_per_pixel=per_pixel,
         fp32_keys=("act_scale", "out_scale"),  # quant scales never downcast
         act_quant=True,
+        # per-channel act scales fold into HWIO axis 2 (input channels);
+        # only when the int8 branch is STATICALLY guaranteed — a folded
+        # weight is wrong on every other path (packed/fp/cat-split)
+        act_fold=((-1, 2) if (groups == 1 and not cat_inputs
+                              and not pack_in and not s2d_eligible
+                              and int8_profitable) else None),
         q_out_consumer=q_consumer,
         # stem convs advertise their W-pack geometry so the executor can
         # stage the graph INPUT pre-packed (executor.stem_pack_factor):

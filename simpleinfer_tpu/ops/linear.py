@@ -39,6 +39,23 @@ def linear(x, w, bias=None, accum_dtype=jnp.float32, activation=None):
     return out.astype(x.dtype)
 
 
+def _linear_act_fold(op):
+    """(act_axis, weight_ic_axis) for per-channel activation scales
+    (OpImpl.act_fold). The contracted dim is the logical last dim; for
+    rank-4 inputs the physical layout is NHWC of the logical NCHW shape
+    (ops/shape.py), so logical dim 3 sits at physical axis 2. Unknown
+    ranks get no per-channel support (per-tensor fallback)."""
+    shape = op.inputs[0].shape if op.inputs else None
+    if not shape:
+        return None
+    rank = len(shape)
+    if rank == 4:
+        return (2, 0)
+    if rank in (2, 3):
+        return (-1, 0)
+    return None
+
+
 @register_op("nn.Linear")
 def lower_linear(op, cfg):
     in_features = require_param(op, "in_features", PARAM_INT).i
@@ -84,6 +101,10 @@ def lower_linear(op, cfg):
             q = quantize_act(x, act_scale)
             lead = x.shape[:-1]
             m = int(np.prod(lead)) if lead else 1
+            # rank-1 act_scale = per-channel, already folded into the
+            # weight (engine._install_act_scales): dequant by w.scale
+            epi_scale = (w.scale if getattr(act_scale, "ndim", 0)
+                         else act_scale * w.scale)
             if (allow_pallas and pallas_supported()
                     and min(m, in_features, out_features) >= 256):
                 # native s8xs8 Pallas GEMM: measured 264 vs 218 T/s
@@ -92,7 +113,7 @@ def lower_linear(op, cfg):
                 from ..kernels.matmul import matmul_s8s8
 
                 out = matmul_s8s8(q.reshape(-1, in_features), w.data,
-                                  act_scale * w.scale, bias, fused_act,
+                                  epi_scale, bias, fused_act,
                                   out_dtype=x.dtype)
                 return back(out.reshape(*lead, out_features))
             acc = jnp.einsum("...i,io->...o", q, w.data,
@@ -116,4 +137,5 @@ def lower_linear(op, cfg):
         flops_per_item=2 * in_features * out_features,
         fp32_keys=("act_scale",),
         act_quant=True,
+        act_fold=_linear_act_fold(op),
     )

@@ -55,6 +55,14 @@ class OpImpl:
     # act_scale this op requantizes its output to (Engine.calibrate
     # installs `out_scale` from it); None = not a chain producer
     q_out_consumer: object = None
+    # per-CHANNEL activation quantization support (EngineConfig.
+    # act_per_channel): (act_axis, weight_ic_axis) where act_axis is the
+    # channel axis of the PHYSICAL activation the calibration observer
+    # sees, and weight_ic_axis is the weight axis the per-channel scales
+    # are folded into at install time (engine._install_act_scales folds
+    # w·s[ic] and requantizes, so the s8 epilogue dequant stays a single
+    # per-OUT-channel vector). None = per-tensor scales only.
+    act_fold: object = None
     # stem conv W-pack geometry (kernel_w, stride_w, pad_l) when the op
     # can consume a W-packed graph input (see executor.stem_pack_factor)
     stem_pack_info: object = None

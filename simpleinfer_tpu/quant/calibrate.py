@@ -31,8 +31,9 @@ from typing import Optional
 import jax.numpy as jnp
 
 
-def _tensor_stat(a, percentile: Optional[float]):
-    """abs-max (or percentile of |x|) of one activation as an f32 scalar.
+def _tensor_stat(a, percentile: Optional[float], axis: Optional[int] = None):
+    """abs-max (or percentile of |x|) of one activation — an f32 scalar,
+    or a per-channel f32 vector over `axis` (OpImpl.act_fold).
     PackedW carriers (ops/conv.py) hold the same values as their logical
     tensor, so the stat is taken on the raw packed data; re-calibration
     over an active int8 chain sees QuantizedActivation carriers, whose
@@ -43,14 +44,23 @@ def _tensor_stat(a, percentile: Optional[float]):
         a = a.dequantize(jnp.float32)
     data = getattr(a, "data", a)  # PackedW -> underlying array
     mag = jnp.abs(data.astype(jnp.float32))
+    if axis is not None:
+        c = mag.shape[axis]
+        flat = jnp.moveaxis(mag, axis, -1).reshape(-1, c)
+        if percentile is not None:
+            return jnp.quantile(flat, percentile / 100.0, axis=0)
+        return jnp.max(flat, axis=0)
     if percentile is not None:
         return jnp.quantile(mag.reshape(-1), percentile / 100.0)
     return jnp.max(mag)
 
 
-def build_observer_fn(program, percentile: Optional[float] = None):
-    """fn(weights, inputs) -> {op name: f32 scalar activation stat} for
-    every act_quant op in the plan. Jittable; runs the full forward."""
+def build_observer_fn(program, percentile: Optional[float] = None,
+                      per_channel: bool = False):
+    """fn(weights, inputs) -> {op name: f32 activation stat} for every
+    act_quant op in the plan. Jittable; runs the full forward. Stats are
+    scalars, or per-channel vectors for single-input ops advertising
+    OpImpl.act_fold when `per_channel` is set."""
     plan = program.plan
 
     def fn(weights, inputs):
@@ -60,7 +70,10 @@ def build_observer_fn(program, percentile: Optional[float] = None):
         for impl, in_names, out_names in plan:
             args = [env[n] for n in in_names]
             if impl.act_quant and args:
-                vals = [_tensor_stat(a, percentile) for a in args]
+                axis = (impl.act_fold[0]
+                        if per_channel and impl.act_fold
+                        and len(args) == 1 else None)
+                vals = [_tensor_stat(a, percentile, axis) for a in args]
                 stats[impl.name] = (vals[0] if len(vals) == 1
                                     else jnp.max(jnp.stack(vals)))
             out = impl.apply(weights[impl.name], *args)
@@ -74,9 +87,32 @@ def build_observer_fn(program, percentile: Optional[float] = None):
     return fn
 
 
-def scales_from_stats(stats: dict) -> dict:
-    """Aggregated abs-max stats -> symmetric per-tensor scales."""
+def smooth_balanced_scales(act_absmax, w_ic_absmax, alpha: float = 0.5):
+    """Balanced per-channel activation scales (the SmoothQuant
+    equivalent-transform, Xiao et al. 2022): folding raw per-channel act
+    scales into the weight (alpha=1) merely MOVES channel skew from the
+    activation into the per-out-channel weight quantization; splitting
+    it — s_ic = act_max^alpha / w_max^(1-alpha) — halves the dynamic
+    range both sides pay (in log space).
+
+    Returns v (f32, per input channel) such that x_hat = x / v is int8
+    with max |x_hat| = 127, and w·v requantized per-out-channel carries
+    the rest; the s32 epilogue dequant is the folded weight's
+    per-out-channel scale alone (ops/conv.int8_epilogue convention)."""
     import numpy as np
 
-    return {k: np.float32(max(float(v), 1e-8) / 127.0)
+    act = np.maximum(np.asarray(act_absmax, np.float64), 1e-8)
+    wm = np.maximum(np.asarray(w_ic_absmax, np.float64), 1e-8)
+    s = np.maximum(act ** alpha / wm ** (1.0 - alpha), 1e-8)
+    t = max(float((act / s).max()) / 127.0, 1e-12)
+    return (s * t).astype(np.float32)
+
+
+def scales_from_stats(stats: dict) -> dict:
+    """Aggregated abs-max stats -> symmetric scales: f32 scalars for
+    per-tensor stats, f32 vectors for per-channel stats."""
+    import numpy as np
+
+    return {k: np.asarray(np.maximum(np.asarray(v, np.float32), 1e-8)
+                          / 127.0, np.float32)
             for k, v in stats.items()}

@@ -97,10 +97,12 @@ class QuantizedActivation:
 
 
 def quantize_act(x, scale):
-    """Symmetric per-tensor int8 quantization of an activation tensor at
-    trace time. `scale` is a traced f32 scalar (from Engine.calibrate);
-    values beyond ±127·scale saturate. Elementwise — XLA fuses it into
-    the producer's epilogue / the consuming conv's prologue."""
+    """Symmetric int8 quantization of an activation tensor at trace
+    time. `scale` is a traced f32 scalar (per-tensor) or a vector
+    broadcasting over the channel (last) axis (per-channel,
+    EngineConfig.act_per_channel — the matching factor is folded into
+    the weight); values beyond ±127·scale saturate. Elementwise — XLA
+    fuses it into the producer's epilogue / the consumer's prologue."""
     q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
     return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
 

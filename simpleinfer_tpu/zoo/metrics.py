@@ -106,9 +106,17 @@ class ParityReport:
     fp32_detections: int
     quant_detections: int
     max_abs_logit_delta: float
+    # rank-INSENSITIVE agreement: fraction of truth detections that have
+    # a same-class IoU>=0.5 match anywhere in the other engine's set.
+    # mAP additionally punishes score-rank reshuffles, which on dense
+    # near-threshold detection sets flip on ulp-level perturbations —
+    # box_recall is the stable budget statistic for CI assertions
+    # (tests/test_acceptance.py).
+    box_recall: float = float("nan")
 
     def __str__(self):
-        return (f"int8-vs-fp32: mAP@0.5 {self.map_vs_fp32:.4f} over "
+        return (f"int8-vs-fp32: mAP@0.5 {self.map_vs_fp32:.4f}, "
+                f"box recall {self.box_recall:.4f} over "
                 f"{self.n_images} images ({self.fp32_detections} fp32 / "
                 f"{self.quant_detections} int8 detections), max |Δraw| "
                 f"{self.max_abs_logit_delta:.4g}")
@@ -137,7 +145,18 @@ def int8_parity_report(engine_fp32, engine_quant, inputs: np.ndarray,
         gts.append([(np.asarray(d.box), d.class_id) for d in df])
         preds.append([(np.asarray(d.box), d.score, d.class_id) for d in dq])
     m = mean_average_precision(preds, gts, num_classes)
+    matched = total = 0
+    for preds_i, gts_i in zip(preds, gts):
+        for c in {g[1] for g in gts_i}:
+            gb = [g[0] for g in gts_i if g[1] == c]
+            pb = [p[0] for p in preds_i if p[2] == c]
+            ps = [p[1] for p in preds_i if p[2] == c]
+            total += len(gb)
+            if pb:
+                matched += int(match_detections(
+                    pb, ps, np.asarray(gb)).sum())
     return ParityReport(
         map_vs_fp32=m, n_images=pf.shape[0], fp32_detections=nf,
         quant_detections=nq,
-        max_abs_logit_delta=float(np.abs(pf - pq).max()))
+        max_abs_logit_delta=float(np.abs(pf - pq).max()),
+        box_recall=(matched / total if total else float("nan")))

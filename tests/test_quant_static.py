@@ -530,3 +530,167 @@ def test_int8_chain_survives_relu6_between_convs():
     convs = [op for op in g.ops if op.type == "nn.Conv2d"]
     assert FUSED_Q_OUT in convs[0].params  # chained THROUGH relu6
     assert FUSED_Q_OUT in convs[1].params  # and through leaky_relu
+
+
+# ---------------------------------------------- per-channel act scales
+def _chan_skew(c):
+    return (10.0 ** ((np.arange(c) % 5) - 2)).astype(np.float32)
+
+
+def _skewed_conv_graph(seed=7):
+    """Two plain convs where the first conv's weight is INVERSELY skewed
+    to the input's channel skew: every input channel contributes
+    comparably to the output, but a single per-tensor activation scale
+    quantizes the small-magnitude (large-weight) channels to zero — the
+    outlier-channel failure mode per-channel calibration exists for
+    (SmoothQuant, Xiao et al. 2022)."""
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    b = GraphBuilder(seed=seed)
+    x = b.input([1, 8, 16, 16], name="in0")
+    h = b.conv(x, 16, 3, 1, 1)
+    h = b.relu(h)
+    h = b.conv(h, 16, 3, 1, 1)
+    b.output(h)
+    g = b.build()
+    conv1 = next(op for op in g.ops if op.type == "nn.Conv2d")
+    w = conv1.attrs["weight"].array()  # OIHW
+    w = w / _chan_skew(w.shape[1]).reshape(1, -1, 1, 1)
+    conv1.attrs["weight"] = type(conv1.attrs["weight"]).from_array(
+        w.astype(np.float32))
+    return g
+
+
+def _skewed_input(shape=(1, 16, 16, 8), seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(shape).astype(np.float32)
+    return x * _chan_skew(shape[-1])
+
+
+def _int8_engine(graph, per_channel):
+    return Engine(EngineConfig(
+        quant="int8", int8_min_channels=1, int8_pointwise=True,
+        act_per_channel=per_channel)).load_model(None, graph=graph)
+
+
+def test_per_channel_act_scales_fold_and_beat_per_tensor():
+    """Per-channel activation calibration (act_per_channel=True) folds
+    the channel scales into the quantized weight (install-time; the
+    epilogue stays a per-out-channel dequant) and strictly reduces
+    quantization error on channel-skewed activations."""
+    x = _skewed_input()
+    fp = Engine().load_model(
+        None, graph=_skewed_conv_graph()).run({"in0": x})
+    out_name = list(fp)[0]
+    fp = fp[out_name]
+
+    pt = _int8_engine(_skewed_conv_graph(), per_channel=False)
+    pc = _int8_engine(_skewed_conv_graph(), per_channel=True)
+    batches = [{"in0": _skewed_input(seed=s)} for s in (3, 4)]
+    s_pt = pt.calibrate(batches)
+    s_pc = pc.calibrate(batches)
+
+    # eligible convs calibrated per-channel (vector scales)
+    vec = {k: v for k, v in s_pc.items() if np.ndim(v) == 1}
+    assert vec, f"no vector scales installed: {s_pc}"
+    assert all(np.ndim(v) == 0 for v in s_pt.values())
+
+    err_pt = np.abs(np.asarray(pt.run({"in0": x})[out_name]) - fp).max()
+    err_pc = np.abs(np.asarray(pc.run({"in0": x})[out_name]) - fp).max()
+    scale = float(np.abs(fp).max())
+    assert err_pc < err_pt, (err_pc, err_pt)
+    assert err_pc < 0.05 * scale
+
+
+def test_per_channel_artifact_roundtrip_and_no_double_fold(tmp_path):
+    """Vector scales survive save/load; re-installing over a folded
+    engine restores the pristine weight first (no double-fold)."""
+    batches = [{"in0": _skewed_input(seed=s)} for s in (3, 4)]
+    x = _skewed_input()
+
+    eng = _int8_engine(_skewed_conv_graph(), per_channel=True)
+    eng.calibrate(batches)
+    out_name = eng.output_names[0]
+    want = np.asarray(eng.run({"in0": x})[out_name])
+    path = str(tmp_path / "pc.npz")
+    eng.save_calibration(path)
+
+    # reinstall on the SAME engine: pristine weights restored, then
+    # refolded -> outputs identical (double-fold would skew them)
+    eng.load_calibration(path)
+    np.testing.assert_array_equal(
+        np.asarray(eng.run({"in0": x})[out_name]), want)
+
+    # fresh engine, loaded artifact -> identical outputs
+    eng2 = _int8_engine(_skewed_conv_graph(), per_channel=True)
+    loaded = eng2.load_calibration(path)
+    assert any(np.ndim(v) == 1 for v in loaded.values())
+    np.testing.assert_array_equal(
+        np.asarray(eng2.run({"in0": x})[out_name]), want)
+
+
+def test_per_channel_disables_chain_requant():
+    """mark_int8_chains producers must NOT requantize to a vector scale
+    (sibling consumers may be per-tensor); per-channel consumers drop
+    the out_scale entry and quantize their own input — correctness over
+    the measured-neutral chain win (docs/PERF.md)."""
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    b = GraphBuilder(seed=5)
+    x = b.input([1, 128, 12, 12], name="0")
+    x = b.conv(x, 128, 3, 1, 1)
+    x = b.conv(x, 128, 3, 1, 1)
+    x = b.conv(x, 128, 3, 1, 1)
+    b.output(x)
+    eng = Engine(EngineConfig(compute_dtype="bfloat16", quant="int8",
+                              act_per_channel=True)).load_model(
+        None, graph=b.build())
+    rng = np.random.default_rng(0)
+    feed = {"0": rng.standard_normal((1, 12, 12, 128))
+            .astype(np.float32)}
+    scales = eng.calibrate([feed])
+    assert any(np.ndim(v) == 1 for v in scales.values())
+    assert all("out_scale" not in w
+               for w in eng.program.weights.values()
+               if isinstance(w, dict))
+    out = eng.run(feed)[eng.output_names[0]]
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_per_channel_linear_rank2():
+    """nn.Linear per-channel activation scales on a rank-2 input (the
+    transformer MLP shape class): folds along weight axis 0."""
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    def build():
+        b = GraphBuilder(seed=9)
+        x = b.input([4, 64], name="in0")
+        h = b.linear(x, 32)
+        b.output(h)
+        g = b.build()
+        lin = next(op for op in g.ops if op.type == "nn.Linear")
+        w = lin.attrs["weight"].array()  # [out, in]
+        w = w / _chan_skew(w.shape[1]).reshape(1, -1)  # inverse skew
+        lin.attrs["weight"] = type(lin.attrs["weight"]).from_array(
+            w.astype(np.float32))
+        return g
+
+    rng = np.random.default_rng(1)
+    skew = _chan_skew(64)
+    x = rng.standard_normal((4, 64)).astype(np.float32) * skew
+
+    fp_eng = Engine().load_model(None, graph=build())
+    out_name = fp_eng.output_names[0]
+    fp = np.asarray(fp_eng.run({"in0": x})[out_name])
+
+    pt = _int8_engine(build(), per_channel=False)
+    pc = _int8_engine(build(), per_channel=True)
+    s_pt = pt.calibrate([{"in0": x}])
+    s_pc = pc.calibrate([{"in0": x}])
+    assert all(np.ndim(v) == 0 for v in s_pt.values())
+    assert any(np.ndim(v) == 1 and v.size == 64 for v in s_pc.values())
+
+    err_pt = np.abs(np.asarray(pt.run({"in0": x})[out_name]) - fp).max()
+    err_pc = np.abs(np.asarray(pc.run({"in0": x})[out_name]) - fp).max()
+    assert err_pc < err_pt, (err_pc, err_pt)
+    assert err_pc < 0.05 * float(np.abs(fp).max())
