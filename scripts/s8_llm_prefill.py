@@ -66,7 +66,7 @@ for name, cfg in CONFIGS.items():
                      eng._effective_compiler_options())
 
 results = {k: [] for k in runners}
-for rnd in range(2):
+for rnd in range(int(os.environ.get("SI_S8_ROUNDS", "2"))):
     cf = chip_speed_factor()
     print(f"-- round {rnd} chip factor {cf:.2f}", file=sys.stderr,
           flush=True)

@@ -176,12 +176,12 @@ class GenerationService:
                     self._cv.wait(timeout=self._tick_timeout)
                     continue
 
-            # admission: ONE batched prefill dispatch for ALL admitted
-            # requests (padded to the slot count — a fixed shape, one
-            # executable) + ONE scatter-install into their cache rows.
-            # Before 2026-08-19 this was 2 dispatches PER request; on a
-            # ~26 ms-RTT link admission dominated the service wall once
-            # decode was blocked (docs/PERF.md).
+            # admission: ONE fused dispatch for ALL admitted requests —
+            # batched prefill (padded to the slot count, a fixed shape)
+            # + on-device sampling + scatter-install into the cache
+            # rows (CachedDecoder.prefill_install). Earlier forms paid
+            # 2 dispatches per request, then 2 per wave; on a ~26 ms-RTT
+            # link every dispatch is a full RTT (docs/PERF.md).
             if admitted:
                 window = np.zeros((n, self._window), np.float32)
                 lengths = np.ones(n, np.int32)
@@ -197,9 +197,9 @@ class GenerationService:
                     t_a[j], k_a[j], p_a[j] = (req.temperature, req.top_k,
                                               req.top_p)
                 seq += 1
-                tok, row_caches = self._dec.prefill_sample(
-                    window, lengths, self._key, seq, t_a, k_a, p_a)
-                caches = self._dec.install_rows(caches, row_caches, rows)
+                tok, caches = self._dec.prefill_install(
+                    window, lengths, self._key, seq, t_a, k_a, p_a,
+                    caches, rows)
                 self.stats.prefills += len(admitted)
                 nxt_a = np.asarray(tok)
                 for j, (i, req) in enumerate(admitted):
@@ -221,11 +221,22 @@ class GenerationService:
                 continue
 
             # K decode steps for the whole pool in ONE dispatch (mixed
-            # depths/settings; K = decode_horizon). Rows that finish
+            # depths/settings; K <= decode_horizon). Rows that finish
             # mid-block decode garbage for the block's tail — discarded
-            # below, the RTT amortization pays for the waste.
+            # below, the RTT amortization pays for the waste. When
+            # requests are WAITING, the block is capped (pow2 ladder, so
+            # the compiled-executable set stays log-sized) at the
+            # nearest deadline among live rows: tail waste only costs
+            # throughput when a freed slot could have admitted sooner.
             live = np.array([r is not None for r in active])
             k = self._horizon
+            with self._cv:
+                waiting = len(self._queue)
+            if waiting and k > 1:
+                rem = min(int(deadline[i]) - int(pos[i]) - 1
+                          for i in range(n) if active[i] is not None)
+                while k > 1 and k > max(1, rem):
+                    k //= 2
             tokens = bufs[np.arange(n), pos]
             seq += k
             toks, caches = self._dec.decode_block(

@@ -173,6 +173,8 @@ class CachedDecoder:
         self._install = jax.jit(self._install_fn, donate_argnums=(0,))
         self._install_rows = jax.jit(self._install_rows_fn,
                                      donate_argnums=(0,))
+        self._prefill_install = jax.jit(self._prefill_install_fn,
+                                        donate_argnums=(8,))  # pool
         self._block_fns: dict[int, object] = {}  # k_steps -> jitted fn
 
     # ---- cache ----------------------------------------------------------
@@ -466,6 +468,22 @@ class CachedDecoder:
 
         return jax.jit(block_fn, donate_argnums=(3,))
 
+    def _prefill_install_fn(self, weights, tokens, last_pos, key, step,
+                            temperature, top_k, top_p, pool, rows):
+        """Fused admission: batched prefill + on-device sampling +
+        scatter-install into the (donated) pool rows — ONE dispatch
+        where the serving loop used to pay two relay RTTs per admission
+        wave (prefill_sample, then install_rows)."""
+        import jax
+
+        tok, caches = self._prefill_sample_fn(
+            weights, tokens, last_pos, key, step, temperature, top_k,
+            top_p)
+        pool = jax.tree_util.tree_map(
+            lambda a, b: a.at[rows].set(b.astype(a.dtype), mode="drop"),
+            pool, caches)
+        return tok, pool
+
     @staticmethod
     def _install_fn(pool, new, row):
         """Write a prefilled batch-1 cache into row `row` of a slot-pool
@@ -626,6 +644,24 @@ class CachedDecoder:
 
         return self._install_rows(pool_caches, batch_caches,
                                   jnp.asarray(rows, jnp.int32))
+
+    def prefill_install(self, tokens, lengths, key, step, temperature,
+                        top_k, top_p, pool_caches, rows):
+        """Fused admission: batched prefill + on-device sampling of the
+        first new token + scatter-install into `rows` of the (donated)
+        pool cache, all in ONE dispatch (serving/llm.py pays one relay
+        RTT per admission wave instead of two). rows[j] >= pool size
+        drops row j (padding). Returns (token [N] int32, pool caches).
+        Numerically identical to prefill_sample + install_rows."""
+        import jax.numpy as jnp
+
+        last_pos = jnp.asarray(np.asarray(lengths) - 1, jnp.int32)
+        return self._prefill_install(
+            self._weights, jnp.asarray(tokens, jnp.float32), last_pos,
+            key, jnp.int32(step), jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32),
+            jnp.asarray(top_p, jnp.float32), pool_caches,
+            jnp.asarray(rows, jnp.int32))
 
     def generate(self, prompt_ids, steps: int,
                  eos_id: int | None = None, *, temperature: float = 0.0,

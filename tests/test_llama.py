@@ -278,3 +278,68 @@ def test_llama_generation_service():
     svc.stop()
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_prefill_install_matches_two_dispatch_form():
+    """The fused admission (prefill_install) must equal prefill_sample +
+    install_rows exactly — same sampling, same cache rows."""
+    import jax
+
+    eng = _llama_engine()
+    dec = CachedDecoder(eng)
+    n = 3
+    window = np.zeros((n, dec._window), np.float32)
+    window[0, :3] = [4, 8, 2]
+    window[1, :2] = [7, 1]
+    lengths = np.array([3, 2, 1], np.int32)
+    rows = np.array([2, 0, n + 7], np.int32)  # last one = padding, dropped
+    t = np.zeros(n, np.float32)
+    k = np.zeros(n, np.int32)
+    p = np.ones(n, np.float32)
+    key = jax.random.PRNGKey(0)
+
+    tok_a, rc = dec.prefill_sample(window, lengths, key, 1, t, k, p)
+    pool_a = dec.install_rows(dec.init_cache(n), rc, rows)
+    tok_b, pool_b = dec.prefill_install(window, lengths, key, 1, t, k, p,
+                                        dec.init_cache(n), rows)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    fa = jax.tree_util.tree_leaves(pool_a)
+    fb = jax.tree_util.tree_leaves(pool_b)
+    for a, b in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generation_service_adaptive_horizon_caps_blocks():
+    """With requests WAITING, decode blocks are capped (pow2) at the
+    nearest live deadline so freed slots admit promptly; completions
+    stay identical to the per-token tick."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine()
+    dec = CachedDecoder(eng)
+    prompts = [[4, 8, 2], [7, 1], [3, 3], [9]]
+    want = [dec.generate(np.asarray([p]), steps=4)[0] for p in prompts]
+
+    svc = GenerationService(eng, slots=1, decode_horizon=8)
+    seen_ks = []
+    orig = svc._dec.decode_block
+
+    def spy(tokens, pos, caches, key, step0, t, k, p, k_steps):
+        seen_ks.append(int(k_steps))
+        return orig(tokens, pos, caches, key, step0, t, k, p, k_steps)
+
+    svc._dec.decode_block = spy
+    svc.start()
+    # 1 slot, 4 queued requests with max_new=4: while the queue is
+    # non-empty the block must be capped at the remaining deadline
+    # (< horizon 8), never decoding 7 garbage tail steps per request
+    futs = [svc.submit(p, max_new=4) for p in prompts]
+    got = [f.result(timeout=120) for f in futs]
+    svc.stop()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert seen_ks, "decode_block never called"
+    # with 3 waiting requests the first blocks are capped below horizon
+    assert min(seen_ks) <= 4
+    assert all(v <= 8 for v in seen_ks)
+    assert all(v & (v - 1) == 0 for v in seen_ks)  # pow2 ladder
