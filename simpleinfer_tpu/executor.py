@@ -283,8 +283,12 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         if cfg.quant in ("int8w", "int8") and impl.quantizable:
             for key, axis in impl.quantizable.items():
                 if key in impl.weights:
+                    # host-only fp copy for per-channel fold targets —
+                    # kept for ANY int8 engine so a per-channel
+                    # calibration artifact loads regardless of whether
+                    # THIS engine was built with act_per_channel
                     if (key == "weight" and cfg.quant == "int8"
-                            and cfg.act_per_channel and impl.act_fold):
+                            and impl.act_fold):
                         fp_weights[impl.name] = impl.weights[key]
                     impl.weights[key] = quantize_per_channel(
                         impl.weights[key], axis)

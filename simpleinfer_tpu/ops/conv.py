@@ -275,6 +275,9 @@ _BT_IN_BLOCKS = (4, 2)
 # debug/A-B switch: keep cat-split 1x1 convs in the packed domain
 # (measured on-chip before enabling; scripts/packed_cat_experiment.py)
 _PACKED_CAT_SPLIT = True
+# force the pre-2026-08-19 f32 partial carry in _apply_split_packed
+# (measurement control for scripts/stem_factor_experiment.py only)
+_PACKED_SPLIT_CARRY_F32 = False
 
 
 # input-channel threshold under which the space-to-depth stem rewrite
@@ -395,6 +398,9 @@ def lower_conv2d(op, cfg):
         cfg.int8_min_channels, cfg.int8_pointwise)
 
     cat_inputs = op.has_param("si_cat_inputs")
+    # snapshot at LOWERING time: measure_device_time re-traces apply
+    # later, when the experiment script has already restored the flag
+    force_split_carry_f32 = _PACKED_SPLIT_CARRY_F32
 
     def _apply_split_packed(weights, xs, bias):
         """Cat-split 1x1 over W-PACKED sources: slice the block-diagonal
@@ -425,15 +431,32 @@ def lower_conv2d(op, cfg):
         precision = (lax.Precision.HIGHEST
                      if xs[0].data.dtype == jnp.float32
                      else lax.Precision.DEFAULT)
+        # partial sums materialize between the per-source conv kernels
+        # (XLA cannot fuse two convs); carry them at the compute dtype
+        # in bf16 mode to halve that traffic, like the dense split path
+        # (each conv still accumulates its own K in f32 internally).
+        # Measured: the f32 carry was fusion.8 = f32[8,160,80,128] at
+        # 114 us/iter in the b8 headline profile (docs/PERF.md).
+        # _PACKED_SPLIT_CARRY_F32 is the A/B control knob only.
+        carry_f32 = (force_split_carry_f32
+                     or xs[0].data.dtype == jnp.float32)
         acc, ofs = None, 0
-        for x, c in zip(xs, chans):
+        for i, (x, c) in enumerate(zip(xs, chans)):
             wi = lax.slice_in_dim(w5, ofs, ofs + c, axis=3)
             wi = wi.reshape(1, 1, g * c, g * out_channels)
+            last = i == len(xs) - 1
             y = lax.conv_general_dilated(
                 x.data, wi, window_strides=(1, 1), padding="VALID",
                 dimension_numbers=_DIMENSION_NUMBERS,
                 preferred_element_type=jnp.float32, precision=precision)
-            acc = y if acc is None else acc + y
+            if not carry_f32 and not last:
+                y = y.astype(x.data.dtype)  # intermediate partial: bf16
+            if acc is None:
+                acc = y
+            elif last:
+                acc = acc.astype(jnp.float32) + y  # final sum in f32
+            else:
+                acc = acc + y
             ofs += c
         out = _epilogue_packed(acc, bias, g, xs[0].data.dtype)
         if pack_out and g > 1:

@@ -205,7 +205,8 @@ def cmd_calibrate(args) -> int:
     from . import Engine, EngineConfig
 
     cfg = EngineConfig(compute_dtype=args.dtype, quant="int8",
-                       act_clip_percentile=args.percentile)
+                       act_clip_percentile=args.percentile,
+                       act_per_channel=args.per_channel)
     eng = Engine(cfg).load_model(args.param, args.bin)
 
     def batches():
@@ -415,6 +416,11 @@ def main(argv=None) -> int:
                    choices=["float32", "bfloat16"])
     p.add_argument("--percentile", type=float,
                    help="clip to this percentile of |x| instead of absmax")
+    p.add_argument("--per-channel", action="store_true",
+                   help="per-channel activation scales, SmoothQuant-"
+                        "balanced and folded into the weights (zero "
+                        "inference cost; helps skewed channel ranges). "
+                        "Load the artifact with the same flag.")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("export",

@@ -694,3 +694,24 @@ def test_per_channel_linear_rank2():
     err_pc = np.abs(np.asarray(pc.run({"in0": x})[out_name]) - fp).max()
     assert err_pc < err_pt, (err_pc, err_pt)
     assert err_pc < 0.05 * float(np.abs(fp).max())
+
+
+def test_per_channel_artifact_loads_into_default_engine(tmp_path):
+    """A per-channel calibration artifact must install into an int8
+    engine built WITHOUT act_per_channel (production serve flow: the
+    artifact, not the engine flag, carries the decision)."""
+    batches = [{"in0": _skewed_input(seed=s)} for s in (3, 4)]
+    x = _skewed_input()
+
+    pc = _int8_engine(_skewed_conv_graph(), per_channel=True)
+    pc.calibrate(batches)
+    out_name = pc.output_names[0]
+    want = np.asarray(pc.run({"in0": x})[out_name])
+    path = str(tmp_path / "pc.npz")
+    pc.save_calibration(path)
+
+    plain = _int8_engine(_skewed_conv_graph(), per_channel=False)
+    loaded = plain.load_calibration(path)
+    assert any(np.ndim(v) == 1 for v in loaded.values())
+    np.testing.assert_array_equal(
+        np.asarray(plain.run({"in0": x})[out_name]), want)
