@@ -119,11 +119,15 @@ from simpleinfer_tpu.serving.llm import GenerationService
 
 MAXNEW = 48
 results = {}
-for horizon in (1, int(os.environ.get("SI_LLM_HORIZON", "16"))):
-    svc = GenerationService(eng, slots=SLOTS,
-                            decode_horizon=horizon).start()
-    # warm the service's own jitted prefill/block executables out of
-    # the timed window (each CachedDecoder instance compiles its own)
+H = int(os.environ.get("SI_LLM_HORIZON", "16"))
+for label, horizon, adaptive in (("h1", 1, False), ("h%d" % H, H, False),
+                                 ("h%d-adaptive" % H, H, True)):
+    svc = GenerationService(eng, slots=SLOTS, decode_horizon=horizon,
+                            adaptive_horizon=adaptive)
+    # compile the admission executable and the full adaptive block
+    # ladder OUT of the timed window (each CachedDecoder compiles its
+    # own; the ladder's in-band cold compiles once cost 40 s here)
+    svc.warmup().start()
     svc.submit(rng.integers(1, 32000, size=PROMPT).tolist(),
                max_new=MAXNEW, temperature=0.8).result(timeout=600)
     svc.stats = type(svc.stats)()
@@ -135,8 +139,8 @@ for horizon in (1, int(os.environ.get("SI_LLM_HORIZON", "16"))):
     wall = time.perf_counter() - t0
     svc.stop()
     tokens = sum(len(o) - PROMPT for o in outs)
-    results[horizon] = tokens / wall
-    print(f"service horizon={horizon}: {len(futs)} reqs x {MAXNEW} new "
+    results[label] = tokens / wall
+    print(f"service {label}: {len(futs)} reqs x {MAXNEW} new "
           f"tok in {wall:.1f} s = {tokens / wall:.0f} tok/s, occupancy "
           f"{svc.stats.mean_occupancy:.2f}, prefills "
           f"{svc.stats.prefills}, mean latency "

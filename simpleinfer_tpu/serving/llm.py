@@ -81,7 +81,8 @@ class GenerationService:
 
     def __init__(self, engine, slots: int = 8,
                  tick_timeout_s: float = 0.01, seed: int = 0,
-                 decode_horizon: int = 1):
+                 decode_horizon: int = 1,
+                 adaptive_horizon: bool = False):
         import jax
 
         from ..zoo.generate import CachedDecoder
@@ -93,6 +94,13 @@ class GenerationService:
         # up to K-1 wasted steps per row end and K-step admission
         # latency. 1 = one dispatch per token (the classic tick).
         self._horizon = max(1, int(decode_horizon))
+        # cap decode blocks (pow2) at the nearest live deadline while
+        # requests wait, so freed slots admit promptly. WIN when the
+        # per-step device time dominates the dispatch cost (PCIe-class
+        # hosts); LOSS on this relay (~26 ms RTT >> 3.6 ms step: the
+        # extra tail dispatches cost more than the freed steps save —
+        # measured 1352 vs 1532 tok/s, docs/PERF.md) -> default False.
+        self._adaptive = bool(adaptive_horizon)
         self._window = self._dec._window
         self._tick_timeout = tick_timeout_s
         self._key = jax.random.PRNGKey(seed)
@@ -129,6 +137,41 @@ class GenerationService:
             self.stats.requests += 1
             self._cv.notify()
         return req.future
+
+    def warmup(self) -> "GenerationService":
+        """Compile every executable the serving loop can dispatch —
+        fused admission (prefill_install) and the full pow2 decode-block
+        ladder {horizon, horizon/2, ..., 1} — OUTSIDE the serving
+        window. Without this, the first request wave pays each block
+        size's cold compile in-band (measured 2026-08-19: the adaptive
+        ladder's 4 extra compiles turned a 0.5 s bench phase into 40 s).
+        Call before start(); idempotent (persistent compile cache)."""
+        import jax
+
+        n = self._slots
+        caches = self._dec.init_cache(n)
+        window = np.zeros((n, self._window), np.float32)
+        window[:, 0] = 1.0
+        t = np.zeros(n, np.float32)
+        tk = np.zeros(n, np.int32)
+        tp = np.ones(n, np.float32)
+        _, caches = self._dec.prefill_install(
+            window, np.ones(n, np.int32), self._key, 0, t, tk, tp,
+            caches, np.arange(n, dtype=np.int32))
+        k = self._horizon
+        ladder = []
+        while k >= 1:
+            ladder.append(k)
+            if not self._adaptive:
+                break  # fixed horizon: only one block size dispatches
+            k //= 2
+        toks = np.ones(n, np.int64)
+        pos = np.ones(n, np.int32)
+        for k in ladder:
+            out, caches = self._dec.decode_block(
+                toks, pos, caches, self._key, 1, t, tk, tp, k)
+        jax.block_until_ready(out)
+        return self
 
     def start(self) -> "GenerationService":
         self._running = True
@@ -232,7 +275,7 @@ class GenerationService:
             k = self._horizon
             with self._cv:
                 waiting = len(self._queue)
-            if waiting and k > 1:
+            if self._adaptive and waiting and k > 1:
                 rem = min(int(deadline[i]) - int(pos[i]) - 1
                           for i in range(n) if active[i] is not None)
                 while k > 1 and k > max(1, rem):

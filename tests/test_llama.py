@@ -320,7 +320,8 @@ def test_generation_service_adaptive_horizon_caps_blocks():
     prompts = [[4, 8, 2], [7, 1], [3, 3], [9]]
     want = [dec.generate(np.asarray([p]), steps=4)[0] for p in prompts]
 
-    svc = GenerationService(eng, slots=1, decode_horizon=8)
+    svc = GenerationService(eng, slots=1, decode_horizon=8,
+                            adaptive_horizon=True)
     seen_ks = []
     orig = svc._dec.decode_block
 
@@ -343,3 +344,27 @@ def test_generation_service_adaptive_horizon_caps_blocks():
     assert min(seen_ks) <= 4
     assert all(v <= 8 for v in seen_ks)
     assert all(v & (v - 1) == 0 for v in seen_ks)  # pow2 ladder
+
+
+def test_generation_service_warmup_precompiles_ladder():
+    """warmup() must compile the fused admission + every pow2 block
+    size the adaptive scheduler can pick, so no cold compile lands
+    inside the serving window (measured 40 s regression without it)."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine()
+    svc = GenerationService(eng, slots=2, decode_horizon=8,
+                            adaptive_horizon=True)
+    svc.warmup()
+    assert sorted(svc._dec._block_fns) == [1, 2, 4, 8]
+    # non-adaptive service: only the fixed horizon compiles
+    svc2 = GenerationService(eng, slots=2, decode_horizon=8)
+    svc2.warmup()
+    assert sorted(svc2._dec._block_fns) == [8]
+    # service still produces correct greedy output after warmup
+    dec = CachedDecoder(eng)
+    want = dec.generate(np.asarray([[4, 8, 2]]), steps=5)[0]
+    svc.start()
+    got = svc.submit([4, 8, 2], max_new=5).result(timeout=60)
+    svc.stop()
+    np.testing.assert_array_equal(got, want)
