@@ -4,26 +4,30 @@ Motivation (docs/PERF.md, 2026-08-19 profile): the yolov5 stem is the
 largest single op of the headline program at 269.5 us — XLA's packed
 block-Toeplitz form does 22.6 GFLOP where only 7.08 are useful (3.2x
 zero MACs), netting 26 TF/s of useful work. This kernel does ONLY the
-useful MACs: each block of output rows is im2col'd in VMEM into a
-[RH*320, 128] patch matrix (K = 6kh*3j*2wl*3c = 108, zero-padded to
-128 lanes) and hit with one MXU dot against the [128, 32] patch
-weights, with bias + activation fused before the bf16 writeback.
+useful MACs: each block of output rows is im2col'd in VMEM into
+K-major patch matrices (K = 6kh*3j*2wl*3c = 108, zero-padded to 128)
+and contracted on the MXU against the [128, 32] patch weights, with
+bias + activation fused before the bf16 writeback.
 
-Data movement exploits the stem's W-packed staging (ops/conv.py
-stem_pack_factor f=8, free host reshape): the packed [H, 80, 24] row
-reshapes (contiguously) to [H, 320, 6] = (output-w positions m) x
-(w-parity, channel), so the 6 kernel taps along W become just the
-m-1/m/m+1 neighbours at both parities — three lane-concats — and the
-6 taps along H are strided row slices. The input arrives H-PADDED
-([N, 644, 80, 24], two zero rows top/bottom, free at host staging), so
-the kernel has no H edge cases.
+Mosaic constraint that shaped the layout (first attempt failed with
+"unsupported shape cast"): the minor (lane) dimension of a VMEM vector
+cannot be split/merged, so the patch matrix must keep the 320 output-w
+positions in LANES end to end. The input is therefore staged
+TRANSPOSED, [N, 645, 6, 320] = rows x (w-parity, channel) x m, where
+m is the output w position: the 6 W taps of an output become lane
+rolls (m-1/m/m+1 at both parities) and the 6 H taps are strided
+sublane slices — all layout-preserving ops. The dot is the
+lhs-transposed form (k,m)x(k,n) -> (m,n), which the MXU supports
+natively. The staging transpose itself is HOST work (see
+pack_stem_input; the uint8 native path can absorb it).
 
-The output is emitted directly in the packed jo=4 layout
-([N, 320, 80, 128]) the downstream packed region consumes.
+Output is the logical [N, 320, 320, 32] NHWC stem output — row-major
+byte-identical to the packed jo=4 layout [N, 320, 80, 128] the
+downstream packed region consumes (a free bitcast outside the kernel).
 
 Hard ceiling: out_channels = 32 fills 32/128 MXU columns and K fills
-108/128 rows -> 21% MXU = 41 TF/s = 172 us ideal. Measured verdict in
-docs/PERF.md (scripts/pallas_stem_experiment.py).
+108/128 rows -> 21% MXU = 41 TF/s = 172 us ideal at b8. Measured
+verdict in docs/PERF.md (scripts/pallas_stem_experiment.py).
 
 Reference analog: the conv stem specialization plays the role of the
 reference's Winograd fast path for its hottest conv shape
@@ -46,6 +50,7 @@ from .matmul import resolve_activation
 # output rows produced per grid step (320 % RH == 0)
 _RH = 16
 _K_PAD = 128  # 108 useful patch taps, zero-padded to the MXU lane width
+_HP = 645     # 640 + 2 top pad + 3 bottom (2 conv pad + 1 slice slack)
 
 
 def pack_stem_weights(w_oihw: np.ndarray) -> np.ndarray:
@@ -53,7 +58,7 @@ def pack_stem_weights(w_oihw: np.ndarray) -> np.ndarray:
 
     Row order K = kh*18 + j*6 + wl*3 + c, matching the kernel's patch
     build: tap (kh, kw) with kw = 2*j + wl reads input w = 2*(m+j-1)+wl
-    — the (m-1, m, m+1) neighbour concat at both W parities."""
+    — the (m-1, m, m+1) lane neighbours at both W parities."""
     oc, ic, kh_, kw_ = w_oihw.shape
     if (ic, kh_, kw_) != (3, 6, 6):
         raise ValueError(f"stem kernel expects [oc,3,6,6], got {w_oihw.shape}")
@@ -67,77 +72,93 @@ def pack_stem_weights(w_oihw: np.ndarray) -> np.ndarray:
     return wp
 
 
-def pad_stem_input(xp: jax.Array) -> jax.Array:
-    """H-pad the W-packed stem input [N, 640, 80, 24] -> [N, 644, 80, 24]
-    (pad=2 rows of zeros top/bottom). At the engine boundary this is done
-    on the HOST as part of staging (numpy pad, off the device timeline)."""
-    return jnp.pad(xp, ((0, 0), (2, 2), (0, 0), (0, 0)))
+def pack_stem_input(x_nhwc: np.ndarray) -> np.ndarray:
+    """[N, 640, 640, 3] image -> the kernel's staged layout
+    [N, 645, 6, 320] = H-padded rows x (w-parity*3 + channel) x m.
+
+    HOST-side (numpy): one strided transpose + pad, off the device
+    timeline; at the engine boundary this is the stem input transform."""
+    n, h, w, c = x_nhwc.shape
+    if (h, w, c) != (640, 640, 3):
+        raise ValueError(f"expected [N,640,640,3], got {x_nhwc.shape}")
+    xk = np.ascontiguousarray(
+        x_nhwc.reshape(n, h, w // 2, 2, c).transpose(0, 1, 3, 4, 2)
+    ).reshape(n, h, 2 * c, w // 2)
+    out = np.zeros((n, _HP, 2 * c, w // 2), x_nhwc.dtype)
+    out[:, 2:2 + h] = xk
+    return out
 
 
 def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, rh: int, activation):
     blk = pl.program_id(1)
-    nrows = 2 * rh + 4
-    xb = x_ref[0, pl.ds(blk * 2 * rh, nrows)]        # [36, 80, 24] bf16
-    xb2 = xb.reshape(nrows, 320, 6)                  # m x (wl, c) — contiguous
-    zero = jnp.zeros((nrows, 1, 6), xb2.dtype)
-    left = jnp.concatenate([zero, xb2[:, :-1]], axis=1)    # m-1 (masked edge)
-    right = jnp.concatenate([xb2[:, 1:], zero], axis=1)    # m+1
-    y = jnp.concatenate([left, xb2, right], axis=-1)       # [36, 320, 18]
-    # P[ohl, m, kh*18:kh*18+18] = y[2*ohl + kh, m]
+    xb = x_ref[0, pl.ds(blk * 2 * rh, 2 * rh + 5)]   # [37, 6, 320]
+    m = xb.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    # W taps once at the row level (before the per-kh slicing, so the 2
+    # rolls + 3 concats are shared by all 6 kh pieces):
+    # y[h, j*6 + (wl,c), m] = xb[h, (wl,c), m + j - 1]
+    left = jnp.where(lane >= 1, jnp.roll(xb, 1, axis=-1), 0)
+    right = jnp.where(lane < m - 1, jnp.roll(xb, -1, axis=-1), 0)
+    y = jnp.concatenate([left.astype(xb.dtype), xb,
+                         right.astype(xb.dtype)], axis=1)  # [37, 18, 320]
     pieces = []
     for kh in range(6):
-        rows = y[kh:kh + 2 * rh].reshape(rh, 2, 320, 18)[:, 0]
-        pieces.append(rows)                                 # [rh, 320, 18]
-    pieces.append(jnp.zeros((rh, 320, _K_PAD - 108), y.dtype))
-    patch = jnp.concatenate(pieces, axis=-1)                # [rh, 320, 128]
-    acc = jnp.dot(patch.reshape(rh * 320, _K_PAD), w_ref[:],
-                  preferred_element_type=jnp.float32)       # [rh*320, 32]
-    out = acc + b_ref[0][None, :]
+        # rows 2*ohl + kh for ohl in [0, rh): strided sublane slice
+        pieces.append(y[kh:kh + 2 * rh].reshape(rh, 2, 18, m)[:, 0])
+    pieces.append(jnp.zeros((rh, _K_PAD - 108, m), xb.dtype))
+    pt = jnp.concatenate(pieces, axis=1)              # [rh, 128, 320]
+    w = w_ref[:]                                      # [128, 32]
+    outs = []
+    for b in range(rh):                               # (k,m) x (k,n)
+        outs.append(jax.lax.dot_general(
+            pt[b], w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))      # [320, 32]
+    out = jnp.stack(outs, axis=0) + b_ref[0][None, None, :]
     if activation is not None:
         out = resolve_activation(activation)(out)
-    oc = out.shape[-1]
-    o_ref[0] = out.astype(o_ref.dtype).reshape(rh, 80, 4 * oc)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("activation",))
-def stem_s2d(xp_padded, w_packed, bias, activation=None):
-    """Fused stem conv on the W-packed, H-padded input.
+@functools.partial(jax.jit, static_argnames=("activation", "interpret"))
+def stem_s2d(x_packed, w_packed, bias, activation=None,
+             interpret: bool = False):
+    """Fused stem conv on the transposed staged input.
 
-    xp_padded: [N, 644, 80, 24] (bf16) — pad_stem_input of the staged
-        packed input (pack factor f=8 over a 640x640x3 image).
-    w_packed:  [128, 32] — pack_stem_weights of the OIHW stem weight.
-    bias:      [32] f32.
-    Returns the packed jo=4 stem output [N, 320, 80, 128] bf16."""
-    n = xp_padded.shape[0]
+    x_packed: [N, 645, 6, 320] (bf16) — pack_stem_input of the image.
+    w_packed: [128, 32] — pack_stem_weights of the OIHW stem weight.
+    bias:     [32] f32.
+    Returns the logical stem output [N, 320, 320, 32] bf16 (row-major
+    byte-identical to the packed jo=4 [N, 320, 80, 128] layout)."""
+    n = x_packed.shape[0]
     oc = w_packed.shape[1]
-    if xp_padded.shape[1:] != (644, 80, 24):
-        raise ValueError(f"expected [N,644,80,24], got {xp_padded.shape}")
-    xp_padded = xp_padded.astype(jnp.bfloat16)
+    if x_packed.shape[1:] != (_HP, 6, 320):
+        raise ValueError(f"expected [N,{_HP},6,320], got {x_packed.shape}")
+    x_packed = x_packed.astype(jnp.bfloat16)
     w_packed = w_packed.astype(jnp.bfloat16)
     bias = bias.astype(jnp.float32).reshape(1, oc)
     grid = (n, 320 // _RH)
     kernel = functools.partial(_stem_kernel, rh=_RH, activation=activation)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 320, 80, 4 * oc), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((n, 320, 320, oc), jnp.bfloat16),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 644, 80, 24), lambda i, b: (i, 0, 0, 0),
+            pl.BlockSpec((1, _HP, 6, 320), lambda i, b: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_K_PAD, oc), lambda i, b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, oc), lambda i, b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _RH, 80, 4 * oc),
+        out_specs=pl.BlockSpec((1, _RH, 320, oc),
                                lambda i, b: (i, b, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(xp_padded, w_packed, bias)
+        interpret=interpret,
+    )(x_packed, w_packed, bias)
 
 
 def stem_s2d_reference(x_nhwc, w_oihw, bias, activation=None):
-    """lax oracle: plain 6x6 s2 p2 conv + bias + act, emitted in the
-    same packed jo=4 layout ([N, 320, 80, 128])."""
+    """lax oracle: plain 6x6 s2 p2 conv + bias + act, [N, 320, 320, 32]."""
     from jax import lax
 
     w_hwio = jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)), x_nhwc.dtype)
@@ -148,5 +169,4 @@ def stem_s2d_reference(x_nhwc, w_oihw, bias, activation=None):
     y = y + jnp.asarray(bias, jnp.float32)
     if activation is not None:
         y = resolve_activation(activation)(y)
-    n, oh, ow, oc = y.shape
-    return y.astype(jnp.bfloat16).reshape(n, oh, ow // 4, 4 * oc)
+    return y.astype(jnp.bfloat16)

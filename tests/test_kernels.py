@@ -273,3 +273,30 @@ def test_kernel_safe_activation_variants(name):
         resolve_activation(name)
     np.testing.assert_allclose(np.asarray(safe), np.asarray(exact),
                                atol=2e-6)
+
+
+def test_stem_s2d_kernel_matches_lax_reference():
+    """Pallas space-to-depth stem (6x6 s2 p2, 3->32) vs the lax oracle,
+    in the packed jo=4 output layout (interpret mode on CPU; compiled
+    on the real chip under SI_TPU_TESTS). docs/PERF.md has the A/B vs
+    XLA's block-Toeplitz stem form."""
+    from simpleinfer_tpu.kernels.stem import (pack_stem_input,
+                                              pack_stem_weights, stem_s2d,
+                                              stem_s2d_reference)
+
+    rng = np.random.default_rng(3)
+    b_ = 2
+    x = rng.random((b_, 640, 640, 3)).astype(np.float32)
+    w = (rng.standard_normal((32, 3, 6, 6)) / 10).astype(np.float32)
+    bias = (rng.standard_normal(32) * 0.05).astype(np.float32)
+
+    interpret = jax.default_backend() != "tpu"
+    got = np.asarray(stem_s2d(jnp.asarray(pack_stem_input(x), jnp.bfloat16),
+                              jnp.asarray(pack_stem_weights(w)),
+                              jnp.asarray(bias), activation="silu",
+                              interpret=interpret), np.float32)
+    want = np.asarray(stem_s2d_reference(jnp.asarray(x, jnp.bfloat16),
+                                         w, bias, "silu"), np.float32)
+    assert got.shape == (b_, 320, 320, 32)
+    tol = 0.02 * float(np.abs(want).max())
+    assert np.abs(got - want).max() < tol
