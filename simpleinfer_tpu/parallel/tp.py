@@ -139,3 +139,139 @@ def shard_tp_weights(mesh: Mesh, w1, b1, w2, b2, axis: str = AXIS_MODEL):
             put(w2, NamedSharding(mesh, P(axis, None))),
             put(b2, NamedSharding(mesh, P()))
             if b2 is not None else None)
+
+
+# ---- convs (the conv+epilogue analog of the collective-matmul plan,
+#      SURVEY.md §2.5 comm-backend row) ----------------------------------
+def _conv_nhwc(x, w, *, stride=(1, 1), padding="SAME"):
+    from jax import lax
+
+    return lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def tp_conv_column(x, w, bias=None, *, mesh: Mesh, axis: str = AXIS_MODEL,
+                   stride=(1, 1), padding="SAME"):
+    """Output-channel-parallel conv: w [KH, KW, CI, CO] sharded on CO,
+    x replicated; returns NHWC output sharded on C. No communication —
+    the fan-out half of a conv pair (e.g. a bottleneck's 1x1)."""
+    out_spec = P(None, None, None, axis)
+
+    def local(xb, wb, *bb):
+        y = _conv_nhwc(xb, wb, stride=stride, padding=padding)
+        if bb:
+            y = y + bb[0]
+        return y.astype(xb.dtype)
+
+    args, in_specs = [x, w], [P(), P(None, None, None, axis)]
+    if bias is not None:
+        args.append(bias)
+        in_specs.append(P(axis))
+    return shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=out_spec)(*args)
+
+
+def tp_conv_row(x, w, bias=None, *, mesh: Mesh, axis: str = AXIS_MODEL,
+                stride=(1, 1), padding="SAME", chunks: int | None = None):
+    """Input-channel-parallel conv with the overlapped ring all-reduce
+    (collective-matmul applied to conv): x NHWC sharded on C, w
+    [KH, KW, CI, CO] sharded on CI, output replicated. The local
+    partial is computed in output-channel chunks; chunk c's ring rides
+    the ICI while chunk c+1's conv is on the MXU."""
+    p = mesh.shape[axis]
+    co = w.shape[3]
+    nc = max(1, min(chunks or p, co))
+    perm = [(j, (j + 1) % p) for j in range(p)]
+    step = co // nc
+
+    def local(xb, wb, *bb):
+        outs = []
+        for i in range(nc):
+            cw = wb[..., i * step:] if i == nc - 1 \
+                else wb[..., i * step:(i + 1) * step]
+            part = _conv_nhwc(xb, cw, stride=stride, padding=padding)
+            acc = part
+            for _ in range(p - 1):
+                part = jax.lax.ppermute(part, axis, perm)
+                acc = acc + part
+            outs.append(acc)
+        y = jnp.concatenate(outs, axis=-1) if nc > 1 else outs[0]
+        if bb:
+            y = y + bb[0]
+        return y.astype(xb.dtype)
+
+    args = [x, w]
+    in_specs = [P(None, None, None, axis), P(None, None, axis, None)]
+    if bias is not None:
+        args.append(bias)
+        in_specs.append(P())
+    # see tp_linear_row: the ring replicates by math, not by types
+    return shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=P(), check_rep=False)(*args)
+
+
+def tp_conv_pair(x, w1, b1, w2, b2, *, mesh: Mesh, axis: str = AXIS_MODEL,
+                 act=jax.nn.silu, stride1=(1, 1), stride2=(1, 1)):
+    """Megatron-style conv pair (e.g. a C3 bottleneck's 1x1 -> 3x3):
+    column-parallel fan-out (no comm) -> activation on the shard ->
+    row-parallel fan-in (one overlapped ring all-reduce)."""
+    h = tp_conv_column(x, w1, b1, mesh=mesh, axis=axis, stride=stride1)
+
+    def local_act(hb):
+        return act(hb.astype(jnp.float32)).astype(hb.dtype)
+
+    spec = P(None, None, None, axis)
+    h = shard_map(local_act, mesh=mesh, in_specs=(spec,),
+                  out_specs=spec)(h)
+    return tp_conv_row(h, w2, b2, mesh=mesh, axis=axis, stride=stride2)
+
+
+def sp_conv3x3_halo(x, w, bias=None, *, mesh: Mesh, axis: str,
+                    act=None):
+    """Height-sharded 3x3 stride-1 "same" conv with an EXPLICIT halo
+    exchange overlapped against the interior compute — the spatial-
+    parallel (SP) conv schedule written out by hand (the declarative
+    mesh path lets GSPMD insert its own halos; this is the §2.5
+    "explicit overlap" variant for the spatial axis).
+
+    x [N, H, W, C] sharded on H over `axis` (H % devices == 0, local
+    H >= 2); w [3, 3, CI, CO] replicated. Each device ppermutes its
+    boundary rows to both neighbours FIRST, computes the interior
+    output rows (which need no halo) while the transfers fly, then the
+    two border rows once the halos land. Edge devices receive ZEROS
+    from ppermute's missing partners — exactly the conv's zero padding.
+    """
+    p = mesh.shape[axis]
+    down = [(j, j + 1) for j in range(p - 1)]   # send my LAST row down
+    up = [(j, j - 1) for j in range(1, p)]      # send my FIRST row up
+
+    def local(xb, wb, *bb):
+        # start both halo transfers before any compute
+        top_halo = jax.lax.ppermute(xb[:, -1:], axis, down)  # from above
+        bot_halo = jax.lax.ppermute(xb[:, :1], axis, up)     # from below
+        # interior rows depend only on local data: W-padded, H-valid
+        interior = _conv_nhwc(xb, wb, padding=((0, 0), (1, 1)))
+        # border rows: 2 local rows + the arrived halo row each
+        # 3 input rows, H-valid -> exactly the one border output row
+        top = _conv_nhwc(
+            jnp.concatenate([top_halo, xb[:, :2]], axis=1), wb,
+            padding=((0, 0), (1, 1)))
+        bot = _conv_nhwc(
+            jnp.concatenate([xb[:, -2:], bot_halo], axis=1), wb,
+            padding=((0, 0), (1, 1)))
+        y = jnp.concatenate([top, interior, bot], axis=1)
+        if bb:
+            y = y + bb[0]
+        if act is not None:
+            y = act(y.astype(jnp.float32))
+        return y.astype(xb.dtype)
+
+    args = [x, w]
+    in_specs = [P(None, axis, None, None), P()]
+    if bias is not None:
+        args.append(bias)
+        in_specs.append(P())
+    return shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=P(None, axis, None, None))(*args)

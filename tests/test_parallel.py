@@ -177,3 +177,84 @@ def test_tp_mlp_megatron_pair():
             @ w2 + b2)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4,
                                atol=1e-4)
+
+
+@needs8
+def test_tp_conv_column_and_row_pair():
+    """Conv analog of the megatron pair: column (CO-sharded, no comm)
+    -> row (CI-sharded, overlapped ring) matches the unsharded convs;
+    the compiled HLO carries the explicit ring, not an all-reduce."""
+    from jax import lax
+
+    from simpleinfer_tpu.parallel.tp import (tp_conv_column, tp_conv_pair,
+                                             tp_conv_row)
+
+    mesh = build_mesh(MeshConfig(model=8))
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
+    w1 = (rng.standard_normal((1, 1, 16, 32)) / 4).astype(np.float32)
+    b1 = rng.standard_normal(32).astype(np.float32) * 0.1
+    w2 = (rng.standard_normal((3, 3, 32, 16)) / 17).astype(np.float32)
+    b2 = rng.standard_normal(16).astype(np.float32) * 0.1
+
+    def ref_conv(xx, ww, bb, stride=(1, 1)):
+        y = lax.conv_general_dilated(
+            xx, ww, window_strides=stride, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return y + bb
+
+    import jax.numpy as jnp
+
+    col = tp_conv_column(x, w1, b1, mesh=mesh)
+    assert col.sharding.spec == P(None, None, None, "model")
+    np.testing.assert_allclose(np.asarray(col), np.asarray(
+        ref_conv(x, w1, b1)).astype(np.float32), atol=1e-5, rtol=1e-5)
+
+    h = np.asarray(ref_conv(x, w1, b1), np.float32)
+    hs = jax.device_put(h, NamedSharding(mesh, P(None, None, None,
+                                                 "model")))
+    row = tp_conv_row(hs, w2, b2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(row), np.asarray(
+        ref_conv(h, w2, b2)), atol=1e-4, rtol=1e-4)
+
+    fn = jax.jit(lambda xx: tp_conv_pair(xx, w1, b1, w2, b2, mesh=mesh))
+    want = ref_conv(np.asarray(jax.nn.silu(ref_conv(x, w1, b1)),
+                               np.float32), w2, b2)
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    hlo = fn.lower(x).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-reduce" not in hlo
+
+
+@needs8
+def test_sp_conv3x3_halo_matches_same_conv():
+    """Explicit halo-exchange height-sharded conv == the plain 'same'
+    conv, including the zero rows the edge devices get from ppermute's
+    missing partners; HLO carries collective-permute only."""
+    from jax import lax
+
+    import jax.numpy as jnp
+
+    from simpleinfer_tpu.parallel.tp import sp_conv3x3_halo
+    from simpleinfer_tpu.parallel.mesh import AXIS_SPATIAL
+
+    mesh = build_mesh(MeshConfig(spatial=8))
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 32, 8, 12)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 12, 20)) / 10).astype(np.float32)
+    b = rng.standard_normal(20).astype(np.float32) * 0.1
+
+    fn = jax.jit(lambda xx: sp_conv3x3_halo(xx, w, b, mesh=mesh,
+                                            axis=AXIS_SPATIAL))
+    got = np.asarray(fn(x))
+    want = np.asarray(lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    assert got.shape == want.shape
+    hlo = fn.lower(x).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-reduce" not in hlo
