@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--quant", default="int8w", choices=["int8w", "int8"],
                     help="int8w = weight-only; int8 = static activation "
                          "quant (calibrates on a held-out batch first)")
+    ap.add_argument("--per-channel", action="store_true",
+                    help="with --quant int8: per-channel activation "
+                         "scales (SmoothQuant-balanced weight folding)")
     args = ap.parse_args()
 
     if args.cpu:
