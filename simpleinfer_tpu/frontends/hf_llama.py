@@ -1,8 +1,11 @@
 """HuggingFace llama-family -> ir.Graph converter.
 
 Real-model import for the LLM serving path: takes an in-memory
-`transformers` causal-LM (llama / qwen2 / mistral — the RMSNorm + RoPE
-+ GQA + SwiGLU lineage) and emits the same graph shape as
+`transformers` causal-LM (llama / qwen2 / mistral / gemma / phi3 —
+the RMSNorm + RoPE + GQA + gated-MLP lineage; gemma's (1+w) RMSNorm
+convention and sqrt(hidden) embedding scaling fold into the imported
+weights, phi3's fused qkv/gate_up projections are split) and emits the
+same graph shape as
 zoo.build_llama, with the checkpoint's actual weights. The resulting
 engine is a drop-in for greedy_generate / CachedDecoder /
 GenerationService, and tests/test_hf_llama.py checks logits parity
@@ -21,7 +24,7 @@ import numpy as np
 from ..ir.graph import Attribute, Parameter
 from ..zoo.builders import GraphBuilder
 
-_SUPPORTED = ("llama", "qwen2", "mistral")
+_SUPPORTED = ("llama", "qwen2", "mistral", "gemma", "phi3")
 
 
 def llama_graph_from_hf(model, batch: int = 1,
@@ -54,6 +57,41 @@ def llama_graph_from_hf(model, batch: int = 1,
 
     sd = {k: v.detach().cpu().numpy().astype(np.float32)
           for k, v in model.state_dict().items()}
+
+    if mt == "gemma":
+        # gemma RMSNorm computes x_hat * (1 + w): fold into the weight
+        for k in list(sd):
+            if k.endswith("layernorm.weight") or k == "model.norm.weight":
+                sd[k] = sd[k] + 1.0
+        # gemma scales embeddings by sqrt(hidden); the tied lm_head uses
+        # the UNSCALED matrix, so keep it under a separate key
+        sd["__lm_head__"] = sd.get("lm_head.weight",
+                                   sd["model.embed_tokens.weight"])
+        sd["model.embed_tokens.weight"] = (
+            sd["model.embed_tokens.weight"] * np.float32(np.sqrt(e)))
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        qkv = sd.pop(f"{p}.self_attn.qkv_proj.weight", None)
+        if qkv is not None:  # phi3 fused projections: split q/k/v rows
+            q_rows = heads * d
+            kv_rows = kv * d
+            sd[f"{p}.self_attn.q_proj.weight"] = qkv[:q_rows]
+            sd[f"{p}.self_attn.k_proj.weight"] = qkv[q_rows:q_rows + kv_rows]
+            sd[f"{p}.self_attn.v_proj.weight"] = qkv[q_rows + kv_rows:]
+        gu = sd.pop(f"{p}.mlp.gate_up_proj.weight", None)
+        if gu is not None:   # phi3 fused gate/up
+            sd[f"{p}.mlp.gate_proj.weight"] = gu[:cfg.intermediate_size]
+            sd[f"{p}.mlp.up_proj.weight"] = gu[cfg.intermediate_size:]
+
+    # gated-MLP activation: silu (llama lineage) or tanh-gelu (gemma)
+    hidden_act = getattr(cfg, "hidden_act", None) or getattr(
+        cfg, "hidden_activation", None) or "silu"
+    if hidden_act in ("silu", "swish"):
+        gated_act = "silu"
+    elif hidden_act in ("gelu", "gelu_new", "gelu_pytorch_tanh"):
+        gated_act = ("gelu_exact" if hidden_act == "gelu" else "gelu")
+    else:
+        raise ValueError(f"unsupported hidden_act {hidden_act!r}")
 
     def attr(b, op_out, key, array):
         # attach a weight attribute onto the op that PRODUCED op_out
@@ -92,7 +130,13 @@ def llama_graph_from_hf(model, batch: int = 1,
             Parameter.from_value(eps)
         gate = b.linear(y, cfg.intermediate_size, bias=False)
         attr(b, gate, "weight", sd[f"{p}.mlp.gate_proj.weight"])
-        gate = b.silu_act(gate)
+        if gated_act == "silu":
+            gate = b.silu_act(gate)
+        else:
+            gate = b.gelu(gate)
+            if gated_act == "gelu":  # tanh approximation (HF *_tanh/new)
+                b.g.get_operand(gate).producer.params["approximate"] = \
+                    Parameter.from_value("tanh")
         up = b.linear(y, cfg.intermediate_size, bias=False)
         attr(b, up, "weight", sd[f"{p}.mlp.up_proj.weight"])
         y = b.mul(gate, up)
@@ -105,7 +149,8 @@ def llama_graph_from_hf(model, batch: int = 1,
     b.g.get_operand(x).producer.params["eps"] = \
         Parameter.from_value(eps)
     logits = b.linear(x, cfg.vocab_size, bias=False)
-    head = ("lm_head.weight" if "lm_head.weight" in sd
+    head = ("__lm_head__" if "__lm_head__" in sd  # gemma: pre-scaling tie
+            else "lm_head.weight" if "lm_head.weight" in sd
             else "model.embed_tokens.weight")  # tied embeddings
     attr(b, logits, "weight", sd[head])
     b.output(logits)

@@ -106,3 +106,68 @@ def test_hf_rejects_unsupported():
     model.config.model_type = "gpt2"
     with pytest.raises(ValueError):
         llama_graph_from_hf(model)
+
+
+def test_hf_gemma_logits_parity():
+    """gemma lineage: (1+w) RMSNorm convention, sqrt(hidden) embedding
+    scaling (folded into imported weights), tanh-gelu gated MLP, tied
+    embeddings with the UNSCALED matrix as the head."""
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(11)
+    cfg = GemmaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, max_position_embeddings=16,
+        rope_theta=10000.0, hidden_act="gelu_pytorch_tanh",
+        hidden_activation="gelu_pytorch_tanh")
+    model = GemmaForCausalLM(cfg).eval()
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     22, 17]], np.int64)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    want = _hf_logits(model, ids)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_hf_phi3_logits_parity():
+    """phi3 lineage: fused qkv_proj / gate_up_proj weights split at
+    import; silu gated MLP; untied head."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(13)
+    cfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=16,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        pad_token_id=0)  # default 32000 exceeds the tiny vocab
+    model = Phi3ForCausalLM(cfg).eval()
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[5, 1, 9, 30, 2, 60, 11, 0, 7, 3, 44, 21, 6, 18,
+                     2, 33]], np.int64)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    want = _hf_logits(model, ids)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_hf_gemma_greedy_decode_matches_hf():
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(15)
+    cfg = GemmaConfig(
+        vocab_size=48, hidden_size=32, intermediate_size=40,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=1, head_dim=8, max_position_embeddings=24,
+        hidden_act="gelu_pytorch_tanh",
+        hidden_activation="gelu_pytorch_tanh")
+    model = GemmaForCausalLM(cfg).eval()
+    graph, in_name, out_name = llama_graph_from_hf(model, seq_len=24)
+    eng = Engine().load_model(None, graph=graph)
+    dec = CachedDecoder(eng)
+    prompt = np.array([[4, 8, 2, 7]])
+    ours = dec.generate(prompt, steps=8)
+    with torch.no_grad():
+        hf = model.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                            do_sample=False).numpy()
+    np.testing.assert_array_equal(ours, hf)
