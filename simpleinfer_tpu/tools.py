@@ -237,7 +237,12 @@ def cmd_serve(args) -> int:
     if args.generate:
         from .serving.llm import GenerationService
 
-        gsvc = GenerationService(eng, slots=args.max_batch).start()
+        gsvc = GenerationService(eng, slots=args.max_batch,
+                                 decode_horizon=args.decode_horizon)
+        if args.warmup:
+            print("compiling admission + decode blocks ...", flush=True)
+            gsvc.warmup()
+        gsvc.start()
         server = InferenceServer(None, host=args.host, port=args.port,
                                  gen_service=gsvc).start()
         host, port = server.address[:2]
@@ -383,6 +388,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--warmup", action="store_true",
                    help="compile every bucket before accepting traffic")
+    p.add_argument("--decode-horizon", type=int, default=16,
+                   help="with --generate: decode steps per dispatch "
+                        "(K tokens per relay RTT; 16 measured 6x over "
+                        "per-token, docs/PERF.md)")
     p.add_argument("--probe-spill", action="store_true",
                    help="with --warmup: drop buckets whose executables "
                         "spill XLA temps (>32 MB) — large offered "
