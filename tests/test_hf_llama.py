@@ -171,3 +171,68 @@ def test_hf_gemma_greedy_decode_matches_hf():
         hf = model.generate(torch.from_numpy(prompt), max_new_tokens=8,
                             do_sample=False).numpy()
     np.testing.assert_array_equal(ours, hf)
+
+
+def test_hf_gpt2_logits_parity():
+    """GPT-2 lineage (non-RoPE): learned positions, packed-qkv MHA with
+    additive causal mask, Conv1D [in,out] weights transposed at import,
+    tanh-gelu MLP, tied head."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from simpleinfer_tpu.frontends.hf_gpt2 import gpt2_graph_from_hf
+
+    torch.manual_seed(17)
+    cfg = GPT2Config(vocab_size=64, n_positions=16, n_embd=32,
+                     n_layer=2, n_head=4,
+                     attn_implementation="eager")
+    model = GPT2LMHeadModel(cfg).eval()
+    graph, in_name, out_name = gpt2_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     22, 17]], np.int64)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    want = _hf_logits(model, ids)
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=2e-3)
+
+
+def test_hf_gpt2_greedy_generate_matches_hf():
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from simpleinfer_tpu.frontends.hf_gpt2 import gpt2_graph_from_hf
+    from simpleinfer_tpu.zoo.generate import greedy_generate
+
+    torch.manual_seed(19)
+    cfg = GPT2Config(vocab_size=48, n_positions=24, n_embd=32,
+                     n_layer=2, n_head=4, attn_implementation="eager")
+    model = GPT2LMHeadModel(cfg).eval()
+    graph, in_name, out_name = gpt2_graph_from_hf(model, seq_len=24)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = np.array([[4, 8, 2, 7]])
+    ours = greedy_generate(eng, prompt, steps=8)
+    with torch.no_grad():
+        hf = model.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                            do_sample=False,
+                            pad_token_id=0).numpy()
+    np.testing.assert_array_equal(ours, hf)
+
+
+def test_hf_gpt2_kv_cache_decode_matches_hf():
+    """The converted GPT-2 runs the KV-cache block-decode path (MHA +
+    learned positions + mask lineage) token-for-token vs HF generate."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from simpleinfer_tpu.frontends.hf_gpt2 import gpt2_graph_from_hf
+
+    torch.manual_seed(19)
+    cfg = GPT2Config(vocab_size=48, n_positions=24, n_embd=32,
+                     n_layer=2, n_head=4, attn_implementation="eager")
+    model = GPT2LMHeadModel(cfg).eval()
+    graph, in_name, out_name = gpt2_graph_from_hf(model, seq_len=24)
+    eng = Engine().load_model(None, graph=graph)
+    dec = CachedDecoder(eng)
+    prompt = np.array([[4, 8, 2, 7]])
+    ours = dec.generate(prompt, steps=8, block=4)
+    with torch.no_grad():
+        hf = model.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                            do_sample=False, pad_token_id=0).numpy()
+    np.testing.assert_array_equal(ours, hf)
