@@ -562,14 +562,14 @@ class Engine:
             raise EngineStateError("calibrate() needs at least one batch")
         scales = scales_from_stats(agg)
         if self.config.act_per_channel:
-            scales = self._balance_per_channel(scales, agg)
+            scales = self._balance_per_channel(scales)
         self._install_act_scales(scales)
         logger.info("calibrated %d ops over %d batches (observer=%s)",
                     len(scales), n_batches,
                     self.config.act_clip_percentile or "absmax")
         return scales
 
-    def _balance_per_channel(self, scales: dict, stats: dict) -> dict:
+    def _balance_per_channel(self, scales: dict) -> dict:
         """Replace raw per-channel scale vectors (absmax/127) with
         SmoothQuant-balanced ones (quant/calibrate.smooth_balanced_scales)
         for ops whose weight they will fold into. save_calibration
@@ -620,9 +620,14 @@ class Engine:
         from .quant.tensor import QuantizedTensor, quantize_per_channel
 
         impls = {i.name: i for i in self._program.impls}
-        # restore pre-fold weights before applying the new scales
+        # restore pre-fold weights before applying the new scales; an op
+        # absent from the NEW scales must also lose its old act_scale —
+        # a stale per-channel vector over an unfolded weight would
+        # quantize by s while the epilogue dequantizes by w_scale alone
         for opname, w0 in self._pristine_qweights.items():
             self._program.weights[opname]["weight"] = w0
+            if opname not in scales:
+                self._program.weights[opname].pop("act_scale", None)
         for opname, s in scales.items():
             s = np.asarray(s, np.float32)
             if s.ndim == 1:
@@ -658,12 +663,14 @@ class Engine:
         # quantizes its own input, which is always correct.
         for impl in self._program.impls:
             c = impl.q_out_consumer
-            if c is not None and c in scales:
-                s = np.asarray(scales[c], np.float32)
-                if s.ndim == 0:
-                    self._program.weights[impl.name]["out_scale"] = s
-                else:
-                    self._program.weights[impl.name].pop("out_scale", None)
+            if c is None:
+                continue
+            s = (np.asarray(scales[c], np.float32) if c in scales
+                 else None)
+            if s is not None and s.ndim == 0:
+                self._program.weights[impl.name]["out_scale"] = s
+            else:  # vector scale or consumer absent: no chain requant
+                self._program.weights[impl.name].pop("out_scale", None)
         self._device_weights = self._place_weights(self._program)
         if self._aot_cache:
             # weight pytree changed shape (act_scale/out_scale entries):

@@ -83,9 +83,16 @@ def llama_graph_from_hf(model, batch: int = 1,
             sd[f"{p}.mlp.gate_proj.weight"] = gu[:cfg.intermediate_size]
             sd[f"{p}.mlp.up_proj.weight"] = gu[cfg.intermediate_size:]
 
-    # gated-MLP activation: silu (llama lineage) or tanh-gelu (gemma)
-    hidden_act = getattr(cfg, "hidden_act", None) or getattr(
-        cfg, "hidden_activation", None) or "silu"
+    # gated-MLP activation: silu (llama lineage) or tanh-gelu (gemma).
+    # GemmaMLP reads cfg.hidden_activation and IGNORES hidden_act
+    # (original gemma checkpoints carry the legacy hidden_act="gelu"
+    # that HF deliberately overrides to tanh-gelu) — match that
+    # precedence exactly, or such checkpoints silently get erf-gelu.
+    if mt == "gemma":
+        hidden_act = (getattr(cfg, "hidden_activation", None)
+                      or "gelu_pytorch_tanh")
+    else:
+        hidden_act = getattr(cfg, "hidden_act", None) or "silu"
     if hidden_act in ("silu", "swish"):
         gated_act = "silu"
     elif hidden_act in ("gelu", "gelu_new", "gelu_pytorch_tanh"):

@@ -168,10 +168,9 @@ class BatchingService:
 
                     logging.getLogger("simpleinfer_tpu").warning(
                         "serving bucket b%d drops: XLA temp spill "
-                        "%.0f MB > budget %.0f MB (served as %dx b%d "
-                        "waves instead)", b, t / 2**20,
-                        spill_budget_bytes / 2**20, b // kept[-1],
-                        kept[-1])
+                        "%.0f MB > budget %.0f MB (loads route to the "
+                        "surviving buckets)", b, t / 2**20,
+                        spill_budget_bytes / 2**20)
             self.buckets = kept
             self.max_batch = min(self.max_batch, kept[-1])
         for eng in self.engines:

@@ -101,6 +101,15 @@ class GenerationService:
         # extra tail dispatches cost more than the freed steps save —
         # measured 1352 vs 1532 tok/s, docs/PERF.md) -> default False.
         self._adaptive = bool(adaptive_horizon)
+        # the ONLY block sizes the loop may dispatch (and warmup must
+        # compile): the pow2 ladder under adaptivity, else just horizon
+        ks, k = [], self._horizon
+        while k >= 1:
+            ks.append(k)
+            if not self._adaptive:
+                break
+            k //= 2
+        self._block_ladder = ks
         self._window = self._dec._window
         self._tick_timeout = tick_timeout_s
         self._key = jax.random.PRNGKey(seed)
@@ -158,16 +167,9 @@ class GenerationService:
         _, caches = self._dec.prefill_install(
             window, np.ones(n, np.int32), self._key, 0, t, tk, tp,
             caches, np.arange(n, dtype=np.int32))
-        k = self._horizon
-        ladder = []
-        while k >= 1:
-            ladder.append(k)
-            if not self._adaptive:
-                break  # fixed horizon: only one block size dispatches
-            k //= 2
         toks = np.ones(n, np.int64)
         pos = np.ones(n, np.int32)
-        for k in ladder:
+        for k in self._block_ladder:
             out, caches = self._dec.decode_block(
                 toks, pos, caches, self._key, 1, t, tk, tp, k)
         jax.block_until_ready(out)
@@ -278,8 +280,9 @@ class GenerationService:
             if self._adaptive and waiting and k > 1:
                 rem = min(int(deadline[i]) - int(pos[i]) - 1
                           for i in range(n) if active[i] is not None)
-                while k > 1 and k > max(1, rem):
-                    k //= 2
+                # largest pre-compiled ladder size within the deadline
+                k = max((v for v in self._block_ladder
+                         if v <= max(1, rem)), default=1)
             tokens = bufs[np.arange(n), pos]
             seq += k
             toks, caches = self._dec.decode_block(

@@ -236,3 +236,25 @@ def test_hf_gpt2_kv_cache_decode_matches_hf():
         hf = model.generate(torch.from_numpy(prompt), max_new_tokens=8,
                             do_sample=False, pad_token_id=0).numpy()
     np.testing.assert_array_equal(ours, hf)
+
+
+def test_hf_gemma_legacy_hidden_act_uses_tanh_gelu():
+    """Original gemma checkpoints carry the legacy hidden_act='gelu'
+    that transformers deliberately overrides with hidden_activation
+    (tanh-gelu); the converter must match that precedence or such
+    checkpoints silently get erf-gelu (review finding, 2026-08-19)."""
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(21)
+    cfg = GemmaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, max_position_embeddings=16,
+        hidden_act="gelu")  # legacy field; hidden_activation unset
+    model = GemmaForCausalLM(cfg).eval()
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     22, 17]], np.int64)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    want = _hf_logits(model, ids)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)

@@ -715,3 +715,33 @@ def test_per_channel_artifact_loads_into_default_engine(tmp_path):
     assert any(np.ndim(v) == 1 for v in loaded.values())
     np.testing.assert_array_equal(
         np.asarray(plain.run({"in0": x})[out_name]), want)
+
+
+def test_per_channel_restore_drops_stale_scales(tmp_path):
+    """Loading an artifact that omits a previously-folded op must also
+    remove its act_scale: a stale per-channel vector over the RESTORED
+    (unfolded) weight would quantize by s but dequantize by w_scale
+    alone — silently mis-scaled output (review finding, 2026-08-19)."""
+    batches = [{"in0": _skewed_input(seed=s)} for s in (3, 4)]
+    x = _skewed_input()
+
+    eng = _int8_engine(_skewed_conv_graph(), per_channel=True)
+    scales = eng.calibrate(batches)
+    folded = [k for k, v in scales.items() if np.ndim(v) == 1]
+    assert folded
+    out_name = eng.output_names[0]
+
+    # artifact missing one folded op
+    keep = {k: v for k, v in scales.items() if k != folded[0]}
+    path = str(tmp_path / "partial.npz")
+    with open(path, "wb") as f:
+        np.savez(f, **keep)
+    eng.load_calibration(path)
+    assert "act_scale" not in eng.program.weights[folded[0]]
+    # the op now runs the weight-only fallback on its PRISTINE weight:
+    # output must match a fresh engine calibrated with the same subset
+    eng2 = _int8_engine(_skewed_conv_graph(), per_channel=True)
+    eng2.load_calibration(path)
+    np.testing.assert_array_equal(
+        np.asarray(eng.run({"in0": x})[out_name]),
+        np.asarray(eng2.run({"in0": x})[out_name]))
