@@ -40,12 +40,17 @@ from .mesh import AXIS_MODEL
 
 
 def tp_linear_column(x, w, bias=None, *, mesh: Mesh,
-                     axis: str = AXIS_MODEL):
+                     axis: str = AXIS_MODEL,
+                     batch_axis: str | None = None):
     """Column-parallel linear: w [K, N] arrives sharded on N (axis
-    `axis`), x replicated; returns y [..., N] sharded on N. No
-    communication — the fan-out half of a megatron pair."""
+    `axis`), x replicated over `axis`; returns y [..., N] sharded on N.
+    No communication — the fan-out half of a megatron pair.
+    `batch_axis` additionally shards x's leading dim (DP x TP on one
+    mesh: each (data, model) device holds its batch shard and its
+    weight shard)."""
     nd = x.ndim - 1
-    out_spec = P(*([None] * nd), axis)
+    x_spec = P(batch_axis, *([None] * (nd - 1)), None)
+    out_spec = P(batch_axis, *([None] * (nd - 1)), axis)
 
     def local(xb, wb, *bb):
         y = jnp.einsum("...k,kn->...n", xb, wb,
@@ -54,7 +59,7 @@ def tp_linear_column(x, w, bias=None, *, mesh: Mesh,
             y = y + bb[0]
         return y.astype(xb.dtype)
 
-    args, in_specs = [x, w], [P(), P(None, axis)]
+    args, in_specs = [x, w], [x_spec, P(None, axis)]
     if bias is not None:
         args.append(bias)
         in_specs.append(P(axis))
@@ -63,7 +68,8 @@ def tp_linear_column(x, w, bias=None, *, mesh: Mesh,
 
 
 def tp_linear_row(x, w, bias=None, *, mesh: Mesh, axis: str = AXIS_MODEL,
-                  chunks: int | None = None):
+                  chunks: int | None = None,
+                  batch_axis: str | None = None):
     """Row-parallel linear with an explicit ring all-reduce overlapped
     against the local matmul (collective-matmul).
 
@@ -100,33 +106,38 @@ def tp_linear_row(x, w, bias=None, *, mesh: Mesh, axis: str = AXIS_MODEL,
 
     nd = x.ndim - 1
     args = [x, w]
-    in_specs = [P(*([None] * nd), axis), P(axis, None)]
+    in_specs = [P(batch_axis, *([None] * (nd - 1)), axis), P(axis, None)]
     if bias is not None:
         args.append(bias)
         in_specs.append(P())
     # check_rep=False: after p-1 ring hops every device holds the full
-    # sum (replicated by the ring's MATH) — shard_map's static
-    # replication checker cannot see through ppermute, so it is told so
+    # sum over `axis` (replicated by the ring's MATH) — shard_map's
+    # static replication checker cannot see through ppermute
     return shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
-                     out_specs=P(), check_rep=False)(*args)
+                     out_specs=P(batch_axis, *([None] * nd)),
+                     check_rep=False)(*args)
 
 
 def tp_mlp(x, w1, b1, w2, b2, *, mesh: Mesh, axis: str = AXIS_MODEL,
-           act=jax.nn.gelu):
+           act=jax.nn.gelu, batch_axis: str | None = None):
     """A full megatron MLP pair: column-parallel fan-out (no comm) ->
     activation on the shard -> row-parallel fan-in (one overlapped ring
     all-reduce). ONE collective round for the whole block — the
-    schedule GSPMD usually finds, here guaranteed by construction."""
-    h = tp_linear_column(x, w1, b1, mesh=mesh, axis=axis)
+    schedule GSPMD usually finds, here guaranteed by construction.
+    `batch_axis` composes the pair with data parallelism (the TP ring
+    then runs inside each data replica)."""
+    h = tp_linear_column(x, w1, b1, mesh=mesh, axis=axis,
+                         batch_axis=batch_axis)
 
     def local_act(hb):
         return act(hb.astype(jnp.float32)).astype(hb.dtype)
 
     nd = x.ndim - 1
-    spec = P(*([None] * nd), axis)
+    spec = P(batch_axis, *([None] * (nd - 1)), axis)
     h = shard_map(local_act, mesh=mesh, in_specs=(spec,),
                   out_specs=spec)(h)
-    return tp_linear_row(h, w2, b2, mesh=mesh, axis=axis)
+    return tp_linear_row(h, w2, b2, mesh=mesh, axis=axis,
+                         batch_axis=batch_axis)
 
 
 def shard_tp_weights(mesh: Mesh, w1, b1, w2, b2, axis: str = AXIS_MODEL):

@@ -258,3 +258,32 @@ def test_sp_conv3x3_halo_matches_same_conv():
     hlo = fn.lower(x).compile().as_text()
     assert "collective-permute" in hlo
     assert "all-reduce" not in hlo
+
+
+@needs8
+def test_tp_mlp_composes_with_data_parallel():
+    """DP x TP on one mesh (data=4, model=2): the megatron pair runs its
+    ring inside each data replica while the batch stays sharded — the
+    BASELINE config-5 composition, explicit-schedule variant."""
+    from simpleinfer_tpu.parallel.tp import tp_mlp
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((8, 24)).astype(np.float32)
+    w1 = (rng.standard_normal((24, 32)) / 5).astype(np.float32)
+    b1 = rng.standard_normal(32).astype(np.float32) * 0.1
+    w2 = (rng.standard_normal((32, 24)) / 6).astype(np.float32)
+    b2 = rng.standard_normal(24).astype(np.float32) * 0.1
+
+    fn = jax.jit(lambda xx: tp_mlp(xx, w1, b1, w2, b2, mesh=mesh,
+                                   batch_axis=AXIS_DATA))
+    xs = jax.device_put(x, NamedSharding(mesh, P(AXIS_DATA, None)))
+    got = fn(xs)
+    # output stays batch-sharded over the data axis
+    assert got.sharding.spec[0] == AXIS_DATA
+    want = (jax.nn.gelu((x @ w1 + b1).astype(np.float32)) @ w2 + b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    hlo = fn.lower(xs).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-reduce" not in hlo
