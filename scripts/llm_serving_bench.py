@@ -68,13 +68,14 @@ print(f"decode step [{SLOTS},1]: {step_ms:.1f} ms "
 # ---- block decode: K tokens per dispatch ----------------------------------
 BLOCK = int(os.environ.get("SI_LLM_BLOCK", "32"))
 pos0 = np.full(SLOTS, PROMPT, np.int32)
-toks_b, caches = dec.decode_block(np.ones(SLOTS), pos0, caches, key, 1,
-                                  t_arr, k_arr, p_arr, BLOCK)  # compile
+toks_b, _last, caches = dec.decode_block(np.ones(SLOTS), pos0, caches,
+                                         key, 1, t_arr, k_arr, p_arr,
+                                         BLOCK)  # compile
 np.asarray(toks_b)
 NB = max(4, N // BLOCK * 2)
 t0 = time.perf_counter()
 for i in range(NB):
-    toks_b, caches = dec.decode_block(
+    toks_b, _last, caches = dec.decode_block(
         np.ones(SLOTS), pos0, caches, key, 1 + i * BLOCK, t_arr, k_arr,
         p_arr, BLOCK)
     np.asarray(toks_b)  # the host fetches [SLOTS, K] ints per block
@@ -120,10 +121,14 @@ from simpleinfer_tpu.serving.llm import GenerationService
 MAXNEW = 48
 results = {}
 H = int(os.environ.get("SI_LLM_HORIZON", "16"))
-for label, horizon, adaptive in (("h1", 1, False), ("h%d" % H, H, False),
-                                 ("h%d-adaptive" % H, H, True)):
+for label, horizon, adaptive, pipelined in (
+        ("h1", 1, False, False),
+        ("h%d" % H, H, False, False),
+        ("h%d-pipelined" % H, H, False, True),
+        ("h%d-adaptive" % H, H, True, False)):
     svc = GenerationService(eng, slots=SLOTS, decode_horizon=horizon,
-                            adaptive_horizon=adaptive)
+                            adaptive_horizon=adaptive,
+                            pipelined=pipelined)
     # compile the admission executable and the full adaptive block
     # ladder OUT of the timed window (each CachedDecoder compiles its
     # own; the ladder's in-band cold compiles once cost 40 s here)

@@ -82,13 +82,23 @@ class GenerationService:
     def __init__(self, engine, slots: int = 8,
                  tick_timeout_s: float = 0.01, seed: int = 0,
                  decode_horizon: int = 1,
-                 adaptive_horizon: bool = False):
+                 adaptive_horizon: bool = False,
+                 pipelined: bool = True):
         import jax
 
         from ..zoo.generate import CachedDecoder
 
         self._dec = CachedDecoder(engine)
         self._slots = int(slots)
+        # keep ONE decode block in flight beyond the one being
+        # processed, chained device-to-device from its predecessor's
+        # last tokens (decode_block's [N] last-token output), so the
+        # token fetch RTT (~26-33 ms on this relay) and the host
+        # bookkeeping hide under the next block's device time. Token
+        # streams are unchanged (same PRNG fold numbering, same fed
+        # values); the cost is up to one extra block of admission
+        # latency when a slot frees while a chained block is in flight.
+        self._pipelined = bool(pipelined)
         # decode steps per dispatch (CachedDecoder.decode_block): >1
         # amortizes the ~26 ms relay RTT across K tokens at the cost of
         # up to K-1 wasted steps per row end and K-step admission
@@ -169,9 +179,13 @@ class GenerationService:
             caches, np.arange(n, dtype=np.int32))
         toks = np.ones(n, np.int64)
         pos = np.ones(n, np.int32)
+        out = None
         for k in self._block_ladder:
-            out, caches = self._dec.decode_block(
+            out, last, caches = self._dec.decode_block(
                 toks, pos, caches, self._key, 1, t, tk, tp, k)
+        if self._pipelined:
+            self._dec.merge_tokens(np.zeros(n, np.int64), last,
+                                   np.arange(n, dtype=np.int32))
         jax.block_until_ready(out)
         return self
 
@@ -202,20 +216,91 @@ class GenerationService:
         topk = np.zeros(n, np.int32)
         topp = np.ones(n, np.float32)
         seq = 0                            # fold_in counter for the PRNG
+        # the chained block in flight: (toks_dev, last_dev, k, fed_pos,
+        # live_frac) — dispatched but not yet fetched (pipelined mode)
+        in_flight = None
+
+        def choose_k(pos_now) -> int:
+            # When requests are WAITING, the block is capped (pow2
+            # ladder, so the compiled-executable set stays log-sized)
+            # at the nearest deadline among live rows: tail waste only
+            # costs throughput when a freed slot could have admitted
+            # sooner.
+            k = self._horizon
+            with self._cv:
+                waiting = len(self._queue)
+            if self._adaptive and waiting and k > 1:
+                rem = min(int(deadline[i]) - int(pos_now[i]) - 1
+                          for i in range(n) if active[i] is not None)
+                k = max((v for v in self._block_ladder
+                         if v <= max(1, rem)), default=1)
+            return k
+
+        def dispatch(tokens, fed_pos, k):
+            # K decode steps for the whole pool in ONE dispatch (mixed
+            # depths/settings; K <= decode_horizon). Rows that finish
+            # mid-block decode garbage for the block's tail — discarded
+            # in process(); the RTT amortization pays for the waste.
+            nonlocal caches, seq
+            live = float(np.mean([r is not None for r in active]))
+            seq += k
+            toks, last, caches = self._dec.decode_block(
+                tokens, fed_pos, caches, self._key, seq - k + 1, temp,
+                topk, topp, k)
+            return (toks, last, k, np.asarray(fed_pos, np.int32), live)
+
+        def process(blk) -> None:
+            # fetch the block's tokens (the one host<->device round
+            # trip; in pipelined mode the successor block is already
+            # running under it) and fold them into the row buffers
+            toks_dev, _last, k, _fed, live = blk
+            toks = np.asarray(toks_dev)                 # [n, k]
+            self.stats.steps += k
+            self.stats.occupancy_sum += live * k
+            for i in range(n):
+                req = active[i]
+                if req is None:
+                    continue
+                for j in range(k):
+                    new_pos = pos[i] + 1  # index the fed token predicted
+                    bufs[i, new_pos] = toks[i, j]
+                    self.stats.tokens_out += 1
+                    if (req.eos_id is not None
+                            and toks[i, j] == req.eos_id) \
+                            or new_pos + 1 >= deadline[i]:
+                        self._finish(i, active, bufs, int(new_pos) + 1,
+                                     req)
+                        break
+                    pos[i] = new_pos
 
         while True:
             with self._cv:
-                if not self._running and not self._queue and not any(
-                        r is not None for r in active):
+                have_active = any(r is not None for r in active)
+                if not self._running and not self._queue \
+                        and not have_active and in_flight is None:
                     return
+                can_admit = bool(self._queue) and any(
+                    r is None for r in active)
+            if can_admit and in_flight is not None:
+                # admission may only assign rows when NO block is
+                # undrained: a chained block dispatched before a row's
+                # finish was known still carries that row's garbage
+                # tail, which must not be attributed to a newly
+                # admitted request. Draining here also brings pos/bufs
+                # current for the admission block's carried tokens.
+                process(in_flight)
+                in_flight = None
+                continue   # re-evaluate: the drain may free more rows
+            with self._cv:
                 admitted: list[tuple[int, _GenRequest]] = []
                 for i in range(n):
                     if active[i] is None and self._queue:
                         req = self._queue.pop(0)
                         active[i] = req
                         admitted.append((i, req))
-                idle = not any(r is not None for r in active)
-                if idle:
+                if not admitted and not any(
+                        r is not None for r in active) \
+                        and in_flight is None:
                     if not self._running:
                         return
                     self._cv.wait(timeout=self._tick_timeout)
@@ -228,6 +313,7 @@ class GenerationService:
             # 2 dispatches per request, then 2 per wave; on a ~26 ms-RTT
             # link every dispatch is a full RTT (docs/PERF.md).
             if admitted:
+                assert in_flight is None   # guaranteed by the drain above
                 window = np.zeros((n, self._window), np.float32)
                 lengths = np.ones(n, np.int32)
                 rows = np.full(n, n + 7, np.int32)   # OOB = dropped
@@ -246,7 +332,10 @@ class GenerationService:
                     window, lengths, self._key, seq, t_a, k_a, p_a,
                     caches, rows)
                 self.stats.prefills += len(admitted)
-                nxt_a = np.asarray(tok)
+                # token-independent bookkeeping BEFORE the fetch, so
+                # the first decode block can be enqueued chained from
+                # the prefill's on-device tokens (merge_tokens) and the
+                # prefill fetch RTT overlaps its device time
                 for j, (i, req) in enumerate(admitted):
                     p = len(req.prompt)
                     bufs[i, :] = 0
@@ -254,6 +343,18 @@ class GenerationService:
                     deadline[i] = min(p + req.max_new, self._window)
                     temp[i], topk[i], topp[i] = (req.temperature,
                                                  req.top_k, req.top_p)
+                if self._pipelined:
+                    pos_fed = pos.copy()
+                    for j, (i, _req) in enumerate(admitted):
+                        pos_fed[i] = lengths[j]
+                    carry = bufs[np.arange(n),
+                                 np.minimum(pos_fed, self._window - 1)]
+                    tokens_dev = self._dec.merge_tokens(carry, tok, rows)
+                    in_flight = dispatch(tokens_dev, pos_fed,
+                                         choose_k(pos_fed))
+                nxt_a = np.asarray(tok)
+                for j, (i, req) in enumerate(admitted):
+                    p = len(req.prompt)
                     nxt = int(nxt_a[j])
                     bufs[i, p] = nxt
                     self.stats.tokens_out += 1
@@ -263,50 +364,29 @@ class GenerationService:
                     else:
                         pos[i] = p
             if not any(r is not None for r in active):
+                if in_flight is not None:
+                    process(in_flight)   # garbage block; rows all done
+                    in_flight = None
                 continue
 
-            # K decode steps for the whole pool in ONE dispatch (mixed
-            # depths/settings; K <= decode_horizon). Rows that finish
-            # mid-block decode garbage for the block's tail — discarded
-            # below, the RTT amortization pays for the waste. When
-            # requests are WAITING, the block is capped (pow2 ladder, so
-            # the compiled-executable set stays log-sized) at the
-            # nearest deadline among live rows: tail waste only costs
-            # throughput when a freed slot could have admitted sooner.
-            live = np.array([r is not None for r in active])
-            k = self._horizon
-            with self._cv:
-                waiting = len(self._queue)
-            if self._adaptive and waiting and k > 1:
-                rem = min(int(deadline[i]) - int(pos[i]) - 1
-                          for i in range(n) if active[i] is not None)
-                # largest pre-compiled ladder size within the deadline
-                k = max((v for v in self._block_ladder
-                         if v <= max(1, rem)), default=1)
-            tokens = bufs[np.arange(n), pos]
-            seq += k
-            toks, caches = self._dec.decode_block(
-                tokens, pos, caches, self._key, seq - k + 1, temp, topk,
-                topp, k)
-            toks = np.asarray(toks)                     # [n, k]
-            self.stats.steps += k
-            self.stats.occupancy_sum += float(live.mean()) * k
-
-            for i in range(n):
-                req = active[i]
-                if req is None:
-                    continue
-                for j in range(k):
-                    new_pos = pos[i] + 1  # index the fed token predicted
-                    bufs[i, new_pos] = toks[i, j]
-                    self.stats.tokens_out += 1
-                    if (req.eos_id is not None
-                            and toks[i, j] == req.eos_id) \
-                            or new_pos + 1 >= deadline[i]:
-                        self._finish(i, active, bufs, int(new_pos) + 1,
-                                     req)
-                        break
-                    pos[i] = new_pos
+            if in_flight is None:
+                tokens = bufs[np.arange(n), pos]
+                in_flight = dispatch(tokens, pos.copy(), choose_k(pos))
+            nxt = None
+            if self._pipelined:
+                # enqueue the successor chained from the in-flight
+                # block's last on-device tokens BEFORE fetching its
+                # results: the fetch RTT + host bookkeeping run while
+                # the successor computes. Rows that finish inside the
+                # in-flight block decode garbage in the successor
+                # (discarded in process(), same waste profile as the
+                # horizon tail).
+                pos_next = np.minimum(in_flight[3] + in_flight[2],
+                                      self._window - 1)
+                nxt = dispatch(in_flight[1], pos_next,
+                               choose_k(pos_next))
+            process(in_flight)
+            in_flight = nxt
 
     def _finish(self, i, active, bufs, end, req) -> None:
         out = bufs[i, :end].copy()

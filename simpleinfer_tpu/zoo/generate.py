@@ -175,6 +175,9 @@ class CachedDecoder:
                                      donate_argnums=(0,))
         self._prefill_install = jax.jit(self._prefill_install_fn,
                                         donate_argnums=(8,))  # pool
+        self._merge = jax.jit(
+            lambda carry, tok, rows: carry.at[rows].set(
+                tok.astype(carry.dtype), mode="drop"))
         self._block_fns: dict[int, object] = {}  # k_steps -> jitted fn
 
     # ---- cache ----------------------------------------------------------
@@ -440,6 +443,12 @@ class CachedDecoder:
         PRNG parity: step i of the block folds `step0 + i`, the exact
         numbering the per-token path uses, so blocked and step-by-step
         decode produce identical token streams for the same seed.
+
+        The block also returns the final carry token as a separate [N]
+        device array so the NEXT block can be dispatched chained
+        device-to-device — the caller never has to fetch tokens before
+        enqueueing more work (the pipelined serving loop hides the
+        ~26 ms relay fetch RTT under the next block's device time).
         """
         import jax
         import jax.numpy as jnp
@@ -450,6 +459,11 @@ class CachedDecoder:
 
         def block_fn(weights, token, pos, caches, key, step0,
                      temperature, top_k, top_p):
+            # clamp the FED positions too: a chained dispatch advances
+            # pos blindly by K per block, so a finished/garbage row may
+            # arrive past the window — its writes must stay in bounds
+            pos = jnp.minimum(pos, last)
+
             def body(carry, i):
                 tok, p, c = carry
                 logits, c = self._step_fn(
@@ -461,10 +475,10 @@ class CachedDecoder:
                 # index past the compiled window
                 return (nxt, jnp.minimum(p + 1, last), c), nxt
 
-            (_, _, caches), toks = jax.lax.scan(
+            (last_tok, _, caches), toks = jax.lax.scan(
                 body, (token, pos, caches),
                 jnp.arange(k_steps, dtype=jnp.int32))
-            return jnp.transpose(toks), caches          # [N, K]
+            return jnp.transpose(toks), last_tok, caches  # [N,K], [N]
 
         return jax.jit(block_fn, donate_argnums=(3,))
 
@@ -610,8 +624,10 @@ class CachedDecoder:
     def decode_block(self, tokens, pos, caches, key, step0, temperature,
                      top_k, top_p, k_steps: int):
         """K decode steps in ONE dispatch: tokens [N] (the last sampled
-        token per row), pos [N] (its position). Returns
-        (sampled tokens [N, K] int32, new caches). One executable per
+        token per row — a host array OR a device array from a previous
+        block/prefill, enabling device-to-device chaining), pos [N]
+        (its position). Returns (sampled tokens [N, K] int32, last
+        token [N] int32 device array, new caches). One executable per
         distinct K, cached on the decoder. The caller masks the fetched
         tokens for eos/deadline host-side — tokens past a row's end are
         garbage by construction and must be discarded."""
@@ -628,6 +644,18 @@ class CachedDecoder:
                   jnp.asarray(temperature, jnp.float32),
                   jnp.asarray(top_k, jnp.int32),
                   jnp.asarray(top_p, jnp.float32))
+
+    def merge_tokens(self, carry, admitted, rows):
+        """Scatter freshly admitted rows' first tokens (prefill_install
+        output, slot order) into the pool-order token vector `carry` —
+        ONE tiny async dispatch, so the first decode block after an
+        admission can be enqueued chained without fetching the
+        prefill's sampled tokens first (pipelined serving loop).
+        rows[j] >= len(carry) drops entry j (padding)."""
+        import jax.numpy as jnp
+
+        return self._merge(jnp.asarray(carry, jnp.int32).reshape(-1),
+                           admitted, jnp.asarray(rows, jnp.int32))
 
     def install_row(self, pool_caches, row_caches, row: int):
         """Scatter a batch-1 prefilled cache into row `row` of a pooled
@@ -675,7 +703,14 @@ class CachedDecoder:
         sampling seeded by `seed`. block=None picks min(32, steps-1);
         block=1 reproduces the per-token path dispatch-for-dispatch.
         Token streams are identical for any block size (same PRNG
-        fold numbering)."""
+        fold numbering).
+
+        Without an eos_id the block count is known up front, so EVERY
+        block is enqueued back-to-back (each chained device-to-device
+        from the previous block's last token) before any result is
+        fetched — the device never idles on the fetch RTT. With eos_id
+        the loop stays sequential (fetch, check, dispatch) so no work
+        runs past the stop token."""
         import jax
 
         prompt = np.asarray(prompt_ids)
@@ -696,13 +731,32 @@ class CachedDecoder:
         window[:, :p] = prompt
         tok, caches = self.prefill_sample(window, np.full(n, p), key, 0,
                                           t_arr, k_arr, p_arr)
+
+        if eos_id is None:
+            # pipelined: enqueue prefill + all blocks, then fetch
+            handles = []
+            last_dev, fed, step_no, rem = tok, p, 1, steps - 1
+            while rem > 0:
+                toks_d, last_dev, caches = self.decode_block(
+                    last_dev, np.full(n, fed, np.int32), caches, key,
+                    step_no, t_arr, k_arr, p_arr, blk)
+                handles.append(toks_d)
+                step_no += blk
+                fed += blk
+                rem -= blk
+            buf[:, p] = np.asarray(tok)
+            flat = [np.asarray(h) for h in handles]      # [N, blk] each
+            gen = np.concatenate(flat, axis=1)[:, :steps - 1]
+            buf[:, p + 1:] = gen
+            return buf
+
         pending = [np.asarray(tok)]   # raw sampled tokens, FIFO
         last_raw = pending[0]         # last device-sampled token [N]
         t = p                         # next buf position to fill
         step_no = 1                   # PRNG fold counter (prefill = 0)
         while t < p + steps:
             if not pending:
-                toks, caches = self.decode_block(
+                toks, _last, caches = self.decode_block(
                     last_raw, np.full(n, t - 1, np.int32), caches, key,
                     step_no, t_arr, k_arr, p_arr, blk)
                 toks = np.asarray(toks)

@@ -360,3 +360,80 @@ def test_generation_service_eos_and_errors():
     svc.stop()
     with pytest.raises(RuntimeError):
         svc.submit([1], max_new=1)
+
+
+def test_generation_service_pipelined_matches_sequential():
+    """pipelined=True (one chained decode block in flight, admission
+    overlapped via merge_tokens) must produce exactly the completions
+    of pipelined=False — the chained tokens are the same device values
+    the host would have re-fed, and the PRNG fold numbering is
+    dispatch-order identical."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 40, size=p).tolist() for p in (3, 6, 2, 5)]
+
+    def run(pipelined):
+        svc = GenerationService(eng, slots=2, decode_horizon=4,
+                                pipelined=pipelined).start()
+        futs = [svc.submit(p, max_new=7) for p in prompts]
+        got = [f.result(timeout=120) for f in futs]
+        svc.stop()
+        return got, svc.stats
+
+    got_p, stats_p = run(True)
+    got_s, _ = run(False)
+    for a, b in zip(got_p, got_s):
+        np.testing.assert_array_equal(a, b)
+    assert stats_p.completed == 4
+    assert stats_p.tokens_out >= 4 * 7
+
+
+def test_generation_service_pipelined_chains_device_tokens():
+    """In pipelined mode the successor block must be dispatched from the
+    predecessor's on-device last-token array (no host fetch between
+    dispatches): at least one decode_block call receives a non-numpy
+    (device) token argument."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=1, decode_horizon=2)
+    orig = svc._dec.decode_block
+    token_types = []
+
+    def spy(tokens, *a, **kw):
+        token_types.append(type(tokens).__module__)
+        return orig(tokens, *a, **kw)
+
+    svc._dec.decode_block = spy
+    svc.start()
+    out = svc.submit([3, 1, 4], max_new=8).result(timeout=120)
+    svc.stop()
+    assert len(out) == 3 + 8
+    assert any(not m.startswith("numpy") for m in token_types), \
+        f"no chained device-token dispatch seen: {token_types}"
+
+
+def test_generation_service_pipelined_eos_mid_block():
+    """EOS inside an in-flight chained block frees the slot and the
+    next queued request is admitted correctly (the successor block's
+    garbage for that row is discarded)."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec = CachedDecoder(eng)
+    ref = dec.generate(np.asarray([[4, 8]]), steps=10)[0]
+    eos = int(ref[5])
+    first = 2 + int(np.argmax(ref[2:] == eos))
+    want2 = dec.generate(np.asarray([[7, 2, 9]]), steps=5)[0]
+
+    svc = GenerationService(eng, slots=1, decode_horizon=4).start()
+    f1 = svc.submit([4, 8], max_new=10, eos_id=eos)
+    f2 = svc.submit([7, 2, 9], max_new=5)
+    out1 = f1.result(timeout=120)
+    out2 = f2.result(timeout=120)
+    svc.stop()
+    np.testing.assert_array_equal(out1, ref[:first + 1])
+    np.testing.assert_array_equal(out2, want2)
