@@ -30,16 +30,19 @@ from simpleinfer_tpu.zoo import build_llama
 from simpleinfer_tpu.zoo.generate import CachedDecoder
 
 VARIANT = os.environ.get("SI_LLM_VARIANT", "small")
+QUANT = os.environ.get("SI_LLM_QUANT") or None  # int8w: ~2x decode at
+                                                # weight-bound scales
 WINDOW = int(os.environ.get("SI_LLM_WINDOW", "256"))
 SLOTS = int(os.environ.get("SI_LLM_SLOTS", "8"))
 PROMPT = 64
 
 graph, in_name, out_name = build_llama(VARIANT, batch=1, seq_len=WINDOW,
                                        vocab_size=32000)
-cfg = EngineConfig(compute_dtype="bfloat16")
+cfg = EngineConfig(compute_dtype="bfloat16", quant=QUANT)
 eng = Engine(cfg).load_model(None, graph=graph)
 dec = CachedDecoder(eng)
-print(f"model {VARIANT} window {WINDOW} slots {SLOTS}", file=sys.stderr)
+print(f"model {VARIANT} window {WINDOW} slots {SLOTS} quant {QUANT}",
+      file=sys.stderr)
 
 rng = np.random.default_rng(0)
 prompt = rng.integers(1, 32000, size=(1, PROMPT))

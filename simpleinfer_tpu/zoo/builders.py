@@ -1132,6 +1132,11 @@ LLAMA_PRESETS = {
     "nano": (2, 64, 4, 2),
     "micro": (4, 128, 8, 4),
     "small": (8, 512, 16, 8),
+    # llama-1B-class: ~0.9B params at vocab 32000 — the smallest
+    # preset whose decode step is weight-bandwidth-bound rather than
+    # dispatch-overhead-bound (the regime where int8w weights pay ~2x
+    # at decode; docs/PERF.md)
+    "base": (16, 2048, 32, 8),
 }
 
 
