@@ -83,12 +83,16 @@ class GenerationService:
                  tick_timeout_s: float = 0.01, seed: int = 0,
                  decode_horizon: int = 1,
                  adaptive_horizon: bool = False,
-                 pipelined: bool = True):
+                 pipelined: bool = True,
+                 kv_dtype: str | None = None):
         import jax
 
         from ..zoo.generate import CachedDecoder
 
-        self._dec = CachedDecoder(engine)
+        # kv_dtype: KV-cache storage (float32/bfloat16/int8) — int8
+        # quarters the per-step cache read, the dominant decode cost at
+        # long windows (CachedDecoder docstring, docs/PERF.md)
+        self._dec = CachedDecoder(engine, kv_dtype=kv_dtype)
         self._slots = int(slots)
         # keep ONE decode block in flight beyond the one being
         # processed, chained device-to-device from its predecessor's

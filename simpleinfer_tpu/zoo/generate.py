@@ -20,6 +20,21 @@ from __future__ import annotations
 import numpy as np
 
 
+def _kv_quantize(x):
+    """Symmetric int8 quantization of k/v vectors with one f32 scale
+    per vector (over the trailing head_dim axis): x [..., D] ->
+    (int8 [..., D], f32 [..., 1]). The per-(row, head, position) scale
+    keeps the quantization error local — one outlier position cannot
+    degrade the whole cache (contrast per-tensor scales)."""
+    import jax.numpy as jnp
+
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                    1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _causal_ctx(qh, kh, vh, d, use_pallas: bool):
     """Aligned-causal attention context [N, H, L, D] for prefill.
 
@@ -123,8 +138,23 @@ class CachedDecoder:
         "nn.Dropout",
     }
 
-    def __init__(self, engine):
+    def __init__(self, engine, kv_dtype: str | None = None):
+        """kv_dtype: KV-cache storage — None/"float32" (exact),
+        "bfloat16" (half the cache bandwidth, ~1e-2 relative k/v
+        error), or "int8" (quarter bandwidth; per-vector symmetric
+        scales via _kv_quantize, dequant fused into the attention
+        einsum's operand read so HBM traffic is 1 byte + scale per
+        element). At long windows the decode step is KV-read-bound, so
+        cache bytes convert ~directly into tok/s (docs/PERF.md)."""
         import jax
+        import jax.numpy as jnp
+
+        if kv_dtype not in (None, "float32", "bfloat16", "int8"):
+            raise ValueError(f"kv_dtype must be float32/bfloat16/int8, "
+                             f"got {kv_dtype!r}")
+        self._kv_int8 = kv_dtype == "int8"
+        self._kv_store = jnp.bfloat16 if kv_dtype == "bfloat16" \
+            else jnp.float32
 
         program = engine.program
         if getattr(engine, "_mesh", None) is not None:
@@ -182,17 +212,61 @@ class CachedDecoder:
 
     # ---- cache ----------------------------------------------------------
     def init_cache(self, batch: int, dtype=None):
+        """Zeroed per-layer KV cache pytree. Leaf layout per layer:
+        (k, v) for dense storage, or (k_q, k_s, v_q, v_s) for int8
+        (values [N, KV, L, D] int8 + per-vector scales [N, KV, L, 1]
+        f32). All install/scatter paths are tree_map-generic, so both
+        layouts flow through prefill_install/install_rows unchanged."""
         import jax.numpy as jnp
 
-        dtype = dtype or jnp.float32
+        dtype = dtype or self._kv_store
         caches = {}
         for name, info in self._mha_ops:
             h = info["num_heads"]
             kv = info.get("num_kv_heads", h)  # GQA: kv heads cached
             d = info.get("head_dim", info["embed_dim"] // h)
             shape = (batch, kv, self._window, d)
-            caches[name] = (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            if self._kv_int8:
+                sshape = shape[:-1] + (1,)
+                caches[name] = (jnp.zeros(shape, jnp.int8),
+                                jnp.ones(sshape, jnp.float32),
+                                jnp.zeros(shape, jnp.int8),
+                                jnp.ones(sshape, jnp.float32))
+            else:
+                caches[name] = (jnp.zeros(shape, dtype),
+                                jnp.zeros(shape, dtype))
         return caches
+
+    def _cache_append(self, cache, kh, vh, pos):
+        """Write the new token's k/v ([N, KV, 1, D]) at each row's
+        position; returns (new cache leaves, dense-readable (k, v))."""
+        import jax.numpy as jnp
+
+        rows = jnp.arange(kh.shape[0])
+        if self._kv_int8:
+            k_q, k_s, v_q, v_s = cache
+            kq, ks = _kv_quantize(kh[:, :, 0, :])
+            vq, vs = _kv_quantize(vh[:, :, 0, :])
+            k_q = k_q.at[rows, :, pos, :].set(kq)
+            k_s = k_s.at[rows, :, pos, :].set(ks)
+            v_q = v_q.at[rows, :, pos, :].set(vq)
+            v_s = v_s.at[rows, :, pos, :].set(vs)
+            return (k_q, k_s, v_q, v_s), (k_q, k_s), (v_q, v_s)
+        k_cache, v_cache = cache
+        k_cache = k_cache.at[rows, :, pos, :].set(
+            kh[:, :, 0, :].astype(k_cache.dtype))
+        v_cache = v_cache.at[rows, :, pos, :].set(
+            vh[:, :, 0, :].astype(v_cache.dtype))
+        return (k_cache, v_cache), k_cache, v_cache
+
+    def _cache_dense(self, leaf, dt):
+        """Dense view of one cached side: the int8 dequant multiply
+        fuses into the consuming einsum's operand read, so HBM traffic
+        stays 1 byte + scale per element."""
+        if self._kv_int8:
+            q, s = leaf
+            return q.astype(dt) * s.astype(dt)
+        return leaf.astype(dt)
 
     # ---- the jitted step ------------------------------------------------
     def _mha_decode(self, w, q, cache, pos, info):
@@ -219,26 +293,23 @@ class CachedDecoder:
                 y.astype(dt).reshape(n, 1, heads, d), (0, 2, 1, 3))
 
         qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
-        k_cache, v_cache = cache
-        rows = jnp.arange(n)
-        k_cache = k_cache.at[rows, :, pos, :].set(
-            kh[:, :, 0, :].astype(k_cache.dtype))
-        v_cache = v_cache.at[rows, :, pos, :].set(
-            vh[:, :, 0, :].astype(v_cache.dtype))
-        s = jnp.einsum("nhqd,nhkd->nhqk", qh, k_cache.astype(dt),
+        new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
+        s = jnp.einsum("nhqd,nhkd->nhqk", qh,
+                       self._cache_dense(k_leaf, dt),
                        preferred_element_type=jnp.float32)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
         s = jnp.where(idx <= pos[:, None, None, None], s,
                       jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
-        ctx = jnp.einsum("nhqk,nhkd->nhqd", p, v_cache.astype(dt))
+        ctx = jnp.einsum("nhqk,nhkd->nhqd", p,
+                         self._cache_dense(v_leaf, dt))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, e)
         out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
                          preferred_element_type=jnp.float32)
         if "bo" in w:
             out = out + w["bo"]
-        return out.astype(dt), (k_cache, v_cache)
+        return out.astype(dt), new_cache
 
     def _rope_decode(self, w, q, cache, pos, info):
         """si.RotaryAttention decode step: RoPE applied at each row's
@@ -272,14 +343,9 @@ class CachedDecoder:
         cos, sin = rope_cos_sin(pos, d, theta)          # [N, D]
         qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
         kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
-        k_cache, v_cache = cache
-        rows = jnp.arange(n)
-        k_cache = k_cache.at[rows, :, pos, :].set(
-            kh[:, :, 0, :].astype(k_cache.dtype))
-        v_cache = v_cache.at[rows, :, pos, :].set(
-            vh[:, :, 0, :].astype(v_cache.dtype))
+        new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
         s = jnp.einsum("nhqd,nhkd->nhqk", qh,
-                       repeat_kv(k_cache.astype(dt), group),
+                       repeat_kv(self._cache_dense(k_leaf, dt), group),
                        preferred_element_type=jnp.float32)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
@@ -287,13 +353,13 @@ class CachedDecoder:
                       jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         ctx = jnp.einsum("nhqk,nhkd->nhqd", p,
-                         repeat_kv(v_cache.astype(dt), group))
+                         repeat_kv(self._cache_dense(v_leaf, dt), group))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
         out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
                          preferred_element_type=jnp.float32)
         if "bo" in w:
             out = out + w["bo"]
-        return out.astype(dt), (k_cache, v_cache)
+        return out.astype(dt), new_cache
 
     def _rope_prefill(self, w, x, info):
         """Full-window si.RotaryAttention with k/v capture (rotated k —
@@ -385,8 +451,12 @@ class CachedDecoder:
                 fill = (self._rope_prefill if info.get("rotary")
                         else self._mha_prefill)
                 out, (kh, vh) = fill(w, env[ins[0]], info)
-                caches[impl.name] = (kh.astype(jnp.float32),
-                                     vh.astype(jnp.float32))
+                if self._kv_int8:
+                    caches[impl.name] = (*_kv_quantize(kh),
+                                         *_kv_quantize(vh))
+                else:
+                    caches[impl.name] = (kh.astype(self._kv_store),
+                                         vh.astype(self._kv_store))
                 env[outs[0]] = out
                 for o in outs[1:]:
                     env[o] = None

@@ -368,3 +368,69 @@ def test_generation_service_warmup_precompiles_ladder():
     got = svc.submit([4, 8, 2], max_new=5).result(timeout=60)
     svc.stop()
     np.testing.assert_array_equal(got, want)
+
+
+def test_llama_kv_cache_dtypes():
+    """Quantized KV caches: bfloat16 halves and int8 quarters the cache
+    read; decode must stay numerically close to the f32-cache path
+    (per-vector int8 scales bound the k/v error at ~0.4% of each
+    vector's max) and EXACT in structure (prefill produces the same
+    cache pytree the decode steps consume, so prefill+decode ==
+    decode-from-scratch within quantization error)."""
+    import jax.numpy as jnp
+
+    eng = _llama_engine()
+    ref = CachedDecoder(eng)
+    prompt = np.array([[5, 1, 8], [2, 9, 3]])
+    want_logits = None
+    for kv_dtype in (None, "bfloat16", "int8"):
+        dec = CachedDecoder(eng, kv_dtype=kv_dtype)
+        n, p = prompt.shape
+        caches = dec.init_cache(n)
+        if kv_dtype == "int8":
+            leaves = next(iter(caches.values()))
+            assert len(leaves) == 4
+            assert leaves[0].dtype == jnp.int8
+            assert leaves[1].shape == leaves[0].shape[:-1] + (1,)
+        logits = None
+        for t in range(p):
+            logits, caches = dec.step(prompt[:, t:t + 1],
+                                      np.full(n, t, np.int32), caches)
+        got = np.asarray(logits[:, 0, :], np.float32)
+        if kv_dtype is None:
+            want_logits = got
+        else:
+            # quantization noise must stay small relative to logit scale
+            denom = max(1e-6, float(np.abs(want_logits).max()))
+            err = np.abs(got - want_logits).max() / denom
+            assert err < (0.02 if kv_dtype == "bfloat16" else 0.05), \
+                f"{kv_dtype}: rel err {err}"
+
+        # prefill produces the same cache structure decode consumes:
+        # greedy continuation via generate() must run end-to-end
+        out = dec.generate(prompt, steps=5)
+        assert out.shape == (2, 3 + 5)
+        ref_out = ref.generate(prompt, steps=5)
+        if kv_dtype == "bfloat16":
+            # tiny-model logits are well-separated; bf16 cache should
+            # not flip the greedy argmax here
+            np.testing.assert_array_equal(out, ref_out)
+
+
+def test_llama_kv_int8_service_roundtrip():
+    """GenerationService(kv_dtype='int8'): admission scatter-install
+    must handle the 4-leaf quantized cache pytree; completions match
+    the solo int8-cache decode exactly (same cache layout end-to-end)."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine()
+    dec = CachedDecoder(eng, kv_dtype="int8")
+    prompts = [[4, 8, 2], [7, 1]]
+    want = [dec.generate(np.asarray([p]), steps=6)[0] for p in prompts]
+    svc = GenerationService(eng, slots=2, decode_horizon=4,
+                            kv_dtype="int8").warmup().start()
+    futs = [svc.submit(p, max_new=6) for p in prompts]
+    got = [f.result(timeout=120) for f in futs]
+    svc.stop()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

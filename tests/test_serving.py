@@ -437,3 +437,19 @@ def test_generation_service_pipelined_eos_mid_block():
     svc.stop()
     np.testing.assert_array_equal(out1, ref[:first + 1])
     np.testing.assert_array_equal(out2, want2)
+
+
+def test_generation_service_kv_int8_mha_path():
+    """int8 KV cache on the nn.MultiheadAttention (GPT) decode path:
+    the learned-position/packed-MHA lineage uses _mha_decode, whose
+    cache append/read goes through the same quantized codec."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec = CachedDecoder(eng, kv_dtype="int8")
+    want = dec.generate(np.asarray([[4, 8, 2]]), steps=6)[0]
+    svc = GenerationService(eng, slots=2, kv_dtype="int8").start()
+    got = svc.submit([4, 8, 2], max_new=6).result(timeout=120)
+    svc.stop()
+    np.testing.assert_array_equal(got, want)
