@@ -41,19 +41,36 @@ k_arr = np.zeros(SLOTS, np.int32)
 p_arr = np.ones(SLOTS, np.float32)
 caches = dec.init_cache(SLOTS)
 
-toks = np.ones((SLOTS, 1))
-pos = np.full(SLOTS, 64, np.int32)
-# drive the REAL donated executable (re-jitting a pure wrapper would
-# lose cache donation and bill every scatter a full cache copy)
-tok, caches = dec.step_sample(toks, pos, caches, key, 0, t_arr, k_arr,
-                              p_arr)   # compile outside the trace
-np.asarray(tok)
 from simpleinfer_tpu.profiling import hlo_stats, trace
 
-with trace("/tmp/si_llm_step_profile") as d:
-    for i in range(ITERS):
-        tok, caches = dec.step_sample(toks, pos, caches, key, i, t_arr,
-                                      k_arr, p_arr)
+BLOCK = int(os.environ.get("SI_LLM_PROFILE_BLOCK", "0"))
+pos = np.full(SLOTS, 64, np.int32)
+if BLOCK:
+    # profile the production executable: the lax.scan decode block
+    last, _l, caches = dec.decode_block(
+        np.ones(SLOTS), pos, caches, key, 0, t_arr, k_arr, p_arr,
+        BLOCK)   # compile outside the trace
+    np.asarray(last)
+    last = _l
+    with trace("/tmp/si_llm_step_profile") as d:
+        for i in range(ITERS):
+            toks, last, caches = dec.decode_block(
+                last, pos, caches, key, 1 + i * BLOCK, t_arr, k_arr,
+                p_arr, BLOCK)
+        np.asarray(toks)
+    rows = hlo_stats(d)
+    print(format_hlo_stats(rows, top=40, iters=ITERS * BLOCK))
+else:
+    # drive the REAL donated step executable (re-jitting a pure wrapper
+    # would lose cache donation and bill every scatter a cache copy)
+    toks = np.ones((SLOTS, 1))
+    tok, caches = dec.step_sample(toks, pos, caches, key, 0, t_arr,
+                                  k_arr, p_arr)  # compile
     np.asarray(tok)
-rows = hlo_stats(d)
-print(format_hlo_stats(rows, top=40, iters=ITERS))
+    with trace("/tmp/si_llm_step_profile") as d:
+        for i in range(ITERS):
+            tok, caches = dec.step_sample(toks, pos, caches, key, i,
+                                          t_arr, k_arr, p_arr)
+        np.asarray(tok)
+    rows = hlo_stats(d)
+    print(format_hlo_stats(rows, top=40, iters=ITERS))
