@@ -84,15 +84,19 @@ class GenerationService:
                  decode_horizon: int = 1,
                  adaptive_horizon: bool = False,
                  pipelined: bool = True,
-                 kv_dtype: str | None = None):
+                 kv_dtype: str | None = None,
+                 scratch_blocks: bool = False):
         import jax
 
         from ..zoo.generate import CachedDecoder
 
-        # kv_dtype: KV-cache storage (float32/bfloat16/int8) — int8
-        # quarters the per-step cache read, the dominant decode cost at
-        # long windows (CachedDecoder docstring, docs/PERF.md)
-        self._dec = CachedDecoder(engine, kv_dtype=kv_dtype)
+        # kv_dtype: KV-cache storage (float32/bfloat16/int8) — fewer
+        # cache bytes = faster KV-bound decode (bfloat16) or longer
+        # windows per HBM byte (int8). scratch_blocks: decode blocks
+        # stop rewriting the big cache every step (CachedDecoder
+        # docstring, docs/PERF.md).
+        self._dec = CachedDecoder(engine, kv_dtype=kv_dtype,
+                                  scratch_blocks=scratch_blocks)
         self._slots = int(slots)
         # keep ONE decode block in flight beyond the one being
         # processed, chained device-to-device from its predecessor's

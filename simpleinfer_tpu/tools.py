@@ -238,7 +238,10 @@ def cmd_serve(args) -> int:
         from .serving.llm import GenerationService
 
         gsvc = GenerationService(eng, slots=args.max_batch,
-                                 decode_horizon=args.decode_horizon)
+                                 decode_horizon=args.decode_horizon,
+                                 pipelined=not args.no_pipeline,
+                                 kv_dtype=args.kv_dtype,
+                                 scratch_blocks=args.scratch_blocks)
         if args.warmup:
             print("compiling admission + decode blocks ...", flush=True)
             gsvc.warmup()
@@ -411,6 +414,21 @@ def main(argv=None) -> int:
                    help="causal LM: serve continuous-batching KV-cache "
                         "generation (POST /v1/generate) instead of "
                         "/v1/infer; --max-batch sets the slot count")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="with --generate: disable the chained in-flight "
+                        "decode block (strictly sequential dispatch)")
+    p.add_argument("--kv-dtype", choices=["float32", "bfloat16", "int8"],
+                   help="with --generate: KV-cache storage — bfloat16 "
+                        "halves the per-step cache read (1.54x decode "
+                        "at long windows, docs/PERF.md), int8 quarters "
+                        "the cache footprint (longer windows per HBM "
+                        "byte)")
+    p.add_argument("--scratch-blocks", action="store_true",
+                   help="with --generate: decode blocks accumulate new "
+                        "k/v in a per-block scratch and merge once, "
+                        "instead of rewriting the cache every step "
+                        "(distribution-identical, not bit-identical "
+                        "across block sizes)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("calibrate",

@@ -138,14 +138,27 @@ class CachedDecoder:
         "nn.Dropout",
     }
 
-    def __init__(self, engine, kv_dtype: str | None = None):
+    def __init__(self, engine, kv_dtype: str | None = None,
+                 scratch_blocks: bool = False):
         """kv_dtype: KV-cache storage — None/"float32" (exact),
         "bfloat16" (half the cache bandwidth, ~1e-2 relative k/v
         error), or "int8" (quarter bandwidth; per-vector symmetric
-        scales via _kv_quantize, dequant fused into the attention
-        einsum's operand read so HBM traffic is 1 byte + scale per
-        element). At long windows the decode step is KV-read-bound, so
-        cache bytes convert ~directly into tok/s (docs/PERF.md)."""
+        scales via _kv_quantize, folded onto the L-sized scores/probs
+        so the attention einsums read raw int8). At long windows the
+        decode step is KV-read-bound, so cache bytes convert ~directly
+        into tok/s (docs/PERF.md).
+
+        scratch_blocks: decode_block accumulates the block's K new k/v
+        vectors in a tiny [N, KV, K, D] scratch, attends over
+        frozen-cache + scratch (the exact same key set, split masks),
+        and merges into the big cache ONCE per block — per-step big-
+        cache traffic drops from read+write+read (the carried cache is
+        rewritten every scan step) to the unavoidable attention read.
+        Same tokens attended, same cache contents after the block; the
+        attention score summation ORDER differs (frozen+scratch partial
+        sums), so logits match the per-step path to f32 ulp, not
+        bit-exactly — block-size invariance of sampled streams is
+        probabilistic rather than guaranteed. Off by default."""
         import jax
         import jax.numpy as jnp
 
@@ -155,6 +168,7 @@ class CachedDecoder:
         self._kv_int8 = kv_dtype == "int8"
         self._kv_store = jnp.bfloat16 if kv_dtype == "bfloat16" \
             else jnp.float32
+        self._scratch_blocks = bool(scratch_blocks)
 
         program = engine.program
         if getattr(engine, "_mesh", None) is not None:
@@ -270,14 +284,45 @@ class CachedDecoder:
         v_cache = jnp.where(hit, vh.astype(v_cache.dtype), v_cache)
         return (k_cache, v_cache), k_cache, v_cache
 
-    def _cache_dense(self, leaf, dt):
-        """Dense view of one cached side: the int8 dequant multiply
-        fuses into the consuming einsum's operand read, so HBM traffic
-        stays 1 byte + scale per element."""
+    def _attn_scores(self, qh, k_leaf, group, dt):
+        """Attention scores [N, H, 1, L] against the cached keys.
+
+        int8 path: the per-vector scale is constant over the contracted
+        head_dim axis, so q @ (k_q * s) == (q @ k_q) * s — the dequant
+        multiply moves from the [N,KV,L,D] cache read (which XLA
+        materializes, measured 1.23x SLOWER than bf16 storage at window
+        2048) onto the L-sized scores. The einsum reads raw int8."""
+        import jax.numpy as jnp
+
+        from ..ops.attention import repeat_kv
+
         if self._kv_int8:
-            q, s = leaf
-            return q.astype(dt) * s.astype(dt)
-        return leaf.astype(dt)
+            k_q, k_s = k_leaf
+            s = jnp.einsum("nhqd,nhkd->nhqk", qh,
+                           repeat_kv(k_q.astype(dt), group),
+                           preferred_element_type=jnp.float32)
+            return s * repeat_kv(jnp.swapaxes(k_s, 2, 3), group)
+        return jnp.einsum("nhqd,nhkd->nhqk", qh,
+                          repeat_kv(k_leaf.astype(dt), group),
+                          preferred_element_type=jnp.float32)
+
+    def _attn_ctx(self, p, v_leaf, group, dt):
+        """Attention context [N, H, 1, D] = probs @ cached values.
+
+        int8 path: p @ (v_q * s) == (p * s) @ v_q — the value scale
+        folds into the [N,H,1,L] probs, the einsum reads raw int8."""
+        import jax.numpy as jnp
+
+        from ..ops.attention import repeat_kv
+
+        if self._kv_int8:
+            v_q, v_s = v_leaf
+            p = p * repeat_kv(jnp.swapaxes(v_s, 2, 3),
+                              group).astype(p.dtype)
+            return jnp.einsum("nhqk,nhkd->nhqd", p,
+                              repeat_kv(v_q.astype(dt), group))
+        return jnp.einsum("nhqk,nhkd->nhqd", p,
+                          repeat_kv(v_leaf.astype(dt), group))
 
     # ---- the jitted step ------------------------------------------------
     def _mha_decode(self, w, q, cache, pos, info):
@@ -305,16 +350,13 @@ class CachedDecoder:
 
         qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
         new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
-        s = jnp.einsum("nhqd,nhkd->nhqk", qh,
-                       self._cache_dense(k_leaf, dt),
-                       preferred_element_type=jnp.float32)
+        s = self._attn_scores(qh, k_leaf, 1, dt)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
         s = jnp.where(idx <= pos[:, None, None, None], s,
                       jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
-        ctx = jnp.einsum("nhqk,nhkd->nhqd", p,
-                         self._cache_dense(v_leaf, dt))
+        ctx = self._attn_ctx(p, v_leaf, 1, dt)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, e)
         out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
                          preferred_element_type=jnp.float32)
@@ -355,22 +397,155 @@ class CachedDecoder:
         qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
         kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
         new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
-        s = jnp.einsum("nhqd,nhkd->nhqk", qh,
-                       repeat_kv(self._cache_dense(k_leaf, dt), group),
-                       preferred_element_type=jnp.float32)
+        s = self._attn_scores(qh, k_leaf, group, dt)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
         s = jnp.where(idx <= pos[:, None, None, None], s,
                       jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
-        ctx = jnp.einsum("nhqk,nhkd->nhqd", p,
-                         repeat_kv(self._cache_dense(v_leaf, dt), group))
+        ctx = self._attn_ctx(p, v_leaf, group, dt)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
         out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
                          preferred_element_type=jnp.float32)
         if "bo" in w:
             out = out + w["bo"]
         return out.astype(dt), new_cache
+
+    def _attn_decode_scratch(self, w, x, frozen, scratch, pos, step_i,
+                             pos0, info):
+        """One decode step of either attention lineage against a
+        FROZEN cache plus the current block's scratch (scratch_blocks
+        mode). The frozen cache holds positions < pos0 (read-only for
+        the whole block — never rewritten per step); scratch slot j
+        holds the k/v of block step j <= step_i. Union of the two
+        masked score pieces = exactly the per-step path's key set
+        0..pos; only the softmax/context summation order differs
+        (frozen + scratch partial sums)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.attention import apply_rope, repeat_kv, rope_cos_sin
+        from ..quant.tensor import resolve_weight
+
+        heads = info["num_heads"]
+        kvh = info.get("num_kv_heads", heads)
+        d = info.get("head_dim", info["embed_dim"] // heads)
+        group = heads // kvh
+        dt = x.dtype
+        n = x.shape[0]
+
+        def proj(key, h):
+            y = jnp.einsum("nli,io->nlo", x,
+                           resolve_weight(w[f"w{key}"], dt),
+                           preferred_element_type=jnp.float32)
+            if f"b{key}" in w:
+                y = y + w[f"b{key}"]
+            return jnp.transpose(y.astype(dt).reshape(n, 1, h, d),
+                                 (0, 2, 1, 3))  # [N,h,1,D]
+
+        qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        if info.get("rotary"):
+            cos, sin = rope_cos_sin(pos, d, info["rope_theta"])
+            qh = apply_rope(qh, cos[:, None, None, :],
+                            sin[:, None, None, :])
+            kh = apply_rope(kh, cos[:, None, None, :],
+                            sin[:, None, None, :])
+
+        k_scr, v_scr = scratch                    # [N, KVh, K, D]
+        kk = k_scr.shape[2]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk, 1), 2)
+        k_scr = jnp.where(slot == step_i, kh.astype(k_scr.dtype), k_scr)
+        v_scr = jnp.where(slot == step_i, vh.astype(v_scr.dtype), v_scr)
+
+        if self._kv_int8:
+            k_leaf, v_leaf = (frozen[0], frozen[1]), (frozen[2],
+                                                      frozen[3])
+        else:
+            k_leaf, v_leaf = frozen
+        scale = 1.0 / (d ** 0.5)
+        s_old = self._attn_scores(qh, k_leaf, group, dt) * scale
+        idx = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 3)
+        s_old = jnp.where(idx < pos0[:, None, None, None], s_old,
+                          jnp.finfo(jnp.float32).min)
+        s_new = jnp.einsum("nhqd,nhkd->nhqk", qh,
+                           repeat_kv(k_scr.astype(dt), group),
+                           preferred_element_type=jnp.float32) * scale
+        sidx = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 3)
+        s_new = jnp.where(sidx <= step_i, s_new,
+                          jnp.finfo(jnp.float32).min)
+        s = jnp.concatenate([s_old, s_new], axis=-1)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        p_old, p_new = p[..., :s_old.shape[-1]], p[..., s_old.shape[-1]:]
+        ctx = self._attn_ctx(p_old, v_leaf, group, dt) + \
+            jnp.einsum("nhqk,nhkd->nhqd", p_new,
+                       repeat_kv(v_scr.astype(dt), group))
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
+        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
+                         preferred_element_type=jnp.float32)
+        if "bo" in w:
+            out = out + w["bo"]
+        return out.astype(dt), (k_scr, v_scr)
+
+    def _step_fn_scratch(self, weights, token, pos, caches, scratches,
+                         step_i, pos0):
+        """_step_fn against frozen caches + per-block scratches
+        (scratch_blocks mode): identical plan walk, attention reads the
+        big cache without rewriting it."""
+        new_scr = dict(scratches)
+        env = {self._in_name: token}
+        for impl, ins, outs in self._plan:
+            w = weights.get(impl.name, {})
+            if impl.type in ("nn.MultiheadAttention",
+                             "si.RotaryAttention"):
+                out, new_scr[impl.name] = self._attn_decode_scratch(
+                    w, env[ins[0]], caches[impl.name],
+                    scratches[impl.name], pos, step_i, pos0,
+                    dict(impl.decode_info))
+                env[outs[0]] = out
+                for o in outs[1:]:
+                    env[o] = None
+                continue
+            args = [env[n] for n in ins]
+            if len(args) > 1:
+                args = self._slice_seq(args, pos)
+            r = impl.apply(w, *args)
+            if impl.n_outputs == 1:
+                env[outs[0]] = r
+            else:
+                for o, v in zip(outs, r):
+                    env[o] = v
+        return env[self._out_name], new_scr
+
+    def _scratch_merge(self, cache, scratch, pos0, k_steps):
+        """Fold a block's scratch into the big cache in ONE pass:
+        position pos0[row] + j takes scratch slot j. Slots that would
+        land past the window are dropped (the per-step path would have
+        kept overwriting the clamped last slot of those dead rows)."""
+        import jax
+        import jax.numpy as jnp
+
+        k_scr, v_scr = scratch
+        n = k_scr.shape[0]
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (n, 1, self._window, 1), 2)
+        off = idx - pos0[:, None, None, None]
+        win = (off >= 0) & (off < k_steps)
+        offc = jnp.clip(off, 0, k_steps - 1)
+
+        def gather(scr):
+            return jnp.take_along_axis(scr, offc, axis=2)  # [N,KV,L,D]
+
+        if self._kv_int8:
+            k_q, k_s, v_q, v_s = cache
+            gkq, gks = _kv_quantize(gather(k_scr))
+            gvq, gvs = _kv_quantize(gather(v_scr))
+            return (jnp.where(win, gkq, k_q), jnp.where(win, gks, k_s),
+                    jnp.where(win, gvq, v_q), jnp.where(win, gvs, v_s))
+        k_cache, v_cache = cache
+        return (jnp.where(win, gather(k_scr).astype(k_cache.dtype),
+                          k_cache),
+                jnp.where(win, gather(v_scr).astype(v_cache.dtype),
+                          v_cache))
 
     def _rope_prefill(self, w, x, info):
         """Full-window si.RotaryAttention with k/v capture (rotated k —
@@ -561,7 +736,40 @@ class CachedDecoder:
                 jnp.arange(k_steps, dtype=jnp.int32))
             return jnp.transpose(toks), last_tok, caches  # [N,K], [N]
 
-        return jax.jit(block_fn, donate_argnums=(3,))
+        def block_fn_scratch(weights, token, pos, caches, key, step0,
+                             temperature, top_k, top_p):
+            pos = jnp.minimum(pos, last)
+            pos0 = pos
+            n = token.shape[0]
+            scratches = {}
+            for name, info in self._mha_ops:
+                h = info["num_heads"]
+                kv = info.get("num_kv_heads", h)
+                d = info.get("head_dim", info["embed_dim"] // h)
+                z = jnp.zeros((n, kv, k_steps, d), self._kv_store)
+                scratches[name] = (z, z)
+
+            def body(carry, i):
+                tok, p, scr = carry
+                logits, scr = self._step_fn_scratch(
+                    weights, tok.astype(jnp.float32)[:, None], p,
+                    caches, scr, i, pos0)
+                nxt = sample_logits(logits[:, 0, :],
+                                    jax.random.fold_in(key, step0 + i),
+                                    temperature, top_k, top_p)
+                return (nxt, jnp.minimum(p + 1, last), scr), nxt
+
+            (last_tok, _, scratches), toks = jax.lax.scan(
+                body, (token, pos, scratches),
+                jnp.arange(k_steps, dtype=jnp.int32))
+            merged = {name: self._scratch_merge(caches[name],
+                                                scratches[name], pos0,
+                                                k_steps)
+                      for name in caches}
+            return jnp.transpose(toks), last_tok, merged
+
+        return jax.jit(block_fn_scratch if self._scratch_blocks
+                       else block_fn, donate_argnums=(3,))
 
     def _prefill_install_fn(self, weights, tokens, last_pos, key, step,
                             temperature, top_k, top_p, pool, rows):

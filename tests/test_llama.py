@@ -434,3 +434,75 @@ def test_llama_kv_int8_service_roundtrip():
     svc.stop()
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_llama_scratch_blocks_match_per_step():
+    """scratch_blocks mode: frozen-cache + per-block scratch attention
+    must (a) produce the same greedy tokens as the per-step block path
+    on this model, and (b) leave near-identical cache contents — the
+    merge writes the same k/v vectors the per-step path wrote, up to
+    f32 ulp effects compounding through layers (a layer's k/v depends
+    on earlier layers' attention outputs, whose score summation order
+    differs between the two paths)."""
+    import jax
+
+    eng = _llama_engine()
+    ref = CachedDecoder(eng)
+    fast = CachedDecoder(eng, scratch_blocks=True)
+    prompt = np.array([[5, 1, 8], [2, 9, 3]])
+
+    want = ref.generate(prompt, steps=9, block=4)
+    got = fast.generate(prompt, steps=9, block=4)
+    np.testing.assert_array_equal(got, want)
+    # sampled streams too (same PRNG folds; tiny-model logits are
+    # well-separated so the ulp-level score reorder cannot flip draws)
+    want_s = ref.generate(prompt, steps=9, block=4, temperature=0.9,
+                          top_k=7, seed=3)
+    got_s = fast.generate(prompt, steps=9, block=4, temperature=0.9,
+                          top_k=7, seed=3)
+    np.testing.assert_array_equal(got_s, want_s)
+
+    # cache contents: run one block on identical prefilled caches
+    n, p = prompt.shape
+    window = np.zeros((n, ref._window), np.float32)
+    window[:, :p] = prompt
+    t = np.zeros(n, np.float32)
+    k = np.zeros(n, np.int32)
+    pp = np.ones(n, np.float32)
+    key = jax.random.PRNGKey(0)
+    tok_a, ca = ref.prefill_sample(window, np.full(n, p), key, 0, t, k, pp)
+    tok_b, cb = fast.prefill_sample(window, np.full(n, p), key, 0, t, k,
+                                    pp)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    pos = np.full(n, p, np.int32)
+    _, _, ca = ref.decode_block(tok_a, pos, ca, key, 1, t, k, pp, 4)
+    _, _, cb = fast.decode_block(tok_b, pos, cb, key, 1, t, k, pp, 4)
+    for name in ca:
+        for a, b in zip(ca[name], cb[name]):
+            a, b = np.asarray(a), np.asarray(b)
+            # compare the written region (0..p+4); beyond it both are 0
+            np.testing.assert_allclose(a[:, :, :p + 4, :],
+                                       b[:, :, :p + 4, :], rtol=1e-4,
+                                       atol=1e-5)
+
+
+def test_llama_scratch_blocks_int8_and_service():
+    """scratch_blocks composes with the int8 KV codec (quantize at
+    merge) and with the pipelined service."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine()
+    ref = CachedDecoder(eng, kv_dtype="int8")
+    fast = CachedDecoder(eng, kv_dtype="int8", scratch_blocks=True)
+    prompt = np.array([[5, 1, 8]])
+    want = ref.generate(prompt, steps=8, block=4)
+    got = fast.generate(prompt, steps=8, block=4)
+    np.testing.assert_array_equal(got, want)
+
+    svc = GenerationService(eng, slots=2, decode_horizon=4,
+                            scratch_blocks=True).warmup().start()
+    solo = CachedDecoder(eng, scratch_blocks=True)
+    w = solo.generate(np.asarray([[7, 2, 9]]), steps=5)[0]
+    out = svc.submit([7, 2, 9], max_new=5).result(timeout=120)
+    svc.stop()
+    np.testing.assert_array_equal(out, w)

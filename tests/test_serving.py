@@ -453,3 +453,18 @@ def test_generation_service_kv_int8_mha_path():
     got = svc.submit([4, 8, 2], max_new=6).result(timeout=120)
     svc.stop()
     np.testing.assert_array_equal(got, want)
+
+
+def test_generation_service_scratch_blocks_mha_path():
+    """scratch_blocks on the nn.MultiheadAttention (GPT) lineage."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    ref = CachedDecoder(eng)
+    want = ref.generate(np.asarray([[4, 8, 2]]), steps=6)[0]
+    svc = GenerationService(eng, slots=2, decode_horizon=3,
+                            scratch_blocks=True).start()
+    got = svc.submit([4, 8, 2], max_new=6).result(timeout=120)
+    svc.stop()
+    np.testing.assert_array_equal(got, want)
