@@ -32,6 +32,8 @@ from simpleinfer_tpu.zoo.generate import CachedDecoder
 VARIANT = os.environ.get("SI_LLM_VARIANT", "small")
 QUANT = os.environ.get("SI_LLM_QUANT") or None  # int8w: ~2x decode at
                                                 # weight-bound scales
+KV = os.environ.get("SI_LLM_KV") or None        # KV storage dtype
+SCRATCH = bool(int(os.environ.get("SI_LLM_SCRATCH", "0")))
 WINDOW = int(os.environ.get("SI_LLM_WINDOW", "256"))
 SLOTS = int(os.environ.get("SI_LLM_SLOTS", "8"))
 PROMPT = 64
@@ -131,7 +133,8 @@ for label, horizon, adaptive, pipelined in (
         ("h%d-adaptive" % H, H, True, False)):
     svc = GenerationService(eng, slots=SLOTS, decode_horizon=horizon,
                             adaptive_horizon=adaptive,
-                            pipelined=pipelined)
+                            pipelined=pipelined, kv_dtype=KV,
+                            scratch_blocks=SCRATCH)
     # compile the admission executable and the full adaptive block
     # ladder OUT of the timed window (each CachedDecoder compiles its
     # own; the ladder's in-band cold compiles once cost 40 s here)

@@ -171,9 +171,23 @@ class CachedDecoder:
         self._scratch_blocks = bool(scratch_blocks)
 
         program = engine.program
-        if getattr(engine, "_mesh", None) is not None:
-            raise ValueError("CachedDecoder supports single-device "
-                             "engines (shard the batch instead)")
+        self._mesh = getattr(engine, "_mesh", None)
+        if self._mesh is not None:
+            # Tensor-parallel decode: the attention/linear weights are
+            # already Megatron-sharded by the engine (wq/wk/wv column-,
+            # wo row-parallel — ops/attention.py shard_hints); caches
+            # shard over kv heads on the `model` axis and GSPMD inserts
+            # the reduce for the row-parallel output projection. The
+            # slot batch stays replicated: spread THROUGHPUT over a DP
+            # engine pool (serving/batcher.py), use TP to fit/speed one
+            # model.
+            from ..parallel.mesh import AXIS_DATA, AXIS_SPATIAL
+            sizes = dict(self._mesh.shape)
+            if sizes.get(AXIS_DATA, 1) > 1 or \
+                    sizes.get(AXIS_SPATIAL, 1) > 1:
+                raise ValueError(
+                    "CachedDecoder shards over the `model` axis only; "
+                    "use a DP engine pool for data parallelism")
         if len(program.input_names) != 1 or len(program.output_names) != 1:
             raise ValueError("CachedDecoder expects one input (token "
                              "ids) and one output (logits)")
@@ -234,6 +248,20 @@ class CachedDecoder:
         import jax.numpy as jnp
 
         dtype = dtype or self._kv_store
+        place = lambda z: z                     # noqa: E731
+        if self._mesh is not None:
+            import jax
+
+            from ..parallel.mesh import AXIS_MODEL, P, NamedSharding
+
+            msize = self._mesh.shape.get(AXIS_MODEL, 1)
+
+            def place(z):                       # noqa: F811
+                # kv heads over the model axis, matching the
+                # column-sharded wk/wv (replicate when indivisible)
+                axis = AXIS_MODEL if z.shape[1] % msize == 0 else None
+                return jax.device_put(z, NamedSharding(
+                    self._mesh, P(None, axis, None, None)))
         caches = {}
         for name, info in self._mha_ops:
             h = info["num_heads"]
@@ -242,13 +270,13 @@ class CachedDecoder:
             shape = (batch, kv, self._window, d)
             if self._kv_int8:
                 sshape = shape[:-1] + (1,)
-                caches[name] = (jnp.zeros(shape, jnp.int8),
-                                jnp.ones(sshape, jnp.float32),
-                                jnp.zeros(shape, jnp.int8),
-                                jnp.ones(sshape, jnp.float32))
+                caches[name] = (place(jnp.zeros(shape, jnp.int8)),
+                                place(jnp.ones(sshape, jnp.float32)),
+                                place(jnp.zeros(shape, jnp.int8)),
+                                place(jnp.ones(sshape, jnp.float32)))
             else:
-                caches[name] = (jnp.zeros(shape, dtype),
-                                jnp.zeros(shape, dtype))
+                caches[name] = (place(jnp.zeros(shape, dtype)),
+                                place(jnp.zeros(shape, dtype)))
         return caches
 
     def _cache_append(self, cache, kh, vh, pos):

@@ -506,3 +506,77 @@ def test_llama_scratch_blocks_int8_and_service():
     out = svc.submit([7, 2, 9], max_new=5).result(timeout=120)
     svc.stop()
     np.testing.assert_array_equal(out, w)
+
+
+def test_llama_tp_decode_on_sim_mesh():
+    """Tensor-parallel KV-cache decode on the simulated mesh: a
+    model=4 engine (Megatron-sharded wq/wk/wv/wo, kv-head-sharded
+    caches) must produce the single-device token stream, and the step
+    executable must contain a cross-device collective (the
+    row-parallel wo reduce)."""
+    import jax
+
+    from simpleinfer_tpu import Engine, EngineConfig
+    from simpleinfer_tpu.config import MeshConfig
+    from simpleinfer_tpu.zoo import build_llama
+
+    graph, _, _ = build_llama("micro", batch=1, seq_len=32,
+                              vocab_size=64)
+    ref_eng = Engine(EngineConfig()).load_model(None, graph=graph)
+    want = CachedDecoder(ref_eng).generate(
+        np.asarray([[5, 1, 8], [2, 9, 3]]), steps=8, block=4)
+
+    tp_eng = Engine(EngineConfig(mesh=MeshConfig(model=4))).load_model(
+        None, graph=graph)
+    dec = CachedDecoder(tp_eng)
+    got = dec.generate(np.asarray([[5, 1, 8], [2, 9, 3]]), steps=8,
+                       block=4)
+    np.testing.assert_array_equal(got, want)
+
+    # caches actually shard over the model axis
+    caches = dec.init_cache(2)
+    leaf = next(iter(caches.values()))[0]
+    spec = leaf.sharding.spec
+    assert spec[1] == "model", spec
+
+    # the compiled step contains a collective (GSPMD's wo reduce)
+    toks = np.ones((2, 1))
+    pos = np.zeros(2, np.int32)
+    lowered = jax.jit(dec._step_fn).lower(
+        dec._weights, jax.numpy.asarray(toks, jax.numpy.float32),
+        jax.numpy.asarray(pos, jax.numpy.int32), caches)
+    hlo = lowered.compile().as_text()
+    assert ("all-reduce" in hlo or "all-gather" in hlo
+            or "reduce-scatter" in hlo), "no collective in TP step"
+
+
+def test_llama_tp_decode_rejects_data_axis():
+    from simpleinfer_tpu import Engine, EngineConfig
+    from simpleinfer_tpu.config import MeshConfig
+    from simpleinfer_tpu.zoo import build_llama
+
+    graph, _, _ = build_llama("nano", batch=2, seq_len=16, vocab_size=32)
+    eng = Engine(EngineConfig(mesh=MeshConfig(data=2))).load_model(
+        None, graph=graph)
+    with pytest.raises(ValueError, match="DP engine pool"):
+        CachedDecoder(eng)
+
+
+def test_llama_tp_generation_service():
+    """The continuous-batching service runs unchanged on a TP engine:
+    admission scatter-install and decode blocks operate on kv-head-
+    sharded caches (GSPMD), completions match the single-device run."""
+    from simpleinfer_tpu.config import MeshConfig
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    graph, _, _ = build_llama("micro", batch=1, seq_len=32,
+                              vocab_size=64)
+    ref_eng = Engine(EngineConfig()).load_model(None, graph=graph)
+    want = CachedDecoder(ref_eng).generate(np.asarray([[5, 1, 8]]),
+                                           steps=6)[0]
+    tp_eng = Engine(EngineConfig(mesh=MeshConfig(model=4))).load_model(
+        None, graph=graph)
+    svc = GenerationService(tp_eng, slots=2, decode_horizon=3).start()
+    got = svc.submit([5, 1, 8], max_new=6).result(timeout=120)
+    svc.stop()
+    np.testing.assert_array_equal(got, want)
