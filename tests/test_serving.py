@@ -468,3 +468,29 @@ def test_generation_service_scratch_blocks_mha_path():
     got = svc.submit([4, 8, 2], max_new=6).result(timeout=120)
     svc.stop()
     np.testing.assert_array_equal(got, want)
+
+
+def test_generation_service_window_edge_pipelined_scratch():
+    """Requests whose prompt+max_new exactly fill the compiled window,
+    served with every fast path on (pipelined + scratch blocks +
+    horizon overrun): chained blocks advance pos past the deadline and
+    must clamp/discard without corrupting neighbours or the result."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine(seq_len=16)
+    dec = CachedDecoder(eng, scratch_blocks=True)
+    p1 = [3, 1, 4, 1, 5]
+    p2 = [2, 7]
+    want1 = dec.generate(np.asarray([p1]), steps=16 - len(p1))[0]
+    want2 = dec.generate(np.asarray([p2]), steps=3)[0]
+    svc = GenerationService(eng, slots=2, decode_horizon=8,
+                            scratch_blocks=True).start()
+    f1 = svc.submit(p1, max_new=16 - len(p1))   # fills the window
+    f2 = svc.submit(p2, max_new=3)              # finishes early
+    out1 = f1.result(timeout=120)
+    out2 = f2.result(timeout=120)
+    svc.stop()
+    np.testing.assert_array_equal(out1, want1)
+    np.testing.assert_array_equal(out2, want2)
+    assert len(out1) == 16
