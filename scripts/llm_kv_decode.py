@@ -39,6 +39,11 @@ ROUNDS = int(os.environ.get("SI_LLM_ROUNDS", "3"))
 CONFIGS = (("float32", False), ("float32", True),
            ("bfloat16", False), ("bfloat16", True),
            ("int8", False), ("int8", True))
+_sel = os.environ.get("SI_LLM_CONFIGS")  # e.g. "float32,bfloat16+scratch"
+if _sel:
+    want = set(_sel.split(","))
+    CONFIGS = tuple((kd, sc) for kd, sc in CONFIGS
+                    if kd + ("+scratch" if sc else "") in want)
 
 print(f"building {VARIANT} window {WINDOW} (one int8w engine, one "
       f"decoder per kv_dtype)", file=sys.stderr)

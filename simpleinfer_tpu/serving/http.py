@@ -149,6 +149,23 @@ class InferenceServer:
         return {"ids": np.asarray(ids).tolist(),
                 "prompt_len": len(prompt)}
 
+    def generate_stream(self, payload: dict):
+        """Validate a /v1/generate body with "stream": true and return
+        the GenerationService StreamHandle."""
+        if self.gen_service is None:
+            raise ValueError("no generation service attached "
+                             "(serve a causal LM with --generate)")
+        prompt = payload.get("prompt")
+        if not isinstance(prompt, list) or not prompt:
+            raise ValueError('body needs "prompt": [token ids]')
+        eos = payload.get("eos_id")
+        return self.gen_service.submit_stream(
+            prompt, max_new=int(payload.get("max_new", 32)),
+            eos_id=int(eos) if eos is not None else None,
+            temperature=float(payload.get("temperature", 0.0)),
+            top_k=int(payload.get("top_k", 0)),
+            top_p=float(payload.get("top_p", 1.0)))
+
     def detect(self, image: np.ndarray, conf: float, iou: float) -> list:
         """One HWC image -> list of detection dicts: letterbox to the
         service's item size, submit, decode. Works with either service
@@ -301,6 +318,45 @@ def _make_handler(server: InferenceServer):
             else:
                 self._reply_json(404, {"error": f"no route {path}"})
 
+        def _generate_sse(self, payload: dict) -> None:
+            """Stream one generation as Server-Sent Events: one
+            `data: {"token": id}` event per generated token (block
+            granularity), then `data: {"done": true, "ids": [...]}`.
+            The response has no Content-Length, so the connection
+            closes at end-of-stream."""
+            try:
+                handle = server.generate_stream(payload)
+            except ValueError as e:
+                self._reply_json(400, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.close_connection = True
+            self.end_headers()
+            try:
+                for tok in handle:
+                    self.wfile.write(
+                        f'data: {{"token": {tok}}}\n\n'.encode())
+                    self.wfile.flush()
+                ids = handle.result(timeout=server.request_timeout_s)
+                done = json.dumps({
+                    "done": True, "ids": np.asarray(ids).tolist(),
+                    "prompt_len": len(payload["prompt"])})
+                self.wfile.write(f"data: {done}\n\n".encode())
+                self.wfile.flush()
+            except BrokenPipeError:
+                pass                      # client went away mid-stream
+            except Exception as e:  # noqa: BLE001 — backend error
+                err = json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"})
+                try:
+                    self.wfile.write(f"data: {err}\n\n".encode())
+                    self.wfile.flush()
+                except OSError:
+                    pass
+
         def do_POST(self):  # noqa: N802
             path, _, query = self.path.partition("?")
             if path not in ("/v1/infer", "/v1/detect",
@@ -342,6 +398,9 @@ def _make_handler(server: InferenceServer):
                 if ctype == NPY_CONTENT_TYPE:
                     self._reply_json(400, {"error": "/v1/generate takes "
                                            "a JSON body"})
+                    return
+                if isinstance(arr, dict) and arr.get("stream"):
+                    self._generate_sse(arr)
                     return
                 try:
                     out = server.generate(arr)

@@ -41,6 +41,9 @@ class _GenRequest:
     top_p: float = 1.0
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.perf_counter)
+    # streaming: accepted tokens are pushed here as the scheduler
+    # discovers them (block granularity); None marks completion
+    stream_q: object | None = None
 
 
 @dataclass
@@ -60,6 +63,32 @@ class GenStats:
     @property
     def mean_latency_ms(self) -> float:
         return self.latency_sum_ms / max(1, self.completed)
+
+
+class StreamHandle:
+    """Iterator over one request's generated tokens (submit_stream).
+
+    Yields int token ids as the scheduler accepts them; iteration ends
+    when the request completes (eos/deadline). `result(timeout)`
+    returns the full [prompt + generated] np array (blocks until
+    done). If the request errored, iteration and result() raise."""
+
+    def __init__(self, req: _GenRequest):
+        self._req = req
+        self.future = req.future
+
+    def __iter__(self):
+        q = self._req.stream_q
+        while True:
+            tok = q.get()
+            if tok is None:
+                if self.future.exception() is not None:
+                    raise self.future.exception()
+                return
+            yield tok
+
+    def result(self, timeout: float | None = None) -> np.ndarray:
+        return self.future.result(timeout=timeout)
 
 
 class GenerationService:
@@ -132,6 +161,7 @@ class GenerationService:
         self._tick_timeout = tick_timeout_s
         self._key = jax.random.PRNGKey(seed)
         self._queue: list[_GenRequest] = []
+        self._active: list = []          # set by the scheduler loop
         self._cv = threading.Condition()
         self._thread: threading.Thread | None = None
         self._running = False
@@ -141,6 +171,26 @@ class GenerationService:
     def submit(self, prompt_ids, max_new: int,
                eos_id: int | None = None, *, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0) -> Future:
+        return self._enqueue(prompt_ids, max_new, eos_id, temperature,
+                             top_k, top_p, None).future
+
+    def submit_stream(self, prompt_ids, max_new: int,
+                      eos_id: int | None = None, *,
+                      temperature: float = 0.0, top_k: int = 0,
+                      top_p: float = 1.0) -> "StreamHandle":
+        """Like submit, but returns a StreamHandle that yields each
+        generated token id as the scheduler accepts it (block
+        granularity: up to decode_horizon tokens arrive at once).
+        Iterate the handle for tokens; `handle.result()` returns the
+        full [prompt + generated] sequence."""
+        import queue
+
+        req = self._enqueue(prompt_ids, max_new, eos_id, temperature,
+                            top_k, top_p, queue.Queue())
+        return StreamHandle(req)
+
+    def _enqueue(self, prompt_ids, max_new, eos_id, temperature, top_k,
+                 top_p, stream_q) -> _GenRequest:
         prompt = np.asarray(prompt_ids, np.int64).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
@@ -156,14 +206,15 @@ class GenerationService:
             raise ValueError(f"top_k must be >= 0, got {top_k}")
         req = _GenRequest(prompt=prompt, max_new=max_new, eos_id=eos_id,
                           temperature=float(temperature),
-                          top_k=int(top_k), top_p=float(top_p))
+                          top_k=int(top_k), top_p=float(top_p),
+                          stream_q=stream_q)
         with self._cv:
             if not self._running:
                 raise RuntimeError("service not started")
             self._queue.append(req)
             self.stats.requests += 1
             self._cv.notify()
-        return req.future
+        return req
 
     def warmup(self) -> "GenerationService":
         """Compile every executable the serving loop can dispatch —
@@ -214,9 +265,25 @@ class GenerationService:
 
     # ---- scheduler loop --------------------------------------------------
     def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        except BaseException as e:  # fail fast, never hang clients
+            with self._cv:
+                pending = list(self._queue)
+                self._queue.clear()
+                self._running = False
+            for req in pending + [r for r in self._active if r]:
+                if not req.future.done():
+                    req.future.set_exception(e)
+                if req.stream_q is not None:
+                    req.stream_q.put(None)
+            raise
+
+    def _loop_inner(self) -> None:
         n = self._slots
         caches = self._dec.init_cache(n)
         active: list[_GenRequest | None] = [None] * n
+        self._active = active
         bufs = np.zeros((n, self._window), np.int64)
         pos = np.zeros(n, np.int32)        # index of the token to feed
         deadline = np.zeros(n, np.int32)   # stop when the write reaches this
@@ -273,6 +340,8 @@ class GenerationService:
                     new_pos = pos[i] + 1  # index the fed token predicted
                     bufs[i, new_pos] = toks[i, j]
                     self.stats.tokens_out += 1
+                    if req.stream_q is not None:
+                        req.stream_q.put(int(toks[i, j]))
                     if (req.eos_id is not None
                             and toks[i, j] == req.eos_id) \
                             or new_pos + 1 >= deadline[i]:
@@ -366,6 +435,8 @@ class GenerationService:
                     nxt = int(nxt_a[j])
                     bufs[i, p] = nxt
                     self.stats.tokens_out += 1
+                    if req.stream_q is not None:
+                        req.stream_q.put(nxt)
                     if (req.eos_id is not None and nxt == req.eos_id) \
                             or p + 1 >= deadline[i]:
                         self._finish(i, active, bufs, p + 1, req)
@@ -403,3 +474,5 @@ class GenerationService:
             time.perf_counter() - req.t_submit) * 1e3
         active[i] = None
         req.future.set_result(out)
+        if req.stream_q is not None:
+            req.stream_q.put(None)       # end-of-stream sentinel

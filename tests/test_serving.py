@@ -494,3 +494,61 @@ def test_generation_service_window_edge_pipelined_scratch():
     np.testing.assert_array_equal(out1, want1)
     np.testing.assert_array_equal(out2, want2)
     assert len(out1) == 16
+
+
+def test_generation_service_streaming():
+    """submit_stream yields exactly the generated tokens in order,
+    ending at eos; result() returns the full sequence."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec = CachedDecoder(eng)
+    ref = dec.generate(np.asarray([[4, 8]]), steps=10)[0]
+    eos = int(ref[5])
+    want = dec.generate(np.asarray([[4, 8]]), steps=10, eos_id=eos)[0]
+
+    svc = GenerationService(eng, slots=2, decode_horizon=4).start()
+    h = svc.submit_stream([4, 8], max_new=10, eos_id=eos)
+    streamed = list(h)
+    ids = h.result(timeout=60)
+    svc.stop()
+    np.testing.assert_array_equal(ids, want)
+    np.testing.assert_array_equal(streamed, want[2:])  # generated only
+
+
+def test_http_generate_sse_stream():
+    """POST /v1/generate with stream=true returns SSE events: one per
+    token, then a done event carrying the full ids."""
+    import json
+    import urllib.request
+
+    from simpleinfer_tpu.serving.http import InferenceServer
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    want = CachedDecoder(eng).generate(np.asarray([[4, 8, 1]]),
+                                       steps=7)[0]
+    svc = GenerationService(eng, slots=2, decode_horizon=4).start()
+    server = InferenceServer(None, port=0, gen_service=svc).start()
+    body = json.dumps({"prompt": [4, 8, 1], "max_new": 7,
+                       "stream": True}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.address[1]}/v1/generate", data=body,
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        for line in resp:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[6:]))
+    server.stop()
+    svc.stop()
+    toks = [e["token"] for e in events if "token" in e]
+    done = [e for e in events if e.get("done")]
+    assert len(done) == 1
+    np.testing.assert_array_equal(done[0]["ids"], want)
+    np.testing.assert_array_equal(toks, want[3:])
+    assert done[0]["prompt_len"] == 3
