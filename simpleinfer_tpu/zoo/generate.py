@@ -139,7 +139,7 @@ class CachedDecoder:
     }
 
     def __init__(self, engine, kv_dtype: str | None = None,
-                 scratch_blocks: bool = False):
+                 scratch_blocks: bool = False, fuse_qkv: bool = True):
         """kv_dtype: KV-cache storage — None/"float32" (exact),
         "bfloat16" (half the cache bandwidth, ~1e-2 relative k/v
         error), or "int8" (quarter bandwidth; per-vector symmetric
@@ -147,6 +147,13 @@ class CachedDecoder:
         so the attention einsums read raw int8). At long windows the
         decode step is KV-read-bound, so cache bytes convert ~directly
         into tok/s (docs/PERF.md).
+
+        fuse_qkv: concatenate each attention op's q/k/v projection
+        weights once at init and run ONE [E, (H+2KV)*D] matmul per
+        decode step instead of three — same bytes read, one op instead
+        of three (the [N,1,E] decode step is per-op-overhead-bound).
+        Per-output-column accumulation is unchanged; quantized weights
+        fuse via per-channel scale concat.
 
         scratch_blocks: decode_block accumulates the block's K new k/v
         vectors in a tiny [N, KV, K, D] scratch, attends over
@@ -223,6 +230,8 @@ class CachedDecoder:
                     f"KV-cache decode: unsupported op type {impl.type!r} "
                     f"({impl.name}); supported: "
                     f"{sorted(self._POINTWISE)} + nn.MultiheadAttention")
+        if fuse_qkv:
+            self._weights = self._fuse_attention_weights(self._weights)
         self._step = jax.jit(self._step_fn, donate_argnums=(3,))
         self._step_sample = jax.jit(self._step_sample_fn,
                                     donate_argnums=(3,))
@@ -237,6 +246,79 @@ class CachedDecoder:
             lambda carry, tok, rows: carry.at[rows].set(
                 tok.astype(carry.dtype), mode="drop"))
         self._block_fns: dict[int, object] = {}  # k_steps -> jitted fn
+
+    def _fuse_attention_weights(self, weights):
+        """Add a concatenated "wqkv" (+"bqkv") to each attention op's
+        weight dict: the decode step then runs one [E, (H+2KV)*D]
+        projection instead of three — per-output-column math is
+        unchanged, so results match the unfused path. Quantized
+        weights concat payload + per-channel scales; mixed
+        quantized/dense triples are left unfused. The original keys
+        stay (prefill uses them)."""
+        import jax.numpy as jnp
+
+        from ..quant.tensor import QuantizedTensor
+
+        out = dict(weights)
+        for name, _info in self._mha_ops:
+            w = dict(weights.get(name, {}))
+            if not all(k in w for k in ("wq", "wk", "wv")):
+                continue
+            parts = [w["wq"], w["wk"], w["wv"]]
+            quant = [isinstance(p, QuantizedTensor) for p in parts]
+            if all(quant) and all(p.axis == 1 for p in parts):
+                w["wqkv"] = QuantizedTensor(
+                    data=jnp.concatenate([p.data for p in parts],
+                                         axis=1),
+                    scale=jnp.concatenate([p.scale for p in parts],
+                                          axis=0),
+                    axis=1)
+            elif not any(quant):
+                w["wqkv"] = jnp.concatenate(parts, axis=1)
+            else:
+                continue
+            biases = [f"b{k}" in w for k in "qkv"]
+            if all(biases):
+                w["bqkv"] = jnp.concatenate([w["bq"], w["bk"], w["bv"]])
+            elif any(biases):
+                del w["wqkv"]        # partial biases: keep unfused
+                continue
+            out[name] = w
+        return out
+
+    def _proj_qkv(self, w, x, heads, kvh, d, dt):
+        """q/k/v projections for one token: the fused single matmul
+        when available, else three. Returns [N,H,1,D] / [N,KVh,1,D]x2."""
+        import jax.numpy as jnp
+
+        from ..quant.tensor import resolve_weight
+
+        n = x.shape[0]
+
+        def heads_of(y, h):
+            return jnp.transpose(y.astype(dt).reshape(n, 1, h, d),
+                                 (0, 2, 1, 3))
+
+        if "wqkv" in w:
+            y = jnp.einsum("nli,io->nlo", x,
+                           resolve_weight(w["wqkv"], dt),
+                           preferred_element_type=jnp.float32)
+            if "bqkv" in w:
+                y = y + w["bqkv"]
+            qd, kd = heads * d, kvh * d
+            return (heads_of(y[..., :qd], heads),
+                    heads_of(y[..., qd:qd + kd], kvh),
+                    heads_of(y[..., qd + kd:], kvh))
+
+        def proj(key, h):
+            y = jnp.einsum("nli,io->nlo", x,
+                           resolve_weight(w[f"w{key}"], dt),
+                           preferred_element_type=jnp.float32)
+            if f"b{key}" in w:
+                y = y + w[f"b{key}"]
+            return heads_of(y, h)
+
+        return proj("q", heads), proj("k", kvh), proj("v", kvh)
 
     # ---- cache ----------------------------------------------------------
     def init_cache(self, batch: int, dtype=None):
@@ -367,16 +449,7 @@ class CachedDecoder:
         dt = q.dtype
         n = q.shape[0]
 
-        def proj(wkey, bkey):
-            y = jnp.einsum("nli,io->nlo", q, resolve_weight(w[wkey], dt),
-                           preferred_element_type=jnp.float32)
-            if bkey in w:
-                y = y + w[bkey]
-            # [N,1,E] -> [N,H,1,D]
-            return jnp.transpose(
-                y.astype(dt).reshape(n, 1, heads, d), (0, 2, 1, 3))
-
-        qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
+        qh, kh, vh = self._proj_qkv(w, q, heads, heads, d, dt)
         new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
         s = self._attn_scores(qh, k_leaf, 1, dt)
         s = s * (1.0 / (d ** 0.5))
@@ -411,16 +484,7 @@ class CachedDecoder:
         dt = q.dtype
         n = q.shape[0]
 
-        def proj(key, h):
-            y = jnp.einsum("nli,io->nlo", q,
-                           resolve_weight(w[f"w{key}"], dt),
-                           preferred_element_type=jnp.float32)
-            if f"b{key}" in w:
-                y = y + w[f"b{key}"]
-            return jnp.transpose(y.astype(dt).reshape(n, 1, h, d),
-                                 (0, 2, 1, 3))  # [N,h,1,D]
-
-        qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        qh, kh, vh = self._proj_qkv(w, q, heads, kvh, d, dt)
         cos, sin = rope_cos_sin(pos, d, theta)          # [N, D]
         qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
         kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
@@ -462,16 +526,7 @@ class CachedDecoder:
         dt = x.dtype
         n = x.shape[0]
 
-        def proj(key, h):
-            y = jnp.einsum("nli,io->nlo", x,
-                           resolve_weight(w[f"w{key}"], dt),
-                           preferred_element_type=jnp.float32)
-            if f"b{key}" in w:
-                y = y + w[f"b{key}"]
-            return jnp.transpose(y.astype(dt).reshape(n, 1, h, d),
-                                 (0, 2, 1, 3))  # [N,h,1,D]
-
-        qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        qh, kh, vh = self._proj_qkv(w, x, heads, kvh, d, dt)
         if info.get("rotary"):
             cos, sin = rope_cos_sin(pos, d, info["rope_theta"])
             qh = apply_rope(qh, cos[:, None, None, :],
