@@ -115,11 +115,12 @@ class CachedDecoder:
 
     Walks the engine's compiled plan (Program.plan) and re-traces it as
     a single-token step function: nn.MultiheadAttention ops project
-    only the new token's q/k/v, append k/v into per-layer caches with
-    `lax.dynamic_update_slice`, and attend over the cache under a
-    position mask — so shapes stay static, one jitted step executable
-    serves every position, and cache buffers are donated between steps
-    (true in-place update on TPU, zero realloc traffic).
+    only the new token's q/k/v, append k/v into per-layer caches with a
+    one-hot position select (layout-agnostic and in-place on the
+    donated buffers — XLA's per-row scatter cost 67% of the step,
+    docs/PERF.md), and attend over the cache under a position mask —
+    so shapes stay static and one jitted step executable serves every
+    position.
 
     Supported plan ops: token-pointwise ops (Embedding/LayerNorm/
     RMSNorm/Linear/activations/BinaryOp), graph constants
@@ -139,7 +140,7 @@ class CachedDecoder:
     }
 
     def __init__(self, engine, kv_dtype: str | None = None,
-                 scratch_blocks: bool = False, fuse_qkv: bool = True):
+                 scratch_blocks: bool = False, fuse_qkv: bool = False):
         """kv_dtype: KV-cache storage — None/"float32" (exact),
         "bfloat16" (half the cache bandwidth, ~1e-2 relative k/v
         error), or "int8" (quarter bandwidth; per-vector symmetric
@@ -150,10 +151,11 @@ class CachedDecoder:
 
         fuse_qkv: concatenate each attention op's q/k/v projection
         weights once at init and run ONE [E, (H+2KV)*D] matmul per
-        decode step instead of three — same bytes read, one op instead
-        of three (the [N,1,E] decode step is per-op-overhead-bound).
-        Per-output-column accumulation is unchanged; quantized weights
-        fuse via per-channel scale concat.
+        decode step instead of three. Per-output-column accumulation
+        is unchanged; quantized weights fuse via per-channel scale
+        concat. Measured NEUTRAL on chip (1.004x at 0.9B — XLA already
+        overlaps the three small projections), so it defaults off; the
+        extra fused weight copy costs HBM for no gain (docs/PERF.md).
 
         scratch_blocks: decode_block accumulates the block's K new k/v
         vectors in a tiny [N, KV, K, D] scratch, attends over

@@ -580,3 +580,20 @@ def test_llama_tp_generation_service():
     got = svc.submit([5, 1, 8], max_new=6).result(timeout=120)
     svc.stop()
     np.testing.assert_array_equal(got, want)
+
+
+def test_llama_fuse_qkv_matches_unfused():
+    """fuse_qkv (one concatenated qkv matmul per step) must reproduce
+    the unfused decode exactly — bf16 and int8w engines (quantized
+    fusion concats per-channel scales)."""
+    for quant in (None, "int8w"):
+        graph, _, _ = build_llama("nano", batch=1, seq_len=24,
+                                  vocab_size=40)
+        eng = Engine(EngineConfig(quant=quant)).load_model(None,
+                                                           graph=graph)
+        prompt = np.array([[5, 1, 8], [2, 9, 3]])
+        want = CachedDecoder(eng, fuse_qkv=False).generate(
+            prompt, steps=8, block=4)
+        got = CachedDecoder(eng, fuse_qkv=True).generate(
+            prompt, steps=8, block=4)
+        np.testing.assert_array_equal(got, want)
