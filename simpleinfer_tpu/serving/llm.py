@@ -114,7 +114,8 @@ class GenerationService:
                  adaptive_horizon: bool = False,
                  pipelined: bool = True,
                  kv_dtype: str | None = None,
-                 scratch_blocks: bool = False):
+                 scratch_blocks: bool = False,
+                 sample_cap: int | None = None):
         import jax
 
         from ..zoo.generate import CachedDecoder
@@ -123,9 +124,14 @@ class GenerationService:
         # cache bytes = faster KV-bound decode (bfloat16) or longer
         # windows per HBM byte (int8). scratch_blocks: decode blocks
         # stop rewriting the big cache every step (CachedDecoder
-        # docstring, docs/PERF.md).
+        # docstring, docs/PERF.md). sample_cap: top-cap candidate
+        # sampling instead of the full-vocab sort each step —
+        # distribution-exact while every request keeps 0 < top_k <= cap
+        # or samples greedily (CachedDecoder docstring).
         self._dec = CachedDecoder(engine, kv_dtype=kv_dtype,
-                                  scratch_blocks=scratch_blocks)
+                                  scratch_blocks=scratch_blocks,
+                                  sample_cap=sample_cap)
+        self._cap_warned = False
         self._slots = int(slots)
         # keep ONE decode block in flight beyond the one being
         # processed, chained device-to-device from its predecessor's
@@ -204,6 +210,18 @@ class GenerationService:
             raise ValueError(f"top_p must be in [0, 1], got {top_p}")
         if top_k < 0:
             raise ValueError(f"top_k must be >= 0, got {top_k}")
+        cap = getattr(self._dec, "sample_cap", None)
+        if (cap is not None and temperature > 0.0
+                and not (0 < top_k <= cap)
+                and not self._cap_warned):
+            self._cap_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sample_cap=%d is active but a request sampled with "
+                "top_k=%d — its draw is truncated to the top-%d "
+                "candidates (exact only for 0 < top_k <= cap); "
+                "further occurrences are not logged", cap, top_k, cap)
         req = _GenRequest(prompt=prompt, max_new=max_new, eos_id=eos_id,
                           temperature=float(temperature),
                           top_k=int(top_k), top_p=float(top_p),

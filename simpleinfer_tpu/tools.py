@@ -241,7 +241,8 @@ def cmd_serve(args) -> int:
                                  decode_horizon=args.decode_horizon,
                                  pipelined=not args.no_pipeline,
                                  kv_dtype=args.kv_dtype,
-                                 scratch_blocks=args.scratch_blocks)
+                                 scratch_blocks=args.scratch_blocks,
+                                 sample_cap=args.sample_cap)
         if args.warmup:
             print("compiling admission + decode blocks ...", flush=True)
             gsvc.warmup()
@@ -429,6 +430,13 @@ def main(argv=None) -> int:
                         "instead of rewriting the cache every step "
                         "(distribution-identical, not bit-identical "
                         "across block sizes)")
+    p.add_argument("--sample-cap", type=int,
+                   help="with --generate: sample from the top-N "
+                        "candidates (lax.top_k + exact full-vocab "
+                        "logsumexp) instead of sorting the whole "
+                        "vocabulary each decode step; distribution-"
+                        "exact while every request keeps "
+                        "0 < top_k <= cap or samples greedily")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("calibrate",

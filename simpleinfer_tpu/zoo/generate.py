@@ -140,7 +140,8 @@ class CachedDecoder:
     }
 
     def __init__(self, engine, kv_dtype: str | None = None,
-                 scratch_blocks: bool = False, fuse_qkv: bool = False):
+                 scratch_blocks: bool = False, fuse_qkv: bool = False,
+                 sample_cap: int | None = None):
         """kv_dtype: KV-cache storage — None/"float32" (exact),
         "bfloat16" (half the cache bandwidth, ~1e-2 relative k/v
         error), or "int8" (quarter bandwidth; per-vector symmetric
@@ -167,7 +168,16 @@ class CachedDecoder:
         attention score summation ORDER differs (frozen+scratch partial
         sums), so logits match the per-step path to f32 ulp, not
         bit-exactly — block-size invariance of sampled streams is
-        probabilistic rather than guaranteed. Off by default."""
+        probabilistic rather than guaranteed. Off by default.
+
+        sample_cap: restrict on-device sampling to the cap
+        highest-scoring tokens (`lax.top_k` + exact full-vocab
+        logsumexp) instead of sorting the whole vocabulary each step.
+        Distribution-exact whenever every sampled row has
+        0 < top_k <= cap (or is greedy); nucleus-only rows are
+        truncated to the top-cap candidates. Capped and uncapped
+        streams draw different randoms, so the choice is per-decoder,
+        not per-step (zoo/sampling.sample_logits, docs/PERF.md)."""
         import jax
         import jax.numpy as jnp
 
@@ -178,6 +188,11 @@ class CachedDecoder:
         self._kv_store = jnp.bfloat16 if kv_dtype == "bfloat16" \
             else jnp.float32
         self._scratch_blocks = bool(scratch_blocks)
+        if sample_cap is not None and int(sample_cap) < 1:
+            raise ValueError(f"sample_cap must be >= 1, got {sample_cap}")
+        # public: serving/llm.py checks requests against the exact regime
+        self.sample_cap = None if sample_cap is None else int(sample_cap)
+        self._sample_cap = self.sample_cap
 
         program = engine.program
         self._mesh = getattr(engine, "_mesh", None)
@@ -757,7 +772,8 @@ class CachedDecoder:
 
         last, caches = self._prefill_logits_fn(weights, tokens, last_pos)
         tok = sample_logits(last, jax.random.fold_in(key, step),
-                            temperature, top_k, top_p)
+                            temperature, top_k, top_p,
+                            cap=self._sample_cap)
         return tok, caches
 
     def _step_sample_fn(self, weights, token, pos, caches, key, step,
@@ -768,7 +784,8 @@ class CachedDecoder:
 
         logits, new_caches = self._step_fn(weights, token, pos, caches)
         tok = sample_logits(logits[:, 0, :], jax.random.fold_in(key, step),
-                            temperature, top_k, top_p)
+                            temperature, top_k, top_p,
+                            cap=self._sample_cap)
         return tok, new_caches
 
     def _build_decode_block(self, k_steps: int):
@@ -811,7 +828,8 @@ class CachedDecoder:
                     weights, tok.astype(jnp.float32)[:, None], p, c)
                 nxt = sample_logits(logits[:, 0, :],
                                     jax.random.fold_in(key, step0 + i),
-                                    temperature, top_k, top_p)
+                                    temperature, top_k, top_p,
+                                    cap=self._sample_cap)
                 # clamp: an overrun tail (host discards it) must not
                 # index past the compiled window
                 return (nxt, jnp.minimum(p + 1, last), c), nxt
@@ -841,7 +859,8 @@ class CachedDecoder:
                     caches, scr, i, pos0)
                 nxt = sample_logits(logits[:, 0, :],
                                     jax.random.fold_in(key, step0 + i),
-                                    temperature, top_k, top_p)
+                                    temperature, top_k, top_p,
+                                    cap=self._sample_cap)
                 return (nxt, jnp.minimum(p + 1, last), scr), nxt
 
             (last_tok, _, scratches), toks = jax.lax.scan(

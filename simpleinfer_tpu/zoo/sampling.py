@@ -22,12 +22,26 @@ from __future__ import annotations
 import numpy as np
 
 
-def sample_logits(logits, key, temperature, top_k, top_p):
+def sample_logits(logits, key, temperature, top_k, top_p, cap=None):
     """Sample one token per row.
 
     logits: [N, V] float; key: jax PRNG key; temperature: [N] float
     (<=0 means greedy); top_k: [N] int (0 means off); top_p: [N] float
     (1.0 means off). Returns [N] int32 token ids.
+
+    cap: optional STATIC int — restrict the candidate set to the cap
+    highest-scoring tokens via `lax.top_k` instead of sorting the full
+    vocabulary. The full-vocab softmax denominator is still computed
+    exactly (one logsumexp reduce), so the kept probabilities are the
+    true full-vocab probabilities and the result is DISTRIBUTION-EXACT
+    whenever every sampled row has 0 < top_k <= cap (or is greedy);
+    nucleus-only rows (top_k == 0, top_p < 1) are approximated by
+    truncation to the top-cap candidates. The Gumbel draw is [N, cap]
+    instead of [N, V], so capped and uncapped streams differ even in
+    the exact regime — pick one per deployment (CachedDecoder's
+    sample_cap) rather than switching mid-stream. Motivation: the full
+    kernel's [N, V] argsort + gather + cumsum dominates the LLM decode
+    step at V=32000 (docs/PERF.md).
     """
     import jax
     import jax.numpy as jnp
@@ -35,6 +49,24 @@ def sample_logits(logits, key, temperature, top_k, top_p):
     logits = logits.astype(jnp.float32)
     v = logits.shape[-1]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if cap is not None and cap < v:
+        t = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
+        lse = jax.scipy.special.logsumexp(logits / t, axis=-1)  # [N]
+        vals, idx = jax.lax.top_k(logits, cap)                  # [N, cap]
+        svals = vals / t
+        probs = jnp.exp(svals - lse[:, None])  # exact full-vocab probs
+        ranks = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        k_eff = jnp.where(top_k > 0, top_k, v).astype(jnp.int32)[:, None]
+        keep = ranks < k_eff
+        keep &= (jnp.cumsum(probs, axis=-1) - probs) \
+            < top_p.astype(jnp.float32)[:, None]
+        masked = jnp.where(keep, svals, -jnp.inf)
+        g = jax.random.gumbel(key, masked.shape, dtype=jnp.float32)
+        choice = jnp.argmax(masked + g, axis=-1)
+        sampled = jnp.take_along_axis(
+            idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+        return jnp.where(temperature <= 0.0, greedy, sampled)
 
     # sort descending once; both filters are rank predicates on it
     order = jnp.argsort(-logits, axis=-1)                    # [N, V]

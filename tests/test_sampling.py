@@ -130,6 +130,81 @@ def test_sampler_numpy_reference_support_matches():
             np_support[i] <= jax_support[i]
 
 
+def test_sampler_capped_greedy_and_topk_support():
+    """cap: greedy rows equal the full kernel; sampled rows with
+    top_k <= cap stay inside the top_k support (the exact regime)."""
+    logits = _rand_logits(n=4, v=64, seed=7)
+    n = logits.shape[0]
+    temp = jnp.asarray([0.0, 1.1, 0.0, 0.9])
+    topk = jnp.asarray([0, 5, 0, 3], jnp.int32)
+    topp = jnp.ones(n)
+    allowed = np.argsort(-logits, axis=-1)
+    for key in range(15):
+        tok = np.asarray(sample_logits(
+            jnp.asarray(logits), jax.random.PRNGKey(key), temp, topk,
+            topp, cap=8))
+        assert tok[0] == logits[0].argmax()
+        assert tok[2] == logits[2].argmax()
+        assert tok[1] in allowed[1, :5]
+        assert tok[3] in allowed[3, :3]
+
+
+def test_sampler_capped_distribution_exact_in_topk_regime():
+    """With 0 < top_k <= cap the capped kernel must draw from the TRUE
+    full-vocab renormalized top-k distribution: empirical frequencies
+    over many keys match the analytical probabilities."""
+    logits = _rand_logits(n=1, v=32, seed=8)
+    k, t, draws = 4, 1.0, 600
+    counts = np.zeros(32)
+    for key in range(draws):
+        tok = int(np.asarray(sample_logits(
+            jnp.asarray(logits), jax.random.PRNGKey(key),
+            jnp.full(1, t), jnp.full(1, k, jnp.int32), jnp.ones(1),
+            cap=8))[0])
+        counts[tok] += 1
+    order = np.argsort(-logits[0])
+    p = np.exp(logits[0].astype(np.float64) / t)
+    want = np.zeros(32)
+    want[order[:k]] = p[order[:k]] / p[order[:k]].sum()
+    np.testing.assert_allclose(counts / draws, want, atol=0.07)
+    assert counts[order[k:]].sum() == 0
+
+
+def test_sampler_capped_nucleus_truncates_to_cap():
+    """top_k=0 + top_p<1 under a cap: documented approximation — the
+    draw is confined to the top-cap candidates, never outside."""
+    logits = _rand_logits(n=2, v=64, seed=9)
+    n = logits.shape[0]
+    allowed = np.argsort(-logits, axis=-1)[:, :6]
+    for key in range(20):
+        tok = np.asarray(sample_logits(
+            jnp.asarray(logits), jax.random.PRNGKey(key),
+            jnp.full(n, 2.0), jnp.zeros(n, jnp.int32),
+            jnp.full(n, 0.95), cap=6))
+        for i in range(n):
+            assert tok[i] in allowed[i]
+
+
+def test_sampler_cap_at_or_above_vocab_matches_uncapped():
+    """cap >= V falls back to the full kernel bit-for-bit."""
+    logits = _rand_logits(n=3, v=24, seed=10)
+    n = logits.shape[0]
+    t = jnp.full(n, 1.3)
+    k = jnp.asarray([0, 4, 9], jnp.int32)
+    p = jnp.asarray([0.9, 1.0, 0.6])
+    for key in range(10):
+        a = np.asarray(sample_logits(jnp.asarray(logits),
+                                     jax.random.PRNGKey(key), t, k, p))
+        b = np.asarray(sample_logits(jnp.asarray(logits),
+                                     jax.random.PRNGKey(key), t, k, p,
+                                     cap=24))
+        c = np.asarray(sample_logits(jnp.asarray(logits),
+                                     jax.random.PRNGKey(key), t, k, p,
+                                     cap=99))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+
+
 def test_sampler_distribution_shifts_with_temperature():
     """Higher temperature spreads the draw: unique-token count over a
     fixed key set must not shrink when temperature rises."""
@@ -229,6 +304,29 @@ def test_generate_sampled_topk1_is_greedy_and_seed_reproducible():
     assert (a[0, :3] == prompt[0]).all()
 
 
+def test_generate_sample_cap_exact_regime_and_greedy():
+    """sample_cap threads through prefill + the jitted decode block:
+    greedy streams are unchanged vs the uncapped decoder, top_k<=cap
+    sampled streams are seed-reproducible and inside the vocab."""
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()
+    dec_full = CachedDecoder(eng)
+    dec_cap = CachedDecoder(eng, sample_cap=8)
+    prompt = np.array([[5, 1, 8]])
+    np.testing.assert_array_equal(dec_cap.generate(prompt, steps=6),
+                                  dec_full.generate(prompt, steps=6))
+    got = dec_cap.generate(prompt, steps=6, temperature=0.8, top_k=1)
+    np.testing.assert_array_equal(got, dec_full.generate(prompt, steps=6))
+    a = dec_cap.generate(prompt, steps=6, temperature=1.2, top_k=8, seed=7)
+    b = dec_cap.generate(prompt, steps=6, temperature=1.2, top_k=8, seed=7)
+    np.testing.assert_array_equal(a, b)
+    assert ((a >= 0) & (a < 40)).all()
+
+    with pytest.raises(ValueError):
+        CachedDecoder(eng, sample_cap=0)
+
+
 # ---- service sampling -----------------------------------------------------
 
 def test_generation_service_sampled_requests():
@@ -246,6 +344,42 @@ def test_generation_service_sampled_requests():
         assert ((out >= 0) & (out < 40)).all()
     assert svc.stats.prefills == 3
     assert svc.stats.completed == 3
+
+
+def test_generation_service_sample_cap():
+    """sample_cap service: greedy results equal the uncapped service;
+    out-of-regime sampled requests still complete (truncated draw) and
+    log the one-shot warning."""
+    import logging
+
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=2, seed=3)
+    ref = GenerationService(eng, slots=2, seed=3, sample_cap=8)
+    svc.start()
+    ref.start()
+    try:
+        a = svc.submit([4, 8, 2], max_new=5).result(timeout=60)
+        b = ref.submit([4, 8, 2], max_new=5).result(timeout=60)
+        np.testing.assert_array_equal(a, b)
+        logger = logging.getLogger("simpleinfer_tpu.serving.llm")
+        records = []
+        handler = logging.Handler()
+        handler.emit = records.append
+        logger.addHandler(handler)
+        try:
+            out = ref.submit([4, 8], max_new=4, temperature=1.0,
+                             top_p=0.9).result(timeout=60)
+            assert out.shape == (2 + 4,)
+            ref.submit([4, 8], max_new=2, temperature=1.0,
+                       top_p=0.9).result(timeout=60)
+        finally:
+            logger.removeHandler(handler)
+        assert len(records) == 1  # warned once, not per request
+    finally:
+        svc.stop()
+        ref.stop()
 
 
 def test_generation_service_rejects_bad_params():
