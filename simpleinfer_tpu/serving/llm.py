@@ -115,7 +115,8 @@ class GenerationService:
                  pipelined: bool = True,
                  kv_dtype: str | None = None,
                  scratch_blocks: bool = False,
-                 sample_cap: int | None = None):
+                 sample_cap: int | None = None,
+                 kv_prefix_ladder: tuple | list | None = None):
         import jax
 
         from ..zoo.generate import CachedDecoder
@@ -132,6 +133,18 @@ class GenerationService:
                                   scratch_blocks=scratch_blocks,
                                   sample_cap=sample_cap)
         self._cap_warned = False
+        # kv_prefix_ladder: ascending static attention-read bounds
+        # (e.g. (128, 256)); each block dispatches the smallest rung
+        # covering max(live pos) + K, so young pools read a fraction
+        # of the window's KV bytes (CachedDecoder.decode_block
+        # kv_prefix — token-exact by the rung choice). None = every
+        # block reads the full window.
+        ladder = sorted(int(p) for p in (kv_prefix_ladder or ()))
+        window = self._dec._window
+        if any(not 1 <= p <= window for p in ladder):
+            raise ValueError(f"kv_prefix_ladder entries must be in "
+                             f"[1, {window}], got {ladder}")
+        self._prefix_ladder = [p for p in ladder if p < window]
         self._slots = int(slots)
         # keep ONE decode block in flight beyond the one being
         # processed, chained device-to-device from its predecessor's
@@ -260,6 +273,12 @@ class GenerationService:
         for k in self._block_ladder:
             out, last, caches = self._dec.decode_block(
                 toks, pos, caches, self._key, 1, t, tk, tp, k)
+        for p in self._prefix_ladder:
+            # prefix rungs compile at the full horizon (the dominant
+            # dispatch); other (k, p) pairs compile in-band if reached
+            out, last, caches = self._dec.decode_block(
+                toks, pos, caches, self._key, 1, t, tk, tp,
+                self._block_ladder[0], p)
         if self._pipelined:
             self._dec.merge_tokens(np.zeros(n, np.int64), last,
                                    np.arange(n, dtype=np.int32))
@@ -329,6 +348,20 @@ class GenerationService:
                          if v <= max(1, rem)), default=1)
             return k
 
+        def choose_prefix(fed_pos, k):
+            # smallest ladder rung covering every LIVE row's appends
+            # (positions fed_pos .. fed_pos+k-1 must be readable:
+            # P >= pos + k); discarded rows may exceed the rung.
+            if not self._prefix_ladder:
+                return None
+            live = [int(fed_pos[i]) for i in range(n)
+                    if active[i] is not None]
+            need = (max(live) if live else 0) + k
+            for p in self._prefix_ladder:
+                if p >= need:
+                    return p
+            return None
+
         def dispatch(tokens, fed_pos, k):
             # K decode steps for the whole pool in ONE dispatch (mixed
             # depths/settings; K <= decode_horizon). Rows that finish
@@ -339,7 +372,7 @@ class GenerationService:
             seq += k
             toks, last, caches = self._dec.decode_block(
                 tokens, fed_pos, caches, self._key, seq - k + 1, temp,
-                topk, topp, k)
+                topk, topp, k, choose_prefix(fed_pos, k))
             return (toks, last, k, np.asarray(fed_pos, np.int32), live)
 
         def process(blk) -> None:

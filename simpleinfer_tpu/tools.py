@@ -242,7 +242,11 @@ def cmd_serve(args) -> int:
                                  pipelined=not args.no_pipeline,
                                  kv_dtype=args.kv_dtype,
                                  scratch_blocks=args.scratch_blocks,
-                                 sample_cap=args.sample_cap)
+                                 sample_cap=args.sample_cap,
+                                 kv_prefix_ladder=tuple(
+                                     int(v) for v in
+                                     args.kv_prefix_ladder.split(","))
+                                 if args.kv_prefix_ladder else None)
         if args.warmup:
             print("compiling admission + decode blocks ...", flush=True)
             gsvc.warmup()
@@ -430,6 +434,13 @@ def main(argv=None) -> int:
                         "instead of rewriting the cache every step "
                         "(distribution-identical, not bit-identical "
                         "across block sizes)")
+    p.add_argument("--kv-prefix-ladder",
+                   help="with --generate: comma-separated ascending "
+                        "attention-read bounds (e.g. 128,256); each "
+                        "decode block reads only the smallest rung "
+                        "covering the live rows' positions instead of "
+                        "the whole window (token-exact; rungs compile "
+                        "at --warmup)")
     p.add_argument("--sample-cap", type=int,
                    help="with --generate: sample from the top-N "
                         "candidates (lax.top_k + exact full-vocab "

@@ -262,7 +262,8 @@ class CachedDecoder:
         self._merge = jax.jit(
             lambda carry, tok, rows: carry.at[rows].set(
                 tok.astype(carry.dtype), mode="drop"))
-        self._block_fns: dict[int, object] = {}  # k_steps -> jitted fn
+        # (k_steps, kv_prefix) -> jitted block fn
+        self._block_fns: dict[tuple, object] = {}
 
     def _fuse_attention_weights(self, weights):
         """Add a concatenated "wqkv" (+"bqkv") to each attention op's
@@ -411,6 +412,22 @@ class CachedDecoder:
         v_cache = jnp.where(hit, vh.astype(v_cache.dtype), v_cache)
         return (k_cache, v_cache), k_cache, v_cache
 
+    @staticmethod
+    def _kv_slice(leaf, kv_prefix):
+        """Restrict a cache leaf (array or (quantized, scales) tuple)
+        to its first kv_prefix positions (axis 2). With a STATIC
+        prefix the attention einsums read [*, P, *] instead of the
+        full compiled window — the decode step's KV traffic scales
+        with the occupied prefix, not the window. Exact: positions
+        >= the rows' masks were exp-underflowed to 0.0 anyway, so
+        dropping them changes no f32 partial sum (tests pin token
+        equality)."""
+        if kv_prefix is None:
+            return leaf
+        if isinstance(leaf, tuple):
+            return tuple(a[:, :, :kv_prefix, :] for a in leaf)
+        return leaf[:, :, :kv_prefix, :]
+
     def _attn_scores(self, qh, k_leaf, group, dt):
         """Attention scores [N, H, 1, L] against the cached keys.
 
@@ -452,9 +469,12 @@ class CachedDecoder:
                           repeat_kv(v_leaf.astype(dt), group))
 
     # ---- the jitted step ------------------------------------------------
-    def _mha_decode(self, w, q, cache, pos, info):
+    def _mha_decode(self, w, q, cache, pos, info, kv_prefix=None):
         """pos: [N] int32, PER-ROW positions — rows of one step batch can
-        sit at different depths (continuous batching, serving/llm.py)."""
+        sit at different depths (continuous batching, serving/llm.py).
+        kv_prefix: static — attend over only the first kv_prefix cache
+        positions (caller guarantees every live row's pos < kv_prefix;
+        see _kv_slice)."""
         import jax
         import jax.numpy as jnp
 
@@ -468,6 +488,8 @@ class CachedDecoder:
 
         qh, kh, vh = self._proj_qkv(w, q, heads, heads, d, dt)
         new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
+        k_leaf = self._kv_slice(k_leaf, kv_prefix)
+        v_leaf = self._kv_slice(v_leaf, kv_prefix)
         s = self._attn_scores(qh, k_leaf, 1, dt)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
@@ -482,7 +504,7 @@ class CachedDecoder:
             out = out + w["bo"]
         return out.astype(dt), new_cache
 
-    def _rope_decode(self, w, q, cache, pos, info):
+    def _rope_decode(self, w, q, cache, pos, info, kv_prefix=None):
         """si.RotaryAttention decode step: RoPE applied at each row's
         position on device, rotated k cached (standard practice — the
         cache never needs re-rotation), GQA kv heads repeated at the
@@ -506,6 +528,8 @@ class CachedDecoder:
         qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
         kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
         new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
+        k_leaf = self._kv_slice(k_leaf, kv_prefix)
+        v_leaf = self._kv_slice(v_leaf, kv_prefix)
         s = self._attn_scores(qh, k_leaf, group, dt)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
@@ -521,7 +545,7 @@ class CachedDecoder:
         return out.astype(dt), new_cache
 
     def _attn_decode_scratch(self, w, x, frozen, scratch, pos, step_i,
-                             pos0, info):
+                             pos0, info, kv_prefix=None):
         """One decode step of either attention lineage against a
         FROZEN cache plus the current block's scratch (scratch_blocks
         mode). The frozen cache holds positions < pos0 (read-only for
@@ -562,6 +586,8 @@ class CachedDecoder:
                                                       frozen[3])
         else:
             k_leaf, v_leaf = frozen
+        k_leaf = self._kv_slice(k_leaf, kv_prefix)
+        v_leaf = self._kv_slice(v_leaf, kv_prefix)
         scale = 1.0 / (d ** 0.5)
         s_old = self._attn_scores(qh, k_leaf, group, dt) * scale
         idx = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 3)
@@ -587,7 +613,7 @@ class CachedDecoder:
         return out.astype(dt), (k_scr, v_scr)
 
     def _step_fn_scratch(self, weights, token, pos, caches, scratches,
-                         step_i, pos0):
+                         step_i, pos0, kv_prefix=None):
         """_step_fn against frozen caches + per-block scratches
         (scratch_blocks mode): identical plan walk, attention reads the
         big cache without rewriting it."""
@@ -600,7 +626,7 @@ class CachedDecoder:
                 out, new_scr[impl.name] = self._attn_decode_scratch(
                     w, env[ins[0]], caches[impl.name],
                     scratches[impl.name], pos, step_i, pos0,
-                    dict(impl.decode_info))
+                    dict(impl.decode_info), kv_prefix=kv_prefix)
                 env[outs[0]] = out
                 for o in outs[1:]:
                     env[o] = None
@@ -788,7 +814,7 @@ class CachedDecoder:
                             cap=self._sample_cap)
         return tok, new_caches
 
-    def _build_decode_block(self, k_steps: int):
+    def _build_decode_block(self, k_steps: int, kv_prefix=None):
         """jit a K-token decode loop: `lax.scan` over the single-token
         step (sampling fused), so K tokens cost ONE host dispatch
         instead of K. On the relay-attached chip each dispatch is a full
@@ -825,7 +851,8 @@ class CachedDecoder:
             def body(carry, i):
                 tok, p, c = carry
                 logits, c = self._step_fn(
-                    weights, tok.astype(jnp.float32)[:, None], p, c)
+                    weights, tok.astype(jnp.float32)[:, None], p, c,
+                    kv_prefix=kv_prefix)
                 nxt = sample_logits(logits[:, 0, :],
                                     jax.random.fold_in(key, step0 + i),
                                     temperature, top_k, top_p,
@@ -856,7 +883,7 @@ class CachedDecoder:
                 tok, p, scr = carry
                 logits, scr = self._step_fn_scratch(
                     weights, tok.astype(jnp.float32)[:, None], p,
-                    caches, scr, i, pos0)
+                    caches, scr, i, pos0, kv_prefix=kv_prefix)
                 nxt = sample_logits(logits[:, 0, :],
                                     jax.random.fold_in(key, step0 + i),
                                     temperature, top_k, top_p,
@@ -930,7 +957,7 @@ class CachedDecoder:
                         full, pos[:, None, None], axis=1)
         return args
 
-    def _step_fn(self, weights, token, pos, caches):
+    def _step_fn(self, weights, token, pos, caches, kv_prefix=None):
         new_caches = dict(caches)
         env = {self._in_name: token}
         for impl, ins, outs in self._plan:
@@ -941,7 +968,8 @@ class CachedDecoder:
                 dec = (self._rope_decode if info.get("rotary")
                        else self._mha_decode)
                 out, new_caches[impl.name] = dec(
-                    w, env[ins[0]], caches[impl.name], pos, info)
+                    w, env[ins[0]], caches[impl.name], pos, info,
+                    kv_prefix=kv_prefix)
                 env[outs[0]] = out
                 for o in outs[1:]:
                     env[o] = None
@@ -1015,21 +1043,41 @@ class CachedDecoder:
             jnp.asarray(top_p, jnp.float32))
 
     def decode_block(self, tokens, pos, caches, key, step0, temperature,
-                     top_k, top_p, k_steps: int):
+                     top_k, top_p, k_steps: int,
+                     kv_prefix: int | None = None):
         """K decode steps in ONE dispatch: tokens [N] (the last sampled
         token per row — a host array OR a device array from a previous
         block/prefill, enabling device-to-device chaining), pos [N]
         (its position). Returns (sampled tokens [N, K] int32, last
         token [N] int32 device array, new caches). One executable per
-        distinct K, cached on the decoder. The caller masks the fetched
-        tokens for eos/deadline host-side — tokens past a row's end are
-        garbage by construction and must be discarded."""
+        distinct (K, kv_prefix), cached on the decoder. The caller masks
+        the fetched tokens for eos/deadline host-side — tokens past a
+        row's end are garbage by construction and must be discarded.
+
+        kv_prefix: STATIC bound on the attention read — the step reads
+        only the first kv_prefix cache positions instead of the whole
+        compiled window (the KV read is the window-scaled decode cost,
+        docs/PERF.md). Token-exact iff every LIVE row satisfies
+        pos + k_steps <= kv_prefix (all its valid cache entries and all
+        the block's appends land inside the prefix); rows the caller is
+        going to discard may exceed it. The cache pytree keeps its full
+        shape — only the reads narrow — so executables with different
+        prefixes chain freely over the same pool."""
         import jax.numpy as jnp
 
-        fn = self._block_fns.get(k_steps)
+        if kv_prefix is not None:
+            kv_prefix = int(kv_prefix)
+            if not 1 <= kv_prefix <= self._window:
+                raise ValueError(
+                    f"kv_prefix must be in [1, {self._window}], got "
+                    f"{kv_prefix}")
+            if kv_prefix == self._window:
+                kv_prefix = None
+        kb = (int(k_steps), kv_prefix)
+        fn = self._block_fns.get(kb)
         if fn is None:
-            fn = self._block_fns[k_steps] = self._build_decode_block(
-                int(k_steps))
+            fn = self._block_fns[kb] = self._build_decode_block(
+                int(k_steps), kv_prefix)
         return fn(self._weights,
                   jnp.asarray(tokens, jnp.int32).reshape(-1),
                   jnp.asarray(pos, jnp.int32), caches, key,

@@ -325,9 +325,11 @@ def test_generation_service_adaptive_horizon_caps_blocks():
     seen_ks = []
     orig = svc._dec.decode_block
 
-    def spy(tokens, pos, caches, key, step0, t, k, p, k_steps):
+    def spy(tokens, pos, caches, key, step0, t, k, p, k_steps,
+            kv_prefix=None):
         seen_ks.append(int(k_steps))
-        return orig(tokens, pos, caches, key, step0, t, k, p, k_steps)
+        return orig(tokens, pos, caches, key, step0, t, k, p, k_steps,
+                    kv_prefix)
 
     svc._dec.decode_block = spy
     svc.start()
@@ -356,11 +358,17 @@ def test_generation_service_warmup_precompiles_ladder():
     svc = GenerationService(eng, slots=2, decode_horizon=8,
                             adaptive_horizon=True)
     svc.warmup()
-    assert sorted(svc._dec._block_fns) == [1, 2, 4, 8]
+    assert sorted(svc._dec._block_fns) == [(1, None), (2, None),
+                                           (4, None), (8, None)]
     # non-adaptive service: only the fixed horizon compiles
     svc2 = GenerationService(eng, slots=2, decode_horizon=8)
     svc2.warmup()
-    assert sorted(svc2._dec._block_fns) == [8]
+    assert sorted(svc2._dec._block_fns) == [(8, None)]
+    # prefix ladder: each rung compiles at the horizon
+    svc3 = GenerationService(eng, slots=2, decode_horizon=8,
+                             kv_prefix_ladder=(12, 16))
+    svc3.warmup()
+    assert set(svc3._dec._block_fns) == {(8, None), (8, 12), (8, 16)}
     # service still produces correct greedy output after warmup
     dec = CachedDecoder(eng)
     want = dec.generate(np.asarray([[4, 8, 2]]), steps=5)[0]
@@ -484,6 +492,87 @@ def test_llama_scratch_blocks_match_per_step():
             np.testing.assert_allclose(a[:, :, :p + 4, :],
                                        b[:, :, :p + 4, :], rtol=1e-4,
                                        atol=1e-5)
+
+
+def test_llama_decode_block_kv_prefix_token_exact():
+    """A static kv_prefix covering pos + K reproduces the full-window
+    block TOKEN-FOR-TOKEN: the positions it drops were exp-underflowed
+    to exact zeros under the mask, so no f32 sum changes. Checked for
+    the per-step and scratch paths across KV dtypes, greedy + sampled,
+    and across a chain of blocks at different rungs."""
+    import jax
+
+    eng = _llama_engine()
+    prompt = np.array([[5, 1, 8], [2, 9, 3]])
+    n, p = prompt.shape
+    t = np.full(n, 0.9, np.float32)
+    k = np.full(n, 7, np.int32)
+    pp = np.ones(n, np.float32)
+    key = jax.random.PRNGKey(0)
+    for kv_dtype, scratch in ((None, False), ("bfloat16", False),
+                              (None, True), ("int8", True)):
+        ref = CachedDecoder(eng, kv_dtype=kv_dtype,
+                            scratch_blocks=scratch)
+        fast = CachedDecoder(eng, kv_dtype=kv_dtype,
+                             scratch_blocks=scratch)
+        window = np.zeros((n, ref._window), np.float32)
+        window[:, :p] = prompt
+        tok_a, ca = ref.prefill_sample(window, np.full(n, p), key, 0,
+                                       t, k, pp)
+        tok_b, cb = fast.prefill_sample(window, np.full(n, p), key, 0,
+                                        t, k, pp)
+        pos = np.full(n, p, np.int32)
+        # rung 8 covers pos 3 + K 4; then rung 16 covers the next block
+        wa, _, ca = ref.decode_block(tok_a, pos, ca, key, 1, t, k, pp, 4)
+        wb, _, cb = fast.decode_block(tok_b, pos, cb, key, 1, t, k, pp,
+                                      4, kv_prefix=8)
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+        pos2 = pos + 4
+        wa, _, ca = ref.decode_block(wa[:, -1], pos2, ca, key, 5, t, k,
+                                     pp, 4)
+        wb, _, cb = fast.decode_block(wb[:, -1], pos2, cb, key, 5, t, k,
+                                      pp, 4, kv_prefix=16)
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+    dec = CachedDecoder(eng)
+    with pytest.raises(ValueError):
+        dec.decode_block(np.ones(n), np.zeros(n, np.int32),
+                         dec.init_cache(n), key, 1, t, k, pp, 4,
+                         kv_prefix=0)
+    with pytest.raises(ValueError):
+        dec.decode_block(np.ones(n), np.zeros(n, np.int32),
+                         dec.init_cache(n), key, 1, t, k, pp, 4,
+                         kv_prefix=dec._window + 1)
+
+
+def test_llama_generation_service_kv_prefix_ladder():
+    """The prefix-laddered service returns the same completions as the
+    plain service (greedy, deterministic), while dispatching at least
+    one sub-window rung."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine()
+    dec = CachedDecoder(eng)
+    prompts = [[4, 8, 2], [7, 1]]
+    want = [dec.generate(np.asarray([q]), steps=6)[0] for q in prompts]
+    svc = GenerationService(eng, slots=2, decode_horizon=3,
+                            kv_prefix_ladder=(12, 16)).warmup().start()
+    seen = []
+    orig = svc._dec.decode_block
+    svc._dec.decode_block = lambda *a, **kw: (
+        seen.append(a[9] if len(a) > 9 else kw.get("kv_prefix")),
+        orig(*a, **kw))[1]
+    try:
+        futs = [svc.submit(q, max_new=6) for q in prompts]
+        outs = [f.result(timeout=120) for f in futs]
+    finally:
+        svc.stop()
+    for out, w in zip(outs, want):
+        np.testing.assert_array_equal(out, w)
+    assert any(v in (12, 16) for v in seen), seen
+
+    with pytest.raises(ValueError):
+        GenerationService(eng, kv_prefix_ladder=(0,))
 
 
 def test_llama_scratch_blocks_int8_and_service():
