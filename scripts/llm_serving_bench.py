@@ -126,6 +126,12 @@ from simpleinfer_tpu.serving.llm import GenerationService
 MAXNEW = 48
 results = {}
 H = int(os.environ.get("SI_LLM_HORIZON", "16"))
+# sampler cap (0 = full-vocab sort) and kv-prefix rung ladder
+# ("128,256"; empty = full-window reads) — docs/PERF.md 08-20
+CAP = int(os.environ.get("SI_LLM_SAMPLE_CAP", "0"))
+LADDER = tuple(int(v) for v in
+               os.environ.get("SI_LLM_PREFIX", "").split(",")
+               if v) or None
 for label, horizon, adaptive, pipelined in (
         ("h1", 1, False, False),
         ("h%d" % H, H, False, False),
@@ -134,7 +140,9 @@ for label, horizon, adaptive, pipelined in (
     svc = GenerationService(eng, slots=SLOTS, decode_horizon=horizon,
                             adaptive_horizon=adaptive,
                             pipelined=pipelined, kv_dtype=KV,
-                            scratch_blocks=SCRATCH)
+                            scratch_blocks=SCRATCH,
+                            sample_cap=CAP or None,
+                            kv_prefix_ladder=LADDER)
     # compile the admission executable and the full adaptive block
     # ladder OUT of the timed window (each CachedDecoder compiles its
     # own; the ladder's in-band cold compiles once cost 40 s here)
