@@ -44,6 +44,14 @@ eng = Engine(EngineConfig(compute_dtype="bfloat16",
                           quant="int8w")).load_model(None, graph=graph)
 print("engine loaded", file=sys.stderr)
 
+# token-exact A/B precondition: every chained block's reads must fit
+# the rung (start pos 32 + NB blocks of BLOCK <= PREFIX). Env overrides
+# that violate it would silently benchmark a WRONG-read computation.
+assert 32 + NB * BLOCK <= PREFIX, (
+    f"rung coverage violated: 32 + NB*BLOCK = {32 + NB * BLOCK} > "
+    f"PREFIX = {PREFIX}; lower SI_LLM_NB/SI_LLM_BLOCK or raise "
+    f"SI_KV_PREFIX")
+
 dec = CachedDecoder(eng, kv_dtype="bfloat16", scratch_blocks=True,
                     sample_cap=64)
 cache = dec.init_cache(SLOTS)

@@ -352,6 +352,12 @@ class GenerationService:
             # smallest ladder rung covering every LIVE row's appends
             # (positions fed_pos .. fed_pos+k-1 must be readable:
             # P >= pos + k); discarded rows may exceed the rung.
+            # Host-side liveness is deliberately conservative under
+            # pipelined chaining: a row that finished INSIDE the
+            # in-flight block still counts as live here, keeping the
+            # pool on its (larger) rung for one extra block. Do not
+            # "fix" this with device-side liveness — the stale rung is
+            # correct (a superset read), only fractionally slower.
             if not self._prefix_ladder:
                 return None
             live = [int(fed_pos[i]) for i in range(n)

@@ -418,10 +418,13 @@ class CachedDecoder:
         to its first kv_prefix positions (axis 2). With a STATIC
         prefix the attention einsums read [*, P, *] instead of the
         full compiled window — the decode step's KV traffic scales
-        with the occupied prefix, not the window. Exact: positions
-        >= the rows' masks were exp-underflowed to 0.0 anyway, so
-        dropping them changes no f32 partial sum (tests pin token
-        equality)."""
+        with the occupied prefix, not the window. Mathematically
+        exact: positions >= the rows' masks were exp-underflowed to
+        0.0 under the mask. Bit-exactness is probabilistic, not
+        guaranteed — shrinking the reduce length can retile/reorder
+        the remaining nonzero f32 partial sums (same caveat as
+        scratch_blocks); tests pin token equality across rungs
+        EMPIRICALLY on the zoo models."""
         if kv_prefix is None:
             return leaf
         if isinstance(leaf, tuple):
