@@ -55,6 +55,10 @@ class GenStats:
     tokens_out: int = 0
     occupancy_sum: float = 0.0
     latency_sum_ms: float = 0.0
+    # decode steps dispatched on the capped-sampler fast path (auto
+    # mode picks it per block whenever every live row is greedy or
+    # 0 < top_k <= cap — distribution-exact by sampling.py's contract)
+    capped_steps: int = 0
 
     @property
     def mean_occupancy(self) -> float:
@@ -102,11 +106,22 @@ class GenerationService:
         svc.stop()
 
     Greedy requests (temperature=0, the default) are deterministic and
-    batch-invariant. Sampled requests draw from the service-level seed
-    stream; their draws depend on admission timing, so per-request
+    batch-invariant up to f32 summation order: the default fast paths
+    (scratch_blocks, kv_prefix rungs) split/shorten reduces at block
+    boundaries, so logits match the bit-stable substrate to ulp —
+    tests pin token equality empirically; construct with
+    scratch_blocks=False, kv_prefix_ladder=None for the bit-stable
+    path. Sampled requests draw from the service-level seed stream;
+    their draws depend on admission timing (and, in auto cap mode, on
+    which sampler variant each block dispatched), so per-request
     reproducibility under concurrency is not guaranteed (use
     CachedDecoder.generate(seed=...) for that).
     """
+
+    #: default sampler cap for `sample_cap="auto"` — top-64 covers the
+    #: common serving regimes (greedy, top_k <= 64) exactly and
+    #: measured 2.32x on the 0.9B decode step (docs/PERF.md)
+    DEFAULT_SAMPLE_CAP = 64
 
     def __init__(self, engine, slots: int = 8,
                  tick_timeout_s: float = 0.01, seed: int = 0,
@@ -114,36 +129,71 @@ class GenerationService:
                  adaptive_horizon: bool = False,
                  pipelined: bool = True,
                  kv_dtype: str | None = None,
-                 scratch_blocks: bool = False,
-                 sample_cap: int | None = None,
-                 kv_prefix_ladder: tuple | list | None = None):
+                 scratch_blocks: bool = True,
+                 sample_cap: int | None | str = "auto",
+                 kv_prefix_ladder: tuple | list | str | None = "auto"):
         import jax
 
         from ..zoo.generate import CachedDecoder
 
         # kv_dtype: KV-cache storage (float32/bfloat16/int8) — fewer
         # cache bytes = faster KV-bound decode (bfloat16) or longer
-        # windows per HBM byte (int8). scratch_blocks: decode blocks
-        # stop rewriting the big cache every step (CachedDecoder
-        # docstring, docs/PERF.md). sample_cap: top-cap candidate
-        # sampling instead of the full-vocab sort each step —
-        # distribution-exact while every request keeps 0 < top_k <= cap
-        # or samples greedily (CachedDecoder docstring).
-        self._dec = CachedDecoder(engine, kv_dtype=kv_dtype,
-                                  scratch_blocks=scratch_blocks,
-                                  sample_cap=sample_cap)
+        # windows per HBM byte (int8).
+        #
+        # scratch_blocks (DEFAULT ON since round-3): decode blocks stop
+        # rewriting the big cache every step — measured 1.66-1.74x at
+        # 0.9B/w2048 (docs/PERF.md). Token streams are mathematically
+        # identical to the per-step path but not bit-guaranteed across
+        # block sizes (the frozen+scratch softmax splits the f32
+        # summation); pass False for the bit-stable substrate.
+        #
+        # sample_cap: "auto" (DEFAULT) picks the capped sampler
+        # (DEFAULT_SAMPLE_CAP candidates via lax.top_k, 2.32x at 0.9B)
+        # PER DISPATCH whenever every live row is greedy or has
+        # 0 < top_k <= cap — distribution-exact by sampling.py's
+        # contract — and falls back to the exact full-vocab sampler for
+        # blocks where a nucleus-only/large-top_k row is live (no
+        # truncation ever happens in auto mode). An int forces that cap
+        # for every dispatch (out-of-regime rows truncate, one warning);
+        # None forces the full-vocab sampler.
+        if isinstance(sample_cap, str):
+            if sample_cap != "auto":
+                raise ValueError(f"sample_cap must be an int, None or "
+                                 f"'auto', got {sample_cap!r}")
+            self._cap_mode = "auto"
+            self._cap = self.DEFAULT_SAMPLE_CAP
+        elif sample_cap is None:
+            self._cap_mode, self._cap = "off", None
+        else:
+            self._cap_mode, self._cap = "fixed", int(sample_cap)
+        # note: a cap >= the vocabulary is the exact sampler anyway
+        # (sampling.py ignores it), so auto mode is safe at any vocab;
+        # the capped/uncapped executables then lower to identical HLO
+        # and the persistent compile cache dedupes them
+        self._dec = CachedDecoder(
+            engine, kv_dtype=kv_dtype, scratch_blocks=scratch_blocks,
+            sample_cap=self._cap if self._cap_mode == "fixed" else None)
         self._cap_warned = False
         # kv_prefix_ladder: ascending static attention-read bounds
         # (e.g. (128, 256)); each block dispatches the smallest rung
         # covering max(live pos) + K, so young pools read a fraction
         # of the window's KV bytes (CachedDecoder.decode_block
-        # kv_prefix — token-exact by the rung choice). None = every
-        # block reads the full window.
-        ladder = sorted(int(p) for p in (kv_prefix_ladder or ()))
+        # kv_prefix — rung choice keeps every live read covered).
+        # "auto" (DEFAULT) = {window/8, window/4, window/2} rungs >= 64
+        # (1.89x on a young 0.9B pool at w2048, docs/PERF.md); None =
+        # every block reads the full window.
         window = self._dec._window
-        if any(not 1 <= p <= window for p in ladder):
-            raise ValueError(f"kv_prefix_ladder entries must be in "
-                             f"[1, {window}], got {ladder}")
+        if isinstance(kv_prefix_ladder, str):
+            if kv_prefix_ladder != "auto":
+                raise ValueError(f"kv_prefix_ladder must be a sequence, "
+                                 f"None or 'auto', got {kv_prefix_ladder!r}")
+            ladder = sorted({p for p in (window // 8, window // 4,
+                                         window // 2) if p >= 64})
+        else:
+            ladder = sorted(int(p) for p in (kv_prefix_ladder or ()))
+            if any(not 1 <= p <= window for p in ladder):
+                raise ValueError(f"kv_prefix_ladder entries must be in "
+                                 f"[1, {window}], got {ladder}")
         self._prefix_ladder = [p for p in ladder if p < window]
         self._slots = int(slots)
         # keep ONE decode block in flight beyond the one being
@@ -223,7 +273,9 @@ class GenerationService:
             raise ValueError(f"top_p must be in [0, 1], got {top_p}")
         if top_k < 0:
             raise ValueError(f"top_k must be >= 0, got {top_k}")
-        cap = getattr(self._dec, "sample_cap", None)
+        # only a FIXED cap can truncate; auto mode routes out-of-regime
+        # rows to the exact full-vocab sampler instead
+        cap = self._cap if self._cap_mode == "fixed" else None
         if (cap is not None and temperature > 0.0
                 and not (0 < top_k <= cap)
                 and not self._cap_warned):
@@ -248,12 +300,16 @@ class GenerationService:
         return req
 
     def warmup(self) -> "GenerationService":
-        """Compile every executable the serving loop can dispatch —
-        fused admission (prefill_install) and the full pow2 decode-block
-        ladder {horizon, horizon/2, ..., 1} — OUTSIDE the serving
-        window. Without this, the first request wave pays each block
-        size's cold compile in-band (measured 2026-08-19: the adaptive
-        ladder's 4 extra compiles turned a 0.5 s bench phase into 40 s).
+        """Compile every executable the serving loop is expected to
+        dispatch — fused admission (prefill_install) and the full pow2
+        decode-block ladder {horizon, horizon/2, ..., 1} — OUTSIDE the
+        serving window. Without this, the first request wave pays each
+        block size's cold compile in-band (measured 2026-08-19: the
+        adaptive ladder's 4 extra compiles turned a 0.5 s bench phase
+        into 40 s). In auto-cap mode both the capped (primary: block
+        ladder + prefix rungs) and the uncapped fallback (full-horizon
+        block + admission only; uncapped RUNG blocks compile in-band if
+        a nucleus-only pool ever ages into one) are warmed.
         Call before start(); idempotent (persistent compile cache)."""
         import jax
 
@@ -264,21 +320,29 @@ class GenerationService:
         t = np.zeros(n, np.float32)
         tk = np.zeros(n, np.int32)
         tp = np.ones(n, np.float32)
-        _, caches = self._dec.prefill_install(
-            window, np.ones(n, np.int32), self._key, 0, t, tk, tp,
-            caches, np.arange(n, dtype=np.int32))
         toks = np.ones(n, np.int64)
         pos = np.ones(n, np.int32)
-        out = None
-        for k in self._block_ladder:
-            out, last, caches = self._dec.decode_block(
-                toks, pos, caches, self._key, 1, t, tk, tp, k)
-        for p in self._prefix_ladder:
-            # prefix rungs compile at the full horizon (the dominant
-            # dispatch); other (k, p) pairs compile in-band if reached
-            out, last, caches = self._dec.decode_block(
-                toks, pos, caches, self._key, 1, t, tk, tp,
-                self._block_ladder[0], p)
+        rows = np.arange(n, dtype=np.int32)
+        caps = [self._cap, None] if self._cap_mode == "auto" \
+            else ["default"]
+        out = last = None
+        for ci, cap in enumerate(caps):
+            _, caches = self._dec.prefill_install(
+                window, np.ones(n, np.int32), self._key, 0, t, tk, tp,
+                caches, rows, sample_cap=cap)
+            for k in (self._block_ladder if ci == 0
+                      else self._block_ladder[:1]):
+                out, last, caches = self._dec.decode_block(
+                    toks, pos, caches, self._key, 1, t, tk, tp, k,
+                    sample_cap=cap)
+            if ci == 0:
+                for p in self._prefix_ladder:
+                    # prefix rungs compile at the full horizon (the
+                    # dominant dispatch); other (k, p) pairs compile
+                    # in-band if reached
+                    out, last, caches = self._dec.decode_block(
+                        toks, pos, caches, self._key, 1, t, tk, tp,
+                        self._block_ladder[0], p, sample_cap=cap)
         if self._pipelined:
             self._dec.merge_tokens(np.zeros(n, np.int64), last,
                                    np.arange(n, dtype=np.int32))
@@ -368,6 +432,27 @@ class GenerationService:
                     return p
             return None
 
+        def choose_cap(reqs):
+            # auto mode: the capped sampler is distribution-exact when
+            # every row in `reqs` is greedy or keeps 0 < top_k <= cap
+            # (sampling.py contract); ONE out-of-regime row forces the
+            # exact full-vocab sampler for the whole dispatch, so auto
+            # mode never truncates a draw. Under pipelined chaining the
+            # live set has the same one-block staleness as
+            # choose_prefix — conservative in the correct direction
+            # (rows only LEAVE between dispatches, so cap eligibility
+            # only grows; a stale uncapped block is still exact).
+            if self._cap_mode != "auto":
+                return "default"
+            ok = all(r.temperature <= 0.0 or 0 < r.top_k <= self._cap
+                     for r in reqs)
+            return self._cap if ok else None
+
+        def cap_is_fast(cap) -> bool:
+            if cap == "default":
+                return self._cap_mode == "fixed"
+            return cap is not None
+
         def dispatch(tokens, fed_pos, k):
             # K decode steps for the whole pool in ONE dispatch (mixed
             # depths/settings; K <= decode_horizon). Rows that finish
@@ -376,18 +461,23 @@ class GenerationService:
             nonlocal caches, seq
             live = float(np.mean([r is not None for r in active]))
             seq += k
+            cap = choose_cap([r for r in active if r is not None])
             toks, last, caches = self._dec.decode_block(
                 tokens, fed_pos, caches, self._key, seq - k + 1, temp,
-                topk, topp, k, choose_prefix(fed_pos, k))
-            return (toks, last, k, np.asarray(fed_pos, np.int32), live)
+                topk, topp, k, choose_prefix(fed_pos, k),
+                sample_cap=cap)
+            return (toks, last, k, np.asarray(fed_pos, np.int32), live,
+                    cap_is_fast(cap))
 
         def process(blk) -> None:
             # fetch the block's tokens (the one host<->device round
             # trip; in pipelined mode the successor block is already
             # running under it) and fold them into the row buffers
-            toks_dev, _last, k, _fed, live = blk
+            toks_dev, _last, k, _fed, live, capped = blk
             toks = np.asarray(toks_dev)                 # [n, k]
             self.stats.steps += k
+            if capped:
+                self.stats.capped_steps += k
             self.stats.occupancy_sum += live * k
             for i in range(n):
                 req = active[i]
@@ -464,7 +554,8 @@ class GenerationService:
                 seq += 1
                 tok, caches = self._dec.prefill_install(
                     window, lengths, self._key, seq, t_a, k_a, p_a,
-                    caches, rows)
+                    caches, rows,
+                    sample_cap=choose_cap([r for _, r in admitted]))
                 self.stats.prefills += len(admitted)
                 # token-independent bookkeeping BEFORE the fetch, so
                 # the first decode block can be enqueued chained from

@@ -237,16 +237,24 @@ def cmd_serve(args) -> int:
     if args.generate:
         from .serving.llm import GenerationService
 
+        cap = args.sample_cap
+        if cap not in (None, "auto"):
+            cap = None if cap.lower() in ("off", "none") else int(cap)
+        elif cap is None:
+            cap = "auto"
+        ladder = args.kv_prefix_ladder
+        if ladder not in (None, "auto"):
+            ladder = None if ladder.lower() in ("off", "none") else \
+                tuple(int(v) for v in ladder.split(","))
+        elif ladder is None:
+            ladder = "auto"
         gsvc = GenerationService(eng, slots=args.max_batch,
                                  decode_horizon=args.decode_horizon,
                                  pipelined=not args.no_pipeline,
                                  kv_dtype=args.kv_dtype,
                                  scratch_blocks=args.scratch_blocks,
-                                 sample_cap=args.sample_cap,
-                                 kv_prefix_ladder=tuple(
-                                     int(v) for v in
-                                     args.kv_prefix_ladder.split(","))
-                                 if args.kv_prefix_ladder else None)
+                                 sample_cap=cap,
+                                 kv_prefix_ladder=ladder)
         if args.warmup:
             print("compiling admission + decode blocks ...", flush=True)
             gsvc.warmup()
@@ -428,26 +436,33 @@ def main(argv=None) -> int:
                         "at long windows, docs/PERF.md), int8 quarters "
                         "the cache footprint (longer windows per HBM "
                         "byte)")
-    p.add_argument("--scratch-blocks", action="store_true",
+    import argparse as _ap
+
+    p.add_argument("--scratch-blocks", action=_ap.BooleanOptionalAction,
+                   default=True,
                    help="with --generate: decode blocks accumulate new "
                         "k/v in a per-block scratch and merge once, "
                         "instead of rewriting the cache every step "
                         "(distribution-identical, not bit-identical "
-                        "across block sizes)")
-    p.add_argument("--kv-prefix-ladder",
+                        "across block sizes). Default ON "
+                        "(--no-scratch-blocks for the bit-stable path)")
+    p.add_argument("--kv-prefix-ladder", default="auto",
                    help="with --generate: comma-separated ascending "
                         "attention-read bounds (e.g. 128,256); each "
                         "decode block reads only the smallest rung "
                         "covering the live rows' positions instead of "
-                        "the whole window (token-exact; rungs compile "
-                        "at --warmup)")
-    p.add_argument("--sample-cap", type=int,
+                        "the whole window (rungs compile at --warmup). "
+                        "Default 'auto' (window/8, /4, /2); 'off' reads "
+                        "the full window every block")
+    p.add_argument("--sample-cap", default="auto",
                    help="with --generate: sample from the top-N "
                         "candidates (lax.top_k + exact full-vocab "
                         "logsumexp) instead of sorting the whole "
-                        "vocabulary each decode step; distribution-"
-                        "exact while every request keeps "
-                        "0 < top_k <= cap or samples greedily")
+                        "vocabulary each decode step. Default 'auto': "
+                        "per-dispatch choice, capped whenever every "
+                        "live row is greedy or 0 < top_k <= 64 (never "
+                        "truncates); an int forces that cap; 'off' "
+                        "always sorts the full vocabulary")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("calibrate",

@@ -257,13 +257,15 @@ class CachedDecoder:
         self._install = jax.jit(self._install_fn, donate_argnums=(0,))
         self._install_rows = jax.jit(self._install_rows_fn,
                                      donate_argnums=(0,))
-        self._prefill_install = jax.jit(self._prefill_install_fn,
-                                        donate_argnums=(8,))  # pool
         self._merge = jax.jit(
             lambda carry, tok, rows: carry.at[rows].set(
                 tok.astype(carry.dtype), mode="drop"))
-        # (k_steps, kv_prefix) -> jitted block fn
+        # (k_steps, kv_prefix, sample_cap) -> jitted block fn
         self._block_fns: dict[tuple, object] = {}
+        # sample_cap -> jitted fused-admission fn (the serving loop can
+        # flip the cap per admission wave, auto fast-path selection)
+        self._prefill_install_fns: dict = {}
+        self._trunc_warned = False
 
     def _fuse_attention_weights(self, weights):
         """Add a concatenated "wqkv" (+"bqkv") to each attention op's
@@ -793,17 +795,22 @@ class CachedDecoder:
             logits, last_pos[:, None, None], axis=1)[:, 0, :]
         return last, caches
 
-    def _prefill_sample_fn(self, weights, tokens, last_pos, key, step,
-                           temperature, top_k, top_p):
+    def _prefill_sample_impl(self, weights, tokens, last_pos, key, step,
+                             temperature, top_k, top_p, cap):
         import jax
 
         from .sampling import sample_logits
 
         last, caches = self._prefill_logits_fn(weights, tokens, last_pos)
         tok = sample_logits(last, jax.random.fold_in(key, step),
-                            temperature, top_k, top_p,
-                            cap=self._sample_cap)
+                            temperature, top_k, top_p, cap=cap)
         return tok, caches
+
+    def _prefill_sample_fn(self, weights, tokens, last_pos, key, step,
+                           temperature, top_k, top_p):
+        return self._prefill_sample_impl(weights, tokens, last_pos, key,
+                                         step, temperature, top_k, top_p,
+                                         self._sample_cap)
 
     def _step_sample_fn(self, weights, token, pos, caches, key, step,
                         temperature, top_k, top_p):
@@ -817,7 +824,8 @@ class CachedDecoder:
                             cap=self._sample_cap)
         return tok, new_caches
 
-    def _build_decode_block(self, k_steps: int, kv_prefix=None):
+    def _build_decode_block(self, k_steps: int, kv_prefix=None,
+                            sample_cap=None):
         """jit a K-token decode loop: `lax.scan` over the single-token
         step (sampling fused), so K tokens cost ONE host dispatch
         instead of K. On the relay-attached chip each dispatch is a full
@@ -859,7 +867,7 @@ class CachedDecoder:
                 nxt = sample_logits(logits[:, 0, :],
                                     jax.random.fold_in(key, step0 + i),
                                     temperature, top_k, top_p,
-                                    cap=self._sample_cap)
+                                    cap=sample_cap)
                 # clamp: an overrun tail (host discards it) must not
                 # index past the compiled window
                 return (nxt, jnp.minimum(p + 1, last), c), nxt
@@ -890,7 +898,7 @@ class CachedDecoder:
                 nxt = sample_logits(logits[:, 0, :],
                                     jax.random.fold_in(key, step0 + i),
                                     temperature, top_k, top_p,
-                                    cap=self._sample_cap)
+                                    cap=sample_cap)
                 return (nxt, jnp.minimum(p + 1, last), scr), nxt
 
             (last_tok, _, scratches), toks = jax.lax.scan(
@@ -905,21 +913,33 @@ class CachedDecoder:
         return jax.jit(block_fn_scratch if self._scratch_blocks
                        else block_fn, donate_argnums=(3,))
 
-    def _prefill_install_fn(self, weights, tokens, last_pos, key, step,
-                            temperature, top_k, top_p, pool, rows):
-        """Fused admission: batched prefill + on-device sampling +
-        scatter-install into the (donated) pool rows — ONE dispatch
-        where the serving loop used to pay two relay RTTs per admission
-        wave (prefill_sample, then install_rows)."""
+    def _get_prefill_install(self, cap):
+        """Jitted fused admission for a given (static) sample cap:
+        batched prefill + on-device sampling + scatter-install into the
+        (donated) pool rows — ONE dispatch where the serving loop used
+        to pay two relay RTTs per admission wave (prefill_sample, then
+        install_rows). One executable per cap value so the serving loop
+        can flip capped/uncapped per admission wave."""
         import jax
 
-        tok, caches = self._prefill_sample_fn(
-            weights, tokens, last_pos, key, step, temperature, top_k,
-            top_p)
-        pool = jax.tree_util.tree_map(
-            lambda a, b: a.at[rows].set(b.astype(a.dtype), mode="drop"),
-            pool, caches)
-        return tok, pool
+        fn = self._prefill_install_fns.get(cap)
+        if fn is not None:
+            return fn
+
+        def install_fn(weights, tokens, last_pos, key, step,
+                       temperature, top_k, top_p, pool, rows):
+            tok, caches = self._prefill_sample_impl(
+                weights, tokens, last_pos, key, step, temperature,
+                top_k, top_p, cap)
+            pool = jax.tree_util.tree_map(
+                lambda a, b: a.at[rows].set(b.astype(a.dtype),
+                                            mode="drop"),
+                pool, caches)
+            return tok, pool
+
+        fn = jax.jit(install_fn, donate_argnums=(8,))
+        self._prefill_install_fns[cap] = fn
+        return fn
 
     @staticmethod
     def _install_fn(pool, new, row):
@@ -1047,7 +1067,8 @@ class CachedDecoder:
 
     def decode_block(self, tokens, pos, caches, key, step0, temperature,
                      top_k, top_p, k_steps: int,
-                     kv_prefix: int | None = None):
+                     kv_prefix: int | None = None,
+                     sample_cap="default"):
         """K decode steps in ONE dispatch: tokens [N] (the last sampled
         token per row — a host array OR a device array from a previous
         block/prefill, enabling device-to-device chaining), pos [N]
@@ -1065,7 +1086,15 @@ class CachedDecoder:
         the block's appends land inside the prefix); rows the caller is
         going to discard may exceed it. The cache pytree keeps its full
         shape — only the reads narrow — so executables with different
-        prefixes chain freely over the same pool."""
+        prefixes chain freely over the same pool.
+
+        sample_cap: per-BLOCK override of the decoder's sampler cap —
+        "default" uses the decoder's, None forces the exact full-vocab
+        sampler, an int forces that cap. One executable per distinct
+        (k_steps, kv_prefix, cap); the serving loop flips this per
+        dispatch so a pool of greedy/top-k rows rides the capped fast
+        path while a nucleus-only row forces the exact path
+        (serving/llm.py auto mode)."""
         import jax.numpy as jnp
 
         if kv_prefix is not None:
@@ -1076,11 +1105,13 @@ class CachedDecoder:
                     f"{kv_prefix}")
             if kv_prefix == self._window:
                 kv_prefix = None
-        kb = (int(k_steps), kv_prefix)
+        cap = self._sample_cap if sample_cap == "default" \
+            else (None if sample_cap is None else int(sample_cap))
+        kb = (int(k_steps), kv_prefix, cap)
         fn = self._block_fns.get(kb)
         if fn is None:
             fn = self._block_fns[kb] = self._build_decode_block(
-                int(k_steps), kv_prefix)
+                int(k_steps), kv_prefix, cap)
         return fn(self._weights,
                   jnp.asarray(tokens, jnp.int32).reshape(-1),
                   jnp.asarray(pos, jnp.int32), caches, key,
@@ -1118,17 +1149,22 @@ class CachedDecoder:
                                   jnp.asarray(rows, jnp.int32))
 
     def prefill_install(self, tokens, lengths, key, step, temperature,
-                        top_k, top_p, pool_caches, rows):
+                        top_k, top_p, pool_caches, rows,
+                        sample_cap="default"):
         """Fused admission: batched prefill + on-device sampling of the
         first new token + scatter-install into `rows` of the (donated)
         pool cache, all in ONE dispatch (serving/llm.py pays one relay
         RTT per admission wave instead of two). rows[j] >= pool size
         drops row j (padding). Returns (token [N] int32, pool caches).
-        Numerically identical to prefill_sample + install_rows."""
+        Numerically identical to prefill_sample + install_rows.
+        sample_cap: per-WAVE sampler-cap override, same contract as
+        decode_block's (one executable per cap value)."""
         import jax.numpy as jnp
 
+        cap = self._sample_cap if sample_cap == "default" \
+            else (None if sample_cap is None else int(sample_cap))
         last_pos = jnp.asarray(np.asarray(lengths) - 1, jnp.int32)
-        return self._prefill_install(
+        return self._get_prefill_install(cap)(
             self._weights, jnp.asarray(tokens, jnp.float32), last_pos,
             key, jnp.int32(step), jnp.asarray(temperature, jnp.float32),
             jnp.asarray(top_k, jnp.int32),
@@ -1162,6 +1198,19 @@ class CachedDecoder:
         if p + steps > self._window:
             raise ValueError(f"prompt ({p}) + steps ({steps}) exceeds "
                              f"the compiled window {self._window}")
+        cap = self._sample_cap
+        if (cap is not None and temperature > 0.0
+                and not 0 < top_k <= cap and not self._trunc_warned):
+            # nucleus-only (or oversized top_k) under a cap: the draw
+            # truncates to the top-cap candidates (sampling.py). Warn
+            # once per decoder, like the serving loop does.
+            self._trunc_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sample_cap=%d truncates this draw: top_k=%d is outside "
+                "the exact regime 0 < top_k <= cap; further occurrences "
+                "are not logged", cap, top_k)
         t_arr = np.full(n, temperature, np.float32)
         k_arr = np.full(n, top_k, np.int32)
         p_arr = np.full(n, top_p, np.float32)

@@ -326,10 +326,10 @@ def test_generation_service_adaptive_horizon_caps_blocks():
     orig = svc._dec.decode_block
 
     def spy(tokens, pos, caches, key, step0, t, k, p, k_steps,
-            kv_prefix=None):
+            kv_prefix=None, **kw):
         seen_ks.append(int(k_steps))
         return orig(tokens, pos, caches, key, step0, t, k, p, k_steps,
-                    kv_prefix)
+                    kv_prefix, **kw)
 
     svc._dec.decode_block = spy
     svc.start()
@@ -358,17 +358,22 @@ def test_generation_service_warmup_precompiles_ladder():
     svc = GenerationService(eng, slots=2, decode_horizon=8,
                             adaptive_horizon=True)
     svc.warmup()
-    assert sorted(svc._dec._block_fns) == [(1, None), (2, None),
-                                           (4, None), (8, None)]
-    # non-adaptive service: only the fixed horizon compiles
+    cap = GenerationService.DEFAULT_SAMPLE_CAP
+    # auto-cap warmup: the capped block ladder (the expected common
+    # path) plus the uncapped full-horizon fallback
+    assert set(svc._dec._block_fns) == {
+        (1, None, cap), (2, None, cap), (4, None, cap), (8, None, cap),
+        (8, None, None)}
+    # non-adaptive service: only the fixed horizon compiles (both caps)
     svc2 = GenerationService(eng, slots=2, decode_horizon=8)
     svc2.warmup()
-    assert sorted(svc2._dec._block_fns) == [(8, None)]
-    # prefix ladder: each rung compiles at the horizon
+    assert set(svc2._dec._block_fns) == {(8, None, cap), (8, None, None)}
+    # prefix ladder: each rung compiles at the horizon (capped primary)
     svc3 = GenerationService(eng, slots=2, decode_horizon=8,
                              kv_prefix_ladder=(12, 16))
     svc3.warmup()
-    assert set(svc3._dec._block_fns) == {(8, None), (8, 12), (8, 16)}
+    assert set(svc3._dec._block_fns) == {
+        (8, None, cap), (8, 12, cap), (8, 16, cap), (8, None, None)}
     # service still produces correct greedy output after warmup
     dec = CachedDecoder(eng)
     want = dec.generate(np.asarray([[4, 8, 2]]), steps=5)[0]
@@ -435,8 +440,13 @@ def test_llama_kv_int8_service_roundtrip():
     dec = CachedDecoder(eng, kv_dtype="int8")
     prompts = [[4, 8, 2], [7, 1]]
     want = [dec.generate(np.asarray([p]), steps=6)[0] for p in prompts]
+    # scratch_blocks=False: the int8 per-step path quantizes WITHIN-
+    # block appends before they are re-read, while scratch mode reads
+    # them unquantized from the f32 scratch — genuinely different
+    # logits, so the solo-oracle equality needs the bit-stable path
     svc = GenerationService(eng, slots=2, decode_horizon=4,
-                            kv_dtype="int8").warmup().start()
+                            kv_dtype="int8",
+                            scratch_blocks=False).warmup().start()
     futs = [svc.submit(p, max_new=6) for p in prompts]
     got = [f.result(timeout=120) for f in futs]
     svc.stop()

@@ -394,3 +394,156 @@ def test_generation_service_rejects_bad_params():
     with pytest.raises(ValueError):
         svc.submit([1], max_new=2, top_k=-1)
     svc.stop()
+
+
+# ---- auto fast-path selection (round-3) ------------------------------------
+
+def test_generation_service_auto_cap_greedy_matches_off():
+    """Auto cap mode with an all-greedy pool: every decode block rides
+    the capped sampler (distribution-exact -> for greedy rows literally
+    the same argmax) and the token streams equal the uncapped service."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine(vocab=100)   # vocab > DEFAULT_SAMPLE_CAP
+    prompts = [[4, 8, 2], [7, 1], [3, 3, 9, 5]]
+
+    def run(cap):
+        svc = GenerationService(eng, slots=2, seed=3,
+                                sample_cap=cap).start()
+        outs = [svc.submit(p, max_new=5).result(timeout=120)
+                for p in prompts]
+        stats = svc.stats
+        svc.stop()
+        return outs, stats
+
+    got, stats_auto = run("auto")
+    want, stats_off = run(None)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert stats_auto.capped_steps == stats_auto.steps > 0
+    assert stats_off.capped_steps == 0
+
+
+def test_generation_service_auto_cap_nucleus_forces_exact_path():
+    """A live nucleus-only row must force the exact full-vocab sampler
+    (no truncation, no warning) for the blocks it is live in."""
+    import logging
+
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine(vocab=100)
+    svc = GenerationService(eng, slots=2, seed=3)
+    logger = logging.getLogger("simpleinfer_tpu.serving.llm")
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger.addHandler(handler)
+    svc.start()
+    try:
+        futs = [svc.submit([4, 8], max_new=6, temperature=1.0,
+                           top_p=0.9),          # nucleus-only
+                svc.submit([5, 1, 2], max_new=6)]  # greedy
+        outs = [f.result(timeout=120) for f in futs]
+    finally:
+        logger.removeHandler(handler)
+        svc.stop()
+    for out in outs:
+        assert ((out >= 0) & (out < 100)).all()
+    # the nucleus row was live for at least one block -> that block was
+    # dispatched uncapped; auto mode never truncates, so no warning
+    assert svc.stats.capped_steps < svc.stats.steps
+    assert not records
+
+
+def test_generation_service_auto_cap_exact_above_vocab():
+    """cap >= vocab: sampling.py ignores the cap, so the auto fast path
+    is stream-identical to the bit-stable substrate even for SAMPLED
+    requests (same gumbels — the [N, V] draw shape is unchanged)."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine()            # vocab 40 < DEFAULT_SAMPLE_CAP
+    svc = GenerationService(eng, slots=2)
+    assert svc._cap_mode == "auto"
+    dec = CachedDecoder(eng)
+    want = dec.generate(np.asarray([[4, 8, 2]]), steps=4)[0]
+    svc.start()
+    out = svc.submit([4, 8, 2], max_new=4).result(timeout=60)
+    svc.stop()
+    np.testing.assert_array_equal(out, want)
+    assert svc.stats.capped_steps == svc.stats.steps
+
+
+def test_generation_service_auto_prefix_ladder():
+    """kv_prefix_ladder='auto' derives {window/8, /4, /2} rungs >= 64
+    and still produces the bit-stable substrate's greedy tokens."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine(seq_len=128)
+    svc = GenerationService(eng, slots=2, decode_horizon=4)
+    assert svc._prefix_ladder == [64]
+    dec = CachedDecoder(eng)
+    want = dec.generate(np.asarray([[4, 8, 2]]), steps=6)[0]
+    svc.start()
+    got = svc.submit([4, 8, 2], max_new=6).result(timeout=120)
+    svc.stop()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decode_block_per_call_cap_override():
+    """decode_block(sample_cap=...) flips the sampler per dispatch on
+    one decoder: greedy rows are token-identical either way, and each
+    distinct cap gets its own cached executable."""
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine(vocab=100)
+    dec = CachedDecoder(eng)
+    n = 2
+    key = jax.random.PRNGKey(0)
+    t = np.zeros(n, np.float32)
+    k = np.zeros(n, np.int32)
+    p = np.ones(n, np.float32)
+    window = np.zeros((n, dec._window), np.float32)
+    window[:, :3] = [[4, 8, 2]] * n
+
+    def run(cap):
+        caches = dec.init_cache(n)
+        tok, caches = dec.prefill_install(
+            window, np.full(n, 3, np.int32), key, 0, t, k, p, caches,
+            np.arange(n, dtype=np.int32), sample_cap=cap)
+        toks, _last, caches = dec.decode_block(
+            np.asarray(tok), np.full(n, 3, np.int32), caches, key, 1,
+            t, k, p, 4, sample_cap=cap)
+        return np.concatenate([np.asarray(tok)[:, None],
+                               np.asarray(toks)], axis=1)
+
+    a = run(None)
+    b = run(8)
+    np.testing.assert_array_equal(a, b)
+    assert (4, None, None) in dec._block_fns
+    assert (4, None, 8) in dec._block_fns
+
+
+def test_cached_decoder_generate_truncation_warns_once():
+    """Direct CachedDecoder.generate callers with a fixed sample_cap and
+    a nucleus-only request get the one-shot truncation warning."""
+    import logging
+
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine(vocab=100)
+    dec = CachedDecoder(eng, sample_cap=8)
+    logger = logging.getLogger("simpleinfer_tpu.zoo.generate")
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger.addHandler(handler)
+    try:
+        dec.generate(np.asarray([[4, 8, 2]]), steps=3, temperature=1.0,
+                     top_p=0.9)
+        dec.generate(np.asarray([[4, 8, 2]]), steps=3, temperature=1.0,
+                     top_p=0.9)
+    finally:
+        logger.removeHandler(handler)
+    assert len(records) == 1
