@@ -131,7 +131,8 @@ class GenerationService:
                  kv_dtype: str | None = None,
                  scratch_blocks: bool = True,
                  sample_cap: int | None | str = "auto",
-                 kv_prefix_ladder: tuple | list | str | None = "auto"):
+                 kv_prefix_ladder: tuple | list | str | None = "auto",
+                 prefill_ladder: tuple | list | str | None = "auto"):
         import jax
 
         from ..zoo.generate import CachedDecoder
@@ -195,6 +196,26 @@ class GenerationService:
                 raise ValueError(f"kv_prefix_ladder entries must be in "
                                  f"[1, {window}], got {ladder}")
         self._prefix_ladder = [p for p in ladder if p < window]
+        # prefill_ladder: admission BUCKET widths — each admission wave
+        # prefills at the smallest bucket covering its longest prompt
+        # instead of always padding to the full window, so one long
+        # prompt no longer inflates every short wave's admission
+        # dispatch (prefill cost scales with the padded width). "auto"
+        # (DEFAULT) = {64, 256, 1024} below the window, plus the window
+        # itself (always a valid bucket). One executable per bucket;
+        # causality makes results padding-width-independent.
+        if isinstance(prefill_ladder, str):
+            if prefill_ladder != "auto":
+                raise ValueError(f"prefill_ladder must be a sequence, "
+                                 f"None or 'auto', got {prefill_ladder!r}")
+            buckets = [b for b in (64, 256, 1024) if b < window]
+        else:
+            buckets = sorted(int(b) for b in (prefill_ladder or ()))
+            if any(not 1 <= b <= window for b in buckets):
+                raise ValueError(f"prefill_ladder entries must be in "
+                                 f"[1, {window}], got {buckets}")
+            buckets = [b for b in buckets if b < window]
+        self._prefill_ladder = buckets + [window]
         self._slots = int(slots)
         # keep ONE decode block in flight beyond the one being
         # processed, chained device-to-device from its predecessor's
@@ -315,8 +336,6 @@ class GenerationService:
 
         n = self._slots
         caches = self._dec.init_cache(n)
-        window = np.zeros((n, self._window), np.float32)
-        window[:, 0] = 1.0
         t = np.zeros(n, np.float32)
         tk = np.zeros(n, np.int32)
         tp = np.ones(n, np.float32)
@@ -327,9 +346,15 @@ class GenerationService:
             else ["default"]
         out = last = None
         for ci, cap in enumerate(caps):
-            _, caches = self._dec.prefill_install(
-                window, np.ones(n, np.int32), self._key, 0, t, tk, tp,
-                caches, rows, sample_cap=cap)
+            # admission buckets: every ladder width for the primary cap,
+            # the full window only for the fallback
+            for width in (self._prefill_ladder if ci == 0
+                          else self._prefill_ladder[-1:]):
+                window = np.zeros((n, width), np.float32)
+                window[:, 0] = 1.0
+                _, caches = self._dec.prefill_install(
+                    window, np.ones(n, np.int32), self._key, 0, t, tk,
+                    tp, caches, rows, sample_cap=cap)
             for k in (self._block_ladder if ci == 0
                       else self._block_ladder[:1]):
                 out, last, caches = self._dec.decode_block(
@@ -538,7 +563,12 @@ class GenerationService:
             # link every dispatch is a full RTT (docs/PERF.md).
             if admitted:
                 assert in_flight is None   # guaranteed by the drain above
-                window = np.zeros((n, self._window), np.float32)
+                # smallest prefill bucket covering the wave's longest
+                # prompt (the ladder always ends at the full window)
+                maxlen = max(len(r.prompt) for _, r in admitted)
+                width = next(b for b in self._prefill_ladder
+                             if b >= maxlen)
+                window = np.zeros((n, width), np.float32)
                 lengths = np.ones(n, np.int32)
                 rows = np.full(n, n + 7, np.int32)   # OOB = dropped
                 t_a = np.zeros(n, np.float32)

@@ -242,19 +242,23 @@ def cmd_serve(args) -> int:
             cap = None if cap.lower() in ("off", "none") else int(cap)
         elif cap is None:
             cap = "auto"
-        ladder = args.kv_prefix_ladder
-        if ladder not in (None, "auto"):
-            ladder = None if ladder.lower() in ("off", "none") else \
-                tuple(int(v) for v in ladder.split(","))
-        elif ladder is None:
-            ladder = "auto"
+        def _ladder(v):
+            if v in (None, "auto"):
+                return "auto"
+            if v.lower() in ("off", "none"):
+                return None
+            return tuple(int(x) for x in v.split(","))
+
         gsvc = GenerationService(eng, slots=args.max_batch,
                                  decode_horizon=args.decode_horizon,
                                  pipelined=not args.no_pipeline,
                                  kv_dtype=args.kv_dtype,
                                  scratch_blocks=args.scratch_blocks,
                                  sample_cap=cap,
-                                 kv_prefix_ladder=ladder)
+                                 kv_prefix_ladder=_ladder(
+                                     args.kv_prefix_ladder),
+                                 prefill_ladder=_ladder(
+                                     args.prefill_ladder))
         if args.warmup:
             print("compiling admission + decode blocks ...", flush=True)
             gsvc.warmup()
@@ -454,6 +458,13 @@ def main(argv=None) -> int:
                         "the whole window (rungs compile at --warmup). "
                         "Default 'auto' (window/8, /4, /2); 'off' reads "
                         "the full window every block")
+    p.add_argument("--prefill-ladder", default="auto",
+                   help="with --generate: comma-separated admission "
+                        "prefill bucket widths (e.g. 64,256); each "
+                        "admission wave prefills at the smallest bucket "
+                        "covering its longest prompt instead of the "
+                        "full window. Default 'auto' (64,256,1024 + "
+                        "window); 'off' always pads to the window")
     p.add_argument("--sample-cap", default="auto",
                    help="with --generate: sample from the top-N "
                         "candidates (lax.top_k + exact full-vocab "

@@ -751,13 +751,34 @@ class CachedDecoder:
             out = out + w["bo"]
         return out.astype(dt), (kh, vh)
 
+    @staticmethod
+    def _slice_seq_prefill(args, width, window):
+        """Prefill analog of _slice_seq: when the plan runs at a bucket
+        width < the compiled window (chunked-admission prefill,
+        serving/llm.py prefill ladder), window-spanning graph constants
+        (position embeddings) are sliced to the bucket's leading
+        positions so BinaryOps line up."""
+        if width == window:
+            return args
+        lens = [a.shape[1] if (a is not None and getattr(a, "ndim", 0)
+                               == 3) else None for a in args]
+        if width in lens and window in lens:
+            args = [a[:, :width] if lens[i] == window else a
+                    for i, a in enumerate(args)]
+        return args
+
     def _prefill_plan(self, weights, tokens):
-        """Walk the plan at full window width [N, L], capturing each
-        attention op's k/v as a cache. Returns (logits [N,L,V], caches).
-        Same op math as _step_fn, so prefill+decode is numerically the
-        step-by-step decode."""
+        """Walk the plan at [N, L], L <= the compiled window, capturing
+        each attention op's k/v as a cache. Returns (logits [N,L,V],
+        caches with position extent L). Same op math as _step_fn, so
+        prefill+decode is numerically the step-by-step decode. L < the
+        window is the prefill bucket ladder: causality makes the logits
+        at each row's last prompt position independent of how much
+        padding follows, so a short bucket computes the same result for
+        a fraction of the FLOPs/bytes."""
         import jax.numpy as jnp
 
+        width = tokens.shape[1]
         caches = {}
         env = {self._in_name: tokens}
         for impl, ins, outs in self._plan:
@@ -779,6 +800,8 @@ class CachedDecoder:
                     env[o] = None
                 continue
             args = [env[n] for n in ins]
+            if len(args) > 1:
+                args = self._slice_seq_prefill(args, width, self._window)
             r = impl.apply(w, *args)
             if impl.n_outputs == 1:
                 env[outs[0]] = r
@@ -931,9 +954,12 @@ class CachedDecoder:
             tok, caches = self._prefill_sample_impl(
                 weights, tokens, last_pos, key, step, temperature,
                 top_k, top_p, cap)
+            # bucketed prefill writes only its width's positions; the
+            # row's stale tail (>= width) is never read before decode
+            # overwrites it (the position mask stops at each row's pos)
             pool = jax.tree_util.tree_map(
-                lambda a, b: a.at[rows].set(b.astype(a.dtype),
-                                            mode="drop"),
+                lambda a, b: a.at[rows, :, :b.shape[2]].set(
+                    b.astype(a.dtype), mode="drop"),
                 pool, caches)
             return tok, pool
 
@@ -1158,9 +1184,25 @@ class CachedDecoder:
         drops row j (padding). Returns (token [N] int32, pool caches).
         Numerically identical to prefill_sample + install_rows.
         sample_cap: per-WAVE sampler-cap override, same contract as
-        decode_block's (one executable per cap value)."""
+        decode_block's (one executable per cap value).
+
+        tokens may be [N, W] for any bucket width W <= the compiled
+        window (the serving prefill ladder): the prefill plan runs at
+        width W (a fraction of the full-window FLOPs/bytes), the
+        install writes only the first W cache positions, and causality
+        makes each row's sampled token independent of the padding
+        width — one executable per (W, cap)."""
         import jax.numpy as jnp
 
+        if not hasattr(tokens, "shape"):
+            tokens = np.asarray(tokens)
+        width = int(tokens.shape[1])
+        if width > self._window:
+            raise ValueError(f"prefill tokens width {width} exceeds the "
+                             f"compiled window {self._window}")
+        if int(np.max(np.asarray(lengths))) > width:
+            raise ValueError("a row's length exceeds the prefill bucket "
+                             "width")
         cap = self._sample_cap if sample_cap == "default" \
             else (None if sample_cap is None else int(sample_cap))
         last_pos = jnp.asarray(np.asarray(lengths) - 1, jnp.int32)

@@ -547,3 +547,125 @@ def test_cached_decoder_generate_truncation_warns_once():
     finally:
         logger.removeHandler(handler)
     assert len(records) == 1
+
+
+# ---- prefill bucket ladder (round-3) ---------------------------------------
+
+def test_prefill_install_bucketed_matches_full_window():
+    """prefill_install at a bucket width < window: the sampled token,
+    the decode continuation, and the written cache prefix must equal
+    the full-window admission (causality makes the result independent
+    of padding width). Both attention lineages."""
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    for builder in ("gpt", "llama"):
+        if builder == "gpt":
+            eng = _gpt_engine(seq_len=128, vocab=100)
+        else:
+            from simpleinfer_tpu import Engine
+            from simpleinfer_tpu.zoo import build_llama
+
+            graph, _, _ = build_llama("nano", batch=1, seq_len=128,
+                                      vocab_size=100)
+            eng = Engine().load_model(None, graph=graph)
+        dec = CachedDecoder(eng)
+        n = 2
+        key = jax.random.PRNGKey(0)
+        t = np.zeros(n, np.float32)
+        k = np.zeros(n, np.int32)
+        p = np.ones(n, np.float32)
+        prompt = [4, 8, 2, 9, 1]
+
+        def admit(width):
+            caches = dec.init_cache(n)
+            window = np.zeros((n, width), np.float32)
+            window[:, :len(prompt)] = prompt
+            tok, caches = dec.prefill_install(
+                window, np.full(n, len(prompt), np.int32), key, 0,
+                t, k, p, caches, np.arange(n, dtype=np.int32))
+            toks, _last, caches = dec.decode_block(
+                np.asarray(tok), np.full(n, len(prompt), np.int32),
+                caches, key, 1, t, k, p, 4)
+            return np.asarray(tok), np.asarray(toks), caches
+
+        tok_b, toks_b, caches_b = admit(16)
+        tok_f, toks_f, caches_f = admit(128)
+        np.testing.assert_array_equal(tok_b, tok_f)
+        np.testing.assert_array_equal(toks_b, toks_f)
+        # the occupied cache prefix matches to f32 ulp compounding
+        # (the narrower reduce retiles attention partial sums feeding
+        # later layers' k/v — the scratch-mode 1e-4 discipline); the
+        # tail may hold stale data in the bucketed pool, never read
+        # before overwritten
+        import jax as _jax
+        for name in caches_b:
+            for a, b in zip(_jax.tree_util.tree_leaves(caches_b[name]),
+                            _jax.tree_util.tree_leaves(caches_f[name])):
+                np.testing.assert_allclose(
+                    np.asarray(a)[:, :, :len(prompt) + 5],
+                    np.asarray(b)[:, :, :len(prompt) + 5],
+                    rtol=1e-4, atol=1e-5)
+
+
+def test_prefill_install_rejects_overlong_rows():
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    eng = _gpt_engine(seq_len=64)
+    dec = CachedDecoder(eng)
+    caches = dec.init_cache(1)
+    window = np.zeros((1, 8), np.float32)
+    with pytest.raises(ValueError):
+        dec.prefill_install(window, np.array([12], np.int32),
+                            jax.random.PRNGKey(0), 0,
+                            np.zeros(1, np.float32),
+                            np.zeros(1, np.int32),
+                            np.ones(1, np.float32), caches,
+                            np.zeros(1, np.int32))
+    with pytest.raises(ValueError):
+        dec.prefill_install(np.zeros((1, 128), np.float32),
+                            np.array([2], np.int32),
+                            jax.random.PRNGKey(0), 0,
+                            np.zeros(1, np.float32),
+                            np.zeros(1, np.int32),
+                            np.ones(1, np.float32), caches,
+                            np.zeros(1, np.int32))
+
+
+def test_generation_service_prefill_ladder_buckets_admissions():
+    """Default auto prefill ladder: short-prompt waves admit at the
+    64-wide bucket, not the full window, and completions equal the
+    ladder-off service."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine(seq_len=128, vocab=100)
+    prompts = [[4, 8, 2], [7, 1, 3, 3, 9], [5] * 70]  # one LONG prompt
+
+    def run(ladder):
+        svc = GenerationService(eng, slots=2, decode_horizon=2,
+                                prefill_ladder=ladder)
+        widths = []
+        orig = svc._dec.prefill_install
+
+        def spy(tokens, *a, **kw):
+            widths.append(int(np.asarray(tokens).shape[1]))
+            return orig(tokens, *a, **kw)
+
+        svc._dec.prefill_install = spy
+        svc.start()
+        outs = [svc.submit(p, max_new=4).result(timeout=120)
+                for p in prompts]     # sequential: one wave each
+        svc.stop()
+        return outs, widths
+
+    got, widths = run("auto")
+    assert svc_ladder_expect(widths), widths
+    want, widths_off = run(None)
+    assert all(w == 128 for w in widths_off), widths_off
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def svc_ladder_expect(widths):
+    # short prompts (3, 5 tokens) -> 64-bucket; the 70-token prompt
+    # exceeds every sub-window bucket -> full window 128
+    return sorted(widths) == [64, 64, 128]
