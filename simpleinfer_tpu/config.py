@@ -77,6 +77,18 @@ class EngineConfig:
     io_layout: str = "nhwc"
     # device mesh; None = single device
     mesh: Optional[MeshConfig] = None
+    # tensor-parallel implementation when mesh.model > 1:
+    # "gspmd" (default) places Megatron shardings on the weights and
+    # lets GSPMD insert the collectives (an all-reduce after each
+    # row-parallel output projection); "ring" routes each attention
+    # output projection through the EXPLICIT shard_map collective-
+    # matmul (parallel/tp.tp_linear_row): the local matmul runs in
+    # column chunks whose partials ride a lax.ppermute ring while the
+    # next chunk is on the MXU — the hand-scheduled comm/compute
+    # overlap of SURVEY.md §2.5. Numerics: the ring sums partials in
+    # deterministic neighbor order, ~1 ulp from GSPMD's tree. Ops whose
+    # head count does not divide the model axis fall back to gspmd.
+    tp_mode: str = "gspmd"
     # pin a single-device engine to jax.devices()[device_index]
     # (DP engine pools: one engine per chip, serving/batcher.py).
     # None = the process default device. Mutually exclusive with mesh.
@@ -132,6 +144,8 @@ class EngineConfig:
             raise ValueError("act_clip_percentile must be in (0, 100)")
         if self.io_layout not in ("nhwc", "nchw"):
             raise ValueError("io_layout must be 'nhwc' or 'nchw'")
+        if self.tp_mode not in ("gspmd", "ring"):
+            raise ValueError("tp_mode must be 'gspmd' or 'ring'")
         if self.input_layout not in ("auto", "default"):
             raise ValueError("input_layout must be 'auto' or 'default'")
         if self.device_index is not None:

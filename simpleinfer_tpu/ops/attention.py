@@ -166,6 +166,35 @@ def _pallas_ok() -> bool:
     return pallas_supported()
 
 
+def ring_out_proj(cfg, num_heads: int):
+    """Explicit-TP output projection (EngineConfig.tp_mode='ring').
+
+    Returns a fn routing `ctx @ wo (+ bo)` through the hand-scheduled
+    shard_map collective-matmul ring (parallel/tp.tp_linear_row) instead
+    of leaving the reduce to GSPMD — this is the engine wiring that
+    makes the SURVEY §2.5 comm-overlap component reachable from a real
+    model. Returns None when the config doesn't select ring TP or the
+    head count does not divide the model axis (shard_map needs even
+    shards; GSPMD handles the ragged case)."""
+    mesh_cfg = getattr(cfg, "mesh", None)
+    if (getattr(cfg, "tp_mode", "gspmd") != "ring" or mesh_cfg is None
+            or mesh_cfg.model <= 1 or num_heads % mesh_cfg.model):
+        return None
+    cache: list = []
+
+    def project(ctx, w, b, dt):
+        from ..parallel.mesh import AXIS_MODEL, build_mesh
+        from ..parallel.tp import tp_linear_row
+        from ..quant.tensor import resolve_weight
+
+        if not cache:
+            cache.append(build_mesh(mesh_cfg))
+        return tp_linear_row(ctx, resolve_weight(w, dt), b,
+                             mesh=cache[0], axis=AXIS_MODEL).astype(dt)
+
+    return project
+
+
 @register_op("nn.MultiheadAttention")
 def lower_multihead_attention(op, cfg):
     """nn.MultiheadAttention, pnnx module capture.
@@ -190,6 +219,7 @@ def lower_multihead_attention(op, cfg):
     vdim = op.params["vdim"].i if op.has_param("vdim", PARAM_INT) else embed_dim
     # opt-in, like conv/linear (see EngineConfig.use_pallas)
     allow_pallas = bool(cfg.use_pallas) and cfg.mesh is None
+    ring_proj = ring_out_proj(cfg, num_heads)
 
     weights: dict[str, np.ndarray] = {}
     if op.has_attr("in_proj_weight"):
@@ -275,11 +305,14 @@ def lower_multihead_attention(op, cfg):
 
             ctx = _merge_heads(flash_attention(
                 qh, kh, vh, scale=1.0 / math.sqrt(embed_dim // num_heads)))
-            out = jnp.einsum("nli,io->nlo", ctx, cast(weights["wo"]),
-                             preferred_element_type=jnp.float32)
-            if "bo" in weights:
-                out = out + weights["bo"]
-            out = out.astype(dt)
+            if ring_proj is not None:
+                out = ring_proj(ctx, weights["wo"], weights.get("bo"), dt)
+            else:
+                out = jnp.einsum("nli,io->nlo", ctx, cast(weights["wo"]),
+                                 preferred_element_type=jnp.float32)
+                if "bo" in weights:
+                    out = out + weights["bo"]
+                out = out.astype(dt)
             return out if batch_first else jnp.transpose(out, (1, 0, 2))
         if mask is not None and mask.ndim == 3:
             # [N*h, Lq, Lk] -> [N, h, Lq, Lk]
@@ -297,11 +330,14 @@ def lower_multihead_attention(op, cfg):
         p32 = _softmax_f32(logits)
         ctx = _merge_heads(jnp.einsum("nhqk,nhkd->nhqd",
                                       p32.astype(dt), vh))
-        out = jnp.einsum("nli,io->nlo", ctx, cast(weights["wo"]),
-                         preferred_element_type=jnp.float32)
-        if "bo" in weights:
-            out = out + weights["bo"]
-        out = out.astype(dt)
+        if ring_proj is not None:
+            out = ring_proj(ctx, weights["wo"], weights.get("bo"), dt)
+        else:
+            out = jnp.einsum("nli,io->nlo", ctx, cast(weights["wo"]),
+                             preferred_element_type=jnp.float32)
+            if "bo" in weights:
+                out = out + weights["bo"]
+            out = out.astype(dt)
         if not batch_first:
             out = jnp.transpose(out, (1, 0, 2))
         if n_declared == 1:
@@ -393,6 +429,7 @@ def lower_rotary_attention(op, cfg):
         raise ValueError(f"RotaryAttention {op.name}: head_dim {d} must "
                          f"be even for RoPE")
     group = num_heads // num_kv
+    ring_proj = ring_out_proj(cfg, num_heads)
 
     weights: dict[str, np.ndarray] = {}
     for key, out_dim in (("q", num_heads * d), ("k", num_kv * d),
@@ -446,6 +483,8 @@ def lower_rotary_attention(op, cfg):
         ctx = jnp.einsum("nhqk,nhkd->nhqd", p, repeat_kv(vh, group))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l,
                                                        num_heads * d)
+        if ring_proj is not None:
+            return ring_proj(ctx, weights["wo"], weights.get("bo"), dt)
         out = jnp.einsum("nli,io->nlo", ctx,
                          resolve_weight(weights["wo"], dt),
                          preferred_element_type=jnp.float32)

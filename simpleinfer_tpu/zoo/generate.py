@@ -196,6 +196,16 @@ class CachedDecoder:
 
         program = engine.program
         self._mesh = getattr(engine, "_mesh", None)
+        # explicit-TP (EngineConfig.tp_mode="ring"): output projections
+        # route through the hand-scheduled shard_map ring all-reduce
+        # (parallel/tp.tp_linear_row) instead of GSPMD's all-reduce
+        self._ring_msize = 0
+        if self._mesh is not None and getattr(
+                engine.config, "tp_mode", "gspmd") == "ring":
+            from ..parallel.mesh import AXIS_MODEL
+            self._ring_msize = dict(self._mesh.shape).get(AXIS_MODEL, 1)
+            if self._ring_msize <= 1:
+                self._ring_msize = 0
         if self._mesh is not None:
             # Tensor-parallel decode: the attention/linear weights are
             # already Megatron-sharded by the engine (wq/wk/wv column-,
@@ -304,6 +314,32 @@ class CachedDecoder:
                 del w["wqkv"]        # partial biases: keep unfused
                 continue
             out[name] = w
+        return out
+
+    def _proj_out(self, w, ctx, dt, heads):
+        """Attention output projection ctx @ wo (+ bo): the explicit
+        shard_map collective-matmul ring when the engine selected
+        tp_mode='ring' and the heads divide the model axis
+        (parallel/tp.tp_linear_row — the partials ride a ppermute ring
+        overlapped with the chunked local matmul), else a plain einsum
+        whose reduce GSPMD places. Ring sums in deterministic neighbor
+        order: ~1 ulp from GSPMD's tree, pinned empirically by the TP
+        parity tests."""
+        import jax.numpy as jnp
+
+        from ..quant.tensor import resolve_weight
+
+        if self._ring_msize and heads % self._ring_msize == 0:
+            from ..parallel.mesh import AXIS_MODEL
+            from ..parallel.tp import tp_linear_row
+
+            return tp_linear_row(
+                ctx, resolve_weight(w["wo"], dt), w.get("bo"),
+                mesh=self._mesh, axis=AXIS_MODEL).astype(dt)
+        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
+                         preferred_element_type=jnp.float32)
+        if "bo" in w:
+            out = out + w["bo"]
         return out
 
     def _proj_qkv(self, w, x, heads, kvh, d, dt):
@@ -503,10 +539,7 @@ class CachedDecoder:
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         ctx = self._attn_ctx(p, v_leaf, 1, dt)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, e)
-        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
-                         preferred_element_type=jnp.float32)
-        if "bo" in w:
-            out = out + w["bo"]
+        out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), new_cache
 
     def _rope_decode(self, w, q, cache, pos, info, kv_prefix=None):
@@ -543,10 +576,7 @@ class CachedDecoder:
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         ctx = self._attn_ctx(p, v_leaf, group, dt)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
-        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
-                         preferred_element_type=jnp.float32)
-        if "bo" in w:
-            out = out + w["bo"]
+        out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), new_cache
 
     def _attn_decode_scratch(self, w, x, frozen, scratch, pos, step_i,
@@ -611,10 +641,7 @@ class CachedDecoder:
             jnp.einsum("nhqk,nhkd->nhqd", p_new,
                        repeat_kv(v_scr.astype(dt), group))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
-        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
-                         preferred_element_type=jnp.float32)
-        if "bo" in w:
-            out = out + w["bo"]
+        out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (k_scr, v_scr)
 
     def _step_fn_scratch(self, weights, token, pos, caches, scratches,
@@ -710,10 +737,7 @@ class CachedDecoder:
         ctx = _causal_ctx(qh, repeat_kv(kh, group), repeat_kv(vh, group),
                           d, self._use_pallas)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, heads * d)
-        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
-                         preferred_element_type=jnp.float32)
-        if "bo" in w:
-            out = out + w["bo"]
+        out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (kh, vh)
 
     def _mha_prefill(self, w, x, info):
@@ -745,10 +769,7 @@ class CachedDecoder:
         qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
         ctx = _causal_ctx(qh, kh, vh, d, self._use_pallas)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, e)
-        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
-                         preferred_element_type=jnp.float32)
-        if "bo" in w:
-            out = out + w["bo"]
+        out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (kh, vh)
 
     @staticmethod

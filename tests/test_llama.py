@@ -696,3 +696,102 @@ def test_llama_fuse_qkv_matches_unfused():
         got = CachedDecoder(eng, fuse_qkv=True).generate(
             prompt, steps=8, block=4)
         np.testing.assert_array_equal(got, want)
+
+
+# ---- explicit ring TP (EngineConfig.tp_mode="ring", round-3) ---------------
+
+def test_llama_ring_tp_forward_and_decode_parity():
+    """tp_mode='ring' routes the attention output projections through
+    the explicit shard_map collective-matmul (parallel/tp.py): forward
+    logits match the GSPMD engine to ulp, KV-cache decode tokens match
+    the single-device run, and the compiled step's reduce is a
+    collective-permute RING — no all-reduce."""
+    import jax
+    import jax.numpy as jnp
+
+    from simpleinfer_tpu.config import MeshConfig
+    from simpleinfer_tpu.zoo import build_llama
+
+    graph, in_name, out_name = build_llama("micro", batch=1, seq_len=32,
+                                           vocab_size=64)
+    ref_eng = Engine(EngineConfig()).load_model(None, graph=graph)
+    want_tokens = CachedDecoder(ref_eng).generate(
+        np.asarray([[5, 1, 8], [2, 9, 3]]), steps=8, block=4)
+
+    ring_eng = Engine(EngineConfig(mesh=MeshConfig(model=4),
+                                   tp_mode="ring")).load_model(
+        None, graph=graph)
+    gspmd_eng = Engine(EngineConfig(mesh=MeshConfig(model=4))).load_model(
+        None, graph=graph)
+
+    ids = np.zeros((1, 32), np.float32)
+    ids[0, :4] = [3, 7, 11, 2]
+    a = ring_eng.run({in_name: ids})[out_name]
+    b = gspmd_eng.run({in_name: ids})[out_name]
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+    dec = CachedDecoder(ring_eng)
+    got = dec.generate(np.asarray([[5, 1, 8], [2, 9, 3]]), steps=8,
+                       block=4)
+    np.testing.assert_array_equal(got, want_tokens)
+
+    # the compiled decode step carries the explicit ring, not GSPMD's
+    # all-reduce (the wo reduce is the only model-axis collective here)
+    caches = dec.init_cache(2)
+    lowered = jax.jit(dec._step_fn).lower(
+        dec._weights, jnp.asarray(np.ones((2, 1)), jnp.float32),
+        jnp.asarray(np.zeros(2, np.int32)), caches)
+    hlo = lowered.compile().as_text()
+    assert "collective-permute" in hlo, "explicit ring missing"
+    # the only all-reduces left must be the RMSNorm variance scalars
+    # ([N,1] per row) — the wo projection's embed-sized reduce is the
+    # ring's job and must NOT appear as a GSPMD all-reduce
+    import re
+
+    for shape in re.findall(r"f32\[([\d,]+)\]\{[^}]*\} all-reduce",
+                            hlo):
+        dims = [int(v) for v in shape.split(",")]
+        assert int(np.prod(dims)) <= 2, \
+            f"embed-sized GSPMD all-reduce leaked into ring TP: {shape}"
+
+
+def test_gpt_ring_tp_forward_parity():
+    """The nn.MultiheadAttention lineage under ring TP: engine forward
+    equals the GSPMD TP engine."""
+    from simpleinfer_tpu.config import MeshConfig
+    from simpleinfer_tpu.zoo import build_gpt
+
+    graph, in_name, out_name = build_gpt(
+        variant="nano", batch=1, seq_len=16, vocab_size=50, depth=2,
+        width=32, num_heads=4)
+    ring_eng = Engine(EngineConfig(mesh=MeshConfig(model=4),
+                                   tp_mode="ring")).load_model(
+        None, graph=graph)
+    gspmd_eng = Engine(EngineConfig(mesh=MeshConfig(model=4))).load_model(
+        None, graph=graph)
+    ids = np.zeros((1, 16), np.float32)
+    ids[0, :5] = [3, 7, 11, 2, 9]
+    a = ring_eng.run({in_name: ids})[out_name]
+    b = gspmd_eng.run({in_name: ids})[out_name]
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_ring_tp_indivisible_heads_falls_back():
+    """Heads not divisible by the model axis: ring TP falls back to the
+    GSPMD path per-op instead of failing (shard_map needs even shards)."""
+    from simpleinfer_tpu.config import MeshConfig
+    from simpleinfer_tpu.zoo import build_llama
+
+    # nano: 4 heads; model=8 does not divide them
+    graph, in_name, out_name = build_llama("nano", batch=1, seq_len=16,
+                                           vocab_size=64)
+    eng = Engine(EngineConfig(mesh=MeshConfig(model=8),
+                              tp_mode="ring")).load_model(None,
+                                                          graph=graph)
+    ids = np.zeros((1, 16), np.float32)
+    ids[0, :3] = [5, 1, 8]
+    ref = Engine(EngineConfig()).load_model(None, graph=graph)
+    a = eng.run({in_name: ids})[out_name]
+    b = ref.run({in_name: ids})[out_name]
+    # sharded-vs-single-device reduce orders: ulp-level agreement
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
