@@ -132,7 +132,8 @@ class GenerationService:
                  scratch_blocks: bool = True,
                  sample_cap: int | None | str = "auto",
                  kv_prefix_ladder: tuple | list | str | None = "auto",
-                 prefill_ladder: tuple | list | str | None = "auto"):
+                 prefill_ladder: tuple | list | str | None = "auto",
+                 decode_attn: str = "xla"):
         import jax
 
         from ..zoo.generate import CachedDecoder
@@ -171,9 +172,18 @@ class GenerationService:
         # (sampling.py ignores it), so auto mode is safe at any vocab;
         # the capped/uncapped executables then lower to identical HLO
         # and the persistent compile cache dedupes them
+        # decode_attn="pallas": the flash-decoding kernel reads each
+        # row's OWN occupied cache prefix (kernels/decode_attn) — the
+        # pool-global kv_prefix rungs are superseded, so the auto
+        # ladder is dropped (an explicit ladder still raises in
+        # decode_block only if dispatched; it is simply never chosen
+        # because the kernel path ignores the prefix argument).
         self._dec = CachedDecoder(
             engine, kv_dtype=kv_dtype, scratch_blocks=scratch_blocks,
-            sample_cap=self._cap if self._cap_mode == "fixed" else None)
+            sample_cap=self._cap if self._cap_mode == "fixed" else None,
+            decode_attn=decode_attn)
+        if decode_attn == "pallas" and kv_prefix_ladder == "auto":
+            kv_prefix_ladder = None
         self._cap_warned = False
         # kv_prefix_ladder: ascending static attention-read bounds
         # (e.g. (128, 256)); each block dispatches the smallest rung

@@ -258,7 +258,8 @@ def cmd_serve(args) -> int:
                                  kv_prefix_ladder=_ladder(
                                      args.kv_prefix_ladder),
                                  prefill_ladder=_ladder(
-                                     args.prefill_ladder))
+                                     args.prefill_ladder),
+                                 decode_attn=args.decode_attn)
         if args.warmup:
             print("compiling admission + decode blocks ...", flush=True)
             gsvc.warmup()
@@ -458,6 +459,14 @@ def main(argv=None) -> int:
                         "the whole window (rungs compile at --warmup). "
                         "Default 'auto' (window/8, /4, /2); 'off' reads "
                         "the full window every block")
+    p.add_argument("--decode-attn", choices=["xla", "pallas"],
+                   default="xla",
+                   help="with --generate: frozen-cache attention read "
+                        "inside decode blocks — 'pallas' runs the "
+                        "flash-decoding kernel with PER-ROW lengths "
+                        "(each row reads only its occupied cache "
+                        "blocks; supersedes --kv-prefix-ladder) and "
+                        "in-register int8 dequant")
     p.add_argument("--prefill-ladder", default="auto",
                    help="with --generate: comma-separated admission "
                         "prefill bucket widths (e.g. 64,256); each "

@@ -141,7 +141,8 @@ class CachedDecoder:
 
     def __init__(self, engine, kv_dtype: str | None = None,
                  scratch_blocks: bool = False, fuse_qkv: bool = False,
-                 sample_cap: int | None = None):
+                 sample_cap: int | None = None,
+                 decode_attn: str = "xla"):
         """kv_dtype: KV-cache storage — None/"float32" (exact),
         "bfloat16" (half the cache bandwidth, ~1e-2 relative k/v
         error), or "int8" (quarter bandwidth; per-vector symmetric
@@ -177,13 +178,30 @@ class CachedDecoder:
         0 < top_k <= cap (or is greedy); nucleus-only rows are
         truncated to the top-cap candidates. Capped and uncapped
         streams draw different randoms, so the choice is per-decoder,
-        not per-step (zoo/sampling.sample_logits, docs/PERF.md)."""
+        not per-step (zoo/sampling.sample_logits, docs/PERF.md).
+
+        decode_attn: "xla" (default) or "pallas" — the frozen-cache
+        attention read inside scratch-mode decode blocks runs the
+        kernels/decode_attn flash-decoding kernel: PER-ROW lengths
+        (each row reads ceil(pos/block) cache blocks — an old row no
+        longer drags young rows to the full window, superseding the
+        pool-global kv_prefix rung) and in-register s8 dequant (the
+        int8 cache is never materialized as f32 in HBM). Requires
+        scratch_blocks=True and a single device. Logits match the XLA
+        path to f32 ulp (online-softmax merge order differs)."""
         import jax
         import jax.numpy as jnp
 
         if kv_dtype not in (None, "float32", "bfloat16", "int8"):
             raise ValueError(f"kv_dtype must be float32/bfloat16/int8, "
                              f"got {kv_dtype!r}")
+        if decode_attn not in ("xla", "pallas"):
+            raise ValueError(f"decode_attn must be 'xla' or 'pallas', "
+                             f"got {decode_attn!r}")
+        if decode_attn == "pallas" and not scratch_blocks:
+            raise ValueError("decode_attn='pallas' reads a FROZEN cache "
+                             "per block; it requires scratch_blocks=True")
+        self._pallas_decode = decode_attn == "pallas"
         self._kv_int8 = kv_dtype == "int8"
         self._kv_store = jnp.bfloat16 if kv_dtype == "bfloat16" \
             else jnp.float32
@@ -222,6 +240,14 @@ class CachedDecoder:
                 raise ValueError(
                     "CachedDecoder shards over the `model` axis only; "
                     "use a DP engine pool for data parallelism")
+            if self._pallas_decode:
+                raise ValueError("decode_attn='pallas' is single-device "
+                                 "(the kernel does not compose with the "
+                                 "TP mesh yet); use kv_prefix rungs "
+                                 "under TP")
+        # Mosaic kernels need a TPU backend; tests exercise the kernel
+        # through the interpreter (SURVEY §4.4's mock-backend role)
+        self._kernel_interpret = jax.default_backend() != "tpu"
         if len(program.input_names) != 1 or len(program.output_names) != 1:
             raise ValueError("CachedDecoder expects one input (token "
                              "ids) and one output (logits)")
@@ -621,25 +647,56 @@ class CachedDecoder:
                                                       frozen[3])
         else:
             k_leaf, v_leaf = frozen
-        k_leaf = self._kv_slice(k_leaf, kv_prefix)
-        v_leaf = self._kv_slice(v_leaf, kv_prefix)
         scale = 1.0 / (d ** 0.5)
-        s_old = self._attn_scores(qh, k_leaf, group, dt) * scale
-        idx = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 3)
-        s_old = jnp.where(idx < pos0[:, None, None, None], s_old,
-                          jnp.finfo(jnp.float32).min)
+        neg = jnp.finfo(jnp.float32).min
         s_new = jnp.einsum("nhqd,nhkd->nhqk", qh,
                            repeat_kv(k_scr.astype(dt), group),
                            preferred_element_type=jnp.float32) * scale
         sidx = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 3)
-        s_new = jnp.where(sidx <= step_i, s_new,
-                          jnp.finfo(jnp.float32).min)
-        s = jnp.concatenate([s_old, s_new], axis=-1)
-        p = jax.nn.softmax(s, axis=-1).astype(dt)
-        p_old, p_new = p[..., :s_old.shape[-1]], p[..., s_old.shape[-1]:]
-        ctx = self._attn_ctx(p_old, v_leaf, group, dt) + \
-            jnp.einsum("nhqk,nhkd->nhqd", p_new,
-                       repeat_kv(v_scr.astype(dt), group))
+        s_new = jnp.where(sidx <= step_i, s_new, neg)
+
+        if self._pallas_decode:
+            # flash-decoding kernel over the frozen cache: PER-ROW
+            # lengths (row reads ceil(pos0/block) cache blocks —
+            # kv_prefix rungs are superseded and ignored here) and
+            # in-register s8 dequant. Returns the unnormalized softmax
+            # partial (o, m, l); merge with the scratch piece by
+            # online-softmax combination — same key set as the concat
+            # softmax, different f32 summation order (the standing
+            # scratch-mode ulp caveat).
+            from ..kernels.decode_attn import decode_attention
+
+            q4 = qh[:, :, 0, :].reshape(n, kvh, group, d)
+            of, mf, lf = decode_attention(
+                q4, k_leaf, v_leaf, pos0, scale=scale,
+                interpret=self._kernel_interpret)
+            of = of.reshape(n, heads, 1, d)
+            mf = mf.reshape(n, heads, 1, 1)
+            lf = lf.reshape(n, heads, 1, 1)
+            m_new = jnp.max(s_new, axis=-1, keepdims=True)
+            m_tot = jnp.maximum(mf, m_new)
+            p_new = jnp.exp(s_new - m_tot)        # masked -> exact 0.0
+            ctx_new = jnp.einsum(
+                "nhqk,nhkd->nhqd", p_new,
+                repeat_kv(v_scr, group).astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            carry = jnp.exp(mf - m_tot)           # 0 when frozen empty
+            l_tot = lf * carry + jnp.sum(p_new, axis=-1, keepdims=True)
+            ctx = ((of * carry + ctx_new) / l_tot).astype(dt)
+        else:
+            k_leaf = self._kv_slice(k_leaf, kv_prefix)
+            v_leaf = self._kv_slice(v_leaf, kv_prefix)
+            s_old = self._attn_scores(qh, k_leaf, group, dt) * scale
+            idx = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 3)
+            s_old = jnp.where(idx < pos0[:, None, None, None], s_old,
+                              neg)
+            s = jnp.concatenate([s_old, s_new], axis=-1)
+            p = jax.nn.softmax(s, axis=-1).astype(dt)
+            p_old, p_new = (p[..., :s_old.shape[-1]],
+                            p[..., s_old.shape[-1]:])
+            ctx = self._attn_ctx(p_old, v_leaf, group, dt) + \
+                jnp.einsum("nhqk,nhkd->nhqd", p_new,
+                           repeat_kv(v_scr.astype(dt), group))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
         out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (k_scr, v_scr)

@@ -300,3 +300,75 @@ def test_stem_s2d_kernel_matches_lax_reference():
     assert got.shape == (b_, 320, 320, 32)
     tol = 0.02 * float(np.abs(want).max())
     assert np.abs(got - want).max() < tol
+
+
+# ---- per-row-length decode attention (kernels/decode_attn, round-3) --------
+from simpleinfer_tpu.kernels.decode_attn import (decode_attention,
+                                                 decode_attention_ref)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("lens", [
+    [0, 1, 17, 64],        # empty / single / straddling / full
+    [64, 64, 64, 64],      # uniform full window
+    [5, 5, 5, 5],          # uniform young pool
+])
+def test_decode_attention_vs_ref_dense(dtype, lens):
+    N, KV, G, D, L = 4, 2, 3, 16, 64
+    q = jnp.asarray(RNG.standard_normal((N, KV, G, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((N, KV, L, D)), dtype)
+    v = jnp.asarray(RNG.standard_normal((N, KV, L, D)), dtype)
+    lens = np.asarray(lens, np.int32)
+    o, m, l = (np.asarray(t) for t in decode_attention(
+        q, k, v, lens, scale=0.25, block_k=16, interpret=not ON_TPU))
+    ro, rm, rl = (np.asarray(t) for t in decode_attention_ref(
+        q, k, v, lens, scale=0.25))
+    # real MXU multiplies f32 in bf16 passes (same convention as
+    # the conv3x3 kernel test's on-chip tolerance)
+    tol = (1e-5 if dtype == jnp.float32 else 3e-2) if not ON_TPU \
+        else 5e-2
+    np.testing.assert_allclose(o, ro, rtol=tol, atol=tol)
+    np.testing.assert_allclose(m, rm, rtol=tol, atol=tol)
+    np.testing.assert_allclose(l, rl, rtol=tol, atol=tol)
+    # empty rows report the neutral partial (merged away by the caller)
+    if lens[0] == 0:
+        assert (o[0] == 0).all() and (l[0] == 0).all()
+
+
+def test_decode_attention_vs_ref_int8():
+    """int8 cache leaves: the kernel's in-register dequant (scores *
+    k_s, probs * v_s) must match dequantize-then-attend."""
+    from simpleinfer_tpu.zoo.generate import _kv_quantize
+
+    N, KV, G, D, L = 3, 2, 4, 32, 96
+    q = jnp.asarray(RNG.standard_normal((N, KV, G, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((N, KV, L, D)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((N, KV, L, D)), jnp.float32)
+    kq, ks = _kv_quantize(k)
+    vq, vs = _kv_quantize(v)
+    lens = np.asarray([0, 33, 96], np.int32)
+    o, m, l = (np.asarray(t) for t in decode_attention(
+        q, (kq, ks), (vq, vs), lens, scale=0.18, block_k=32,
+        interpret=not ON_TPU))
+    ro, rm, rl = (np.asarray(t) for t in decode_attention_ref(
+        q, (kq, ks), (vq, vs), lens, scale=0.18))
+    tol = 1e-4 if not ON_TPU else 5e-2
+    np.testing.assert_allclose(o, ro, rtol=tol, atol=tol)
+    np.testing.assert_allclose(l, rl, rtol=tol, atol=tol)
+
+
+def test_decode_attention_odd_window_single_block():
+    """A window the block size does not divide degrades to fewer/whole
+    blocks but stays correct."""
+    N, KV, G, D, L = 2, 1, 2, 8, 24
+    q = jnp.asarray(RNG.standard_normal((N, KV, G, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((N, KV, L, D)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((N, KV, L, D)), jnp.float32)
+    lens = np.asarray([7, 24], np.int32)
+    o, m, l = (np.asarray(t) for t in decode_attention(
+        q, k, v, lens, scale=0.3, block_k=16, interpret=not ON_TPU))
+    ro, rm, rl = (np.asarray(t) for t in decode_attention_ref(
+        q, k, v, lens, scale=0.3))
+    tol = 1e-5 if not ON_TPU else 5e-2
+    np.testing.assert_allclose(o, ro, rtol=tol, atol=tol)
+    np.testing.assert_allclose(l, rl, rtol=tol, atol=tol)

@@ -795,3 +795,78 @@ def test_ring_tp_indivisible_heads_falls_back():
     b = ref.run({in_name: ids})[out_name]
     # sharded-vs-single-device reduce orders: ulp-level agreement
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+# ---- Pallas per-row decode attention (decode_attn="pallas", round-3) -------
+
+@pytest.mark.parametrize("kv_dtype", [None, "bfloat16", "int8"])
+def test_llama_pallas_decode_attn_matches_xla(kv_dtype):
+    """decode_attn='pallas' (per-row frozen-cache reads + in-register
+    dequant) must produce the XLA scratch path's greedy tokens on this
+    model for every cache dtype."""
+    eng = _llama_engine()
+    prompt = np.array([[5, 1, 8], [2, 9, 3]])
+    ref = CachedDecoder(eng, kv_dtype=kv_dtype, scratch_blocks=True)
+    want = ref.generate(prompt, steps=8, block=4)
+    fast = CachedDecoder(eng, kv_dtype=kv_dtype, scratch_blocks=True,
+                         decode_attn="pallas")
+    got = fast.generate(prompt, steps=8, block=4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gpt_pallas_decode_attn_matches_xla():
+    """The nn.MultiheadAttention lineage through the kernel path."""
+    from simpleinfer_tpu.zoo import build_gpt
+
+    graph, _, _ = build_gpt(variant="nano", batch=1, seq_len=24,
+                            vocab_size=40, depth=2, width=32,
+                            num_heads=4)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = np.array([[4, 8, 2]])
+    want = CachedDecoder(eng, scratch_blocks=True).generate(
+        prompt, steps=8, block=4)
+    got = CachedDecoder(eng, scratch_blocks=True,
+                        decode_attn="pallas").generate(
+        prompt, steps=8, block=4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_decode_attn_validates():
+    eng = _llama_engine()
+    with pytest.raises(ValueError, match="scratch_blocks"):
+        CachedDecoder(eng, decode_attn="pallas")
+    with pytest.raises(ValueError, match="'xla' or 'pallas'"):
+        CachedDecoder(eng, decode_attn="flash")
+    from simpleinfer_tpu.config import MeshConfig
+
+    graph, _, _ = build_llama("micro", batch=1, seq_len=16,
+                              vocab_size=64)
+    tp_eng = Engine(EngineConfig(mesh=MeshConfig(model=4))).load_model(
+        None, graph=graph)
+    with pytest.raises(ValueError, match="single-device"):
+        CachedDecoder(tp_eng, scratch_blocks=True, decode_attn="pallas")
+
+
+def test_generation_service_pallas_decode_attn():
+    """Service on the kernel path: mixed-depth pool (continuous
+    batching, mid-flight admissions) completes with the XLA-path
+    tokens; the auto kv_prefix ladder is dropped (per-row reads
+    supersede pool-global rungs)."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine()
+    prompts = [[4, 8, 2], [7, 1], [3, 3, 9], [9, 4]]
+
+    def run(attn):
+        svc = GenerationService(eng, slots=2, decode_horizon=4,
+                                decode_attn=attn).start()
+        outs = [svc.submit(p, max_new=6).result(timeout=120)
+                for p in prompts]
+        svc.stop()
+        return outs, svc
+
+    got, svc_p = run("pallas")
+    want, _ = run("xla")
+    assert svc_p._prefix_ladder == []
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
