@@ -33,18 +33,24 @@ VARIANT = os.environ.get("SI_LLM_VARIANT", "small")
 QUANT = os.environ.get("SI_LLM_QUANT") or None  # int8w: ~2x decode at
                                                 # weight-bound scales
 KV = os.environ.get("SI_LLM_KV") or None        # KV storage dtype
-SCRATCH = bool(int(os.environ.get("SI_LLM_SCRATCH", "0")))
+SCRATCH = bool(int(os.environ.get("SI_LLM_SCRATCH", "1")))
 WINDOW = int(os.environ.get("SI_LLM_WINDOW", "256"))
 SLOTS = int(os.environ.get("SI_LLM_SLOTS", "8"))
+DECODE_ATTN = os.environ.get("SI_LLM_DECODE_ATTN", "xla")
 PROMPT = 64
 
 graph, in_name, out_name = build_llama(VARIANT, batch=1, seq_len=WINDOW,
                                        vocab_size=32000)
 cfg = EngineConfig(compute_dtype="bfloat16", quant=QUANT)
 eng = Engine(cfg).load_model(None, graph=graph)
-dec = CachedDecoder(eng)
-print(f"model {VARIANT} window {WINDOW} slots {SLOTS} quant {QUANT}",
-      file=sys.stderr)
+# the SUBSTRATE decoder carries the same knobs the service variants
+# run with, so the service/substrate ratio compares like with like
+dec = CachedDecoder(eng, kv_dtype=KV, scratch_blocks=SCRATCH,
+                    sample_cap=64,
+                    decode_attn=os.environ.get("SI_LLM_DECODE_ATTN",
+                                               "xla"))
+print(f"model {VARIANT} window {WINDOW} slots {SLOTS} quant {QUANT} "
+      f"kv {KV} scratch {SCRATCH}", file=sys.stderr)
 
 rng = np.random.default_rng(0)
 prompt = rng.integers(1, 32000, size=(1, PROMPT))
@@ -123,32 +129,47 @@ print(f"stepwise prefill P={PROMPT}: {stepwise_ms:.1f} ms "
 # ---- service end-to-end: horizon 1 vs K -----------------------------------
 from simpleinfer_tpu.serving.llm import GenerationService
 
-MAXNEW = 48
+MAXNEW = int(os.environ.get("SI_LLM_MAXNEW", "48"))
 results = {}
 H = int(os.environ.get("SI_LLM_HORIZON", "16"))
-# sampler cap (0 = full-vocab sort) and kv-prefix rung ladder
-# ("128,256"; empty = full-window reads) — docs/PERF.md 08-20
-CAP = int(os.environ.get("SI_LLM_SAMPLE_CAP", "0"))
-LADDER = tuple(int(v) for v in
-               os.environ.get("SI_LLM_PREFIX", "").split(",")
-               if v) or None
-for label, horizon, adaptive, pipelined in (
-        ("h1", 1, False, False),
-        ("h%d" % H, H, False, False),
-        ("h%d-pipelined" % H, H, False, True),
-        ("h%d-adaptive" % H, H, True, False)):
+
+
+def _knob(name, default="auto"):
+    # "" -> the service default ("auto"); "off" -> None; "a,b" -> tuple;
+    # int -> int
+    v = os.environ.get(name, "")
+    if not v:
+        return default
+    if v.lower() in ("off", "none", "0"):
+        return None
+    if "," in v:
+        return tuple(int(x) for x in v.split(","))
+    return int(v)
+
+
+CAP = _knob("SI_LLM_SAMPLE_CAP")      # sampler cap; default auto
+LADDER = _knob("SI_LLM_PREFIX")       # kv-prefix rungs; default auto
+VARIANTS = os.environ.get(
+    "SI_LLM_SERVICE_VARIANTS",
+    "h1,h%d,h%d-pipelined,h%d-adaptive" % (H, H, H)).split(",")
+for label in VARIANTS:
+    horizon = 1 if label.startswith("h1") and label[2:3] != "6" else H
+    adaptive = "adaptive" in label
+    pipelined = "pipelined" in label
     svc = GenerationService(eng, slots=SLOTS, decode_horizon=horizon,
                             adaptive_horizon=adaptive,
                             pipelined=pipelined, kv_dtype=KV,
                             scratch_blocks=SCRATCH,
-                            sample_cap=CAP or None,
-                            kv_prefix_ladder=LADDER)
+                            sample_cap=CAP,
+                            kv_prefix_ladder=LADDER,
+                            decode_attn=DECODE_ATTN)
     # compile the admission executable and the full adaptive block
     # ladder OUT of the timed window (each CachedDecoder compiles its
     # own; the ladder's in-band cold compiles once cost 40 s here)
     svc.warmup().start()
     svc.submit(rng.integers(1, 32000, size=PROMPT).tolist(),
-               max_new=MAXNEW, temperature=0.8).result(timeout=600)
+               max_new=MAXNEW, temperature=0.8,
+               top_k=40).result(timeout=600)
     svc.stats = type(svc.stats)()
     t0 = time.perf_counter()
     futs = [svc.submit(rng.integers(1, 32000, size=PROMPT).tolist(),
@@ -159,11 +180,18 @@ for label, horizon, adaptive, pipelined in (
     svc.stop()
     tokens = sum(len(o) - PROMPT for o in outs)
     results[label] = tokens / wall
+    capped = (svc.stats.capped_steps / max(1, svc.stats.steps))
     print(f"service {label}: {len(futs)} reqs x {MAXNEW} new "
           f"tok in {wall:.1f} s = {tokens / wall:.0f} tok/s, occupancy "
           f"{svc.stats.mean_occupancy:.2f}, prefills "
-          f"{svc.stats.prefills}, mean latency "
-          f"{svc.stats.mean_latency_ms:.0f} ms", file=sys.stderr)
+          f"{svc.stats.prefills}, capped {capped:.0%}, mean latency "
+          f"{svc.stats.mean_latency_ms:.0f} ms", file=sys.stderr,
+          flush=True)
 best = max(results.values())
+ratio = best / blk_tps if blk_tps else float("nan")
+print(f"service/substrate: best {best:.0f} vs block-decode "
+      f"{blk_tps:.0f} tok/s = {ratio:.2f}", file=sys.stderr)
 print(f'{{"metric": "llm_decode_toks_per_s", '
-      f'"value": {best:.1f}, "unit": "tok/s"}}')
+      f'"value": {best:.1f}, "unit": "tok/s", '
+      f'"substrate_blk_tps": {blk_tps:.0f}, '
+      f'"service_over_substrate": {ratio:.3f}}}')
