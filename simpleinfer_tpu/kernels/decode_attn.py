@@ -52,9 +52,13 @@ _NEG = -1e30
 def _decode_kernel(lens_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                    o_ref, m_ref, l_ref, acc_ref, m_scr, l_scr, *,
                    scale: float, block_k: int, n_blocks: int,
-                   quant: bool):
+                   n_kv: int, quant: bool):
+    # grid = (rows, key blocks); ALL kv heads of a row are processed in
+    # one grid cell (a static python loop over kv below) — 8x fewer
+    # grid steps and 8x bigger DMAs than a (row, kv, block) grid, which
+    # measured 0.8x of plain XLA from per-step overhead alone
     n = pl.program_id(0)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -66,43 +70,47 @@ def _decode_kernel(lens_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 
     @pl.when(j * block_k < ln)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)            # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)            # [BK, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [G, BK]
-        if quant:
-            # (q . k_q) * k_s == q . (k_q * k_s): the scale is constant
-            # over the contracted head_dim, so dequant rides the
-            # L-sized scores - never a materialized f32 cache
-            s = s * jnp.transpose(ks_ref[0, 0])        # [1, BK] bcast
-        # mask keys at/after this row's frozen length (the block that
-        # STRADDLES the length boundary computes both sides; clamped
-        # trailing grid steps never enter here)
-        k_idx = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
-        s = jnp.where(k_idx < ln, s, _NEG)
+        for kv in range(n_kv):
+            q = q_ref[0, kv].astype(jnp.float32)         # [G, D]
+            k = k_ref[0, kv].astype(jnp.float32)         # [BK, D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [G, BK]
+            if quant:
+                # (q . k_q) * k_s == q . (k_q * k_s): the scale is
+                # constant over the contracted head_dim, so dequant
+                # rides the L-sized scores - never a materialized f32
+                # cache
+                s = s * jnp.transpose(ks_ref[0, kv])     # [1, BK] bcast
+            # mask keys at/after this row's frozen length (the block
+            # that STRADDLES the boundary computes both sides; clamped
+            # trailing grid steps never enter here)
+            k_idx = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1)
+            s = jnp.where(k_idx < ln, s, _NEG)
 
-        m_prev = m_scr[:, :1]                          # [G, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)                # 0 when m_prev=_NEG
-        p = jnp.exp(s - m_new)                         # masked -> 0.0
-        l_scr[:] = jnp.broadcast_to(
-            alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True),
-            l_scr.shape)
-        v = v_ref[0, 0].astype(jnp.float32)            # [BK, D]
-        if quant:
-            p = p * jnp.transpose(vs_ref[0, 0])        # fold v scales
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [G, D]
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+            m_prev = m_scr[kv, :, :1]                    # [G, 1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)          # 0 when m_prev=_NEG
+            p = jnp.exp(s - m_new)                       # masked -> 0.0
+            l_scr[kv] = jnp.broadcast_to(
+                alpha * l_scr[kv, :, :1]
+                + jnp.sum(p, axis=1, keepdims=True),
+                l_scr.shape[1:])
+            v = v_ref[0, kv].astype(jnp.float32)         # [BK, D]
+            if quant:
+                p = p * jnp.transpose(vs_ref[0, kv])     # fold v scales
+            acc_ref[kv] = acc_ref[kv] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [G, D]
+            m_scr[kv] = jnp.broadcast_to(m_new, m_scr.shape[1:])
 
     @pl.when(j == n_blocks - 1)
     def _():
-        o_ref[0, 0] = acc_ref[:]
-        m_ref[0, 0] = m_scr[:, :1]
-        l_ref[0, 0] = l_scr[:, :1]
+        o_ref[0] = acc_ref[:]
+        m_ref[0] = m_scr[:, :, :1]
+        l_ref[0] = l_scr[:, :, :1]
 
 
 @functools.partial(
@@ -123,43 +131,40 @@ def _decode_impl(q, k, ks, v, vs, lengths, *, scale, block_k, quant,
         bk = length
     nb = pl.cdiv(length, bk)
 
-    def q_index(n_i, h_i, j_i, lens):
-        return (n_i, h_i, 0, 0)
+    def q_index(n_i, j_i, lens):
+        return (n_i, 0, 0, 0)
 
-    def kv_index(n_i, h_i, j_i, lens):
+    def kv_index(n_i, j_i, lens):
         # clamp trailing blocks to the row's LAST occupied block: a
         # repeated block index makes the Pallas pipeline skip the
         # HBM->VMEM copy, so per-row traffic = ceil(len/bk) blocks
         last = jnp.maximum(
             (lens[n_i] + (bk - 1)) // bk - 1, 0)
-        return (n_i, h_i, jnp.minimum(j_i, last), 0)
-
-    def out_index(n_i, h_i, j_i, lens):
-        return (n_i, h_i, 0, 0)
+        return (n_i, 0, jnp.minimum(j_i, last), 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, g, d), q_index),
-        pl.BlockSpec((1, 1, bk, d), kv_index),
-        pl.BlockSpec((1, 1, bk, 1), kv_index),
-        pl.BlockSpec((1, 1, bk, d), kv_index),
-        pl.BlockSpec((1, 1, bk, 1), kv_index),
+        pl.BlockSpec((1, kv, g, d), q_index),
+        pl.BlockSpec((1, kv, bk, d), kv_index),
+        pl.BlockSpec((1, kv, bk, 1), kv_index),
+        pl.BlockSpec((1, kv, bk, d), kv_index),
+        pl.BlockSpec((1, kv, bk, 1), kv_index),
     ]
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_k=bk, n_blocks=nb,
-        quant=quant)
+        n_kv=kv, quant=quant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n, kv, nb),
+        grid=(n, nb),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, g, d), out_index),
-            pl.BlockSpec((1, 1, g, 1), out_index),
-            pl.BlockSpec((1, 1, g, 1), out_index),
+            pl.BlockSpec((1, kv, g, d), q_index),
+            pl.BlockSpec((1, kv, g, 1), q_index),
+            pl.BlockSpec((1, kv, g, 1), q_index),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g, d), jnp.float32),     # acc
-            pltpu.VMEM((g, 128), jnp.float32),   # running max
-            pltpu.VMEM((g, 128), jnp.float32),   # running sum
+            pltpu.VMEM((kv, g, d), jnp.float32),     # acc
+            pltpu.VMEM((kv, g, 128), jnp.float32),   # running max
+            pltpu.VMEM((kv, g, 128), jnp.float32),   # running sum
         ])
     itemsize = k.dtype.itemsize
     o, m, l = pl.pallas_call(
@@ -171,7 +176,7 @@ def _decode_impl(q, k, ks, v, vs, lengths, *, scale, block_k, quant,
             jax.ShapeDtypeStruct((n, kv, g, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * kv * g * length * d,
             bytes_accessed=n * kv * length * d * 2 * itemsize

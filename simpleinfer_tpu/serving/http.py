@@ -215,7 +215,8 @@ class InferenceServer:
         if self.service is None:
             g = self.gen_service.stats
             return {"requests": g.requests, "completed": g.completed,
-                    "steps": g.steps, "tokens_out": g.tokens_out,
+                    "steps": g.steps, "capped_steps": g.capped_steps,
+                    "tokens_out": g.tokens_out,
                     "mean_occupancy": g.mean_occupancy,
                     "mean_latency_ms": g.mean_latency_ms}
         s = self.service.stats
@@ -248,6 +249,8 @@ class InferenceServer:
                 f"si_gen_tokens_total {g.tokens_out}",
                 "# TYPE si_gen_steps_total counter",
                 f"si_gen_steps_total {g.steps}",
+                "# TYPE si_gen_capped_steps_total counter",
+                f"si_gen_capped_steps_total {g.capped_steps}",
                 "# TYPE si_gen_slot_occupancy gauge",
                 f"si_gen_slot_occupancy {g.mean_occupancy:.6f}",
             ]) + "\n"
