@@ -298,6 +298,8 @@ class CachedDecoder:
                 tok.astype(carry.dtype), mode="drop"))
         # (k_steps, kv_prefix, sample_cap) -> jitted block fn
         self._block_fns: dict[tuple, object] = {}
+        # chunk width K -> jitted chunk-verify fn (speculative decode)
+        self._chunk_fns: dict[int, object] = {}
         # sample_cap -> jitted fused-admission fn (the serving loop can
         # flip the cap per admission wave, auto fast-path selection)
         self._prefill_install_fns: dict = {}
@@ -1066,22 +1068,28 @@ class CachedDecoder:
             lambda a, b: a.at[rows].set(b.astype(a.dtype), mode="drop"),
             pool, new)
 
-    def _slice_seq(self, args, pos):
-        """Align operands on the sequence axis: a graph constant spanning
-        the full window (position embeddings) is gathered down to each
-        row's position when the running activation has seq len 1."""
+    def _slice_seq(self, args, pos, width: int = 1):
+        """Align operands on the sequence axis: a graph constant
+        spanning the full window (position embeddings) is gathered down
+        to each row's positions pos..pos+width-1 when the running
+        activation has seq len `width` (1 for single-token decode,
+        K for chunk verification)."""
         import jax.numpy as jnp
 
         lens = [a.shape[1] if (a is not None and a.ndim == 3) else None
                 for a in args]
-        if 1 in lens and self._window in lens:
+        if width in lens and self._window in lens \
+                and width != self._window:
             args = list(args)
             n = pos.shape[0]
+            idx = jnp.minimum(
+                pos[:, None] + jnp.arange(width, dtype=pos.dtype),
+                self._window - 1)                          # [N, W]
             for i, a in enumerate(args):
                 if lens[i] == self._window:
                     full = jnp.broadcast_to(a, (n,) + a.shape[1:])
                     args[i] = jnp.take_along_axis(
-                        full, pos[:, None, None], axis=1)
+                        full, idx[:, :, None], axis=1)
         return args
 
     def _step_fn(self, weights, token, pos, caches, kv_prefix=None):
@@ -1111,6 +1119,149 @@ class CachedDecoder:
                 for o, v in zip(outs, r):
                     env[o] = v
         return env[self._out_name], new_caches
+
+    def _attn_chunk(self, w, x, cache, pos, info):
+        """K-token chunk decode for one attention op: project/rotate the
+        chunk, append its K k/v entries at positions pos..pos+K-1, and
+        attend each chunk query q_i over cache positions <= pos+i (the
+        banded-causal continuation of the cache). The multi-token analog
+        of _mha_decode/_rope_decode — the substrate of speculative
+        verification (zoo/speculative.py) and chunked long-prompt
+        prefill: one dispatch scores K positions against the cache."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.attention import apply_rope, rope_cos_sin
+        from ..quant.tensor import resolve_weight
+
+        heads = info["num_heads"]
+        kvh = info.get("num_kv_heads", heads)
+        d = info.get("head_dim", info["embed_dim"] // heads)
+        group = heads // kvh
+        dt = x.dtype
+        n, k = x.shape[0], x.shape[1]
+
+        def proj(key, h):
+            y = jnp.einsum("nli,io->nlo", x,
+                           resolve_weight(w[f"w{key}"], dt),
+                           preferred_element_type=jnp.float32)
+            if f"b{key}" in w:
+                y = y + w[f"b{key}"]
+            return jnp.transpose(y.astype(dt).reshape(n, k, h, d),
+                                 (0, 2, 1, 3))          # [N, H, K, D]
+
+        qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        positions = jnp.minimum(
+            pos[:, None] + jnp.arange(k, dtype=jnp.int32),
+            self._window - 1)                            # [N, K]
+        if info.get("rotary"):
+            cos, sin = rope_cos_sin(positions, d,
+                                    info["rope_theta"])  # [N, K, D]
+            qh = apply_rope(qh, cos[:, None], sin[:, None])
+            kh = apply_rope(kh, cos[:, None], sin[:, None])
+
+        # append the chunk: window position p takes chunk slot p - pos
+        # (the _scratch_merge gather, applied immediately)
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (n, 1, self._window, 1), 2)
+        off = idx - pos[:, None, None, None]
+        win = (off >= 0) & (off < k)
+        offc = jnp.clip(off, 0, k - 1)
+
+        def merge(chunk, cache_leaf, quantized):
+            # chunk [N, KV, K, D] -> window layout [N, KV, L, D]
+            g = jnp.take_along_axis(chunk, offc, axis=2)
+            if quantized:
+                cq, cs, = cache_leaf
+                gq, gs = _kv_quantize(g)
+                return (jnp.where(win, gq, cq), jnp.where(win, gs, cs))
+            return jnp.where(win, g.astype(cache_leaf.dtype), cache_leaf)
+
+        if self._kv_int8:
+            k_q, k_s, v_q, v_s = cache
+            k_leaf = merge(kh, (k_q, k_s), True)
+            v_leaf = merge(vh, (v_q, v_s), True)
+            new_cache = (*k_leaf, *v_leaf)
+        else:
+            k_cache, v_cache = cache
+            k_leaf = merge(kh, k_cache, False)
+            v_leaf = merge(vh, v_cache, False)
+            new_cache = (k_leaf, v_leaf)
+
+        s = self._attn_scores(qh, k_leaf, group, dt)     # [N, H, K, L]
+        s = s * (1.0 / (d ** 0.5))
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(l_idx <= positions[:, None, :, None], s,
+                      jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        ctx = self._attn_ctx(p, v_leaf, group, dt)       # [N, H, K, D]
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, k, heads * d)
+        out = self._proj_out(w, ctx, dt, heads)
+        return out.astype(dt), new_cache
+
+    def _chunk_fn(self, weights, tokens, pos, caches):
+        """Plan walk at chunk width K: tokens [N, K] fed at positions
+        pos..pos+K-1, every attention op appends K cache entries.
+        Returns (logits [N, K, V], new caches)."""
+        new_caches = dict(caches)
+        env = {self._in_name: tokens}
+        width = tokens.shape[1]
+        for impl, ins, outs in self._plan:
+            w = weights.get(impl.name, {})
+            if impl.type in ("nn.MultiheadAttention",
+                             "si.RotaryAttention"):
+                out, new_caches[impl.name] = self._attn_chunk(
+                    w, env[ins[0]], caches[impl.name], pos,
+                    dict(impl.decode_info))
+                env[outs[0]] = out
+                for o in outs[1:]:
+                    env[o] = None
+                continue
+            args = [env[n] for n in ins]
+            if len(args) > 1:
+                args = self._slice_seq(args, pos, width)
+            r = impl.apply(w, *args)
+            if impl.n_outputs == 1:
+                env[outs[0]] = r
+            else:
+                for o, v in zip(outs, r):
+                    env[o] = v
+        return env[self._out_name], new_caches
+
+    def decode_chunk_verify(self, tokens, pos, caches):
+        """Feed K tokens per row THROUGH the cache in ONE dispatch and
+        return each position's GREEDY next token: (greedy [N, K] int32,
+        new caches with the K entries appended at pos..pos+K-1).
+
+        The speculative-verification substrate (zoo/speculative.py):
+        tokens[:, 0] is each row's last accepted token, tokens[:, 1:]
+        a draft's proposals; greedy[:, i] is the target model's
+        prediction after consuming tokens[:, :i+1], so the caller
+        accepts the longest matching prefix and takes greedy at the
+        first mismatch as the corrected token. Appended entries past
+        the accepted position are STALE but harmless — the position
+        mask never reads past each row's pos, and later appends
+        overwrite them (rejection rollback is free with static
+        shapes). Also serves as chunked prefill continuation for
+        prompts longer than one admission bucket. One executable per
+        chunk width K."""
+        import jax
+        import jax.numpy as jnp
+
+        k = int(np.asarray(tokens).shape[1]) if not hasattr(
+            tokens, "shape") else int(tokens.shape[1])
+        fn = self._chunk_fns.get(k)
+        if fn is None:
+            def verify_fn(weights, toks, p, caches):
+                logits, new_caches = self._chunk_fn(weights, toks, p,
+                                                    caches)
+                return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                        new_caches)
+
+            fn = self._chunk_fns[k] = jax.jit(verify_fn,
+                                              donate_argnums=(3,))
+        return fn(self._weights, jnp.asarray(tokens, jnp.float32),
+                  jnp.asarray(pos, jnp.int32), caches)
 
     # ---- user API -------------------------------------------------------
     def step(self, tokens, pos, caches):
