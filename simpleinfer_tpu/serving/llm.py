@@ -451,6 +451,14 @@ class GenerationService:
             # smallest ladder rung covering every LIVE row's appends
             # (positions fed_pos .. fed_pos+k-1 must be readable:
             # P >= pos + k); discarded rows may exceed the rung.
+            # Rungs apply only at the FULL horizon: warmup compiles
+            # (k, rung) pairs for the dominant block size alone, and an
+            # adaptive deadline-capped tail block dispatching an
+            # unwarmed (k, rung) pair would pay a 10-20 s in-band
+            # compile (measured 2026-08-20: the adaptive w512 service
+            # ran at 18 tok/s doing exactly that).
+            if k != self._horizon:
+                return None
             # Host-side liveness is deliberately conservative under
             # pipelined chaining: a row that finished INSIDE the
             # in-flight block still counts as live here, keeping the
