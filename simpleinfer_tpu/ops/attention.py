@@ -417,6 +417,13 @@ def lower_rotary_attention(op, cfg):
               if op.has_param("num_kv_heads", PARAM_INT) else num_heads)
     theta = (op.params["rope_theta"].f
              if op.has_param("rope_theta", PARAM_FLOAT) else 10000.0)
+    # mistral-family sliding-window attention: each position attends
+    # only the last `sliding_window` positions (banded causal mask)
+    sw = (op.params["sliding_window"].i
+          if op.has_param("sliding_window", PARAM_INT) else None)
+    if sw is not None and sw < 1:
+        raise ValueError(f"RotaryAttention {op.name}: sliding_window "
+                         f"must be >= 1, got {sw}")
     if embed_dim % num_heads:
         raise ValueError(f"RotaryAttention {op.name}: embed_dim "
                          f"{embed_dim} not divisible by {num_heads} heads")
@@ -478,7 +485,10 @@ def lower_rotary_attention(op, cfg):
         s = s * (1.0 / math.sqrt(d))
         qi = lax.broadcasted_iota(jnp.int32, s.shape, 2)
         ki = lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        s = jnp.where(ki <= qi, s, jnp.finfo(jnp.float32).min)
+        keep = ki <= qi
+        if sw is not None:
+            keep &= ki > qi - sw      # banded: last sw positions only
+        s = jnp.where(keep, s, jnp.finfo(jnp.float32).min)
         p = _softmax_f32(s).astype(dt)
         ctx = jnp.einsum("nhqk,nhkd->nhqd", p, repeat_kv(vh, group))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l,
@@ -503,5 +513,5 @@ def lower_rotary_attention(op, cfg):
         decode_info={"embed_dim": embed_dim, "num_heads": num_heads,
                      "num_kv_heads": num_kv, "head_dim": d,
                      "rope_theta": theta, "rotary": True,
-                     "batch_first": True},
+                     "batch_first": True, "sliding_window": sw},
     )

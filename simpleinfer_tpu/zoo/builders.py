@@ -370,10 +370,12 @@ class GraphBuilder:
     def rotary_attention(self, x: str, num_heads: int,
                          num_kv_heads: int | None = None,
                          rope_theta: float = 10000.0,
-                         bias: bool = False) -> str:
+                         bias: bool = False,
+                         sliding_window: int | None = None) -> str:
         """Llama-style causal self-attention (si.RotaryAttention
         composite, ops/attention.py): RoPE + GQA, intrinsic causal
-        mask, llama checkpoint weight layout."""
+        mask, llama checkpoint weight layout. sliding_window=W bands
+        the mask to the last W positions (mistral-family)."""
         e = self.shape[x][-1]
         kv = num_kv_heads or num_heads
         d = e // num_heads
@@ -391,9 +393,12 @@ class GraphBuilder:
                 attrs[f"{k}_proj.bias"] = (
                     self.rng.standard_normal(heads * d)
                     .astype(np.float32) * 0.02)
-        (out,) = self._op("si.RotaryAttention", name, [x], params=dict(
-            embed_dim=e, num_heads=num_heads, num_kv_heads=kv,
-            rope_theta=rope_theta, bias=bias), attrs=attrs)
+        params = dict(embed_dim=e, num_heads=num_heads, num_kv_heads=kv,
+                      rope_theta=rope_theta, bias=bias)
+        if sliding_window is not None:
+            params["sliding_window"] = int(sliding_window)
+        (out,) = self._op("si.RotaryAttention", name, [x], params=params,
+                          attrs=attrs)
         self.shape[out] = list(self.shape[x])
         return out
 
@@ -1144,7 +1149,8 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
                 vocab_size: int = 128, depth: int | None = None,
                 width: int | None = None, num_heads: int | None = None,
                 num_kv_heads: int | None = None,
-                rope_theta: float = 10000.0, seed: int = 0) -> tuple:
+                rope_theta: float = 10000.0, seed: int = 0,
+                sliding_window: int | None = None) -> tuple:
     """Llama-family causal decoder LM (superset family — the reference
     has no autoregressive workload, and the GPT builder covers the
     learned-position/LayerNorm/packed-MHA lineage).
@@ -1174,7 +1180,8 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
     for _ in range(depth):
         y = b.rms_norm(x)
         y = b.rotary_attention(y, heads, num_kv_heads=kv,
-                               rope_theta=rope_theta)
+                               rope_theta=rope_theta,
+                               sliding_window=sliding_window)
         x = b.add(x, y)
         y = b.rms_norm(x)
         gate = b.silu_act(b.linear(y, inter, bias=False))

@@ -35,20 +35,22 @@ def _kv_quantize(x):
     return q, s
 
 
-def _causal_ctx(qh, kh, vh, d, use_pallas: bool):
+def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None):
     """Aligned-causal attention context [N, H, L, D] for prefill.
 
     XLA's fused sdpa by default; the Pallas flash kernel when the
     engine opted in (use_pallas) AND the sequence clears the measured
     profitability gate (kernels/attention.flash_profitable — flash
     LOSES 2x at short L, docs/PERF.md). Both paths: f32 logits/softmax,
-    context in the input dtype.
+    context in the input dtype. sliding_window bands the mask to the
+    last W positions (mistral-family; the flash kernel has no band
+    support, so sliding ops stay on the XLA path).
     """
     import jax
     import jax.numpy as jnp
 
     l = qh.shape[2]
-    if use_pallas:
+    if use_pallas and sliding_window is None:
         from ..kernels.attention import flash_attention, flash_profitable
         from ..kernels.matmul import pallas_supported
 
@@ -60,7 +62,10 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool):
     s = s * (1.0 / (d ** 0.5))
     qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-    s = jnp.where(ki <= qi, s, jnp.finfo(jnp.float32).min)
+    keep = ki <= qi
+    if sliding_window is not None:
+        keep &= ki > qi - sliding_window
+    s = jnp.where(keep, s, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1).astype(qh.dtype)
     return jnp.einsum("nhqk,nhkd->nhqd", p, vh)
 
@@ -283,6 +288,12 @@ class CachedDecoder:
                     f"KV-cache decode: unsupported op type {impl.type!r} "
                     f"({impl.name}); supported: "
                     f"{sorted(self._POINTWISE)} + nn.MultiheadAttention")
+        if self._pallas_decode and any(
+                (info or {}).get("sliding_window")
+                for _, info in self._mha_ops):
+            raise ValueError("decode_attn='pallas' does not support "
+                             "sliding-window attention yet (the kernel "
+                             "mask has no band); use the XLA path")
         if fuse_qkv:
             self._weights = self._fuse_attention_weights(self._weights)
         self._step = jax.jit(self._step_fn, donate_argnums=(3,))
@@ -599,8 +610,11 @@ class CachedDecoder:
         s = self._attn_scores(qh, k_leaf, group, dt)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        s = jnp.where(idx <= pos[:, None, None, None], s,
-                      jnp.finfo(jnp.float32).min)
+        keep = idx <= pos[:, None, None, None]
+        sw = info.get("sliding_window")
+        if sw is not None:          # mistral band: last sw positions
+            keep &= idx > (pos - sw)[:, None, None, None]
+        s = jnp.where(keep, s, jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         ctx = self._attn_ctx(p, v_leaf, group, dt)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
@@ -651,11 +665,16 @@ class CachedDecoder:
             k_leaf, v_leaf = frozen
         scale = 1.0 / (d ** 0.5)
         neg = jnp.finfo(jnp.float32).min
+        sw = info.get("sliding_window")
         s_new = jnp.einsum("nhqd,nhkd->nhqk", qh,
                            repeat_kv(k_scr.astype(dt), group),
                            preferred_element_type=jnp.float32) * scale
         sidx = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 3)
-        s_new = jnp.where(sidx <= step_i, s_new, neg)
+        keep_new = sidx <= step_i
+        if sw is not None:
+            # scratch key j sits at pos0 + j, the query at pos0 + step_i
+            keep_new &= sidx > step_i - sw
+        s_new = jnp.where(keep_new, s_new, neg)
 
         if self._pallas_decode:
             # flash-decoding kernel over the frozen cache: PER-ROW
@@ -690,8 +709,10 @@ class CachedDecoder:
             v_leaf = self._kv_slice(v_leaf, kv_prefix)
             s_old = self._attn_scores(qh, k_leaf, group, dt) * scale
             idx = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 3)
-            s_old = jnp.where(idx < pos0[:, None, None, None], s_old,
-                              neg)
+            keep_old = idx < pos0[:, None, None, None]
+            if sw is not None:     # band vs the query at pos0 + step_i
+                keep_old &= idx > (pos - sw)[:, None, None, None]
+            s_old = jnp.where(keep_old, s_old, neg)
             s = jnp.concatenate([s_old, s_new], axis=-1)
             p = jax.nn.softmax(s, axis=-1).astype(dt)
             p_old, p_new = (p[..., :s_old.shape[-1]],
@@ -794,7 +815,8 @@ class CachedDecoder:
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
         ctx = _causal_ctx(qh, repeat_kv(kh, group), repeat_kv(vh, group),
-                          d, self._use_pallas)
+                          d, self._use_pallas,
+                          sliding_window=info.get("sliding_window"))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, heads * d)
         out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (kh, vh)
@@ -1191,8 +1213,11 @@ class CachedDecoder:
         s = self._attn_scores(qh, k_leaf, group, dt)     # [N, H, K, L]
         s = s * (1.0 / (d ** 0.5))
         l_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        s = jnp.where(l_idx <= positions[:, None, :, None], s,
-                      jnp.finfo(jnp.float32).min)
+        keep = l_idx <= positions[:, None, :, None]
+        sw = info.get("sliding_window")
+        if sw is not None:
+            keep &= l_idx > (positions - sw)[:, None, :, None]
+        s = jnp.where(keep, s, jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         ctx = self._attn_ctx(p, v_leaf, group, dt)       # [N, H, K, D]
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, k, heads * d)

@@ -870,3 +870,81 @@ def test_generation_service_pallas_decode_attn():
     assert svc_p._prefix_ladder == []
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+# ---- sliding-window attention (mistral-family, round-3) --------------------
+
+def test_sliding_window_vs_numpy_oracle():
+    """Banded causal mask: position q attends keys (q-W, q]. Checked
+    against the float64 oracle with the band applied."""
+    e, heads, l, n, w = 32, 4, 12, 2, 5
+    op, attrs = _rotary_op(e, heads, heads, seed=11)
+    from simpleinfer_tpu.ir.graph import Parameter
+
+    op.params["sliding_window"] = Parameter.from_value(w)
+    impl = lower_operator(op, EngineConfig())
+    assert impl.decode_info["sliding_window"] == w
+    x = RNG.standard_normal((n, l, e)).astype(np.float32)
+    weights = {k: jnp.asarray(v) for k, v in impl.weights.items()}
+    got = np.asarray(impl.apply(weights, jnp.asarray(x)))
+
+    # banded float64 oracle (rotary_attention_np with extra band)
+    xx = x.astype(np.float64)
+    d = e // heads
+
+    def proj(wname, h):
+        y = xx @ attrs[wname].T.astype(np.float64)
+        return y.reshape(n, l, h, d).transpose(0, 2, 1, 3)
+
+    q = proj("q_proj.weight", heads)
+    k = proj("k_proj.weight", heads)
+    v = proj("v_proj.weight", heads)
+    cos, sin = _rope_tables(l, d, 10000.0)
+    q, k = _rope_rotate(q, cos, sin), _rope_rotate(k, cos, sin)
+    s = np.einsum("nhqd,nhkd->nhqk", q, k) / np.sqrt(d)
+    qi = np.arange(l)[:, None]
+    ki = np.arange(l)[None, :]
+    s = np.where((ki <= qi) & (ki > qi - w), s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ctx = np.einsum("nhqk,nhkd->nhqd", p, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(n, l, e)
+    want = ctx @ attrs["o_proj.weight"].T.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("scratch", [False, True])
+def test_sliding_window_decode_matches_full_forward(scratch):
+    """KV-cache decode with the band (per-step and scratch paths) must
+    reproduce greedy_generate on a sliding-window model — positions
+    beyond the band genuinely change nothing."""
+    graph, _, _ = build_llama("nano", batch=1, seq_len=24, vocab_size=50,
+                              sliding_window=6, seed=4)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = np.array([[9, 2, 4, 31]])
+    want = greedy_generate(eng, prompt, steps=12)
+    got = CachedDecoder(eng, scratch_blocks=scratch).generate(
+        prompt, steps=12, block=4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sliding_window_chunk_and_speculative():
+    """decode_chunk_verify and SpeculativeDecoder respect the band."""
+    from simpleinfer_tpu.zoo.speculative import SpeculativeDecoder
+
+    graph, _, _ = build_llama("nano", batch=1, seq_len=32, vocab_size=50,
+                              sliding_window=5, seed=6)
+    eng = Engine().load_model(None, graph=graph)
+    want = CachedDecoder(eng).generate(np.asarray([[5, 1, 8]]), steps=10)
+    spec = SpeculativeDecoder(eng, eng, k=3)
+    got = spec.generate(np.asarray([[5, 1, 8]]), steps=10)
+    np.testing.assert_array_equal(got, want)
+    assert spec.acceptance == 1.0
+
+
+def test_sliding_window_rejects_pallas_decode():
+    graph, _, _ = build_llama("nano", batch=1, seq_len=24, vocab_size=50,
+                              sliding_window=6)
+    eng = Engine().load_model(None, graph=graph)
+    with pytest.raises(ValueError, match="sliding-window"):
+        CachedDecoder(eng, scratch_blocks=True, decode_attn="pallas")
