@@ -149,6 +149,7 @@ def _knob(name, default="auto"):
 
 CAP = _knob("SI_LLM_SAMPLE_CAP")      # sampler cap; default auto
 LADDER = _knob("SI_LLM_PREFIX")       # kv-prefix rungs; default auto
+PREFILL = _knob("SI_LLM_PREFILL")     # admission buckets; default auto
 VARIANTS = os.environ.get(
     "SI_LLM_SERVICE_VARIANTS",
     "h1,h%d,h%d-pipelined,h%d-adaptive" % (H, H, H)).split(",")
@@ -162,6 +163,7 @@ for label in VARIANTS:
                             scratch_blocks=SCRATCH,
                             sample_cap=CAP,
                             kv_prefix_ladder=LADDER,
+                            prefill_ladder=PREFILL,
                             decode_attn=DECODE_ATTN)
     # compile the admission executable and the full adaptive block
     # ladder OUT of the timed window (each CachedDecoder compiles its
