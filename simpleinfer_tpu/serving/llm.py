@@ -122,6 +122,11 @@ class GenerationService:
     #: common serving regimes (greedy, top_k <= 64) exactly and
     #: measured 2.32x on the 0.9B decode step (docs/PERF.md)
     DEFAULT_SAMPLE_CAP = 64
+    #: smallest pool where decode_attn="auto" may dispatch the per-row
+    #: flash-decoding kernel: at slots 8 the kernel's per-invocation
+    #: overhead loses to XLA (0.87x), at slots 32 it wins 2.52x on
+    #: aged pools (docs/PERF.md round-3 A/Bs) — crossover set between
+    KERNEL_MIN_SLOTS = 16
 
     def __init__(self, engine, slots: int = 8,
                  tick_timeout_s: float = 0.01, seed: int = 0,
@@ -172,16 +177,27 @@ class GenerationService:
         # (sampling.py ignores it), so auto mode is safe at any vocab;
         # the capped/uncapped executables then lower to identical HLO
         # and the persistent compile cache dedupes them
-        # decode_attn="pallas": the flash-decoding kernel reads each
-        # row's OWN occupied cache prefix (kernels/decode_attn) — the
-        # pool-global kv_prefix rungs are superseded, so the auto
-        # ladder is dropped (an explicit ladder still raises in
-        # decode_block only if dispatched; it is simply never chosen
-        # because the kernel path ignores the prefix argument).
+        # decode_attn:
+        # - "xla" (default): rung-sliced XLA attention reads only.
+        # - "pallas": EVERY block runs the per-row flash-decoding
+        #   kernel (kernels/decode_attn); the pool-global rung ladder
+        #   is superseded, so the auto ladder is dropped.
+        # - "auto": dispatch rung-sliced XLA blocks while a rung covers
+        #   the pool, and flip to the per-row kernel when an aged row
+        #   blocks every rung AND the pool is >= KERNEL_MIN_SLOTS —
+        #   the measured crossover policy (kernel 2.52x on a mixed-age
+        #   slots-32 pool at w2048; 0.87x of rungs at slots 8,
+        #   docs/PERF.md round-3).
+        if decode_attn not in ("xla", "pallas", "auto"):
+            raise ValueError(f"decode_attn must be 'xla', 'pallas' or "
+                             f"'auto', got {decode_attn!r}")
         self._dec = CachedDecoder(
             engine, kv_dtype=kv_dtype, scratch_blocks=scratch_blocks,
             sample_cap=self._cap if self._cap_mode == "fixed" else None,
-            decode_attn=decode_attn)
+            decode_attn="pallas" if decode_attn == "pallas" else "xla")
+        self._attn_auto = (decode_attn == "auto"
+                           and slots >= self.KERNEL_MIN_SLOTS
+                           and self._dec.kernel_ok)
         if decode_attn == "pallas" and kv_prefix_ladder == "auto":
             kv_prefix_ladder = None
         self._cap_warned = False
@@ -378,6 +394,12 @@ class GenerationService:
                     out, last, caches = self._dec.decode_block(
                         toks, pos, caches, self._key, 1, t, tk, tp,
                         self._block_ladder[0], p, sample_cap=cap)
+                if self._attn_auto:
+                    # the aged-pool kernel block (auto attention policy)
+                    out, last, caches = self._dec.decode_block(
+                        toks, pos, caches, self._key, 1, t, tk, tp,
+                        self._block_ladder[0], None, sample_cap=cap,
+                        attn_impl="pallas")
         if self._pipelined:
             self._dec.merge_tokens(np.zeros(n, np.int64), last,
                                    np.arange(n, dtype=np.int32))
@@ -505,10 +527,15 @@ class GenerationService:
             live = float(np.mean([r is not None for r in active]))
             seq += k
             cap = choose_cap([r for r in active if r is not None])
+            prefix = choose_prefix(fed_pos, k)
+            # auto attention policy: an aged pool no rung covers flips
+            # the full-horizon block to the per-row kernel (warmed);
+            # tail blocks stay XLA like the rungs do
+            attn = "pallas" if (self._attn_auto and prefix is None
+                                and k == self._horizon) else "default"
             toks, last, caches = self._dec.decode_block(
                 tokens, fed_pos, caches, self._key, seq - k + 1, temp,
-                topk, topp, k, choose_prefix(fed_pos, k),
-                sample_cap=cap)
+                topk, topp, k, prefix, sample_cap=cap, attn_impl=attn)
             return (toks, last, k, np.asarray(fed_pos, np.int32), live,
                     cap_is_fast(cap))
 

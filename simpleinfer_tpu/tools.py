@@ -459,14 +459,18 @@ def main(argv=None) -> int:
                         "the whole window (rungs compile at --warmup). "
                         "Default 'auto' (window/8, /4, /2); 'off' reads "
                         "the full window every block")
-    p.add_argument("--decode-attn", choices=["xla", "pallas"],
+    p.add_argument("--decode-attn", choices=["xla", "pallas", "auto"],
                    default="xla",
                    help="with --generate: frozen-cache attention read "
                         "inside decode blocks — 'pallas' runs the "
                         "flash-decoding kernel with PER-ROW lengths "
                         "(each row reads only its occupied cache "
                         "blocks; supersedes --kv-prefix-ladder) and "
-                        "in-register int8 dequant")
+                        "in-register int8 dequant; 'auto' keeps rung "
+                        "blocks while a rung covers the pool and flips "
+                        "to the kernel when an aged row blocks every "
+                        "rung (pools >= 16 slots; measured 2.52x on a "
+                        "mixed-age slots-32 pool)")
     p.add_argument("--prefill-ladder", default="auto",
                    help="with --generate: comma-separated admission "
                         "prefill bucket widths (e.g. 64,256); each "

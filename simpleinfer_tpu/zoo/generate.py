@@ -622,7 +622,8 @@ class CachedDecoder:
         return out.astype(dt), new_cache
 
     def _attn_decode_scratch(self, w, x, frozen, scratch, pos, step_i,
-                             pos0, info, kv_prefix=None):
+                             pos0, info, kv_prefix=None,
+                             pallas_attn=False):
         """One decode step of either attention lineage against a
         FROZEN cache plus the current block's scratch (scratch_blocks
         mode). The frozen cache holds positions < pos0 (read-only for
@@ -676,7 +677,7 @@ class CachedDecoder:
             keep_new &= sidx > step_i - sw
         s_new = jnp.where(keep_new, s_new, neg)
 
-        if self._pallas_decode:
+        if pallas_attn:
             # flash-decoding kernel over the frozen cache: PER-ROW
             # lengths (row reads ceil(pos0/block) cache blocks —
             # kv_prefix rungs are superseded and ignored here) and
@@ -725,7 +726,8 @@ class CachedDecoder:
         return out.astype(dt), (k_scr, v_scr)
 
     def _step_fn_scratch(self, weights, token, pos, caches, scratches,
-                         step_i, pos0, kv_prefix=None):
+                         step_i, pos0, kv_prefix=None,
+                         pallas_attn=False):
         """_step_fn against frozen caches + per-block scratches
         (scratch_blocks mode): identical plan walk, attention reads the
         big cache without rewriting it."""
@@ -738,7 +740,8 @@ class CachedDecoder:
                 out, new_scr[impl.name] = self._attn_decode_scratch(
                     w, env[ins[0]], caches[impl.name],
                     scratches[impl.name], pos, step_i, pos0,
-                    dict(impl.decode_info), kv_prefix=kv_prefix)
+                    dict(impl.decode_info), kv_prefix=kv_prefix,
+                    pallas_attn=pallas_attn)
                 env[outs[0]] = out
                 for o in outs[1:]:
                     env[o] = None
@@ -950,7 +953,7 @@ class CachedDecoder:
         return tok, new_caches
 
     def _build_decode_block(self, k_steps: int, kv_prefix=None,
-                            sample_cap=None):
+                            sample_cap=None, pallas_attn=False):
         """jit a K-token decode loop: `lax.scan` over the single-token
         step (sampling fused), so K tokens cost ONE host dispatch
         instead of K. On the relay-attached chip each dispatch is a full
@@ -1019,7 +1022,8 @@ class CachedDecoder:
                 tok, p, scr = carry
                 logits, scr = self._step_fn_scratch(
                     weights, tok.astype(jnp.float32)[:, None], p,
-                    caches, scr, i, pos0, kv_prefix=kv_prefix)
+                    caches, scr, i, pos0, kv_prefix=kv_prefix,
+                    pallas_attn=pallas_attn)
                 nxt = sample_logits(logits[:, 0, :],
                                     jax.random.fold_in(key, step0 + i),
                                     temperature, top_k, top_p,
@@ -1345,10 +1349,20 @@ class CachedDecoder:
             jnp.asarray(top_k, jnp.int32),
             jnp.asarray(top_p, jnp.float32))
 
+    @property
+    def kernel_ok(self) -> bool:
+        """True when the per-row flash-decoding kernel path is usable
+        on this decoder (scratch mode, single device, no sliding
+        windows) — the serving loop's auto attention policy checks
+        this before dispatching a kernel block."""
+        return (self._scratch_blocks and self._mesh is None
+                and not any((info or {}).get("sliding_window")
+                            for _, info in self._mha_ops))
+
     def decode_block(self, tokens, pos, caches, key, step0, temperature,
                      top_k, top_p, k_steps: int,
                      kv_prefix: int | None = None,
-                     sample_cap="default"):
+                     sample_cap="default", attn_impl="default"):
         """K decode steps in ONE dispatch: tokens [N] (the last sampled
         token per row — a host array OR a device array from a previous
         block/prefill, enabling device-to-device chaining), pos [N]
@@ -1371,10 +1385,18 @@ class CachedDecoder:
         sample_cap: per-BLOCK override of the decoder's sampler cap —
         "default" uses the decoder's, None forces the exact full-vocab
         sampler, an int forces that cap. One executable per distinct
-        (k_steps, kv_prefix, cap); the serving loop flips this per
-        dispatch so a pool of greedy/top-k rows rides the capped fast
-        path while a nucleus-only row forces the exact path
-        (serving/llm.py auto mode)."""
+        (k_steps, kv_prefix, cap, attn); the serving loop flips this
+        per dispatch so a pool of greedy/top-k rows rides the capped
+        fast path while a nucleus-only row forces the exact path
+        (serving/llm.py auto mode).
+
+        attn_impl: per-BLOCK frozen-cache attention implementation —
+        "default" uses the decoder's decode_attn, "xla"/"pallas" force
+        a path (pallas requires kernel_ok). The serving auto policy
+        dispatches rung-sliced XLA blocks while a rung covers the pool
+        and flips to the per-row kernel when an aged row blocks every
+        rung (measured 2.52x on a mixed-age slots-32 pool at w2048,
+        docs/PERF.md)."""
         import jax.numpy as jnp
 
         if kv_prefix is not None:
@@ -1387,11 +1409,21 @@ class CachedDecoder:
                 kv_prefix = None
         cap = self._sample_cap if sample_cap == "default" \
             else (None if sample_cap is None else int(sample_cap))
-        kb = (int(k_steps), kv_prefix, cap)
+        if attn_impl == "default":
+            pallas_attn = self._pallas_decode
+        elif attn_impl in ("xla", "pallas"):
+            pallas_attn = attn_impl == "pallas"
+        else:
+            raise ValueError(f"attn_impl must be 'default', 'xla' or "
+                             f"'pallas', got {attn_impl!r}")
+        if pallas_attn and not self.kernel_ok:
+            raise ValueError("attn_impl='pallas' needs scratch_blocks, "
+                             "a single device and no sliding windows")
+        kb = (int(k_steps), kv_prefix, cap, pallas_attn)
         fn = self._block_fns.get(kb)
         if fn is None:
             fn = self._block_fns[kb] = self._build_decode_block(
-                int(k_steps), kv_prefix, cap)
+                int(k_steps), kv_prefix, cap, pallas_attn)
         return fn(self._weights,
                   jnp.asarray(tokens, jnp.int32).reshape(-1),
                   jnp.asarray(pos, jnp.int32), caches, key,

@@ -362,18 +362,21 @@ def test_generation_service_warmup_precompiles_ladder():
     # auto-cap warmup: the capped block ladder (the expected common
     # path) plus the uncapped full-horizon fallback
     assert set(svc._dec._block_fns) == {
-        (1, None, cap), (2, None, cap), (4, None, cap), (8, None, cap),
-        (8, None, None)}
+        (1, None, cap, False), (2, None, cap, False),
+        (4, None, cap, False), (8, None, cap, False),
+        (8, None, None, False)}
     # non-adaptive service: only the fixed horizon compiles (both caps)
     svc2 = GenerationService(eng, slots=2, decode_horizon=8)
     svc2.warmup()
-    assert set(svc2._dec._block_fns) == {(8, None, cap), (8, None, None)}
+    assert set(svc2._dec._block_fns) == {(8, None, cap, False),
+                                         (8, None, None, False)}
     # prefix ladder: each rung compiles at the horizon (capped primary)
     svc3 = GenerationService(eng, slots=2, decode_horizon=8,
                              kv_prefix_ladder=(12, 16))
     svc3.warmup()
     assert set(svc3._dec._block_fns) == {
-        (8, None, cap), (8, 12, cap), (8, 16, cap), (8, None, None)}
+        (8, None, cap, False), (8, 12, cap, False), (8, 16, cap, False),
+        (8, None, None, False)}
     # service still produces correct greedy output after warmup
     dec = CachedDecoder(eng)
     want = dec.generate(np.asarray([[4, 8, 2]]), steps=5)[0]
@@ -948,3 +951,44 @@ def test_sliding_window_rejects_pallas_decode():
     eng = Engine().load_model(None, graph=graph)
     with pytest.raises(ValueError, match="sliding-window"):
         CachedDecoder(eng, scratch_blocks=True, decode_attn="pallas")
+
+
+def test_generation_service_auto_attn_policy():
+    """decode_attn='auto': rung blocks while a rung covers the pool,
+    the per-row kernel once rows age past every rung (slots >=
+    KERNEL_MIN_SLOTS threshold). Completions stay correct (kernel path is
+    ulp-equal to XLA; pinned empirically)."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine(seq_len=128)
+    GenerationService.KERNEL_MIN_SLOTS  # exists
+    want = CachedDecoder(eng).generate(np.asarray([[5, 1, 8]]), steps=80)
+
+    svc = GenerationService.__new__(GenerationService)  # bypass slots gate
+    svc.__init__(eng, slots=2, decode_horizon=8, decode_attn="auto")
+    svc._attn_auto = svc._dec.kernel_ok   # force the policy for 2 slots
+    seen = []
+    orig = svc._dec.decode_block
+
+    def spy(*a, **kw):
+        seen.append((kw.get("kv_prefix", a[9] if len(a) > 9 else None),
+                     kw.get("attn_impl", "default")))
+        return orig(*a, **kw)
+
+    svc._dec.decode_block = spy
+    svc.start()
+    got = svc.submit([5, 1, 8], max_new=80).result(timeout=300)
+    svc.stop()
+    np.testing.assert_array_equal(got, want[0])
+    # young phase dispatched rung blocks; the aged phase (pos past the
+    # 64-rung) dispatched kernel blocks
+    assert any(p is not None and a == "default" for p, a in seen), seen
+    assert any(a == "pallas" for p, a in seen), seen
+
+
+def test_generation_service_auto_attn_disabled_below_threshold():
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _llama_engine(seq_len=64)
+    svc = GenerationService(eng, slots=2, decode_attn="auto")
+    assert not svc._attn_auto   # 2 < KERNEL_MIN_SLOTS

@@ -521,8 +521,8 @@ def test_decode_block_per_call_cap_override():
     a = run(None)
     b = run(8)
     np.testing.assert_array_equal(a, b)
-    assert (4, None, None) in dec._block_fns
-    assert (4, None, 8) in dec._block_fns
+    assert (4, None, None, False) in dec._block_fns
+    assert (4, None, 8, False) in dec._block_fns
 
 
 def test_cached_decoder_generate_truncation_warns_once():
