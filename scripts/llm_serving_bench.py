@@ -157,6 +157,9 @@ for label in VARIANTS:
     horizon = 1 if label.startswith("h1") and label[2:3] != "6" else H
     adaptive = "adaptive" in label
     pipelined = "pipelined" in label
+    # "-kernel" in a label flips that variant to the auto attention
+    # policy (per-row kernel on rung-blocked pools) for in-run A/Bs
+    attn = "auto" if "kernel" in label else DECODE_ATTN
     svc = GenerationService(eng, slots=SLOTS, decode_horizon=horizon,
                             adaptive_horizon=adaptive,
                             pipelined=pipelined, kv_dtype=KV,
@@ -164,7 +167,7 @@ for label in VARIANTS:
                             sample_cap=CAP,
                             kv_prefix_ladder=LADDER,
                             prefill_ladder=PREFILL,
-                            decode_attn=DECODE_ATTN)
+                            decode_attn=attn)
     # compile the admission executable and the full adaptive block
     # ladder OUT of the timed window (each CachedDecoder compiles its
     # own; the ladder's in-band cold compiles once cost 40 s here)
