@@ -217,6 +217,8 @@ class GenerationService:
             ladder = sorted({p for p in (window // 8, window // 4,
                                          window // 2) if p >= 64})
         else:
+            if isinstance(kv_prefix_ladder, int):
+                kv_prefix_ladder = (kv_prefix_ladder,)
             ladder = sorted(int(p) for p in (kv_prefix_ladder or ()))
             if any(not 1 <= p <= window for p in ladder):
                 raise ValueError(f"kv_prefix_ladder entries must be in "
@@ -236,6 +238,8 @@ class GenerationService:
                                  f"None or 'auto', got {prefill_ladder!r}")
             buckets = [b for b in (64, 256, 1024) if b < window]
         else:
+            if isinstance(prefill_ladder, int):
+                prefill_ladder = (prefill_ladder,)
             buckets = sorted(int(b) for b in (prefill_ladder or ()))
             if any(not 1 <= b <= window for b in buckets):
                 raise ValueError(f"prefill_ladder entries must be in "
