@@ -37,6 +37,15 @@ class SpeculativeDecoder:
     positions). Per-row acceptance: a batch mixes rows at different
     depths, like the serving pool.
 
+    Deployment note (measured, docs/PERF.md): the round loop is
+    HOST-coupled (acceptance gates the next feed), so on a
+    relay-attached chip (~30 ms RTT) it loses ~10x to the chained
+    block decoder even at acceptance 0.93; it pays on PCIe-class
+    hosts. Same-engine acceptance is ~0.93 on TPU, not 1.0: the
+    draft's per-step path and the chunk-verify path differ at ulp
+    and near-tie argmaxes flip (losslessness of the OUTPUT is
+    unaffected — it is always the verify path's greedy stream).
+
     usage:
         spec = SpeculativeDecoder(target_eng, draft_eng, k=4)
         out = spec.generate(prompt_ids, steps=64, eos_id=2)
