@@ -45,10 +45,12 @@ cfg = EngineConfig(compute_dtype="bfloat16", quant=QUANT)
 eng = Engine(cfg).load_model(None, graph=graph)
 # the SUBSTRATE decoder carries the same knobs the service variants
 # run with, so the service/substrate ratio compares like with like
+# the substrate decoder takes only xla/pallas; the service-level
+# "auto" policy maps to the xla substrate here
 dec = CachedDecoder(eng, kv_dtype=KV, scratch_blocks=SCRATCH,
                     sample_cap=64,
-                    decode_attn=os.environ.get("SI_LLM_DECODE_ATTN",
-                                               "xla"))
+                    decode_attn="pallas" if DECODE_ATTN == "pallas"
+                    else "xla")
 print(f"model {VARIANT} window {WINDOW} slots {SLOTS} quant {QUANT} "
       f"kv {KV} scratch {SCRATCH}", file=sys.stderr)
 
@@ -153,8 +155,11 @@ PREFILL = _knob("SI_LLM_PREFILL")     # admission buckets; default auto
 VARIANTS = os.environ.get(
     "SI_LLM_SERVICE_VARIANTS",
     "h1,h%d,h%d-pipelined,h%d-adaptive" % (H, H, H)).split(",")
+import re as _re
+
 for label in VARIANTS:
-    horizon = 1 if label.startswith("h1") and label[2:3] != "6" else H
+    m = _re.match(r"h(\d+)", label)
+    horizon = int(m.group(1)) if m else H
     adaptive = "adaptive" in label
     pipelined = "pipelined" in label
     # "-kernel" in a label flips that variant to the auto attention

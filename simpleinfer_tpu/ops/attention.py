@@ -180,19 +180,34 @@ def ring_out_proj(cfg, num_heads: int):
     if (getattr(cfg, "tp_mode", "gspmd") != "ring" or mesh_cfg is None
             or mesh_cfg.model <= 1 or num_heads % mesh_cfg.model):
         return None
-    cache: list = []
 
     def project(ctx, w, b, dt):
-        from ..parallel.mesh import AXIS_MODEL, build_mesh
+        from ..parallel.mesh import AXIS_MODEL
         from ..parallel.tp import tp_linear_row
         from ..quant.tensor import resolve_weight
 
-        if not cache:
-            cache.append(build_mesh(mesh_cfg))
         return tp_linear_row(ctx, resolve_weight(w, dt), b,
-                             mesh=cache[0], axis=AXIS_MODEL).astype(dt)
+                             mesh=_shared_mesh(mesh_cfg),
+                             axis=AXIS_MODEL).astype(dt)
 
     return project
+
+
+_MESH_CACHE: dict = {}
+
+
+def _shared_mesh(mesh_cfg):
+    """One Mesh per MeshConfig shape, shared by every lowered attention
+    op (a depth-D model would otherwise build/carry D identical
+    meshes); same devices/order as the engine's own build_mesh — the
+    CachedDecoder path reuses engine._mesh directly."""
+    key = (mesh_cfg.data, mesh_cfg.spatial, mesh_cfg.model)
+    mesh = _MESH_CACHE.get(key)
+    if mesh is None:
+        from ..parallel.mesh import build_mesh
+
+        mesh = _MESH_CACHE[key] = build_mesh(mesh_cfg)
+    return mesh
 
 
 @register_op("nn.MultiheadAttention")

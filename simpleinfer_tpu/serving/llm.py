@@ -534,9 +534,12 @@ class GenerationService:
             prefix = choose_prefix(fed_pos, k)
             # auto attention policy: an aged pool no rung covers flips
             # the full-horizon block to the per-row kernel (warmed);
-            # tail blocks stay XLA like the rungs do
+            # tail blocks stay XLA like the rungs do, and so do
+            # UNCAPPED dispatches (warmup compiles the kernel block for
+            # the primary cap only — the in-band-compile rule again)
             attn = "pallas" if (self._attn_auto and prefix is None
-                                and k == self._horizon) else "default"
+                                and k == self._horizon
+                                and cap_is_fast(cap)) else "default"
             toks, last, caches = self._dec.decode_block(
                 tokens, fed_pos, caches, self._key, seq - k + 1, temp,
                 topk, topp, k, prefix, sample_cap=cap, attn_impl=attn)
@@ -613,10 +616,18 @@ class GenerationService:
             if admitted:
                 assert in_flight is None   # guaranteed by the drain above
                 # smallest prefill bucket covering the wave's longest
-                # prompt (the ladder always ends at the full window)
+                # prompt (the ladder always ends at the full window).
+                # UNCAPPED waves (a nucleus-only request aboard, auto
+                # cap mode) admit at the full window: warmup compiles
+                # sub-window buckets for the primary cap only, and an
+                # unwarmed (bucket, uncapped) admission would stall the
+                # loop on a 10-20 s in-band compile (the rung lesson)
+                wave_cap = choose_cap([r for _, r in admitted])
                 maxlen = max(len(r.prompt) for _, r in admitted)
                 width = next(b for b in self._prefill_ladder
-                             if b >= maxlen)
+                             if b >= maxlen) \
+                    if cap_is_fast(wave_cap) or self._cap_mode != "auto" \
+                    else self._prefill_ladder[-1]
                 window = np.zeros((n, width), np.float32)
                 lengths = np.ones(n, np.int32)
                 rows = np.full(n, n + 7, np.int32)   # OOB = dropped
@@ -633,8 +644,7 @@ class GenerationService:
                 seq += 1
                 tok, caches = self._dec.prefill_install(
                     window, lengths, self._key, seq, t_a, k_a, p_a,
-                    caches, rows,
-                    sample_cap=choose_cap([r for _, r in admitted]))
+                    caches, rows, sample_cap=wave_cap)
                 self.stats.prefills += len(admitted)
                 # token-independent bookkeeping BEFORE the fetch, so
                 # the first decode block can be enqueued chained from

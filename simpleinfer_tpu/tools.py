@@ -245,8 +245,8 @@ def cmd_serve(args) -> int:
         def _ladder(v):
             if v in (None, "auto"):
                 return "auto"
-            if v.lower() in ("off", "none"):
-                return None
+            if not v or v.lower() in ("off", "none"):
+                return None     # empty string = disabled (env passthru)
             return tuple(int(x) for x in v.split(","))
 
         gsvc = GenerationService(eng, slots=args.max_batch,

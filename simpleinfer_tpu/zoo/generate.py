@@ -1566,9 +1566,10 @@ class CachedDecoder:
                 fed += blk
                 rem -= blk
             buf[:, p] = np.asarray(tok)
-            flat = [np.asarray(h) for h in handles]      # [N, blk] each
-            gen = np.concatenate(flat, axis=1)[:, :steps - 1]
-            buf[:, p + 1:] = gen
+            if handles:            # steps == 1: only the prefill token
+                flat = [np.asarray(h) for h in handles]  # [N, blk] each
+                gen = np.concatenate(flat, axis=1)[:, :steps - 1]
+                buf[:, p + 1:] = gen
             return buf
 
         pending = [np.asarray(tok)]   # raw sampled tokens, FIFO

@@ -152,9 +152,12 @@ class SpeculativeDecoder:
                 if not live[i]:
                     continue
                 emit = []
+                # every round makes k-1 proposals for a live row,
+                # whether or not an early mismatch stops examining them
+                # (acceptance = accepted / ALL proposals made)
+                self.stats["drafted"] += k - 1
                 for j in range(k):
                     emit.append(int(g_np[i, j]))
-                    self.stats["drafted"] += j < k - 1
                     if j < k - 1 and d_np[i, j] == g_np[i, j]:
                         self.stats["accepted"] += 1
                         continue
