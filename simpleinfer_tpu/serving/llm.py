@@ -138,7 +138,7 @@ class GenerationService:
                  sample_cap: int | None | str = "auto",
                  kv_prefix_ladder: tuple | list | str | None = "auto",
                  prefill_ladder: tuple | list | str | None = "auto",
-                 decode_attn: str = "xla"):
+                 decode_attn: str = "auto"):
         import jax
 
         from ..zoo.generate import CachedDecoder
@@ -182,12 +182,14 @@ class GenerationService:
         # - "pallas": EVERY block runs the per-row flash-decoding
         #   kernel (kernels/decode_attn); the pool-global rung ladder
         #   is superseded, so the auto ladder is dropped.
-        # - "auto": dispatch rung-sliced XLA blocks while a rung covers
-        #   the pool, and flip to the per-row kernel when an aged row
-        #   blocks every rung AND the pool is >= KERNEL_MIN_SLOTS —
-        #   the measured crossover policy (kernel 2.52x on a mixed-age
-        #   slots-32 pool at w2048; 0.87x of rungs at slots 8,
-        #   docs/PERF.md round-3).
+        # - "auto" (DEFAULT): dispatch rung-sliced XLA blocks while a
+        #   rung covers the pool, and flip to the per-row kernel when
+        #   an aged row blocks every rung AND the pool is >=
+        #   KERNEL_MIN_SLOTS — the measured crossover policy (kernel
+        #   2.52x on a mixed-age slots-32 pool at w2048; 0.87x of
+        #   rungs at slots 8, docs/PERF.md round-3). Below the
+        #   threshold (or scratch off / TP mesh / sliding windows)
+        #   auto degrades to plain "xla".
         if decode_attn not in ("xla", "pallas", "auto"):
             raise ValueError(f"decode_attn must be 'xla', 'pallas' or "
                              f"'auto', got {decode_attn!r}")

@@ -460,7 +460,7 @@ def main(argv=None) -> int:
                         "Default 'auto' (window/8, /4, /2); 'off' reads "
                         "the full window every block")
     p.add_argument("--decode-attn", choices=["xla", "pallas", "auto"],
-                   default="xla",
+                   default="auto",
                    help="with --generate: frozen-cache attention read "
                         "inside decode blocks — 'pallas' runs the "
                         "flash-decoding kernel with PER-ROW lengths "

@@ -372,3 +372,34 @@ def test_decode_attention_odd_window_single_block():
     tol = 1e-5 if not ON_TPU else 5e-2
     np.testing.assert_allclose(o, ro, rtol=tol, atol=tol)
     np.testing.assert_allclose(l, rl, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("kv,g", [(1, 8), (4, 1), (2, 4)])
+def test_decode_attention_gqa_mqa_shapes(kv, g):
+    """MQA (kv=1), per-head (group=1) and GQA head groupings."""
+    N, D, L = 3, 16, 48
+    q = jnp.asarray(RNG.standard_normal((N, kv, g, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((N, kv, L, D)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((N, kv, L, D)), jnp.float32)
+    lens = np.asarray([0, 13, 48], np.int32)
+    o, m, l = (np.asarray(t) for t in decode_attention(
+        q, k, v, lens, scale=0.25, block_k=16, interpret=not ON_TPU))
+    ro, rm, rl = (np.asarray(t) for t in decode_attention_ref(
+        q, k, v, lens, scale=0.25))
+    tol = 1e-5 if not ON_TPU else 5e-2
+    np.testing.assert_allclose(o, ro, rtol=tol, atol=tol)
+    np.testing.assert_allclose(l, rl, rtol=tol, atol=tol)
+
+
+def test_decode_attention_bf16_query():
+    N, KV, G, D, L = 2, 2, 2, 32, 64
+    q = jnp.asarray(RNG.standard_normal((N, KV, G, D)), jnp.bfloat16)
+    k = jnp.asarray(RNG.standard_normal((N, KV, L, D)), jnp.bfloat16)
+    v = jnp.asarray(RNG.standard_normal((N, KV, L, D)), jnp.bfloat16)
+    lens = np.asarray([7, 64], np.int32)
+    o, m, l = (np.asarray(t) for t in decode_attention(
+        q, k, v, lens, scale=0.2, block_k=32, interpret=not ON_TPU))
+    ro, rm, rl = (np.asarray(t) for t in decode_attention_ref(
+        q, k, v, lens, scale=0.2))
+    np.testing.assert_allclose(o, ro, rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(l, rl, rtol=5e-2, atol=5e-2)
