@@ -350,7 +350,10 @@ def _make_handler(server: InferenceServer):
                 self.wfile.write(f"data: {done}\n\n".encode())
                 self.wfile.flush()
             except BrokenPipeError:
-                pass                      # client went away mid-stream
+                # client went away mid-stream: free the slot — the
+                # scheduler drops the row at its next drain instead of
+                # decoding the rest of max_new for nobody
+                server.gen_service.cancel(handle.future)
             except Exception as e:  # noqa: BLE001 — backend error
                 err = json.dumps(
                     {"error": f"{type(e).__name__}: {e}"})

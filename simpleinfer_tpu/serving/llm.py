@@ -44,6 +44,9 @@ class _GenRequest:
     # streaming: accepted tokens are pushed here as the scheduler
     # discovers them (block granularity); None marks completion
     stream_q: object | None = None
+    # set by GenerationService.cancel: an active row is freed at the
+    # next drain (its future resolves with the tokens accepted so far)
+    cancelled: bool = False
 
 
 @dataclass
@@ -59,6 +62,9 @@ class GenStats:
     # mode picks it per block whenever every live row is greedy or
     # 0 < top_k <= cap — distribution-exact by sampling.py's contract)
     capped_steps: int = 0
+    # requests cancelled mid-flight (their rows freed early); queued
+    # cancels don't count (never admitted)
+    cancelled: int = 0
 
     @property
     def mean_occupancy(self) -> float:
@@ -352,6 +358,31 @@ class GenerationService:
             self._cv.notify()
         return req
 
+    def cancel(self, future: Future) -> bool:
+        """Cancel a submitted request (client disconnect/abandon).
+
+        A QUEUED request is removed and its future is cancelled
+        (concurrent.futures semantics: result() raises CancelledError).
+        An ACTIVE request's slot is freed at the scheduler's next
+        drain and its future resolves with the tokens ACCEPTED SO FAR
+        (prompt + generated prefix — useful for partial results); its
+        stream ends. Returns True if the request was found pending or
+        active, False if unknown/already finished."""
+        with self._cv:
+            for i, req in enumerate(self._queue):
+                if req.future is future:
+                    self._queue.pop(i)
+                    req.future.cancel()
+                    if req.stream_q is not None:
+                        req.stream_q.put(None)
+                    return True
+            for req in self._active:
+                if req is not None and req.future is future:
+                    req.cancelled = True
+                    self._cv.notify()
+                    return True
+        return False
+
     def warmup(self) -> "GenerationService":
         """Compile every executable the serving loop is expected to
         dispatch — fused admission (prefill_install) and the full pow2
@@ -561,6 +592,13 @@ class GenerationService:
             for i in range(n):
                 req = active[i]
                 if req is None:
+                    continue
+                if req.cancelled:
+                    # free the slot; resolve with the tokens accepted
+                    # BEFORE this block (the in-flight block's tokens
+                    # are discarded — cancellation semantics)
+                    self.stats.cancelled += 1
+                    self._finish(i, active, bufs, int(pos[i]) + 1, req)
                     continue
                 for j in range(k):
                     new_pos = pos[i] + 1  # index the fed token predicted

@@ -552,3 +552,58 @@ def test_http_generate_sse_stream():
     np.testing.assert_array_equal(done[0]["ids"], want)
     np.testing.assert_array_equal(toks, want[3:])
     assert done[0]["prompt_len"] == 3
+
+
+def test_generation_service_cancel_queued_and_active():
+    """cancel(): a queued request's future raises CancelledError and
+    never runs; an active request's slot frees at the next drain and
+    its future resolves with the tokens accepted so far."""
+    import concurrent.futures as cf
+
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=1, decode_horizon=2).start()
+    import time as _time
+
+    # slot 1: a long-running active request; the second queues behind it
+    f_active = svc.submit([4, 8, 2], max_new=16)
+    for _ in range(500):           # wait until it is actually ADMITTED
+        if svc.stats.prefills >= 1:
+            break
+        _time.sleep(0.01)
+    f_queued = svc.submit([5, 5], max_new=16)
+    assert svc.cancel(f_queued) is True
+    with pytest.raises(cf.CancelledError):
+        f_queued.result(timeout=60)
+    was_live = svc.cancel(f_active)     # may have finished already
+    out = f_active.result(timeout=60)   # partial: prompt + some tokens
+    if was_live:
+        assert 3 <= len(out) < 3 + 16
+        assert svc.stats.cancelled == 1
+    else:
+        assert len(out) == 3 + 16       # raced to completion: full
+    np.testing.assert_array_equal(out[:3], [4, 8, 2])
+    # finished futures report False
+    assert svc.cancel(f_active) is False
+    # the freed slot serves new requests normally
+    out2 = svc.submit([7, 1], max_new=4).result(timeout=60)
+    assert len(out2) == 2 + 4
+    svc.stop()
+
+
+def test_generation_service_cancel_stream_ends():
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=1, decode_horizon=2).start()
+    h = svc.submit_stream([4, 8], max_new=18)
+    got = []
+    for tok in h:
+        got.append(tok)
+        if len(got) == 2:
+            svc.cancel(h.future)
+    assert len(got) < 18            # the stream ended early
+    out = h.result(timeout=60)
+    np.testing.assert_array_equal(out[:2], [4, 8])
+    svc.stop()
