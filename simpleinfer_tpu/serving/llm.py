@@ -47,6 +47,10 @@ class _GenRequest:
     # set by GenerationService.cancel: an active row is freed at the
     # next drain (its future resolves with the tokens accepted so far)
     cancelled: bool = False
+    # absolute perf_counter deadline (submit timeout_s); an expired
+    # ACTIVE request resolves with its partial tokens, an expired
+    # QUEUED request fails with TimeoutError at admission time
+    deadline_s: float | None = None
 
 
 @dataclass
@@ -65,6 +69,9 @@ class GenStats:
     # requests cancelled mid-flight (their rows freed early); queued
     # cancels don't count (never admitted)
     cancelled: int = 0
+    # requests that hit their submit(timeout_s) deadline (active rows
+    # freed with partial results; queued ones failed with TimeoutError)
+    timed_out: int = 0
 
     @property
     def mean_occupancy(self) -> float:
@@ -298,14 +305,20 @@ class GenerationService:
     # ---- client API ------------------------------------------------------
     def submit(self, prompt_ids, max_new: int,
                eos_id: int | None = None, *, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 1.0) -> Future:
+               top_k: int = 0, top_p: float = 1.0,
+               timeout_s: float | None = None) -> Future:
+        """timeout_s: request deadline — an ACTIVE request past it
+        resolves with the tokens accepted so far (partial result, the
+        cancel semantics); a QUEUED request past it fails with
+        TimeoutError instead of admitting. None = no deadline."""
         return self._enqueue(prompt_ids, max_new, eos_id, temperature,
-                             top_k, top_p, None).future
+                             top_k, top_p, None, timeout_s).future
 
     def submit_stream(self, prompt_ids, max_new: int,
                       eos_id: int | None = None, *,
                       temperature: float = 0.0, top_k: int = 0,
-                      top_p: float = 1.0) -> "StreamHandle":
+                      top_p: float = 1.0,
+                      timeout_s: float | None = None) -> "StreamHandle":
         """Like submit, but returns a StreamHandle that yields each
         generated token id as the scheduler accepts it (block
         granularity: up to decode_horizon tokens arrive at once).
@@ -314,11 +327,11 @@ class GenerationService:
         import queue
 
         req = self._enqueue(prompt_ids, max_new, eos_id, temperature,
-                            top_k, top_p, queue.Queue())
+                            top_k, top_p, queue.Queue(), timeout_s)
         return StreamHandle(req)
 
     def _enqueue(self, prompt_ids, max_new, eos_id, temperature, top_k,
-                 top_p, stream_q) -> _GenRequest:
+                 top_p, stream_q, timeout_s=None) -> _GenRequest:
         prompt = np.asarray(prompt_ids, np.int64).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
@@ -346,10 +359,14 @@ class GenerationService:
                 "top_k=%d — its draw is truncated to the top-%d "
                 "candidates (exact only for 0 < top_k <= cap); "
                 "further occurrences are not logged", cap, top_k, cap)
+        if timeout_s is not None and timeout_s <= 0:
+            raise ValueError(f"timeout_s must be > 0, got {timeout_s}")
         req = _GenRequest(prompt=prompt, max_new=max_new, eos_id=eos_id,
                           temperature=float(temperature),
                           top_k=int(top_k), top_p=float(top_p),
-                          stream_q=stream_q)
+                          stream_q=stream_q,
+                          deadline_s=None if timeout_s is None
+                          else time.perf_counter() + timeout_s)
         with self._cv:
             if not self._running:
                 raise RuntimeError("service not started")
@@ -593,11 +610,16 @@ class GenerationService:
                 req = active[i]
                 if req is None:
                     continue
-                if req.cancelled:
+                expired = (req.deadline_s is not None
+                           and time.perf_counter() > req.deadline_s)
+                if req.cancelled or expired:
                     # free the slot; resolve with the tokens accepted
                     # BEFORE this block (the in-flight block's tokens
-                    # are discarded — cancellation semantics)
-                    self.stats.cancelled += 1
+                    # are discarded — cancellation/deadline semantics)
+                    if req.cancelled:
+                        self.stats.cancelled += 1
+                    else:
+                        self.stats.timed_out += 1
                     self._finish(i, active, bufs, int(pos[i]) + 1, req)
                     continue
                 for j in range(k):
@@ -637,6 +659,14 @@ class GenerationService:
                 for i in range(n):
                     if active[i] is None and self._queue:
                         req = self._queue.pop(0)
+                        if (req.deadline_s is not None
+                                and time.perf_counter() > req.deadline_s):
+                            self.stats.timed_out += 1
+                            req.future.set_exception(TimeoutError(
+                                "request deadline passed while queued"))
+                            if req.stream_q is not None:
+                                req.stream_q.put(None)
+                            continue
                         active[i] = req
                         admitted.append((i, req))
                 if not admitted and not any(

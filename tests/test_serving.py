@@ -607,3 +607,27 @@ def test_generation_service_cancel_stream_ends():
     out = h.result(timeout=60)
     np.testing.assert_array_equal(out[:2], [4, 8])
     svc.stop()
+
+
+def test_generation_service_request_deadlines():
+    """submit(timeout_s=...): queued requests past their deadline fail
+    with TimeoutError at admission; active requests resolve with the
+    tokens accepted so far."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=1, decode_horizon=1).start()
+    with pytest.raises(ValueError):
+        svc.submit([1], max_new=2, timeout_s=0)
+    # an active long request with a tiny deadline ends early, partial
+    f = svc.submit([4, 8, 2], max_new=18, timeout_s=0.05)
+    out = f.result(timeout=60)
+    assert 3 <= len(out) < 3 + 18
+    assert svc.stats.timed_out >= 1
+    # a queued request behind a long one can expire before admission
+    f_long = svc.submit([5, 5], max_new=18)
+    f_q = svc.submit([7, 1], max_new=4, timeout_s=0.001)
+    with pytest.raises(TimeoutError):
+        f_q.result(timeout=60)
+    f_long.result(timeout=60)
+    svc.stop()
