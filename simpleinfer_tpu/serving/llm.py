@@ -51,6 +51,9 @@ class _GenRequest:
     # ACTIVE request resolves with its partial tokens, an expired
     # QUEUED request fails with TimeoutError at admission time
     deadline_s: float | None = None
+    # admission priority: higher admits first; FIFO within a class
+    # (queue insertion keeps arrival order stable)
+    priority: int = 0
 
 
 @dataclass
@@ -306,19 +309,25 @@ class GenerationService:
     def submit(self, prompt_ids, max_new: int,
                eos_id: int | None = None, *, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0,
-               timeout_s: float | None = None) -> Future:
+               timeout_s: float | None = None,
+               priority: int = 0) -> Future:
         """timeout_s: request deadline — an ACTIVE request past it
         resolves with the tokens accepted so far (partial result, the
         cancel semantics); a QUEUED request past it fails with
-        TimeoutError instead of admitting. None = no deadline."""
+        TimeoutError instead of admitting. None = no deadline.
+        priority: higher admits first (FIFO within a class) — requests
+        already HOLDING rows are never preempted (static-slot design),
+        so priority orders the admission queue only."""
         return self._enqueue(prompt_ids, max_new, eos_id, temperature,
-                             top_k, top_p, None, timeout_s).future
+                             top_k, top_p, None, timeout_s,
+                             priority).future
 
     def submit_stream(self, prompt_ids, max_new: int,
                       eos_id: int | None = None, *,
                       temperature: float = 0.0, top_k: int = 0,
                       top_p: float = 1.0,
-                      timeout_s: float | None = None) -> "StreamHandle":
+                      timeout_s: float | None = None,
+                      priority: int = 0) -> "StreamHandle":
         """Like submit, but returns a StreamHandle that yields each
         generated token id as the scheduler accepts it (block
         granularity: up to decode_horizon tokens arrive at once).
@@ -327,11 +336,13 @@ class GenerationService:
         import queue
 
         req = self._enqueue(prompt_ids, max_new, eos_id, temperature,
-                            top_k, top_p, queue.Queue(), timeout_s)
+                            top_k, top_p, queue.Queue(), timeout_s,
+                            priority)
         return StreamHandle(req)
 
     def _enqueue(self, prompt_ids, max_new, eos_id, temperature, top_k,
-                 top_p, stream_q, timeout_s=None) -> _GenRequest:
+                 top_p, stream_q, timeout_s=None,
+                 priority=0) -> _GenRequest:
         prompt = np.asarray(prompt_ids, np.int64).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
@@ -366,11 +377,20 @@ class GenerationService:
                           top_k=int(top_k), top_p=float(top_p),
                           stream_q=stream_q,
                           deadline_s=None if timeout_s is None
-                          else time.perf_counter() + timeout_s)
+                          else time.perf_counter() + timeout_s,
+                          priority=int(priority))
         with self._cv:
             if not self._running:
                 raise RuntimeError("service not started")
-            self._queue.append(req)
+            # insert before the first LOWER-priority request: higher
+            # priorities admit first, FIFO within a priority class
+            at = len(self._queue)
+            if req.priority:
+                for i, q in enumerate(self._queue):
+                    if q.priority < req.priority:
+                        at = i
+                        break
+            self._queue.insert(at, req)
             self.stats.requests += 1
             self._cv.notify()
         return req

@@ -631,3 +631,28 @@ def test_generation_service_request_deadlines():
         f_q.result(timeout=60)
     f_long.result(timeout=60)
     svc.stop()
+
+
+def test_generation_service_priority_admission_order():
+    """Higher-priority requests jump the admission queue (FIFO within
+    a class); active rows are never preempted."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    import time as _time
+
+    svc = GenerationService(eng, slots=1, decode_horizon=1).start()
+    blocker = svc.submit([4, 8], max_new=12)       # occupies the slot
+    for _ in range(500):          # wait until it actually holds the row
+        if svc.stats.prefills >= 1:
+            break
+        _time.sleep(0.01)
+    lo1 = svc.submit([1, 1], max_new=2)
+    lo2 = svc.submit([2, 2], max_new=2)
+    hi = svc.submit([3, 3], max_new=2, priority=5)
+    with svc._cv:
+        order = [tuple(r.prompt) for r in svc._queue]
+    assert order == [(3, 3), (1, 1), (2, 2)]       # hi jumped the lows
+    for f in (blocker, hi, lo1, lo2):
+        f.result(timeout=120)
+    svc.stop()
