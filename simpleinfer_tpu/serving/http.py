@@ -139,12 +139,16 @@ class InferenceServer:
             raise ValueError('body needs "prompt": [token ids]')
         max_new = int(payload.get("max_new", 32))
         eos = payload.get("eos_id")
+        timeout_s = payload.get("timeout_s")
         fut = self.gen_service.submit(
             prompt, max_new=max_new,
             eos_id=int(eos) if eos is not None else None,
             temperature=float(payload.get("temperature", 0.0)),
             top_k=int(payload.get("top_k", 0)),
-            top_p=float(payload.get("top_p", 1.0)))
+            top_p=float(payload.get("top_p", 1.0)),
+            timeout_s=float(timeout_s) if timeout_s is not None
+            else None,
+            priority=int(payload.get("priority", 0)))
         ids = fut.result(timeout=self.request_timeout_s)
         return {"ids": np.asarray(ids).tolist(),
                 "prompt_len": len(prompt)}
@@ -159,12 +163,16 @@ class InferenceServer:
         if not isinstance(prompt, list) or not prompt:
             raise ValueError('body needs "prompt": [token ids]')
         eos = payload.get("eos_id")
+        timeout_s = payload.get("timeout_s")
         return self.gen_service.submit_stream(
             prompt, max_new=int(payload.get("max_new", 32)),
             eos_id=int(eos) if eos is not None else None,
             temperature=float(payload.get("temperature", 0.0)),
             top_k=int(payload.get("top_k", 0)),
-            top_p=float(payload.get("top_p", 1.0)))
+            top_p=float(payload.get("top_p", 1.0)),
+            timeout_s=float(timeout_s) if timeout_s is not None
+            else None,
+            priority=int(payload.get("priority", 0)))
 
     def detect(self, image: np.ndarray, conf: float, iou: float) -> list:
         """One HWC image -> list of detection dicts: letterbox to the
@@ -216,6 +224,7 @@ class InferenceServer:
             g = self.gen_service.stats
             return {"requests": g.requests, "completed": g.completed,
                     "steps": g.steps, "capped_steps": g.capped_steps,
+                    "cancelled": g.cancelled, "timed_out": g.timed_out,
                     "tokens_out": g.tokens_out,
                     "mean_occupancy": g.mean_occupancy,
                     "mean_latency_ms": g.mean_latency_ms}
