@@ -1279,6 +1279,9 @@ class CachedDecoder:
 
         k = int(np.asarray(tokens).shape[1]) if not hasattr(
             tokens, "shape") else int(tokens.shape[1])
+        if not 1 <= k <= self._window:
+            raise ValueError(f"chunk width must be in [1, "
+                             f"{self._window}], got {k}")
         fn = self._chunk_fns.get(k)
         if fn is None:
             def verify_fn(weights, toks, p, caches):
