@@ -94,14 +94,17 @@ POOLS = {
     "young": np.full(SLOTS, YOUNG, np.int32),
     "mixed": np.array([OLD] + [YOUNG] * (SLOTS - 1), np.int32),
 }
-VARIANTS = ["xla-full", "xla-rung", "pallas"]
+# pallas-rung: the kernel with the rung as a STATIC grid bound
+# (max_len) — per-row skipping AND rung-sized grids (round-3)
+VARIANTS = ["xla-full", "xla-rung", "pallas", "pallas-rung"]
 decs = {"xla": make_decoder("xla"), "pallas": make_decoder("pallas")}
 
 # compile everything out of band
 for pool_name, pos0 in POOLS.items():
     for vn in VARIANTS:
-        dec = decs["pallas" if vn == "pallas" else "xla"]
-        prefix = rung_for(int(pos0.max())) if vn == "xla-rung" else None
+        dec = decs["pallas" if vn.startswith("pallas") else "xla"]
+        prefix = (rung_for(int(pos0.max()))
+                  if vn.endswith("rung") else None)
         run_chain.cache = dec.init_cache(SLOTS)
         t0 = time.perf_counter()
         run_chain(dec, pos0, prefix, 1)
@@ -113,9 +116,9 @@ results = {(p, v): [] for p in POOLS for v in VARIANTS}
 for rnd in range(ROUNDS):
     for pool_name, pos0 in POOLS.items():
         for vn in VARIANTS:
-            dec = decs["pallas" if vn == "pallas" else "xla"]
-            prefix = (rung_for(int(pos0.max())) if vn == "xla-rung"
-                      else None)
+            dec = decs["pallas" if vn.startswith("pallas") else "xla"]
+            prefix = (rung_for(int(pos0.max()))
+                      if vn.endswith("rung") else None)
             run_chain.cache = dec.init_cache(SLOTS)
             wall = run_chain(dec, pos0, prefix, 100 + rnd)
             tps = SLOTS * NB * BLOCK / wall

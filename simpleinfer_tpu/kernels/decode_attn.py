@@ -115,9 +115,10 @@ def _decode_kernel(lens_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_k", "quant", "interpret"))
+    static_argnames=("scale", "block_k", "quant", "max_len",
+                     "interpret"))
 def _decode_impl(q, k, ks, v, vs, lengths, *, scale, block_k, quant,
-                 interpret):
+                 max_len, interpret):
     n, kv, g, d = q.shape
     length = k.shape[2]
     # largest block <= block_k that divides the window AND satisfies
@@ -129,7 +130,12 @@ def _decode_impl(q, k, ks, v, vs, lengths, *, scale, block_k, quant,
         bk -= 1
     if bk < 8:
         bk = length
-    nb = pl.cdiv(length, bk)
+    # max_len: STATIC bound on the occupied prefix (the serving rung) —
+    # shrinks the GRID itself, not just the DMA skipping, so young
+    # pools pay fewer grid steps per invocation. Same contract as
+    # kv_prefix: the caller guarantees every LIVE row's length fits.
+    bound = length if max_len is None else min(int(max_len), length)
+    nb = max(1, pl.cdiv(bound, bk))
 
     def q_index(n_i, j_i, lens):
         return (n_i, 0, 0, 0)
@@ -188,7 +194,8 @@ def _decode_impl(q, k, ks, v, vs, lengths, *, scale, block_k, quant,
 
 
 def decode_attention(q, k_leaf, v_leaf, lengths, *, scale: float,
-                     block_k: int = 256, interpret: bool = False):
+                     block_k: int = 256, max_len: int | None = None,
+                     interpret: bool = False):
     """Unnormalized decode attention over the frozen KV cache.
 
     q: [N, KV, G, D] (query heads grouped under their kv head, the
@@ -201,6 +208,11 @@ def decode_attention(q, k_leaf, v_leaf, lengths, *, scale: float,
     Returns (o [N,KV,G,D] f32 = sum exp(s-m) v, m [N,KV,G,1],
     l [N,KV,G,1]): merge with other key sources via online-softmax
     combination; o/l is the normalized context when there are none.
+
+    max_len: optional STATIC occupied-prefix bound (the serving rung):
+    the grid only walks ceil(max_len/block_k) key blocks — caller
+    guarantees every live row's length <= max_len (the kv_prefix
+    contract); rows beyond it read a truncated prefix (discard them).
     """
     quant = isinstance(k_leaf, tuple)
     if quant:
@@ -213,8 +225,10 @@ def decode_attention(q, k_leaf, v_leaf, lengths, *, scale: float,
         ks = jnp.ones(k.shape[:3] + (1,), jnp.float32)
         vs = ks
     return _decode_impl(q, k, ks, v, vs, lengths, scale=float(scale),
-                        block_k=int(block_k), quant=quant,
-                        interpret=interpret)
+                        block_k=int(block_k),
+                        max_len=None if max_len is None
+                        else int(max_len),
+                        quant=quant, interpret=interpret)
 
 
 def decode_attention_ref(q, k_leaf, v_leaf, lengths, *, scale: float):

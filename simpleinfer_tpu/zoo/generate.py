@@ -679,18 +679,20 @@ class CachedDecoder:
 
         if pallas_attn:
             # flash-decoding kernel over the frozen cache: PER-ROW
-            # lengths (row reads ceil(pos0/block) cache blocks —
-            # kv_prefix rungs are superseded and ignored here) and
-            # in-register s8 dequant. Returns the unnormalized softmax
-            # partial (o, m, l); merge with the scratch piece by
-            # online-softmax combination — same key set as the concat
-            # softmax, different f32 summation order (the standing
-            # scratch-mode ulp caveat).
+            # lengths (row reads ceil(pos0/block) cache blocks) and
+            # in-register s8 dequant; a kv_prefix rung additionally
+            # bounds the kernel GRID (fewer steps on young pools).
+            # Returns the unnormalized softmax partial (o, m, l);
+            # merge with the scratch piece by online-softmax
+            # combination — same key set as the concat softmax,
+            # different f32 summation order (the standing scratch-mode
+            # ulp caveat).
             from ..kernels.decode_attn import decode_attention
 
             q4 = qh[:, :, 0, :].reshape(n, kvh, group, d)
             of, mf, lf = decode_attention(
                 q4, k_leaf, v_leaf, pos0, scale=scale,
+                max_len=kv_prefix,
                 interpret=self._kernel_interpret)
             of = of.reshape(n, heads, 1, d)
             mf = mf.reshape(n, heads, 1, 1)

@@ -403,3 +403,21 @@ def test_decode_attention_bf16_query():
         q, k, v, lens, scale=0.2))
     np.testing.assert_allclose(o, ro, rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(l, rl, rtol=5e-2, atol=5e-2)
+
+
+def test_decode_attention_max_len_bound():
+    """A static max_len bound (the serving rung) truncates the grid:
+    results equal the unbounded kernel for rows whose length fits."""
+    N, KV, G, D, L = 3, 2, 2, 16, 128
+    q = jnp.asarray(RNG.standard_normal((N, KV, G, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((N, KV, L, D)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((N, KV, L, D)), jnp.float32)
+    lens = np.asarray([5, 30, 32], np.int32)    # all <= 32
+    a = [np.asarray(t) for t in decode_attention(
+        q, k, v, lens, scale=0.25, block_k=16, max_len=32,
+        interpret=not ON_TPU)]
+    b = [np.asarray(t) for t in decode_attention(
+        q, k, v, lens, scale=0.25, block_k=16, interpret=not ON_TPU)]
+    for x, y in zip(a, b):
+        tol = 1e-6 if not ON_TPU else 5e-2
+        np.testing.assert_allclose(x, y, rtol=tol, atol=tol)
