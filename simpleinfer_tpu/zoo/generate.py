@@ -144,6 +144,11 @@ class CachedDecoder:
         "nn.Dropout",
     }
 
+    #: extra ring slots beyond the sliding window so a decode block's /
+    #: verify chunk's in-flight appends never overwrite entries its own
+    #: reads still need; also the max block/chunk width over a ring
+    RING_HEADROOM = 64
+
     def __init__(self, engine, kv_dtype: str | None = None,
                  scratch_blocks: bool = False, fuse_qkv: bool = False,
                  sample_cap: int | None = None,
@@ -294,6 +299,10 @@ class CachedDecoder:
             raise ValueError("decode_attn='pallas' does not support "
                              "sliding-window attention yet (the kernel "
                              "mask has no band); use the XLA path")
+        # ring-stored sliding ops bound the block/chunk width (a wider
+        # block could overwrite ring entries its own reads still need)
+        self._has_ring = any(self._op_ring(info) is not None
+                             for _, info in self._mha_ops)
         if fuse_qkv:
             self._weights = self._fuse_attention_weights(self._weights)
         self._step = jax.jit(self._step_fn, donate_argnums=(3,))
@@ -416,6 +425,22 @@ class CachedDecoder:
         return proj("q", heads), proj("k", kvh), proj("v", kvh)
 
     # ---- cache ----------------------------------------------------------
+    def _op_ring(self, info):
+        """Ring length for a sliding-window op's KV cache (None = full
+        window storage). A sliding op never attends past its window W,
+        so its cache is a RING of W + RING_HEADROOM slots (8-aligned):
+        position p lives at slot p % R, appends overwrite the oldest
+        entries, and both memory AND the per-step attention read are
+        bounded by W instead of the compiled window — the storage half
+        of the mistral-family feature (the banded masks are the
+        semantics half). Full-window storage when the ring would not
+        be smaller."""
+        sw = (info or {}).get("sliding_window")
+        if sw is None:
+            return None
+        r = -(-(sw + self.RING_HEADROOM) // 8) * 8
+        return r if r < self._window else None
+
     def init_cache(self, batch: int, dtype=None):
         """Zeroed per-layer KV cache pytree. Leaf layout per layer:
         (k, v) for dense storage, or (k_q, k_s, v_q, v_s) for int8
@@ -444,7 +469,8 @@ class CachedDecoder:
             h = info["num_heads"]
             kv = info.get("num_kv_heads", h)  # GQA: kv heads cached
             d = info.get("head_dim", info["embed_dim"] // h)
-            shape = (batch, kv, self._window, d)
+            length = self._op_ring(info) or self._window
+            shape = (batch, kv, length, d)
             if self._kv_int8:
                 sshape = shape[:-1] + (1,)
                 caches[name] = (place(jnp.zeros(shape, jnp.int8)),
@@ -456,9 +482,10 @@ class CachedDecoder:
                                 place(jnp.zeros(shape, dtype)))
         return caches
 
-    def _cache_append(self, cache, kh, vh, pos):
+    def _cache_append(self, cache, kh, vh, pos, ring=None):
         """Write the new token's k/v ([N, KV, 1, D]) at each row's
-        position; returns (new cache leaves, dense-readable (k, v)).
+        position (slot position % ring for ring-stored sliding ops);
+        returns (new cache leaves, dense-readable (k, v)).
 
         The write is a one-hot SELECT over the position axis, not a
         scatter: hlo_stats on the "base" decode step showed the
@@ -471,9 +498,11 @@ class CachedDecoder:
         import jax.numpy as jnp
 
         n = kh.shape[0]
+        length = jax.tree_util.tree_leaves(cache)[0].shape[2]
+        slot = pos if ring is None else jnp.remainder(pos, ring)
         hit = jax.lax.broadcasted_iota(
-            jnp.int32, (n, 1, self._window, 1), 2) == \
-            pos[:, None, None, None]                     # [N,1,L,1]
+            jnp.int32, (n, 1, length, 1), 2) == \
+            slot[:, None, None, None]                    # [N,1,L,1]
         if self._kv_int8:
             k_q, k_s, v_q, v_s = cache
             kq, ks = _kv_quantize(kh[:, :, 0, :])        # [N,KV,D]/[N,KV,1]
@@ -600,20 +629,31 @@ class CachedDecoder:
         dt = q.dtype
         n = q.shape[0]
 
+        sw = info.get("sliding_window")
+        ring = self._op_ring(info)
         qh, kh, vh = self._proj_qkv(w, q, heads, kvh, d, dt)
         cos, sin = rope_cos_sin(pos, d, theta)          # [N, D]
         qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
         kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
-        new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
-        k_leaf = self._kv_slice(k_leaf, kv_prefix)
-        v_leaf = self._kv_slice(v_leaf, kv_prefix)
+        new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh,
+                                                       pos, ring)
+        if ring is None:            # ring slots are not position-sliced
+            k_leaf = self._kv_slice(k_leaf, kv_prefix)
+            v_leaf = self._kv_slice(v_leaf, kv_prefix)
         s = self._attn_scores(qh, k_leaf, group, dt)
         s = s * (1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        keep = idx <= pos[:, None, None, None]
-        sw = info.get("sliding_window")
-        if sw is not None:          # mistral band: last sw positions
-            keep &= idx > (pos - sw)[:, None, None, None]
+        pe = pos[:, None, None, None]
+        if ring is not None:
+            # ring slot s holds absolute position pos - ((pos - s) % R)
+            # (the LATEST position <= pos mapping to s); the band mask
+            # works on those absolute positions
+            p_abs = pe - jnp.remainder(pe - idx, ring)
+            keep = (p_abs >= 0) & (p_abs > pe - sw)
+        else:
+            keep = idx <= pe
+            if sw is not None:      # mistral band: last sw positions
+                keep &= idx > pe - sw
         s = jnp.where(keep, s, jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         ctx = self._attn_ctx(p, v_leaf, group, dt)
@@ -667,6 +707,7 @@ class CachedDecoder:
         scale = 1.0 / (d ** 0.5)
         neg = jnp.finfo(jnp.float32).min
         sw = info.get("sliding_window")
+        ring = self._op_ring(info)
         s_new = jnp.einsum("nhqd,nhkd->nhqk", qh,
                            repeat_kv(k_scr.astype(dt), group),
                            preferred_element_type=jnp.float32) * scale
@@ -708,13 +749,23 @@ class CachedDecoder:
             l_tot = lf * carry + jnp.sum(p_new, axis=-1, keepdims=True)
             ctx = ((of * carry + ctx_new) / l_tot).astype(dt)
         else:
-            k_leaf = self._kv_slice(k_leaf, kv_prefix)
-            v_leaf = self._kv_slice(v_leaf, kv_prefix)
+            if ring is None:
+                k_leaf = self._kv_slice(k_leaf, kv_prefix)
+                v_leaf = self._kv_slice(v_leaf, kv_prefix)
             s_old = self._attn_scores(qh, k_leaf, group, dt) * scale
             idx = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 3)
-            keep_old = idx < pos0[:, None, None, None]
-            if sw is not None:     # band vs the query at pos0 + step_i
-                keep_old &= idx > (pos - sw)[:, None, None, None]
+            if ring is not None:
+                # frozen ring slot s holds the latest position < pos0
+                # mapping to s: (pos0-1) - ((pos0-1-s) % R); band it
+                # against the QUERY position (pos = pos0 + step_i)
+                p0 = pos0[:, None, None, None]
+                p_abs = (p0 - 1) - jnp.remainder(p0 - 1 - idx, ring)
+                keep_old = (p_abs >= 0) & \
+                    (p_abs > (pos - sw)[:, None, None, None])
+            else:
+                keep_old = idx < pos0[:, None, None, None]
+                if sw is not None:  # band vs the query at pos0 + step_i
+                    keep_old &= idx > (pos - sw)[:, None, None, None]
             s_old = jnp.where(keep_old, s_old, neg)
             s = jnp.concatenate([s_old, s_new], axis=-1)
             p = jax.nn.softmax(s, axis=-1).astype(dt)
@@ -759,9 +810,10 @@ class CachedDecoder:
                     env[o] = v
         return env[self._out_name], new_scr
 
-    def _scratch_merge(self, cache, scratch, pos0, k_steps):
+    def _scratch_merge(self, cache, scratch, pos0, k_steps, ring=None):
         """Fold a block's scratch into the big cache in ONE pass:
-        position pos0[row] + j takes scratch slot j. Slots that would
+        position pos0[row] + j takes scratch slot j (cache slot
+        (pos0 + j) % R for ring-stored sliding ops). Slots that would
         land past the window are dropped (the per-step path would have
         kept overwriting the clamped last slot of those dead rows)."""
         import jax
@@ -769,9 +821,14 @@ class CachedDecoder:
 
         k_scr, v_scr = scratch
         n = k_scr.shape[0]
+        length = jax.tree_util.tree_leaves(cache)[0].shape[2]
         idx = jax.lax.broadcasted_iota(
-            jnp.int32, (n, 1, self._window, 1), 2)
+            jnp.int32, (n, 1, length, 1), 2)
         off = idx - pos0[:, None, None, None]
+        if ring is not None:
+            # cache slot s receives block step j = (s - pos0) % R when
+            # j < K (RING_HEADROOM >= K guarantees no self-overwrite)
+            off = jnp.remainder(off, ring)
         win = (off >= 0) & (off < k_steps)
         offc = jnp.clip(off, 0, k_steps - 1)
 
@@ -874,7 +931,7 @@ class CachedDecoder:
                     for i, a in enumerate(args)]
         return args
 
-    def _prefill_plan(self, weights, tokens):
+    def _prefill_plan(self, weights, tokens, last_pos=None):
         """Walk the plan at [N, L], L <= the compiled window, capturing
         each attention op's k/v as a cache. Returns (logits [N,L,V],
         caches with position extent L). Same op math as _step_fn, so
@@ -896,6 +953,27 @@ class CachedDecoder:
                 fill = (self._rope_prefill if info.get("rotary")
                         else self._mha_prefill)
                 out, (kh, vh) = fill(w, env[ins[0]], info)
+                ring = self._op_ring(info)
+                if ring is not None:
+                    # fold the captured [N, KV, Lb, D] k/v into the
+                    # ring layout: slot s takes the latest VALID
+                    # position <= each row's prompt end congruent to s
+                    # (positions past the prompt are padding garbage;
+                    # older ring turns are outside the band by
+                    # construction). Never-resolved slots hold clipped
+                    # junk the decode masks cannot reach before an
+                    # append overwrites them.
+                    lb = kh.shape[2]
+                    end = (last_pos if last_pos is not None
+                           else jnp.full((kh.shape[0],), lb - 1,
+                                         jnp.int32))        # [N]
+                    s_idx = jnp.arange(ring)[None, :]        # [1, R]
+                    p_s = end[:, None] - jnp.remainder(
+                        end[:, None] - s_idx, ring)          # [N, R]
+                    p_c = jnp.clip(p_s, 0, lb - 1)
+                    idx4 = p_c[:, None, :, None]             # [N,1,R,1]
+                    kh = jnp.take_along_axis(kh, idx4, axis=2)
+                    vh = jnp.take_along_axis(vh, idx4, axis=2)
                 if self._kv_int8:
                     caches[impl.name] = (*_kv_quantize(kh),
                                          *_kv_quantize(vh))
@@ -920,7 +998,7 @@ class CachedDecoder:
     def _prefill_logits_fn(self, weights, tokens, last_pos):
         import jax.numpy as jnp
 
-        logits, caches = self._prefill_plan(weights, tokens)
+        logits, caches = self._prefill_plan(weights, tokens, last_pos)
         last = jnp.take_along_axis(
             logits, last_pos[:, None, None], axis=1)[:, 0, :]
         return last, caches
@@ -1035,10 +1113,10 @@ class CachedDecoder:
             (last_tok, _, scratches), toks = jax.lax.scan(
                 body, (token, pos, scratches),
                 jnp.arange(k_steps, dtype=jnp.int32))
-            merged = {name: self._scratch_merge(caches[name],
-                                                scratches[name], pos0,
-                                                k_steps)
-                      for name in caches}
+            merged = {name: self._scratch_merge(
+                caches[name], scratches[name], pos0, k_steps,
+                ring=self._op_ring(info))
+                for name, info in self._mha_ops}
             return jnp.transpose(toks), last_tok, merged
 
         return jax.jit(block_fn_scratch if self._scratch_blocks
@@ -1189,10 +1267,15 @@ class CachedDecoder:
             kh = apply_rope(kh, cos[:, None], sin[:, None])
 
         # append the chunk: window position p takes chunk slot p - pos
-        # (the _scratch_merge gather, applied immediately)
+        # (the _scratch_merge gather, applied immediately); ring ops
+        # write slot (pos + j) % R
+        ring = self._op_ring(info)
+        length = jax.tree_util.tree_leaves(cache)[0].shape[2]
         idx = jax.lax.broadcasted_iota(
-            jnp.int32, (n, 1, self._window, 1), 2)
+            jnp.int32, (n, 1, length, 1), 2)
         off = idx - pos[:, None, None, None]
+        if ring is not None:
+            off = jnp.remainder(off, ring)
         win = (off >= 0) & (off < k)
         offc = jnp.clip(off, 0, k - 1)
 
@@ -1219,10 +1302,19 @@ class CachedDecoder:
         s = self._attn_scores(qh, k_leaf, group, dt)     # [N, H, K, L]
         s = s * (1.0 / (d ** 0.5))
         l_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        keep = l_idx <= positions[:, None, :, None]
         sw = info.get("sliding_window")
-        if sw is not None:
-            keep &= l_idx > (positions - sw)[:, None, :, None]
+        if ring is not None:
+            # after the chunk append, ring slot s holds the latest
+            # position <= pos+k-1 mapping to s; each chunk query bands
+            # and causally masks against those absolute positions
+            top = (pos + k - 1)[:, None, None, None]
+            p_abs = top - jnp.remainder(top - l_idx, ring)
+            q_pos = positions[:, None, :, None]
+            keep = (p_abs >= 0) & (p_abs <= q_pos) & (p_abs > q_pos - sw)
+        else:
+            keep = l_idx <= positions[:, None, :, None]
+            if sw is not None:
+                keep &= l_idx > (positions - sw)[:, None, :, None]
         s = jnp.where(keep, s, jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
         ctx = self._attn_ctx(p, v_leaf, group, dt)       # [N, H, K, D]
@@ -1284,6 +1376,10 @@ class CachedDecoder:
         if not 1 <= k <= self._window:
             raise ValueError(f"chunk width must be in [1, "
                              f"{self._window}], got {k}")
+        if self._has_ring and k > self.RING_HEADROOM:
+            raise ValueError(
+                f"verify chunks over ring-stored sliding caches are "
+                f"limited to {self.RING_HEADROOM} tokens, got {k}")
         fn = self._chunk_fns.get(k)
         if fn is None:
             def verify_fn(weights, toks, p, caches):
@@ -1412,6 +1508,10 @@ class CachedDecoder:
                     f"{kv_prefix}")
             if kv_prefix == self._window:
                 kv_prefix = None
+        if self._has_ring and int(k_steps) > self.RING_HEADROOM:
+            raise ValueError(
+                f"decode blocks over ring-stored sliding caches are "
+                f"limited to {self.RING_HEADROOM} steps, got {k_steps}")
         cap = self._sample_cap if sample_cap == "default" \
             else (None if sample_cap is None else int(sample_cap))
         if attn_impl == "default":

@@ -992,3 +992,83 @@ def test_generation_service_auto_attn_disabled_below_threshold():
     eng = _llama_engine(seq_len=64)
     svc = GenerationService(eng, slots=2, decode_attn="auto")
     assert not svc._attn_auto   # 2 < KERNEL_MIN_SLOTS
+
+
+# ---- ring-buffer KV storage for sliding-window ops (round-3) ---------------
+
+import jax
+
+
+def _swa_engine(seq_len=256, sw=32, vocab=60, **kw):
+    graph, _, _ = build_llama("nano", batch=1, seq_len=seq_len,
+                              vocab_size=vocab, sliding_window=sw,
+                              seed=8, **kw)
+    return Engine().load_model(None, graph=graph)
+
+
+@pytest.mark.parametrize("kv_dtype,scratch", [
+    # int8 + scratch is excluded from the block-size comparison: the
+    # scratch path reads WITHIN-block keys unquantized (the documented
+    # int8-scratch non-identity) — ring coverage for scratch comes
+    # from the (None, True) dense case
+    (None, False), (None, True), ("int8", False), ("bfloat16", False)])
+def test_ring_cache_decode_matches_full_forward(kv_dtype, scratch):
+    """Window 256 / sliding 32: the cache is a 96-slot RING (sw +
+    headroom), yet decode reproduces greedy_generate (banded full
+    forward) token-for-token deep past several ring turns."""
+    eng = _swa_engine()
+    dec = CachedDecoder(eng, kv_dtype=kv_dtype, scratch_blocks=scratch)
+    leaf = jax.tree_util.tree_leaves(dec.init_cache(1))[0]
+    assert leaf.shape[2] == 96, leaf.shape   # ring, not the window
+    prompt = np.array([[9, 2, 4, 31, 7]])
+    steps = 200                               # > 2 ring turns
+    want = greedy_generate(eng, prompt, steps=steps)
+    got = dec.generate(prompt, steps=steps, block=32)
+    if kv_dtype in (None,):
+        np.testing.assert_array_equal(got, want)
+    else:
+        # quantized/bf16 caches: same storage error as non-ring mode —
+        # compare the two decode paths instead of the f32 forward
+        ref = CachedDecoder(eng, kv_dtype=kv_dtype,
+                            scratch_blocks=scratch)
+        # per-step oracle: block=1 walks the same ring per token
+        want2 = ref.generate(prompt, steps=steps, block=1)
+        np.testing.assert_array_equal(got, want2)
+
+
+def test_ring_cache_bucketed_prefill_and_service():
+    """Bucketed admission + the serving loop over a ring cache."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _swa_engine()
+    dec = CachedDecoder(eng)
+    want = dec.generate(np.asarray([[5, 1, 8]]), steps=100)
+    svc = GenerationService(eng, slots=2, decode_horizon=8).start()
+    got = svc.submit([5, 1, 8], max_new=100).result(timeout=300)
+    svc.stop()
+    np.testing.assert_array_equal(got, want[0])
+
+
+def test_ring_cache_speculative_lossless():
+    from simpleinfer_tpu.zoo.speculative import SpeculativeDecoder
+
+    eng = _swa_engine()
+    want = CachedDecoder(eng).generate(np.asarray([[5, 1, 8]]),
+                                       steps=120)
+    spec = SpeculativeDecoder(eng, eng, k=4)
+    got = spec.generate(np.asarray([[5, 1, 8]]), steps=120)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ring_cache_block_width_guard():
+    eng = _swa_engine()
+    dec = CachedDecoder(eng)
+    caches = dec.init_cache(1)
+    with pytest.raises(ValueError, match="ring"):
+        dec.decode_block(np.ones(1), np.zeros(1, np.int32), caches,
+                         jax.random.PRNGKey(0), 0,
+                         np.zeros(1, np.float32), np.zeros(1, np.int32),
+                         np.ones(1, np.float32), 128)
+    with pytest.raises(ValueError, match="ring"):
+        dec.decode_chunk_verify(np.ones((1, 80)), np.zeros(1, np.int32),
+                                caches)
