@@ -1150,7 +1150,8 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
                 width: int | None = None, num_heads: int | None = None,
                 num_kv_heads: int | None = None,
                 rope_theta: float = 10000.0, seed: int = 0,
-                sliding_window: int | None = None) -> tuple:
+                sliding_window: int | None = None,
+                sliding_pattern: str = "all") -> tuple:
     """Llama-family causal decoder LM (superset family — the reference
     has no autoregressive workload, and the GPT builder covers the
     learned-position/LayerNorm/packed-MHA lineage).
@@ -1166,6 +1167,8 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
     """
     if variant not in LLAMA_PRESETS:
         raise ValueError(f"variant must be one of {list(LLAMA_PRESETS)}")
+    if sliding_pattern not in ("all", "alternate"):
+        raise ValueError("sliding_pattern must be 'all' or 'alternate'")
     d0, w0, h0, kv0 = LLAMA_PRESETS[variant]
     depth = d0 if depth is None else depth
     w = w0 if width is None else width
@@ -1177,11 +1180,15 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
     ids = b.input([batch, seq_len], name="0")
     x = b.embedding(ids, vocab_size, w)
 
-    for _ in range(depth):
+    for li in range(depth):
+        # gemma-2-style "alternate": odd layers sliding, even layers
+        # global — exercises mixed ring/full caches in one model
+        sw_i = sliding_window if (sliding_pattern == "all"
+                                  or li % 2 == 1) else None
         y = b.rms_norm(x)
         y = b.rotary_attention(y, heads, num_kv_heads=kv,
                                rope_theta=rope_theta,
-                               sliding_window=sliding_window)
+                               sliding_window=sw_i)
         x = b.add(x, y)
         y = b.rms_norm(x)
         gate = b.silu_act(b.linear(y, inter, bias=False))

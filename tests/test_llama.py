@@ -1072,3 +1072,23 @@ def test_ring_cache_block_width_guard():
     with pytest.raises(ValueError, match="ring"):
         dec.decode_chunk_verify(np.ones((1, 80)), np.zeros(1, np.int32),
                                 caches)
+
+
+def test_alternating_sliding_layers_mixed_ring_caches():
+    """gemma-2-style alternation: odd layers sliding (ring caches),
+    even layers global (full-window caches) in ONE model; decode
+    reproduces the full forward."""
+    graph, _, _ = build_llama("nano", batch=1, seq_len=256,
+                              vocab_size=60, sliding_window=32,
+                              sliding_pattern="alternate", seed=8)
+    eng = Engine().load_model(None, graph=graph)
+    dec = CachedDecoder(eng, scratch_blocks=True)
+    lengths = sorted({jax.tree_util.tree_leaves(c)[0].shape[2]
+                      for c in dec.init_cache(1).values()})
+    assert lengths == [96, 256], lengths     # ring AND full in one model
+    prompt = np.array([[9, 2, 4, 31, 7]])
+    want = greedy_generate(eng, prompt, steps=150)
+    got = dec.generate(prompt, steps=150, block=32)
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="sliding_pattern"):
+        build_llama("nano", sliding_window=8, sliding_pattern="every3")
