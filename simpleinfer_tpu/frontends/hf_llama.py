@@ -55,6 +55,26 @@ def llama_graph_from_hf(model, batch: int = 1,
             None, "default"):
         raise ValueError(f"rope_scaling {scaling!r} not supported")
 
+    # sliding-window attention, per HF family semantics: mistral/phi3
+    # apply cfg.sliding_window whenever set; qwen2 only when
+    # use_sliding_window=True and then only to layers >=
+    # max_window_layers (the lower layers stay full attention);
+    # llama/gemma(v1) have none. HF's mask keeps q - sw < k <= q —
+    # exactly si.RotaryAttention's band.
+    sw_cfg = getattr(cfg, "sliding_window", None)
+    use_sw = sw_cfg is not None and mt in ("mistral", "phi3", "qwen2")
+    if mt == "qwen2":
+        use_sw = use_sw and bool(getattr(cfg, "use_sliding_window",
+                                         False))
+
+    def layer_sliding(i):
+        if not use_sw:
+            return None
+        if mt == "qwen2":
+            mwl = int(getattr(cfg, "max_window_layers", 0) or 0)
+            return int(sw_cfg) if i >= mwl else None
+        return int(sw_cfg)
+
     sd = {k: v.detach().cpu().numpy().astype(np.float32)
           for k, v in model.state_dict().items()}
 
@@ -119,7 +139,8 @@ def llama_graph_from_hf(model, batch: int = 1,
 
         bias = f"{p}.self_attn.q_proj.bias" in sd  # qwen2-style
         y = b.rotary_attention(y, heads, num_kv_heads=kv,
-                               rope_theta=theta, bias=bias)
+                               rope_theta=theta, bias=bias,
+                               sliding_window=layer_sliding(i))
         aop = b.g.get_operand(y).producer
         for key in ("q", "k", "v", "o"):
             aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(

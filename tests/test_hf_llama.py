@@ -258,3 +258,52 @@ def test_hf_gemma_legacy_hidden_act_uses_tanh_gelu():
     got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
     want = _hf_logits(model, ids)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_hf_mistral_sliding_window_parity():
+    """Mistral configs carry sliding_window; HF masks keys with
+    q - k >= sw. The converter must propagate it — logits match the HF
+    forward on a sequence LONGER than the window (where the band
+    actually binds)."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(7)
+    cfg = MistralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=16,
+        rope_theta=10000.0, sliding_window=6)
+    model = MistralForCausalLM(cfg).eval()
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # the band genuinely binds: a no-sliding build must NOT match at
+    # the tail (sanity that the test can fail)
+    g2, i2, o2 = (None, None, None)
+    cfg2 = MistralConfig(**{**cfg.to_dict(), "sliding_window": None})
+    model.config = cfg2    # same weights, band off in the converter
+    eng2, i2, o2 = _engine_for(model)
+    got2 = np.asarray(eng2.run({i2: ids.astype(np.float32)})[o2])
+    assert np.abs(got2[0, -1] - want[0, -1]).max() > 1e-3
+
+
+def test_hf_qwen2_sliding_gated_by_use_flag():
+    """qwen2 carries sliding_window but applies it only when
+    use_sliding_window=True (and then to layers >= max_window_layers)."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(7)
+    base = dict(vocab_size=64, hidden_size=32, intermediate_size=48,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=16,
+                sliding_window=6, use_sliding_window=False)
+    model = Qwen2ForCausalLM(Qwen2Config(**base)).eval()
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
