@@ -307,3 +307,35 @@ def test_hf_qwen2_sliding_gated_by_use_flag():
     want = _hf_logits(model, ids)
     got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_mistral_ring_decode_matches_hf_greedy():
+    """Ring-stored sliding KV vs the INDEPENDENT HF oracle: a mistral
+    model at seq_len 128 (ring engages: 72 slots < 128) greedy-decodes
+    token-for-token what HF's own forward produces, past a ring turn."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    torch.manual_seed(7)
+    cfg = MistralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        rope_theta=10000.0, sliding_window=6)
+    model = MistralForCausalLM(cfg).eval()
+    eng, in_name, out_name = _engine_for(model, seq_len=128)
+    dec = CachedDecoder(eng, scratch_blocks=True)
+    import jax
+
+    assert jax.tree_util.tree_leaves(dec.init_cache(1))[0].shape[2] == 72
+
+    prompt = [3, 7, 11, 2]
+    steps = 100                         # deep past the 72-slot ring
+    ids = list(prompt)
+    with torch.no_grad():
+        for _ in range(steps):
+            logits = model(torch.tensor([ids])).logits[0, -1]
+            ids.append(int(torch.argmax(logits)))
+    got = dec.generate(np.asarray([prompt]), steps=steps, block=25)
+    np.testing.assert_array_equal(got[0], np.asarray(ids))
