@@ -480,8 +480,16 @@ class Engine:
                         raise EngineStateError(
                             f"warmup needs a declared shape for input "
                             f"{spec.name!r}")
-                    shape = [bs] + [1 if d == -1 else d
-                                    for d in spec.shape[1:]]
+                    if any(d == -1 for d in spec.shape[1:]):
+                        # batch is the only supported re-jit axis; a
+                        # fabricated size-1 stand-in would silently warm
+                        # (and cache) an executable for the wrong bucket
+                        raise EngineStateError(
+                            f"warmup cannot pick a size for dynamic "
+                            f"non-batch dim(s) of input {spec.name!r} "
+                            f"(declared {spec.shape}); feed a concrete "
+                            f"array via input()+forward() instead")
+                    shape = [bs] + list(spec.shape[1:])
                     self.input(spec.name, np.zeros(shape, np.float32))
                 self.forward()
             for v in self._outputs.values():

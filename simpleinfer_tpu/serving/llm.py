@@ -383,13 +383,16 @@ class GenerationService:
             if not self._running:
                 raise RuntimeError("service not started")
             # insert before the first LOWER-priority request: higher
-            # priorities admit first, FIFO within a priority class
+            # priorities admit first, FIFO within a priority class.
+            # The scan runs for priority 0 too — a 0 must still jump
+            # ahead of queued NEGATIVE priorities (the scan stops at
+            # the first strictly-lower priority, so FIFO-within-class
+            # is preserved)
             at = len(self._queue)
-            if req.priority:
-                for i, q in enumerate(self._queue):
-                    if q.priority < req.priority:
-                        at = i
-                        break
+            for i, q in enumerate(self._queue):
+                if q.priority < req.priority:
+                    at = i
+                    break
             self._queue.insert(at, req)
             self.stats.requests += 1
             self._cv.notify()
@@ -588,8 +591,15 @@ class GenerationService:
             return self._cap if ok else None
 
         def cap_is_fast(cap) -> bool:
+            # "fast" = this cap value dispatches a warmed primary
+            # executable (not the uncapped in-band fallback). In
+            # "fixed" AND "off" modes "default" is the single stable
+            # sampler the decoder was built with — both are warmed, so
+            # the auto attention policy may use the pallas block there
+            # too (previously "off" could never dispatch the kernel it
+            # paid to compile in warmup)
             if cap == "default":
-                return self._cap_mode == "fixed"
+                return self._cap_mode != "auto"
             return cap is not None
 
         def dispatch(tokens, fed_pos, k):
@@ -682,8 +692,10 @@ class GenerationService:
                         if (req.deadline_s is not None
                                 and time.perf_counter() > req.deadline_s):
                             self.stats.timed_out += 1
-                            req.future.set_exception(TimeoutError(
-                                "request deadline passed while queued"))
+                            if not req.future.done():
+                                req.future.set_exception(TimeoutError(
+                                    "request deadline passed while "
+                                    "queued"))
                             if req.stream_q is not None:
                                 req.stream_q.put(None)
                             continue
@@ -800,6 +812,12 @@ class GenerationService:
         self.stats.latency_sum_ms += (
             time.perf_counter() - req.t_submit) * 1e3
         active[i] = None
-        req.future.set_result(out)
+        # a client may have cancel()ed the bare Future directly (not via
+        # self.cancel); set_result on a CANCELLED future raises
+        # InvalidStateError, which the fail-fast loop wrapper would
+        # escalate into killing the whole service — guard like the
+        # _loop exception handler does
+        if not req.future.done():
+            req.future.set_result(out)
         if req.stream_q is not None:
             req.stream_q.put(None)       # end-of-stream sentinel

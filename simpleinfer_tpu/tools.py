@@ -237,17 +237,39 @@ def cmd_serve(args) -> int:
     if args.generate:
         from .serving.llm import GenerationService
 
-        cap = args.sample_cap
-        if cap not in (None, "auto"):
-            cap = None if cap.lower() in ("off", "none") else int(cap)
-        elif cap is None:
-            cap = "auto"
-        def _ladder(v):
-            if v in (None, "auto"):
+        # CLI string normalization: case-insensitive keywords, clean
+        # argparse-style errors instead of bare int() tracebacks on
+        # inputs like 'AUTO' or '128;256'
+        def _cap(v):
+            if v is None:
                 return "auto"
-            if not v or v.lower() in ("off", "none"):
+            s = v.strip().lower()
+            if s == "auto":
+                return "auto"
+            if s in ("off", "none"):
+                return None
+            try:
+                return int(s)
+            except ValueError:
+                raise SystemExit(
+                    f"error: --sample-cap: expected an int, 'auto' or "
+                    f"'off', got {v!r}")
+        cap = _cap(args.sample_cap)
+
+        def _ladder(name, v):
+            if v is None:
+                return "auto"
+            s = v.strip().lower()
+            if s == "auto":
+                return "auto"
+            if not s or s in ("off", "none"):
                 return None     # empty string = disabled (env passthru)
-            return tuple(int(x) for x in v.split(","))
+            try:
+                return tuple(int(x) for x in s.split(","))
+            except ValueError:
+                raise SystemExit(
+                    f"error: --{name}: expected comma-separated ints "
+                    f"(e.g. 128,256), 'auto' or 'off', got {v!r}")
 
         gsvc = GenerationService(eng, slots=args.max_batch,
                                  decode_horizon=args.decode_horizon,
@@ -256,8 +278,10 @@ def cmd_serve(args) -> int:
                                  scratch_blocks=args.scratch_blocks,
                                  sample_cap=cap,
                                  kv_prefix_ladder=_ladder(
+                                     "kv-prefix-ladder",
                                      args.kv_prefix_ladder),
                                  prefill_ladder=_ladder(
+                                     "prefill-ladder",
                                      args.prefill_ladder),
                                  decode_attn=args.decode_attn)
         if args.warmup:

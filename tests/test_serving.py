@@ -656,3 +656,45 @@ def test_generation_service_priority_admission_order():
     for f in (blocker, hi, lo1, lo2):
         f.result(timeout=120)
     svc.stop()
+
+
+def test_generation_service_priority_zero_beats_negative():
+    """A default-priority (0) request submitted after a NEGATIVE-
+    priority request must still admit first — the insertion scan runs
+    for priority 0 too (round-3 advisor finding)."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=1, decode_horizon=1).start()
+    blocker = svc.submit([4, 8], max_new=12)
+    for _ in range(500):
+        if svc.stats.prefills >= 1:
+            break
+        time.sleep(0.01)
+    neg = svc.submit([1, 1], max_new=2, priority=-3)
+    zero = svc.submit([2, 2], max_new=2)           # default priority 0
+    with svc._cv:
+        order = [tuple(r.prompt) for r in svc._queue]
+    assert order == [(2, 2), (1, 1)]               # 0 jumped the -3
+    for f in (blocker, neg, zero):
+        f.result(timeout=120)
+    svc.stop()
+
+
+def test_generation_service_survives_direct_future_cancel():
+    """future.cancel() called directly on the handed-back Future (not
+    via svc.cancel) must not crash the scheduler when it later tries
+    to resolve the finished row — and other requests keep completing
+    (round-3 advisor medium finding)."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    svc = GenerationService(eng, slots=2, decode_horizon=1).start()
+    doomed = svc.submit([4, 8], max_new=4)
+    doomed.cancel()           # CANCELLED while pending/active
+    other = svc.submit([1, 2, 3], max_new=4)
+    out = other.result(timeout=120)   # service still alive and serving
+    assert len(out) >= 3
+    later = svc.submit([5, 6], max_new=2)
+    assert len(later.result(timeout=120)) >= 2
+    svc.stop()
