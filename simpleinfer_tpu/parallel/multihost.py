@@ -20,6 +20,10 @@ Usage (same script on every host):
 Host-local input feeding follows the standard JAX idiom: each host
 stages only its slice and `jax.make_array_from_process_local_data`
 assembles the global sharded array.
+
+This layer runs for real in CI: `parallel.multiproc.launch` executes it
+as separate OS processes (localhost coordinator, Gloo collectives) and
+tests/test_multiproc.py compares against single-process runs.
 """
 from __future__ import annotations
 

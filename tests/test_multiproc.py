@@ -1,0 +1,98 @@
+"""Multi-host layer executed as REAL multiple processes (SURVEY §4.4c).
+
+Spawns separate OS processes, each its own JAX process with private CPU
+devices, wired by `jax.distributed.initialize` over a localhost
+coordinator (cross-process collectives ride Gloo — the DCN stand-in).
+Exercises the exact production code path of parallel/multihost.py:
+distributed init, global mesh over all processes' devices, per-process
+input slices assembled via host_local_batch /
+make_array_from_process_local_data — the parts the single-process
+8-device mesh can never reach.
+
+Results are compared against a SINGLE-process run of the same mesh
+shape built from the virtual 8-device mesh of this test process.
+"""
+import numpy as np
+import pytest
+
+from simpleinfer_tpu.parallel import multiproc
+
+
+def _launch(task, **kw):
+    try:
+        return multiproc.launch(task, **kw)
+    except RuntimeError as e:
+        if "distributed" in str(e).lower() and "unavailable" in str(e).lower():
+            pytest.skip(f"jax.distributed unsupported here: {e}")
+        raise
+
+
+@pytest.fixture(scope="module")
+def cnn_result():
+    return _launch("cnn", n_processes=2, devices_per_process=2)
+
+
+def test_multiproc_cnn_runs_as_two_processes(cnn_result):
+    assert int(cnn_result["process_count"]) == 2
+    assert int(cnn_result["n_global_devices"]) == 4
+    # every rank saw the SAME assembled global batch (host-local rows
+    # from different processes stitched into one array)
+    data = 2 * 2 // 2  # global devices / model axis
+    assert cnn_result["batch_check"].shape[0] == data
+
+
+def test_multiproc_cnn_matches_single_process(cnn_result):
+    """The 2-process DPxTP yolov5n forward matches the same mesh run
+    inside ONE process. The assembled INPUT is bit-equal (host-local
+    rows from two processes stitch losslessly); the forward agrees to
+    fp32 ulps (measured max 3e-7 relative) — XLA partitions the
+    program differently when the data axis spans processes, changing
+    reduction decomposition, so bit-equality is not the right contract
+    (decision-level equality is: the LLM test asserts exact tokens)."""
+    from simpleinfer_tpu import Engine, EngineConfig, MeshConfig
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    data, model = 2, 2
+    cfg = EngineConfig(mesh=MeshConfig(data=data, model=model),
+                       compute_dtype="float32")
+    graph, in_name, out_name = build_yolov5("n", batch=data,
+                                            image_size=64, seed=0)
+    eng = Engine(cfg).load_model(None, graph=graph)
+    full = (np.arange(data * 64 * 64 * 3, dtype=np.float32)
+            .reshape(data, 64, 64, 3) % 17) / 17.0
+    np.testing.assert_array_equal(cnn_result["batch_check"],
+                                  full.astype(np.float32))
+    want = eng.run({in_name: full})[out_name]
+    got = cnn_result["out"]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_multiproc_llm_tp_decode_token_equal():
+    """Greedy TP decode with the model axis SPANNING processes (the
+    attention/MLP all-reduces cross the process boundary over Gloo)
+    streams the same tokens as the single-process TP run and the
+    unsharded single-device run."""
+    from simpleinfer_tpu import Engine, EngineConfig, MeshConfig
+    from simpleinfer_tpu.zoo import build_gpt
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    res = _launch("llm_tp", n_processes=2, devices_per_process=2)
+    assert int(res["process_count"]) == 2
+
+    graph, _, _ = build_gpt(variant="nano", batch=1, seq_len=32,
+                            vocab_size=64, depth=2, width=32,
+                            num_heads=4, seed=0)
+    # single-process, same TP mesh shape (model=4)
+    cfg = EngineConfig(mesh=MeshConfig(data=1, model=4),
+                       compute_dtype="float32")
+    eng = Engine(cfg).load_model(None, graph=graph)
+    want = CachedDecoder(eng).generate([[3, 1, 4, 1, 5]], steps=12,
+                                       temperature=0.0)
+    np.testing.assert_array_equal(res["tokens"], np.asarray(want))
+    # and the no-mesh single-device oracle
+    eng1 = Engine(EngineConfig(compute_dtype="float32")).load_model(
+        None, graph=graph)
+    solo = CachedDecoder(eng1).generate([[3, 1, 4, 1, 5]], steps=12,
+                                        temperature=0.0)
+    np.testing.assert_array_equal(res["tokens"], np.asarray(solo))
