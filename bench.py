@@ -25,15 +25,10 @@ import time
 import numpy as np
 
 
-def _throughput(eng, in_name, out_name, batch, image_size, dtype,
-                iters=12):
-    """Device-time throughput via a chained on-device loop
-    (profiling.measure_device_time) — robust to the 1-3 ms per-dispatch
-    host overhead of remote-attached chips, which would otherwise
-    dominate sub-10ms forwards."""
+def _prepare(eng, in_name, out_name, batch, image_size):
+    """Compile the plain forward and return a (fwd, x, opts) triple
+    ready for measurement."""
     import jax.numpy as jnp
-
-    from simpleinfer_tpu.profiling import measure_device_time
 
     x_np = (np.random.default_rng(0)
             .standard_normal((batch, image_size, image_size, 3))
@@ -64,9 +59,19 @@ def _throughput(eng, in_name, out_name, batch, image_size, dtype,
 
     # same per-executable compiler options the engine compiles with
     # (stock XLA unless EngineConfig.xla_compiler_options is set)
-    dt = measure_device_time(
-        fwd, x, iters=iters,
-        compiler_options=eng._effective_compiler_options())
+    return fwd, x, eng._effective_compiler_options()
+
+
+def _throughput(eng, in_name, out_name, batch, image_size, dtype,
+                iters=12):
+    """Device-time throughput via a chained on-device loop
+    (profiling.measure_device_time) — robust to the 1-3 ms per-dispatch
+    host overhead of remote-attached chips, which would otherwise
+    dominate sub-10ms forwards."""
+    from simpleinfer_tpu.profiling import measure_device_time
+
+    fwd, x, opts = _prepare(eng, in_name, out_name, batch, image_size)
+    dt = measure_device_time(fwd, x, iters=iters, compiler_options=opts)
     return batch / dt, dt
 
 
@@ -104,6 +109,14 @@ def main():
         }
         if factor == factor:  # not NaN
             out["chip_speed_factor"] = round(factor, 3)
+            if headline in results and factor > 0:
+                # chip-state-adjusted throughput: the cross-round
+                # comparable number (absolute readings drift 2x+ per
+                # day, docs/PERF.md)
+                out["value_normalized"] = round(
+                    results[headline] / factor, 2)
+        if interleaved:
+            out["mode"] = f"interleaved-{interleaved}r"
         if note:
             out["note"] = note
         print(json.dumps(out), flush=True)
@@ -126,6 +139,9 @@ def main():
     # override with SI_BENCH_CONFIGS=fp32,bf16,int8w
     wanted = [w.strip() for w in os.environ.get(
         "SI_BENCH_CONFIGS", "int8w,fp32").split(",") if w.strip()]
+    # SI_BENCH_INTERLEAVED=R: measure all configs round-robin over R
+    # rounds and report medians (the drift-proof exit-gate mode)
+    interleaved = int(os.environ.get("SI_BENCH_INTERLEAVED", "0"))
 
     import jax
 
@@ -154,27 +170,76 @@ def main():
         raise SystemExit(f"unknown SI_BENCH_CONFIGS {unknown}; "
                          f"valid: {sorted(all_configs)}")
     configs = [(w, all_configs[w]) for w in wanted]
-    for label, cfg in configs:
-        try:
-            graph, in_name, out_name = build_yolov5(variant, batch=batch,
-                                                    image_size=image_size)
-            eng = Engine(cfg).load_model(None, graph=graph)
-            if cfg.quant == "int8":
-                calib = (np.random.default_rng(1).standard_normal(
-                    (batch, image_size, image_size, 3)).astype(np.float32)
-                    / 4.0)
-                eng.calibrate([{in_name: calib}])
-            ips, dt = _throughput(eng, in_name, out_name, batch, image_size,
-                                  cfg.compute_jnp_dtype)
-            gflops = eng.program.flops_per_item * batch / 1e9
-            print(f"{label:6s} {ips:9.1f} img/s  {dt * 1e3:7.2f} "
-                  f"ms/batch{batch}  {gflops / dt / 1e3:6.1f} TFLOP/s",
-                  file=sys.stderr)
-            results[label] = ips
+    if interleaved:
+        # REGRESSION-PROOF MODE (SI_BENCH_INTERLEAVED=R rounds): compile
+        # every config first, then measure round-robin — only
+        # within-run interleaved columns are drift-comparable
+        # (docs/PERF.md "measurement trap"); the sequential default
+        # can silently book a 10% chip-state swing as a code change.
+        import statistics
+
+        from simpleinfer_tpu.profiling import measure_device_time
+
+        prepared = {}
+        engines = []
+        for label, cfg in configs:
+            try:
+                graph, in_name, out_name = build_yolov5(
+                    variant, batch=batch, image_size=image_size)
+                eng = Engine(cfg).load_model(None, graph=graph)
+                if cfg.quant == "int8":
+                    calib = (np.random.default_rng(1).standard_normal(
+                        (batch, image_size, image_size, 3))
+                        .astype(np.float32) / 4.0)
+                    eng.calibrate([{in_name: calib}])
+                prepared[label] = _prepare(eng, in_name, out_name,
+                                           batch, image_size)
+                engines.append(eng)
+            except Exception as e:  # noqa: BLE001
+                print(f"{label}: prepare failed "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
+        times = {label: [] for label in prepared}
+        for r in range(interleaved):
+            for label, (fwd, x, opts) in prepared.items():
+                dt = measure_device_time(fwd, x, iters=12,
+                                         compiler_options=opts)
+                times[label].append(dt)
+            print("round %d: %s" % (r, "  ".join(
+                f"{la} {times[la][-1] * 1e3:.3f}ms" for la in prepared)),
+                file=sys.stderr, flush=True)
+        for label, ts in times.items():
+            if not ts:
+                continue
+            med = statistics.median(ts)
+            results[label] = batch / med
+            print(f"{label:6s} {batch / med:9.1f} img/s  "
+                  f"{med * 1e3:7.2f} ms/batch{batch} (median of "
+                  f"{len(ts)}, spread {min(ts) * 1e3:.3f}.."
+                  f"{max(ts) * 1e3:.3f})", file=sys.stderr)
+        for eng in engines:
             eng.release()
-        except Exception as e:  # noqa: BLE001 — keep earlier results
-            print(f"{label}: failed ({type(e).__name__}: {e})",
-                  file=sys.stderr)
+    else:
+        for label, cfg in configs:
+            try:
+                graph, in_name, out_name = build_yolov5(
+                    variant, batch=batch, image_size=image_size)
+                eng = Engine(cfg).load_model(None, graph=graph)
+                if cfg.quant == "int8":
+                    calib = (np.random.default_rng(1).standard_normal(
+                        (batch, image_size, image_size, 3))
+                        .astype(np.float32) / 4.0)
+                    eng.calibrate([{in_name: calib}])
+                ips, dt = _throughput(eng, in_name, out_name, batch,
+                                      image_size, cfg.compute_jnp_dtype)
+                gflops = eng.program.flops_per_item * batch / 1e9
+                print(f"{label:6s} {ips:9.1f} img/s  {dt * 1e3:7.2f} "
+                      f"ms/batch{batch}  {gflops / dt / 1e3:6.1f} "
+                      f"TFLOP/s", file=sys.stderr)
+                results[label] = ips
+                eng.release()
+            except Exception as e:  # noqa: BLE001 — keep earlier results
+                print(f"{label}: failed ({type(e).__name__}: {e})",
+                      file=sys.stderr)
     timer.cancel()
     if not results:
         _emit({}, factor, note="no config completed")
