@@ -35,7 +35,9 @@ _NEG_INF = float("-inf")
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                   n_kv: int, scale: float, causal: bool, lq: int, lk: int,
-                  block_q: int, block_k: int, out_dtype):
+                  block_q: int, block_k: int, out_dtype,
+                  sliding_window: int | None = None,
+                  n_kv_total: int | None = None):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
 
@@ -47,8 +49,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
     # causal: blocks strictly above the diagonal band contribute nothing
     q_start = qi * block_q
-    k_start = kj * block_k
-    live = (k_start <= q_start + block_q - 1) if causal else True
+    if sliding_window is not None:
+        # banded grid: kj counts LIVE key-blocks only, offset from the
+        # first block the band can touch for this q block (the index
+        # map loads the matching K/V block). The UNCLAMPED index
+        # decides liveness — a clamped (out-of-range) load would alias
+        # the last key block and double-count it.
+        kj_abs = _band_first_block(qi, block_q, block_k,
+                                   sliding_window) + kj
+        k_start = kj_abs * block_k
+        live = ((k_start <= q_start + block_q - 1)        # causal
+                & (k_start + block_k - 1 > q_start - sliding_window))
+    else:
+        k_start = kj * block_k
+        live = (k_start <= q_start + block_q - 1) if causal else True
 
     @pl.when(live)
     def _():
@@ -66,6 +80,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
             q_idx = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             mask = mask & (k_idx <= q_idx)
+            if sliding_window is not None:
+                # ops/attention.py convention: keep keys ki > qi - sw
+                # (the window INCLUDES self, sw positions total)
+                mask = mask & (k_idx > q_idx - sliding_window)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_ref[:, :1]                              # [BQ, 1]
@@ -92,10 +110,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         ).astype(out_dtype)
 
 
+def _band_first_block(qi, block_q: int, block_k: int, sw: int):
+    """Index of the FIRST key block the band can touch for query block
+    qi: floor(max(q_start - sw + 1, 0) / block_k). Shared by the kernel
+    (liveness) and the BlockSpec index maps (loads) so they can never
+    disagree."""
+    return jnp.maximum(qi * block_q - (sw - 1), 0) // block_k
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"))
-def _flash_impl(q, k, v, *, causal, scale, block_q, block_k, interpret):
+    static_argnames=("causal", "scale", "block_q", "block_k",
+                     "sliding_window", "interpret"))
+def _flash_impl(q, k, v, *, causal, scale, block_q, block_k,
+                sliding_window, interpret):
     bh, lq, d = q.shape
     lk = k.shape[1]
     bq = min(block_q, _round_up(lq, 8))
@@ -107,18 +135,34 @@ def _flash_impl(q, k, v, *, causal, scale, block_q, block_k, interpret):
         k = jnp.pad(k, ((0, 0), (0, lkp - lk), (0, dp - d)))
         v = jnp.pad(v, ((0, 0), (0, lkp - lk), (0, dp - d)))
 
-    n_kv = lkp // bk
+    n_kv_total = lkp // bk
+    sw = sliding_window
+    if sw is not None:
+        # the band touches at most this many key blocks per query block
+        # — the kv grid dim becomes CONSTANT in L, so banded prefill is
+        # O(L*W) in both MXU flops and HBM K/V reads (dead blocks are
+        # never even copied in). This is also why the kernel beats the
+        # XLA banded path, which still materializes all L^2 scores.
+        n_kv = min(n_kv_total, (bq + sw - 2) // bk + 2)
+        kspec = pl.BlockSpec(
+            (1, bk, dp),
+            lambda b, i, j: (b, jnp.minimum(
+                _band_first_block(i, bq, bk, sw) + j, n_kv_total - 1), 0))
+    else:
+        n_kv = n_kv_total
+        kspec = pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0))
     grid = (bh, lqp // bq, n_kv)
     kernel = functools.partial(
         _flash_kernel, n_kv=n_kv, scale=scale, causal=causal, lq=lq,
-        lk=lk, block_q=bq, block_k=bk, out_dtype=q.dtype)
+        lk=lk, block_q=bq, block_k=bk, out_dtype=q.dtype,
+        sliding_window=sw, n_kv_total=n_kv_total)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+            kspec,
+            kspec,
         ],
         out_specs=pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
@@ -130,10 +174,11 @@ def _flash_impl(q, k, v, *, causal, scale, block_q, block_k, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * lqp * lkp * dp,
-            bytes_accessed=(bh * (lqp + 2 * lkp) * dp * q.dtype.itemsize
+            flops=4 * bh * lqp * n_kv * bk * dp,
+            bytes_accessed=(bh * (lqp + 2 * lqp * n_kv * bk // bq) * dp
+                            * q.dtype.itemsize
                             + bh * lqp * dp * q.dtype.itemsize),
-            transcendentals=bh * lqp * lkp),
+            transcendentals=bh * lqp * n_kv * bk),
         interpret=interpret,
     )(q, k, v)
     if (lqp, dp) != (lq, d):
@@ -160,9 +205,37 @@ def flash_profitable(lq: int, lk: int) -> bool:
     return lk >= min_lk and lq >= min_lq
 
 
+def flash_band_profitable(lq: int, lk: int,
+                          sliding_window: int | None) -> bool:
+    """Dispatch gate for the BANDED kernel — a different (much earlier)
+    crossover than the full-causal gate, because the XLA fallback still
+    materializes all L^2 scores while the kernel reads O(L*W).
+
+    Measured interleaved (scripts/flash_band_sweep.py, 2026-08-20,
+    bh=16 d=128 bf16, iters=64): vs the XLA banded sdpa the kernel is
+    0.24x at L=1024/sw256 (XLA still fully fuses there — 0.065 ms),
+    then wins from 1536 up: 1.17x at 1536/sw256, 1.57x at 2048/sw256,
+    1.09x at 2048/sw512, 7.7x at 4096/sw256, 3.0x at 4096/sw1024, and
+    201x at 8192/sw256 (XLA spills the 8192^2 scores: 450 ms vs
+    2.2 ms — XLA's cost is O(L^2) regardless of the band; the
+    kernel's is O(L*W)).
+    Gate: Lk >= 1536, band at most Lk/4 (wider bands converge to the
+    full-causal case, whose crossover is 4096), Lq >= 256 (decode and
+    narrow chunk-verify stay on XLA). Env-tunable like the full gate.
+    """
+    if sliding_window is None:
+        return False
+    min_lk = int(os.environ.get("SI_FLASH_BAND_MIN_LK", "1536"))
+    min_lq = int(os.environ.get("SI_FLASH_BAND_MIN_LQ", "256"))
+    return (lk >= min_lk and lq >= min_lq
+            and sliding_window * 4 <= lk)
+
+
 def flash_attention(q, k, v, *, causal: bool = False,
                     scale: float | None = None, block_q: int = 128,
-                    block_k: int = 128, interpret: bool = False):
+                    block_k: int = 128,
+                    sliding_window: int | None = None,
+                    interpret: bool = False):
     """Online-softmax attention over [B, H, L, D] (or [BH, L, D]) inputs.
 
     Causal masking requires Lq == Lk (query i attends keys <= i — the
@@ -170,12 +243,27 @@ def flash_attention(q, k, v, *, causal: bool = False,
     between top-left and bottom-right alignment; _sdpa in
     ops/attention.py aligns bottom-right, so dispatch between the two
     must never cross a causal Lq != Lk shape).
+
+    sliding_window=W bands the causal mask to the last W positions
+    (key j live for query i iff i-W < j <= i — the ops/attention.py
+    RotaryAttention convention, window includes self). Key blocks
+    fully outside the band are neither read from HBM nor computed, so
+    banded prefill costs O(L*W) instead of O(L^2) — the long-context
+    win the mistral/gemma-2 families need.
     """
     if causal and q.shape[-2] != k.shape[-2]:
         raise ValueError(
             f"flash_attention causal requires Lq == Lk, got "
             f"{q.shape[-2]} != {k.shape[-2]} (alignment convention "
             f"would silently diverge from ops.attention._sdpa)")
+    if sliding_window is not None:
+        if not causal:
+            raise ValueError("sliding_window requires causal=True")
+        if sliding_window < 1:
+            raise ValueError(
+                f"sliding_window must be >= 1, got {sliding_window}")
+        if sliding_window >= k.shape[-2]:
+            sliding_window = None      # band wider than L = plain causal
     rank4 = q.ndim == 4
     if rank4:
         b, h, lq, d = q.shape
@@ -184,6 +272,7 @@ def flash_attention(q, k, v, *, causal: bool = False,
         scale = 1.0 / (q.shape[-1] ** 0.5)
     out = _flash_impl(q, k, v, causal=causal, scale=float(scale),
                       block_q=block_q, block_k=block_k,
+                      sliding_window=sliding_window,
                       interpret=interpret)
     if rank4:
         out = out.reshape(b, h, out.shape[1], out.shape[2])
@@ -191,7 +280,8 @@ def flash_attention(q, k, v, *, causal: bool = False,
 
 
 def flash_attention_ref(q, k, v, *, causal: bool = False,
-                        scale: float | None = None):
+                        scale: float | None = None,
+                        sliding_window: int | None = None):
     """Unblocked jnp oracle (the GemmPack4F32Ref discipline: same math,
     simplest possible form) — used by tests and as the XLA baseline in
     perf A/Bs."""
@@ -203,6 +293,9 @@ def flash_attention_ref(q, k, v, *, causal: bool = False,
     if causal:
         lq, lk = s.shape[-2], s.shape[-1]
         keep = jnp.tril(jnp.ones((lq, lk), jnp.bool_), k=lk - lq)
+        if sliding_window is not None:
+            keep &= jnp.triu(jnp.ones((lq, lk), jnp.bool_),
+                             k=lk - lq - sliding_window + 1)
         s = jnp.where(keep, s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("...qk,...kd->...qd", p.astype(q.dtype), v)

@@ -495,6 +495,30 @@ def lower_rotary_attention(op, cfg):
         cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
+        if sw is not None:
+            # banded flash kernel past the measured crossover (1.17x at
+            # L=1536/sw256, 1.57x at 2048, 201x at 8192 — the XLA path
+            # materializes all L^2 scores regardless of the band;
+            # kernels/attention.flash_band_profitable)
+            from ..kernels.attention import (flash_attention,
+                                             flash_band_profitable)
+
+            if flash_band_profitable(l, l, sw) and _pallas_ok():
+                ctx = flash_attention(
+                    qh, repeat_kv(kh, group), repeat_kv(vh, group),
+                    causal=True, scale=1.0 / math.sqrt(d),
+                    sliding_window=sw)
+                ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    n, l, num_heads * d)
+                if ring_proj is not None:
+                    return ring_proj(ctx, weights["wo"],
+                                     weights.get("bo"), dt)
+                out = jnp.einsum("nli,io->nlo", ctx,
+                                 resolve_weight(weights["wo"], dt),
+                                 preferred_element_type=jnp.float32)
+                if "bo" in weights:
+                    out = out + weights["bo"]
+                return out.astype(dt)
         s = jnp.einsum("nhqd,nhkd->nhqk", qh, repeat_kv(kh, group),
                        preferred_element_type=jnp.float32)
         s = s * (1.0 / math.sqrt(d))

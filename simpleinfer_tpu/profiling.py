@@ -358,3 +358,108 @@ def timed_run(program, weights, inputs, sync: bool = True) -> list:
         for n, o in zip(out_names, leaves):
             env[n] = o
     return rows
+
+
+def attribute_slices(program, weights, inputs, n_slices: int = 12,
+                     iters: int = 12, compiler_options=None,
+                     verbose: bool = True) -> list:
+    """Per-SEGMENT on-chip attribution via prefix-program slicing —
+    the profiler-independent answer to "where do the milliseconds go"
+    (the external hlo_stats service is unreliable, docs/PERF.md).
+
+    Compiles ~n_slices prefix programs (plan[0:cut]), two-point-times
+    each (measure_device_time — the only drift-robust method on this
+    chip), and reports consecutive differences:
+
+        [(label, ops_in_segment, seg_seconds, seg_flops)]
+
+    Cut points are chosen evenly in CUMULATIVE FLOPs so each segment
+    carries comparable work. Each prefix returns a scalar sum over its
+    frontier tensors (graph outputs + tensors consumed beyond the cut)
+    so XLA cannot dead-code-eliminate any in-slice op; the added
+    reductions are one read of the frontier, small vs segment work.
+
+    Caveat (by construction): a prefix boundary breaks whatever fusion
+    XLA would have done across it, so segment times sum to slightly
+    MORE than the fused whole — treat segments as attribution weights
+    with ~5-10% boundary smear, not exact kernel times. The reference's
+    analog is per-layer timing with sync (timed_run), which is far
+    cruder (no fusion at all)."""
+    import jax.numpy as jnp
+
+    plan = program.plan
+    # consumer map: operand name -> set of plan indices that read it
+    consumers: dict = {}
+    for idx, (_impl, in_names, _outs) in enumerate(plan):
+        for n in in_names:
+            consumers.setdefault(n, set()).add(idx)
+    output_names = {s.name for s in program.outputs}
+
+    # cumulative flops -> cut points (always include the full program).
+    # Per-op flops come from the inferred output shapes (same estimator
+    # the roofline uses) — impl.flops_per_item alone is 0 for
+    # per-pixel-counted ops like conv.
+    from .executor import _estimate_flops
+
+    flops = [max(_estimate_flops(
+        impl, program.op_output_shapes.get(impl.name, [])), 0)
+        for impl, _, _ in plan]
+    total = sum(flops) or 1
+    cuts, acc, step = [], 0, total / n_slices
+    next_mark = step
+    for i, f in enumerate(flops):
+        acc += f
+        if acc >= next_mark and (i + 1) not in cuts:
+            cuts.append(i + 1)
+            next_mark += step
+    if not cuts or cuts[-1] != len(plan):
+        cuts.append(len(plan))
+
+    def make_prefix(cut):
+        def fn(w, ins):
+            env = dict(ins)
+            if program.wrap_inputs is not None:
+                env = program.wrap_inputs(env)
+            for idx in range(cut):
+                impl, in_names, out_names = plan[idx]
+                out = impl.apply(w[impl.name], *[env[n] for n in in_names])
+                leaves = [out] if impl.n_outputs == 1 else list(out)
+                for n, o in zip(out_names, leaves):
+                    env[n] = o
+            produced = {n for _, _, outs in plan[:cut] for n in outs}
+            frontier = [
+                n for n in produced
+                if n in output_names
+                or any(c >= cut for c in consumers.get(n, ()))
+                or not consumers.get(n)]
+            return sum(jnp.sum(env[n].astype(jnp.float32))
+                       for n in sorted(frontier))
+
+        return fn
+
+    rows = []
+    prev_t = 0.0
+    prev_cut = 0
+    for cut in cuts:
+        fn = make_prefix(cut)
+        t = measure_device_time(lambda x, fn=fn: fn(weights,
+                                                    {**inputs,
+                                                     _first(inputs): x}),
+                                inputs[_first(inputs)], iters=iters,
+                                compiler_options=compiler_options)
+        seg_ops = [plan[i][0] for i in range(prev_cut, cut)]
+        seg_flops = sum(flops[prev_cut:cut])
+        label = (f"{seg_ops[0].name}..{seg_ops[-1].name}"
+                 if seg_ops else "?")
+        rows.append((label, [o.name for o in seg_ops],
+                     max(t - prev_t, 0.0), seg_flops))
+        if verbose:
+            print(f"  prefix[:{cut:3d}] {t * 1e3:8.3f} ms  "
+                  f"segment {max(t - prev_t, 0.0) * 1e3:8.3f} ms  "
+                  f"({label})", flush=True)
+        prev_t, prev_cut = t, cut
+    return rows
+
+
+def _first(d: dict):
+    return next(iter(d))

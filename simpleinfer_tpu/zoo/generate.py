@@ -43,13 +43,29 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None):
     profitability gate (kernels/attention.flash_profitable — flash
     LOSES 2x at short L, docs/PERF.md). Both paths: f32 logits/softmax,
     context in the input dtype. sliding_window bands the mask to the
-    last W positions (mistral-family; the flash kernel has no band
-    support, so sliding ops stay on the XLA path).
+    last W positions (mistral-family).
+
+    Sliding-window prefill dispatches the BANDED flash kernel
+    AUTOMATICALLY (no use_pallas opt-in) past the measured crossover
+    (flash_band_profitable: 1.17x at L=1536/sw256, 1.57x at 2048,
+    7.7x at 4096, 201x at L=8192 — the XLA fallback materializes all
+    L^2 scores regardless of the band, so long-L SWA prefill without
+    the kernel is catastrophic).
     """
     import jax
     import jax.numpy as jnp
 
     l = qh.shape[2]
+    if sliding_window is not None:
+        from ..kernels.attention import (flash_attention,
+                                         flash_band_profitable)
+        from ..kernels.matmul import pallas_supported
+
+        if (flash_band_profitable(l, l, sliding_window)
+                and pallas_supported()):
+            return flash_attention(qh, kh, vh, causal=True,
+                                   scale=1.0 / (d ** 0.5),
+                                   sliding_window=sliding_window)
     if use_pallas and sliding_window is None:
         from ..kernels.attention import flash_attention, flash_profitable
         from ..kernels.matmul import pallas_supported

@@ -199,6 +199,42 @@ def test_flash_attention_causal(bh, lq, lk, d):
     np.testing.assert_allclose(got, want, atol=tol * np.sqrt(d), rtol=1e-3)
 
 
+BAND_CASES = [
+    # (bh, l, d, sw, block_q, block_k)
+    (2, 256, 64, 64, 128, 128),
+    (2, 256, 64, 100, 64, 128),   # band not block-aligned, small bq
+    (1, 512, 128, 256, 128, 128), # the mistral-ish shape class
+    (3, 300, 64, 37, 128, 128),   # unaligned L, narrow band
+    (2, 256, 64, 1, 128, 128),    # degenerate: attend self only
+    (2, 256, 64, 300, 128, 128),  # band wider than L = plain causal
+]
+
+
+@pytest.mark.parametrize("bh,l,d,sw,bq,bk", BAND_CASES)
+def test_flash_attention_sliding_window(bh, l, d, sw, bq, bk):
+    """Banded causal (sliding-window) kernel vs the banded oracle —
+    key blocks outside the band are skipped entirely (round-4: the SWA
+    prefill gap, zoo/generate.py:46-47 in round 3)."""
+    q = RNG.standard_normal((bh, l, d), dtype=np.float32)
+    k = RNG.standard_normal((bh, l, d), dtype=np.float32)
+    v = RNG.standard_normal((bh, l, d), dtype=np.float32)
+    got = run_kernel(flash_attention, *map(jnp.asarray, (q, k, v)),
+                     causal=True, sliding_window=sw,
+                     block_q=bq, block_k=bk)
+    want = np.asarray(flash_attention_ref(*map(jnp.asarray, (q, k, v)),
+                                          causal=True, sliding_window=sw))
+    tol = 5e-6 if not ON_TPU else 2e-2
+    np.testing.assert_allclose(got, want, atol=tol * np.sqrt(d), rtol=1e-3)
+
+
+def test_flash_sliding_window_requires_causal():
+    q = jnp.zeros((1, 64, 32))
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention(q, q, q, sliding_window=16)
+    with pytest.raises(ValueError, match=">= 1"):
+        flash_attention(q, q, q, causal=True, sliding_window=0)
+
+
 def test_flash_causal_requires_square():
     """Causal Lq != Lk is rejected: the kernel aligns causal top-left,
     ops.attention._sdpa aligns bottom-right — dispatch between them must
@@ -232,6 +268,22 @@ def test_flash_profitable_gate():
     assert not flash_profitable(2048, 2048)   # measured 0.47x: XLA wins
     assert flash_profitable(4096, 4096)       # measured 1.12x crossover
     assert flash_profitable(256, 4096)        # threshold boundary
+
+
+def test_flash_band_profitable_gate():
+    """Banded dispatch gate (scripts/flash_band_sweep.py measurements:
+    XLA fully fuses at L=1024 and wins 4x; the kernel wins from 1536 up,
+    201x at 8192/sw256)."""
+    from simpleinfer_tpu.kernels.attention import flash_band_profitable
+
+    assert not flash_band_profitable(1024, 1024, 256)   # 0.24x: XLA
+    assert flash_band_profitable(1536, 1536, 256)       # 1.17x
+    assert flash_band_profitable(2048, 2048, 256)       # 1.57x
+    assert flash_band_profitable(2048, 2048, 512)       # 1.09x (sw=L/4)
+    assert not flash_band_profitable(2048, 2048, 1024)  # band too wide
+    assert flash_band_profitable(8192, 8192, 256)       # 201x
+    assert not flash_band_profitable(1, 4096, 256)      # decode row
+    assert not flash_band_profitable(4096, 4096, None)  # no band
 
 
 def test_flash_attention_rank4_bf16():

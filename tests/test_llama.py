@@ -1092,3 +1092,79 @@ def test_alternating_sliding_layers_mixed_ring_caches():
     np.testing.assert_array_equal(got, want)
     with pytest.raises(ValueError, match="sliding_pattern"):
         build_llama("nano", sliding_window=8, sliding_pattern="every3")
+
+
+def test_sliding_window_banded_flash_routing(monkeypatch):
+    """With the band gate open, the RotaryAttention op routes through
+    the banded flash kernel (interpreted here; compiled on-chip under
+    SI_TPU_TESTS in test_kernels.py) and matches the XLA banded path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import simpleinfer_tpu.kernels.attention as KA
+    import simpleinfer_tpu.ops.attention as A
+    from simpleinfer_tpu.ir.graph import Parameter
+
+    e, heads, l, n, w = 32, 4, 160, 2, 40
+    op, attrs = _rotary_op(e, heads, heads, seed=13)
+    op.params["sliding_window"] = Parameter.from_value(w)
+    impl = lower_operator(op, EngineConfig())
+    x = RNG.standard_normal((n, l, e)).astype(np.float32)
+    weights = {k: jnp.asarray(v) for k, v in impl.weights.items()}
+    want = np.asarray(impl.apply(weights, jnp.asarray(x)))  # XLA band
+
+    taken = {}
+    real_flash = KA.flash_attention
+
+    def spy(q, k, v, **kw):
+        taken["sliding_window"] = kw.get("sliding_window")
+        return real_flash(q, k, v, **kw)
+
+    monkeypatch.setattr(A, "_pallas_ok", lambda: True)
+    monkeypatch.setattr(KA, "flash_band_profitable",
+                        lambda lq, lk, sw: sw is not None)
+    monkeypatch.setattr(KA, "flash_attention", spy)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(impl.apply(weights, jnp.asarray(x)))
+    assert taken.get("sliding_window") == w   # kernel path WAS taken
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sliding_window_banded_flash_prefill_routing(monkeypatch):
+    """CachedDecoder prefill (_causal_ctx) routes SWA models through
+    the banded kernel when the gate opens, and the decoded stream is
+    unchanged."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import importlib
+
+    import simpleinfer_tpu.kernels.attention as KA
+
+    # kernels/__init__ re-exports a `matmul` FUNCTION that shadows the
+    # submodule attribute; fetch the module itself
+    KM = importlib.import_module("simpleinfer_tpu.kernels.matmul")
+
+    graph, _, _ = build_llama("nano", batch=2, seq_len=48, vocab_size=32,
+                              sliding_window=8, seed=21)
+    eng = Engine(EngineConfig()).load_model(None, graph=graph)
+    prompt = np.asarray([[5, 1, 8, 2, 9, 3, 7, 4, 6, 2, 8, 1],
+                         [3, 3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]])
+    dec = CachedDecoder(eng)
+    want = dec.generate(prompt, steps=10, block=5)
+
+    calls = []
+    real_flash = KA.flash_attention
+
+    def spy(q, k, v, **kw):
+        calls.append(kw.get("sliding_window"))
+        return real_flash(q, k, v, **kw)
+
+    monkeypatch.setattr(KM, "pallas_supported", lambda: True)
+    monkeypatch.setattr(KA, "flash_band_profitable",
+                        lambda lq, lk, sw: sw is not None)
+    monkeypatch.setattr(KA, "flash_attention", spy)
+    eng2 = Engine(EngineConfig()).load_model(None, graph=graph)
+    dec2 = CachedDecoder(eng2)
+    with pltpu.force_tpu_interpret_mode():
+        got = dec2.generate(prompt, steps=10, block=5)
+    assert 8 in calls                          # banded prefill WAS taken
+    np.testing.assert_array_equal(got, want)   # stream unchanged
