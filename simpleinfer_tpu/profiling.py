@@ -432,8 +432,12 @@ def attribute_slices(program, weights, inputs, n_slices: int = 12,
                 if n in output_names
                 or any(c >= cut for c in consumers.get(n, ()))
                 or not consumers.get(n)]
-            return sum(jnp.sum(env[n].astype(jnp.float32))
-                       for n in sorted(frontier))
+            # frontier values may be carrier pytrees (int8-static
+            # QuantizedActivation): sum every jax leaf
+            return sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for n in sorted(frontier)
+                for leaf in jax.tree_util.tree_leaves(env[n]))
 
         return fn
 

@@ -154,7 +154,8 @@ class GenerationService:
                  sample_cap: int | None | str = "auto",
                  kv_prefix_ladder: tuple | list | str | None = "auto",
                  prefill_ladder: tuple | list | str | None = "auto",
-                 decode_attn: str = "auto"):
+                 decode_attn: str = "auto",
+                 window: int | None = None):
         import jax
 
         from ..zoo.generate import CachedDecoder
@@ -209,10 +210,15 @@ class GenerationService:
         if decode_attn not in ("xla", "pallas", "auto"):
             raise ValueError(f"decode_attn must be 'xla', 'pallas' or "
                              f"'auto', got {decode_attn!r}")
+        # window: cache-length cap below the model's seq_len — the
+        # tiered-pool memory knob (TieredGenerationService): a short
+        # tier's slots allocate window-sized caches, and submit()
+        # rejects rows that could outgrow them
         self._dec = CachedDecoder(
             engine, kv_dtype=kv_dtype, scratch_blocks=scratch_blocks,
             sample_cap=self._cap if self._cap_mode == "fixed" else None,
-            decode_attn="pallas" if decode_attn == "pallas" else "xla")
+            decode_attn="pallas" if decode_attn == "pallas" else "xla",
+            window=window)
         self._attn_auto = (decode_attn == "auto"
                            and slots >= self.KERNEL_MIN_SLOTS
                            and self._dec.kernel_ok)
@@ -623,8 +629,13 @@ class GenerationService:
             toks, last, caches = self._dec.decode_block(
                 tokens, fed_pos, caches, self._key, seq - k + 1, temp,
                 topk, topp, k, prefix, sample_cap=cap, attn_impl=attn)
+            # stats flag = did the CAPPED SAMPLER actually run (distinct
+            # from cap_is_fast, which also counts "off" mode's stable
+            # full-vocab executable as warmed for the attn policy)
+            sampler_capped = (self._cap is not None
+                              if cap == "default" else cap is not None)
             return (toks, last, k, np.asarray(fed_pos, np.int32), live,
-                    cap_is_fast(cap))
+                    sampler_capped)
 
         def process(blk) -> None:
             # fetch the block's tokens (the one host<->device round
@@ -821,3 +832,104 @@ class GenerationService:
             req.future.set_result(out)
         if req.stream_q is not None:
             req.stream_q.put(None)       # end-of-stream sentinel
+
+
+class TieredGenerationService:
+    """Tiered KV pools: route each request to the SMALLEST cache tier
+    that provably fits it (len(prompt) + max_new <= tier window).
+
+    The memory half of the paged-attention story (round-4; reads were
+    already rung-bounded by the kv_prefix ladder): a uniform pool
+    allocates the full model window per slot even though most requests
+    are short, so HBM — not compute — caps concurrency. Two (or more)
+    GenerationServices over the SAME engine (weights shared on device;
+    caches per tier via CachedDecoder(window=...)) turn that into
+    slots-at-fixed-HBM: e.g. at 0.9B/w2048, 24 slots at w512 + 8 at
+    w2048 cost ~0.45x the KV memory of 32 uniform w2048 slots
+    (cache bytes scale linearly with the window).
+
+    No migration: routing by prompt+max_new bounds a row's TOTAL length
+    at admission, so a tier-1 row can never outgrow its cache — token
+    streams are exactly the single-tier service's (same machinery).
+    Each tier runs its own scheduler loop; dispatches interleave on the
+    one device stream and each tier's pipelining hides its own RTT.
+
+    tiers: sequence of (slots, window) pairs, ascending windows; the
+    last window may be None = the model's full seq_len. kwargs go to
+    every underlying GenerationService.
+    """
+
+    def __init__(self, engine, tiers=((8, 512), (8, None)), **kwargs):
+        if not tiers:
+            raise ValueError("need at least one (slots, window) tier")
+        wins = []
+        self.services = []
+        for slots, window in tiers:
+            svc = GenerationService(engine, slots=int(slots),
+                                    window=window, **kwargs)
+            self.services.append(svc)
+            wins.append(svc._window)
+        if wins != sorted(wins) or len(set(wins)) != len(wins):
+            raise ValueError(
+                f"tier windows must be strictly ascending, got {wins}")
+        self.windows = wins
+
+    # ---- lifecycle (fan out to every tier) ---------------------------
+    def warmup(self) -> "TieredGenerationService":
+        for svc in self.services:
+            svc.warmup()
+        return self
+
+    def start(self) -> "TieredGenerationService":
+        for svc in self.services:
+            svc.start()
+        return self
+
+    def stop(self, drain: bool = True) -> None:
+        for svc in self.services:
+            svc.stop(drain=drain)
+
+    # ---- routing -----------------------------------------------------
+    def _route(self, prompt_ids, max_new: int) -> GenerationService:
+        need = len(prompt_ids) + int(max_new)
+        for svc in self.services:
+            if need <= svc._window:
+                return svc
+        raise ValueError(
+            f"prompt ({len(prompt_ids)}) + max_new ({max_new}) exceeds "
+            f"the largest tier window {self.windows[-1]}")
+
+    def submit(self, prompt_ids, max_new: int, *args, **kwargs) -> Future:
+        return self._route(prompt_ids, max_new).submit(
+            prompt_ids, max_new, *args, **kwargs)
+
+    def submit_stream(self, prompt_ids, max_new: int, *args, **kwargs):
+        return self._route(prompt_ids, max_new).submit_stream(
+            prompt_ids, max_new, *args, **kwargs)
+
+    def cancel(self, future: Future) -> bool:
+        return any(svc.cancel(future) for svc in self.services)
+
+    # ---- accounting --------------------------------------------------
+    @property
+    def stats(self) -> GenStats:
+        """Aggregated stats across tiers (per-tier detail via
+        .services[i].stats)."""
+        agg = GenStats()
+        for svc in self.services:
+            s = svc.stats
+            for f in s.__dataclass_fields__:
+                setattr(agg, f, getattr(agg, f) + getattr(s, f))
+        return agg
+
+    def cache_bytes(self) -> int:
+        """Total KV-pool bytes across tiers (the slots-at-fixed-HBM
+        receipt: compare against a uniform full-window pool)."""
+        import jax
+
+        total = 0
+        for svc in self.services:
+            caches = svc._dec.init_cache(svc._slots)
+            total += sum(leaf.nbytes
+                         for leaf in jax.tree_util.tree_leaves(caches))
+        return total

@@ -168,8 +168,17 @@ class CachedDecoder:
     def __init__(self, engine, kv_dtype: str | None = None,
                  scratch_blocks: bool = False, fuse_qkv: bool = False,
                  sample_cap: int | None = None,
-                 decode_attn: str = "xla"):
-        """kv_dtype: KV-cache storage — None/"float32" (exact),
+                 decode_attn: str = "xla",
+                 window: int | None = None):
+        """window: cap the decoder's cache length (and every position/
+        mask bound) BELOW the model's compiled seq_len — the memory
+        knob behind tiered KV pools (serving.TieredGenerationService):
+        a short-tier decoder allocates window-sized caches for rows
+        whose prompt+max_new provably fit, instead of paying the full
+        model window per slot. Rows must never exceed it (generate/
+        prefill validate). None (default) = the model's seq_len.
+
+        kv_dtype: KV-cache storage — None/"float32" (exact),
         "bfloat16" (half the cache bandwidth, ~1e-2 relative k/v
         error), or "int8" (quarter bandwidth; per-vector symmetric
         scales via _kv_quantize, folded onto the L-sized scores/probs
@@ -282,7 +291,17 @@ class CachedDecoder:
             raise ValueError(f"token input must be [N, L], got "
                              f"{spec.shape}")
         self._batch = int(spec.shape[0]) if spec.shape[0] > 0 else 1
-        self._window = int(spec.shape[1])
+        # the MODEL's compiled seq_len: graph constants (position
+        # embeddings, additive masks) span THIS length; the decoder's
+        # cache/position bound self._window may be overridden shorter
+        self._model_window = int(spec.shape[1])
+        self._window = self._model_window
+        if window is not None:
+            if not 1 <= int(window) <= self._window:
+                raise ValueError(
+                    f"window override must be in [1, {self._window}] "
+                    f"(the model's compiled seq_len), got {window}")
+            self._window = int(window)
         self._in_name = program.input_names[0]
         self._out_name = program.output_names[0]
         self._plan = program.plan
@@ -1002,7 +1021,10 @@ class CachedDecoder:
                 continue
             args = [env[n] for n in ins]
             if len(args) > 1:
-                args = self._slice_seq_prefill(args, width, self._window)
+                # graph constants span the MODEL's seq_len (not the
+                # possibly-overridden cache window)
+                args = self._slice_seq_prefill(args, width,
+                                               self._model_window)
             r = impl.apply(w, *args)
             if impl.n_outputs == 1:
                 env[outs[0]] = r
@@ -1200,15 +1222,17 @@ class CachedDecoder:
 
         lens = [a.shape[1] if (a is not None and a.ndim == 3) else None
                 for a in args]
-        if width in lens and self._window in lens \
-                and width != self._window:
+        # graph constants span the MODEL's compiled seq_len — which is
+        # longer than self._window under a tiered window override
+        mw = self._model_window
+        if width in lens and mw in lens and width != mw:
             args = list(args)
             n = pos.shape[0]
             idx = jnp.minimum(
                 pos[:, None] + jnp.arange(width, dtype=pos.dtype),
-                self._window - 1)                          # [N, W]
+                mw - 1)                                    # [N, W]
             for i, a in enumerate(args):
-                if lens[i] == self._window:
+                if lens[i] == mw:
                     full = jnp.broadcast_to(a, (n,) + a.shape[1:])
                     args[i] = jnp.take_along_axis(
                         full, idx[:, :, None], axis=1)

@@ -698,3 +698,66 @@ def test_generation_service_survives_direct_future_cancel():
     later = svc.submit([5, 6], max_new=2)
     assert len(later.result(timeout=120)) >= 2
     svc.stop()
+
+
+def test_generation_service_window_override_token_equal():
+    """A window-capped service produces the same tokens as the
+    full-window service for rows that fit (the tiered-pool substrate),
+    and rejects rows that could outgrow the cap."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _gpt_engine()
+    full = GenerationService(eng, slots=2, decode_horizon=2).start()
+    a = full.submit([5, 2, 7], max_new=6).result(timeout=120)
+    full.stop()
+    short = GenerationService(eng, slots=2, decode_horizon=2,
+                              window=12).start()
+    b = short.submit([5, 2, 7], max_new=6).result(timeout=120)
+    with pytest.raises(ValueError, match="window"):
+        short.submit([5, 2, 7], max_new=11)
+    short.stop()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_tiered_generation_service_routes_and_matches():
+    """TieredGenerationService: short requests land in the short tier,
+    long ones in the full tier; every stream token-equal to the uniform
+    full-window service; tier pool memory is the windows-weighted sum."""
+    import jax
+
+    from simpleinfer_tpu.serving.llm import (GenerationService,
+                                             TieredGenerationService)
+
+    eng = _gpt_engine()     # model window 24
+    uniform = GenerationService(eng, slots=2, decode_horizon=2).start()
+    short_prompt, long_prompt = [5, 2, 7], [3, 1, 4, 1, 5, 9, 2, 6]
+    want_short = uniform.submit(short_prompt, max_new=5).result(120)
+    want_long = uniform.submit(long_prompt, max_new=14).result(120)
+    uniform.stop()
+
+    svc = TieredGenerationService(eng, tiers=((2, 12), (2, None)),
+                                  decode_horizon=2)
+    assert svc.windows == [12, 24]
+    # routing: by prompt+max_new bound
+    assert svc._route(short_prompt, 5) is svc.services[0]
+    assert svc._route(long_prompt, 14) is svc.services[1]
+    with pytest.raises(ValueError, match="largest tier"):
+        svc._route(long_prompt, 20)
+
+    svc.start()
+    got_short = svc.submit(short_prompt, max_new=5).result(timeout=120)
+    got_long = svc.submit(long_prompt, max_new=14).result(timeout=120)
+    svc.stop()
+    np.testing.assert_array_equal(got_short, want_short)
+    np.testing.assert_array_equal(got_long, want_long)
+    assert svc.services[0].stats.completed == 1
+    assert svc.services[1].stats.completed == 1
+    assert svc.stats.completed == 2
+
+    # the memory receipt: tier pool bytes = sum(slots_i * window_i)
+    # scaling, i.e. (2*12 + 2*24) / (4*24) = 0.75x of a uniform pool
+    # with the same total slots
+    tiered = svc.cache_bytes()
+    caches = uniform._dec.init_cache(4)
+    uni = sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(caches))
+    assert tiered == pytest.approx(0.75 * uni, rel=0.01)
