@@ -194,7 +194,8 @@ def _decode_impl(q, k, ks, v, vs, lengths, *, scale, block_k, quant,
 
 
 def decode_attention(q, k_leaf, v_leaf, lengths, *, scale: float,
-                     block_k: int = 256, max_len: int | None = None,
+                     block_k: int | None = None,
+                     max_len: int | None = None,
                      interpret: bool = False):
     """Unnormalized decode attention over the frozen KV cache.
 
@@ -214,6 +215,13 @@ def decode_attention(q, k_leaf, v_leaf, lengths, *, scale: float,
     guarantees every live row's length <= max_len (the kv_prefix
     contract); rows beyond it read a truncated prefix (discard them).
     """
+    if block_k is None:
+        # default 256 (measured best on the mixed-pool headline); env
+        # knob for per-chip retune, read at trace time like the flash
+        # gates (scripts/decode_attn_block_sweep.py)
+        import os
+
+        block_k = int(os.environ.get("SI_DECODE_ATTN_BLOCK", "256"))
     quant = isinstance(k_leaf, tuple)
     if quant:
         k, ks = k_leaf

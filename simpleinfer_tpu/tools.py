@@ -271,19 +271,33 @@ def cmd_serve(args) -> int:
                     f"error: --{name}: expected comma-separated ints "
                     f"(e.g. 128,256), 'auto' or 'off', got {v!r}")
 
-        gsvc = GenerationService(eng, slots=args.max_batch,
-                                 decode_horizon=args.decode_horizon,
-                                 pipelined=not args.no_pipeline,
-                                 kv_dtype=args.kv_dtype,
-                                 scratch_blocks=args.scratch_blocks,
-                                 sample_cap=cap,
-                                 kv_prefix_ladder=_ladder(
-                                     "kv-prefix-ladder",
-                                     args.kv_prefix_ladder),
-                                 prefill_ladder=_ladder(
-                                     "prefill-ladder",
-                                     args.prefill_ladder),
-                                 decode_attn=args.decode_attn)
+        kwargs = dict(decode_horizon=args.decode_horizon,
+                      pipelined=not args.no_pipeline,
+                      kv_dtype=args.kv_dtype,
+                      scratch_blocks=args.scratch_blocks,
+                      sample_cap=cap,
+                      kv_prefix_ladder=_ladder(
+                          "kv-prefix-ladder", args.kv_prefix_ladder),
+                      prefill_ladder=_ladder(
+                          "prefill-ladder", args.prefill_ladder),
+                      decode_attn=args.decode_attn)
+        if getattr(args, "tiers", None):
+            from .serving.llm import TieredGenerationService
+
+            def _tier(tok):
+                try:
+                    slots, win = tok.split(":")
+                    return (int(slots), None if win.strip().lower()
+                            in ("full", "none") else int(win))
+                except ValueError:
+                    raise SystemExit(
+                        f"error: --tiers: expected slots:window pairs "
+                        f"(e.g. 24:512,8:full), got {tok!r}")
+            gsvc = TieredGenerationService(
+                eng, tiers=[_tier(t) for t in args.tiers.split(",")],
+                **kwargs)
+        else:
+            gsvc = GenerationService(eng, slots=args.max_batch, **kwargs)
         if args.warmup:
             print("compiling admission + decode blocks ...", flush=True)
             gsvc.warmup()
@@ -495,6 +509,14 @@ def main(argv=None) -> int:
                         "to the kernel when an aged row blocks every "
                         "rung (pools >= 16 slots; measured 2.52x on a "
                         "mixed-age slots-32 pool)")
+    p.add_argument("--tiers", default=None,
+                   help="with --generate: tiered KV pools as "
+                        "slots:window pairs (e.g. '24:512,8:full') — "
+                        "each request is routed to the smallest tier "
+                        "whose window fits prompt+max_new, so short "
+                        "requests stop paying full-window cache memory "
+                        "(supersedes --max-batch; 'full' = the model "
+                        "window)")
     p.add_argument("--prefill-ladder", default="auto",
                    help="with --generate: comma-separated admission "
                         "prefill bucket widths (e.g. 64,256); each "

@@ -761,3 +761,40 @@ def test_tiered_generation_service_routes_and_matches():
     caches = uniform._dec.init_cache(4)
     uni = sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(caches))
     assert tiered == pytest.approx(0.75 * uni, rel=0.01)
+
+
+def test_http_generate_with_tiered_service():
+    """TieredGenerationService is drop-in behind the HTTP server
+    (submit/submit_stream/stats/cancel surface): short and long
+    requests serve through their tiers, /v1/stats aggregates."""
+    import json
+    import urllib.request
+
+    from simpleinfer_tpu.serving.http import InferenceServer
+    from simpleinfer_tpu.serving.llm import TieredGenerationService
+
+    eng = _gpt_engine()   # window 24
+    svc = TieredGenerationService(eng, tiers=((2, 12), (2, None)),
+                                  decode_horizon=2).start()
+    server = InferenceServer(None, port=0, gen_service=svc).start()
+    url = f"http://127.0.0.1:{server.address[1]}"
+
+    def gen(prompt, max_new):
+        body = json.dumps({"prompt": prompt,
+                           "max_new": max_new}).encode()
+        req = urllib.request.Request(
+            f"{url}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    short = gen([4, 8], 5)
+    long_ = gen([3, 1, 4, 1, 5, 9], 14)
+    assert len(short["ids"]) == 7 and len(long_["ids"]) == 20
+    with urllib.request.urlopen(f"{url}/v1/stats", timeout=30) as resp:
+        stats = json.loads(resp.read())
+    server.stop()
+    svc.stop()
+    assert svc.services[0].stats.completed == 1   # routed to tier 1
+    assert svc.services[1].stats.completed == 1   # routed to tier 2
+    assert stats["completed"] == 2                # aggregated
