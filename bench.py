@@ -140,8 +140,12 @@ def main():
     wanted = [w.strip() for w in os.environ.get(
         "SI_BENCH_CONFIGS", "int8w,fp32").split(",") if w.strip()]
     # SI_BENCH_INTERLEAVED=R: measure all configs round-robin over R
-    # rounds and report medians (the drift-proof exit-gate mode)
-    interleaved = int(os.environ.get("SI_BENCH_INTERLEAVED", "0"))
+    # rounds and report medians. DEFAULT 3 since round 4 — the r02->r03
+    # "regression" was a single sequential reading landing in the ±10%
+    # within-run spread (docs/PERF.md adjudication); medians of
+    # interleaved rounds are the only drift-proof protocol. 0 = the old
+    # sequential single-reading mode.
+    interleaved = int(os.environ.get("SI_BENCH_INTERLEAVED", "3"))
 
     import jax
 

