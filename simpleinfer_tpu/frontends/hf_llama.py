@@ -24,7 +24,7 @@ import numpy as np
 from ..ir.graph import Attribute, Parameter
 from ..zoo.builders import GraphBuilder
 
-_SUPPORTED = ("llama", "qwen2", "mistral", "gemma", "phi3")
+_SUPPORTED = ("llama", "qwen2", "mistral", "gemma", "phi3", "qwen3")
 
 
 def llama_graph_from_hf(model, batch: int = 1,
@@ -44,9 +44,13 @@ def llama_graph_from_hf(model, batch: int = 1,
     kv = getattr(cfg, "num_key_value_heads", heads) or heads
     e = cfg.hidden_size
     d = getattr(cfg, "head_dim", None) or e // heads
-    if d * heads != e:
+    # qwen3 decouples head_dim from hidden/heads (si.RotaryAttention
+    # takes an explicit head_dim param); other families must still
+    # satisfy the classic geometry
+    decoupled = d * heads != e
+    if decoupled and mt != "qwen3":
         raise ValueError(f"head_dim {d} * heads {heads} != hidden {e} "
-                         f"(unsupported projection geometry)")
+                         f"(unsupported projection geometry for {mt})")
     seq_len = int(seq_len or cfg.max_position_embeddings)
     theta = float(getattr(cfg, "rope_theta", 10000.0))
     eps = float(getattr(cfg, "rms_norm_eps", 1e-6))
@@ -62,15 +66,16 @@ def llama_graph_from_hf(model, batch: int = 1,
     # llama/gemma(v1) have none. HF's mask keeps q - sw < k <= q —
     # exactly si.RotaryAttention's band.
     sw_cfg = getattr(cfg, "sliding_window", None)
-    use_sw = sw_cfg is not None and mt in ("mistral", "phi3", "qwen2")
-    if mt == "qwen2":
+    use_sw = sw_cfg is not None and mt in ("mistral", "phi3", "qwen2",
+                                           "qwen3")
+    if mt in ("qwen2", "qwen3"):
         use_sw = use_sw and bool(getattr(cfg, "use_sliding_window",
                                          False))
 
     def layer_sliding(i):
         if not use_sw:
             return None
-        if mt == "qwen2":
+        if mt in ("qwen2", "qwen3"):
             mwl = int(getattr(cfg, "max_window_layers", 0) or 0)
             return int(sw_cfg) if i >= mwl else None
         return int(sw_cfg)
@@ -140,7 +145,8 @@ def llama_graph_from_hf(model, batch: int = 1,
         bias = f"{p}.self_attn.q_proj.bias" in sd  # qwen2-style
         y = b.rotary_attention(y, heads, num_kv_heads=kv,
                                rope_theta=theta, bias=bias,
-                               sliding_window=layer_sliding(i))
+                               sliding_window=layer_sliding(i),
+                               head_dim=d if decoupled else None)
         aop = b.g.get_operand(y).producer
         for key in ("q", "k", "v", "o"):
             aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
@@ -150,6 +156,15 @@ def llama_graph_from_hf(model, batch: int = 1,
             if bkey in sd:
                 aop.attrs[f"{key}_proj.bias"] = Attribute.from_array(
                     sd[bkey])
+        # qwen3 per-head q/k RMSNorm (eps = rms_norm_eps, HF
+        # Qwen3Attention.q_norm/k_norm)
+        for nk, ak in ((f"{p}.self_attn.q_norm.weight",
+                        "q_norm.weight"),
+                       (f"{p}.self_attn.k_norm.weight",
+                        "k_norm.weight")):
+            if nk in sd:
+                aop.attrs[ak] = Attribute.from_array(sd[nk])
+                aop.params["qk_norm_eps"] = Parameter.from_value(eps)
         x = b.add(x, y)
 
         y = b.rms_norm(x)

@@ -398,6 +398,25 @@ def apply_rope(x, cos, sin):
             + rot.astype(jnp.float32) * sin).astype(dt)
 
 
+def apply_qk_norm(qh, kh, w, eps: float = 1e-6):
+    """Per-head RMSNorm on q/k heads BEFORE RoPE (qwen3 lineage:
+    Qwen3Attention applies q_norm/k_norm over head_dim). No-op when the
+    op carries no norm weights — every q/k projection site (engine
+    forward, prefill, decode step, chunk verify) calls this so the
+    families stay in one code path. Norm weights are f32 [D]."""
+    wq, wk = w.get("wqn"), w.get("wkn")
+    if wq is None and wk is None:
+        return qh, kh
+
+    def rms(x, wgt):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * lax.rsqrt(var + eps) * wgt).astype(x.dtype)
+
+    return ((rms(qh, wq) if wq is not None else qh),
+            (rms(kh, wk) if wk is not None else kh))
+
+
 def repeat_kv(x, group):
     """GQA: [N, Hkv, L, D] -> [N, Hkv*group, L, D] (each kv head serves
     `group` query heads)."""
@@ -439,14 +458,23 @@ def lower_rotary_attention(op, cfg):
     if sw is not None and sw < 1:
         raise ValueError(f"RotaryAttention {op.name}: sliding_window "
                          f"must be >= 1, got {sw}")
-    if embed_dim % num_heads:
-        raise ValueError(f"RotaryAttention {op.name}: embed_dim "
-                         f"{embed_dim} not divisible by {num_heads} heads")
     if num_heads % num_kv:
         raise ValueError(f"RotaryAttention {op.name}: num_heads "
                          f"{num_heads} not divisible by num_kv_heads "
                          f"{num_kv}")
-    d = embed_dim // num_heads
+    # qwen3-style decoupled head_dim: projections are [heads*d, E] with
+    # d independent of E/heads (o_proj maps heads*d back to E)
+    if op.has_param("head_dim", PARAM_INT):
+        d = op.params["head_dim"].i
+        if d < 1:
+            raise ValueError(f"RotaryAttention {op.name}: head_dim "
+                             f"must be >= 1, got {d}")
+    else:
+        if embed_dim % num_heads:
+            raise ValueError(f"RotaryAttention {op.name}: embed_dim "
+                             f"{embed_dim} not divisible by "
+                             f"{num_heads} heads (declare head_dim)")
+        d = embed_dim // num_heads
     if d % 2:
         raise ValueError(f"RotaryAttention {op.name}: head_dim {d} must "
                          f"be even for RoPE")
@@ -466,6 +494,17 @@ def lower_rotary_attention(op, cfg):
         if op.has_attr(f"{key}_proj.bias"):
             weights[f"b{key}"] = (require_attr(op, f"{key}_proj.bias")
                                   .array().astype(np.float32))
+    # qwen3 per-head q/k RMSNorm (over head_dim, applied before RoPE)
+    qk_eps = (op.params["qk_norm_eps"].f
+              if op.has_param("qk_norm_eps", PARAM_FLOAT) else 1e-6)
+    for key, wkey in (("q_norm.weight", "wqn"), ("k_norm.weight",
+                                                 "wkn")):
+        if op.has_attr(key):
+            nw = require_attr(op, key).array().astype(np.float32)
+            if list(nw.shape) != [d]:
+                raise ValueError(f"RotaryAttention {op.name}: {key} "
+                                 f"shape {nw.shape} != [{d}]")
+            weights[wkey] = nw
 
     Lq = op.inputs[0].shape[1] if (op.inputs and
                                    len(op.inputs[0].shape) == 3) else None
@@ -492,6 +531,7 @@ def lower_rotary_attention(op, cfg):
 
         qh, kh, vh = proj("q", num_heads), proj("k", num_kv), proj(
             "v", num_kv)
+        qh, kh = apply_qk_norm(qh, kh, weights, qk_eps)
         cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
@@ -549,8 +589,12 @@ def lower_rotary_attention(op, cfg):
                      "bq": ("model",), "bk": ("model",),
                      "bv": ("model",)},
         flops_per_item=flops,
+        # qk-norm weights stay f32 (the rsqrt normalization is
+        # precision-sensitive and the vectors are tiny)
+        fp32_keys=("wqn", "wkn"),
         decode_info={"embed_dim": embed_dim, "num_heads": num_heads,
                      "num_kv_heads": num_kv, "head_dim": d,
                      "rope_theta": theta, "rotary": True,
-                     "batch_first": True, "sliding_window": sw},
+                     "batch_first": True, "sliding_window": sw,
+                     "qk_norm_eps": qk_eps},
     )

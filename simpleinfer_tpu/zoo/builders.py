@@ -371,14 +371,19 @@ class GraphBuilder:
                          num_kv_heads: int | None = None,
                          rope_theta: float = 10000.0,
                          bias: bool = False,
-                         sliding_window: int | None = None) -> str:
+                         sliding_window: int | None = None,
+                         head_dim: int | None = None,
+                         qk_norm: bool = False,
+                         qk_norm_eps: float = 1e-6) -> str:
         """Llama-style causal self-attention (si.RotaryAttention
         composite, ops/attention.py): RoPE + GQA, intrinsic causal
         mask, llama checkpoint weight layout. sliding_window=W bands
-        the mask to the last W positions (mistral-family)."""
+        the mask to the last W positions (mistral-family). head_dim
+        decouples the per-head width from embed/heads and qk_norm adds
+        per-head q/k RMSNorm before RoPE (qwen3-family)."""
         e = self.shape[x][-1]
         kv = num_kv_heads or num_heads
-        d = e // num_heads
+        d = head_dim or e // num_heads
         name = self._name("rattn")
         attrs = {
             "q_proj.weight": self._rand((num_heads * d, e), fan_in=e),
@@ -393,8 +398,17 @@ class GraphBuilder:
                 attrs[f"{k}_proj.bias"] = (
                     self.rng.standard_normal(heads * d)
                     .astype(np.float32) * 0.02)
+        if qk_norm:
+            attrs["q_norm.weight"] = 1.0 + (
+                self.rng.standard_normal(d).astype(np.float32) * 0.1)
+            attrs["k_norm.weight"] = 1.0 + (
+                self.rng.standard_normal(d).astype(np.float32) * 0.1)
         params = dict(embed_dim=e, num_heads=num_heads, num_kv_heads=kv,
                       rope_theta=rope_theta, bias=bias)
+        if head_dim is not None:
+            params["head_dim"] = int(head_dim)
+        if qk_norm:
+            params["qk_norm_eps"] = float(qk_norm_eps)
         if sliding_window is not None:
             params["sliding_window"] = int(sliding_window)
         (out,) = self._op("si.RotaryAttention", name, [x], params=params,
@@ -1151,7 +1165,9 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
                 num_kv_heads: int | None = None,
                 rope_theta: float = 10000.0, seed: int = 0,
                 sliding_window: int | None = None,
-                sliding_pattern: str = "all") -> tuple:
+                sliding_pattern: str = "all",
+                qk_norm: bool = False,
+                head_dim: int | None = None) -> tuple:
     """Llama-family causal decoder LM (superset family — the reference
     has no autoregressive workload, and the GPT builder covers the
     learned-position/LayerNorm/packed-MHA lineage).
@@ -1188,7 +1204,8 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
         y = b.rms_norm(x)
         y = b.rotary_attention(y, heads, num_kv_heads=kv,
                                rope_theta=rope_theta,
-                               sliding_window=sw_i)
+                               sliding_window=sw_i,
+                               head_dim=head_dim, qk_norm=qk_norm)
         x = b.add(x, y)
         y = b.rms_norm(x)
         gate = b.silu_act(b.linear(y, inter, bias=False))

@@ -425,11 +425,14 @@ class CachedDecoder:
             out = out + w["bo"]
         return out
 
-    def _proj_qkv(self, w, x, heads, kvh, d, dt):
+    def _proj_qkv(self, w, x, heads, kvh, d, dt, qk_eps=1e-6):
         """q/k/v projections for one token: the fused single matmul
-        when available, else three. Returns [N,H,1,D] / [N,KVh,1,D]x2."""
+        when available, else three. Returns [N,H,1,D] / [N,KVh,1,D]x2.
+        Applies the qwen3 per-head qk RMSNorm when the op carries
+        wqn/wkn (before RoPE — every decode path shares this hook)."""
         import jax.numpy as jnp
 
+        from ..ops.attention import apply_qk_norm
         from ..quant.tensor import resolve_weight
 
         n = x.shape[0]
@@ -445,9 +448,11 @@ class CachedDecoder:
             if "bqkv" in w:
                 y = y + w["bqkv"]
             qd, kd = heads * d, kvh * d
-            return (heads_of(y[..., :qd], heads),
-                    heads_of(y[..., qd:qd + kd], kvh),
-                    heads_of(y[..., qd + kd:], kvh))
+            qh, kh, vh = (heads_of(y[..., :qd], heads),
+                          heads_of(y[..., qd:qd + kd], kvh),
+                          heads_of(y[..., qd + kd:], kvh))
+            qh, kh = apply_qk_norm(qh, kh, w, qk_eps)
+            return qh, kh, vh
 
         def proj(key, h):
             y = jnp.einsum("nli,io->nlo", x,
@@ -457,7 +462,9 @@ class CachedDecoder:
                 y = y + w[f"b{key}"]
             return heads_of(y, h)
 
-        return proj("q", heads), proj("k", kvh), proj("v", kvh)
+        qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        qh, kh = apply_qk_norm(qh, kh, w, qk_eps)
+        return qh, kh, vh
 
     # ---- cache ----------------------------------------------------------
     def _op_ring(self, info):
@@ -666,7 +673,9 @@ class CachedDecoder:
 
         sw = info.get("sliding_window")
         ring = self._op_ring(info)
-        qh, kh, vh = self._proj_qkv(w, q, heads, kvh, d, dt)
+        qh, kh, vh = self._proj_qkv(
+            w, q, heads, kvh, d, dt,
+            qk_eps=info.get("qk_norm_eps", 1e-6))
         cos, sin = rope_cos_sin(pos, d, theta)          # [N, D]
         qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
         kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
@@ -720,7 +729,9 @@ class CachedDecoder:
         dt = x.dtype
         n = x.shape[0]
 
-        qh, kh, vh = self._proj_qkv(w, x, heads, kvh, d, dt)
+        qh, kh, vh = self._proj_qkv(
+            w, x, heads, kvh, d, dt,
+            qk_eps=info.get("qk_norm_eps", 1e-6))
         if info.get("rotary"):
             cos, sin = rope_cos_sin(pos, d, info["rope_theta"])
             qh = apply_rope(qh, cos[:, None, None, :],
@@ -908,6 +919,10 @@ class CachedDecoder:
                                  (0, 2, 1, 3))
 
         qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        from ..ops.attention import apply_qk_norm
+
+        qh, kh = apply_qk_norm(qh, kh, w,
+                               info.get("qk_norm_eps", 1e-6))
         cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
@@ -1297,6 +1312,10 @@ class CachedDecoder:
                                  (0, 2, 1, 3))          # [N, H, K, D]
 
         qh, kh, vh = proj("q", heads), proj("k", kvh), proj("v", kvh)
+        from ..ops.attention import apply_qk_norm
+
+        qh, kh = apply_qk_norm(qh, kh, w,
+                               info.get("qk_norm_eps", 1e-6))
         positions = jnp.minimum(
             pos[:, None] + jnp.arange(k, dtype=jnp.int32),
             self._window - 1)                            # [N, K]

@@ -339,3 +339,50 @@ def test_hf_mistral_ring_decode_matches_hf_greedy():
             ids.append(int(torch.argmax(logits)))
     got = dec.generate(np.asarray([prompt]), steps=steps, block=25)
     np.testing.assert_array_equal(got[0], np.asarray(ids))
+
+
+def test_hf_qwen3_logits_parity():
+    """Qwen3: per-head q/k RMSNorm before RoPE + head_dim decoupled
+    from hidden/heads (64 != 48/4) — both features checked against the
+    HF forward."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(21)
+    cfg = Qwen3Config(
+        vocab_size=48, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=64,
+        max_position_embeddings=16, rope_theta=1e6)
+    model = Qwen3ForCausalLM(cfg).eval()
+    assert "model.layers.0.self_attn.q_norm.weight" in model.state_dict()
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 43, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_qwen3_greedy_decode_matches_hf():
+    """KV-cache decode (prefill + step path, qk-norm in every leg)
+    reproduces HF's own greedy continuation."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    torch.manual_seed(22)
+    cfg = Qwen3Config(
+        vocab_size=48, hidden_size=32, intermediate_size=40,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=32, rope_theta=1e6)
+    model = Qwen3ForCausalLM(cfg).eval()
+    eng, in_name, out_name = _engine_for(model)
+    prompt = [3, 7, 11, 2, 40]
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=10, do_sample=False,
+            use_cache=True)[0].tolist()
+    dec = CachedDecoder(eng)
+    got = dec.generate([prompt], steps=10, temperature=0.0)[0].tolist()
+    assert got == hf_out

@@ -1168,3 +1168,87 @@ def test_sliding_window_banded_flash_prefill_routing(monkeypatch):
         got = dec2.generate(prompt, steps=10, block=5)
     assert 8 in calls                          # banded prefill WAS taken
     np.testing.assert_array_equal(got, want)   # stream unchanged
+
+
+def test_rotary_attention_qk_norm_and_head_dim_oracle():
+    """Qwen3 features at the op level: per-head q/k RMSNorm before RoPE
+    + head_dim decoupled from embed/heads, vs a float64 numpy oracle."""
+    from simpleinfer_tpu.ir.graph import Attribute, Parameter
+
+    e, heads, kvh, d, l, n = 24, 4, 2, 16, 7, 2   # d*heads=64 != e
+    rng = np.random.default_rng(33)
+    op, attrs = _rotary_op(32, heads, kvh, seed=3)  # placeholder shapes
+    # rebuild attrs at the decoupled geometry
+    attrs = {
+        "q_proj.weight": rng.standard_normal((heads * d, e)).astype(
+            np.float32) * 0.1,
+        "k_proj.weight": rng.standard_normal((kvh * d, e)).astype(
+            np.float32) * 0.1,
+        "v_proj.weight": rng.standard_normal((kvh * d, e)).astype(
+            np.float32) * 0.1,
+        "o_proj.weight": rng.standard_normal((e, heads * d)).astype(
+            np.float32) * 0.1,
+        "q_norm.weight": (1 + rng.standard_normal(d) * 0.2).astype(
+            np.float32),
+        "k_norm.weight": (1 + rng.standard_normal(d) * 0.2).astype(
+            np.float32),
+    }
+    from test_ops_extra import make_op
+
+    op = make_op("si.RotaryAttention", params=dict(
+        embed_dim=e, num_heads=heads, num_kv_heads=kvh, head_dim=d,
+        rope_theta=10000.0, qk_norm_eps=1e-6), attrs=attrs)
+    impl = lower_operator(op, EngineConfig())
+    assert impl.decode_info["head_dim"] == d
+    x = rng.standard_normal((n, l, e)).astype(np.float32)
+    weights = {k: jnp.asarray(v) for k, v in impl.weights.items()}
+    got = np.asarray(impl.apply(weights, jnp.asarray(x)))
+
+    # float64 oracle with qk-norm + rope + causal attention
+    xx = x.astype(np.float64)
+
+    def proj(wn, h):
+        return (xx @ attrs[wn].T.astype(np.float64)).reshape(
+            n, l, h, d).transpose(0, 2, 1, 3)
+
+    def rmsn(t, wgt):
+        v = np.mean(t * t, axis=-1, keepdims=True)
+        return t / np.sqrt(v + 1e-6) * wgt.astype(np.float64)
+
+    q = rmsn(proj("q_proj.weight", heads), attrs["q_norm.weight"])
+    k = rmsn(proj("k_proj.weight", kvh), attrs["k_norm.weight"])
+    v = proj("v_proj.weight", kvh)
+    inv = 1.0 / (10000.0 ** (np.arange(0, d, 2) / d))
+    t = np.arange(l)[:, None] * inv[None, :]
+    cos = np.concatenate([np.cos(t), np.cos(t)], -1)
+    sin = np.concatenate([np.sin(t), np.sin(t)], -1)
+
+    def rope(t4):
+        h = d // 2
+        rot = np.concatenate([-t4[..., h:], t4[..., :h]], -1)
+        return t4 * cos[None, None] + rot * sin[None, None]
+
+    q, k = rope(q), rope(k)
+    k = np.repeat(k, heads // kvh, axis=1)
+    v = np.repeat(v, heads // kvh, axis=1)
+    s = np.einsum("nhqd,nhkd->nhqk", q, k) / np.sqrt(d)
+    s = np.where(np.triu(np.ones((l, l), bool), k=1), -1e30, s)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ctx = np.einsum("nhqk,nhkd->nhqd", p, v).transpose(
+        0, 2, 1, 3).reshape(n, l, heads * d)
+    want = ctx @ attrs["o_proj.weight"].T.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_build_llama_qk_norm_decode_matches_forward():
+    """build_llama(qk_norm=True, head_dim=...) decodes token-equal to
+    its own full forward (the qwen3-style zoo family end to end)."""
+    graph, _, _ = build_llama("nano", batch=2, seq_len=32, vocab_size=40,
+                              qk_norm=True, head_dim=24, seed=9)
+    eng = Engine(EngineConfig(compute_dtype="float32")).load_model(
+        None, graph=graph)
+    prompt = np.asarray([[5, 1, 8, 2], [3, 3, 1, 4]])
+    want = greedy_generate(eng, prompt, steps=10)
+    got = CachedDecoder(eng).generate(prompt, steps=10, block=5)
+    np.testing.assert_array_equal(got, want)
