@@ -24,7 +24,7 @@ import numpy as np
 from ..ir.graph import Attribute, Parameter
 from ..zoo.builders import GraphBuilder
 
-_SUPPORTED = ("llama", "qwen2", "mistral", "gemma", "phi3", "qwen3")
+_SUPPORTED = ("llama", "qwen2", "mistral", "gemma", "phi3", "qwen3", "gemma2")
 
 
 def llama_graph_from_hf(model, batch: int = 1,
@@ -48,7 +48,7 @@ def llama_graph_from_hf(model, batch: int = 1,
     # takes an explicit head_dim param); other families must still
     # satisfy the classic geometry
     decoupled = d * heads != e
-    if decoupled and mt != "qwen3":
+    if decoupled and mt not in ("qwen3", "gemma2"):
         raise ValueError(f"head_dim {d} * heads {heads} != hidden {e} "
                          f"(unsupported projection geometry for {mt})")
     seq_len = int(seq_len or cfg.max_position_embeddings)
@@ -65,9 +65,21 @@ def llama_graph_from_hf(model, batch: int = 1,
     # max_window_layers (the lower layers stay full attention);
     # llama/gemma(v1) have none. HF's mask keeps q - sw < k <= q —
     # exactly si.RotaryAttention's band.
+    # gemma2: attention scale from query_pre_attn_scalar, tanh
+    # softcapping of attention logits and final logits
+    attn_scale = None
+    attn_softcap = None
+    final_softcap = None
+    if mt == "gemma2":
+        qpas = getattr(cfg, "query_pre_attn_scalar", None)
+        if qpas:
+            attn_scale = float(qpas) ** -0.5
+        attn_softcap = getattr(cfg, "attn_logit_softcapping", None)
+        final_softcap = getattr(cfg, "final_logit_softcapping", None)
+
     sw_cfg = getattr(cfg, "sliding_window", None)
     use_sw = sw_cfg is not None and mt in ("mistral", "phi3", "qwen2",
-                                           "qwen3")
+                                           "qwen3", "gemma2")
     if mt in ("qwen2", "qwen3"):
         use_sw = use_sw and bool(getattr(cfg, "use_sliding_window",
                                          False))
@@ -78,12 +90,24 @@ def llama_graph_from_hf(model, batch: int = 1,
         if mt in ("qwen2", "qwen3"):
             mwl = int(getattr(cfg, "max_window_layers", 0) or 0)
             return int(sw_cfg) if i >= mwl else None
+        if mt == "gemma2":
+            # alternating layers; read the EFFECTIVE per-layer window
+            # off the HF module itself (robust to HF convention
+            # changes), falling back to the even-layer rule
+            try:
+                lsw = getattr(model.model.layers[i].self_attn,
+                              "sliding_window", "__missing__")
+                if lsw != "__missing__":
+                    return int(lsw) if lsw else None
+            except (AttributeError, IndexError):
+                pass
+            return int(sw_cfg) if i % 2 == 0 else None
         return int(sw_cfg)
 
     sd = {k: v.detach().cpu().numpy().astype(np.float32)
           for k, v in model.state_dict().items()}
 
-    if mt == "gemma":
+    if mt in ("gemma", "gemma2"):
         # gemma RMSNorm computes x_hat * (1 + w): fold into the weight
         for k in list(sd):
             if k.endswith("layernorm.weight") or k == "model.norm.weight":
@@ -113,7 +137,7 @@ def llama_graph_from_hf(model, batch: int = 1,
     # (original gemma checkpoints carry the legacy hidden_act="gelu"
     # that HF deliberately overrides to tanh-gelu) — match that
     # precedence exactly, or such checkpoints silently get erf-gelu.
-    if mt == "gemma":
+    if mt in ("gemma", "gemma2"):
         hidden_act = (getattr(cfg, "hidden_activation", None)
                       or "gelu_pytorch_tanh")
     else:
@@ -146,7 +170,9 @@ def llama_graph_from_hf(model, batch: int = 1,
         y = b.rotary_attention(y, heads, num_kv_heads=kv,
                                rope_theta=theta, bias=bias,
                                sliding_window=layer_sliding(i),
-                               head_dim=d if decoupled else None)
+                               head_dim=d if decoupled else None,
+                               attn_scale=attn_scale,
+                               logit_softcap=attn_softcap)
         aop = b.g.get_operand(y).producer
         for key in ("q", "k", "v", "o"):
             aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
@@ -165,10 +191,22 @@ def llama_graph_from_hf(model, batch: int = 1,
             if nk in sd:
                 aop.attrs[ak] = Attribute.from_array(sd[nk])
                 aop.params["qk_norm_eps"] = Parameter.from_value(eps)
+        if mt == "gemma2":
+            # gemma2 normalizes the attention OUTPUT before the
+            # residual add (post_attention_layernorm here is the
+            # sandwich norm, NOT llama's pre-MLP norm)
+            y = b.rms_norm(y)
+            attr(b, y, "weight",
+                 sd[f"{p}.post_attention_layernorm.weight"])
+            b.g.get_operand(y).producer.params["eps"] = \
+                Parameter.from_value(eps)
         x = b.add(x, y)
 
         y = b.rms_norm(x)
-        attr(b, y, "weight", sd[f"{p}.post_attention_layernorm.weight"])
+        attr(b, y, "weight",
+             sd[f"{p}.pre_feedforward_layernorm.weight"]
+             if mt == "gemma2"
+             else sd[f"{p}.post_attention_layernorm.weight"])
         b.g.get_operand(y).producer.params["eps"] = \
             Parameter.from_value(eps)
         gate = b.linear(y, cfg.intermediate_size, bias=False)
@@ -185,6 +223,12 @@ def llama_graph_from_hf(model, batch: int = 1,
         y = b.mul(gate, up)
         y = b.linear(y, e, bias=False)
         attr(b, y, "weight", sd[f"{p}.mlp.down_proj.weight"])
+        if mt == "gemma2":
+            y = b.rms_norm(y)
+            attr(b, y, "weight",
+                 sd[f"{p}.post_feedforward_layernorm.weight"])
+            b.g.get_operand(y).producer.params["eps"] = \
+                Parameter.from_value(eps)
         x = b.add(x, y)
 
     x = b.rms_norm(x)
@@ -196,5 +240,24 @@ def llama_graph_from_hf(model, batch: int = 1,
             else "lm_head.weight" if "lm_head.weight" in sd
             else "model.embed_tokens.weight")  # tied embeddings
     attr(b, logits, "weight", sd[head])
+    if final_softcap:
+        # logits' = tanh(logits / c) * c via graph ops (BinaryOp
+        # broadcast against scalar constants; pointwise in the decode
+        # plan, so KV-cache decode gets it for free). Direct BinaryOp
+        # nodes, NOT b.mul's pnnx.Expression — the expansion pass
+        # renames the output operand, which would break the returned
+        # output_name contract.
+        inv = b.attr_const(np.asarray([1.0 / final_softcap],
+                                      np.float32))
+        capc = b.attr_const(np.asarray([float(final_softcap)],
+                                       np.float32))
+
+        def bmul(a_op, b_op):
+            (out,) = b._op("BinaryOp", b._name("softcap_mul"),
+                           [a_op, b_op], params={"0": 2})  # ncnn mul
+            b.shape[out] = list(b.shape[a_op])
+            return out
+
+        logits = bmul(b.tanh(bmul(logits, inv)), capc)
     b.output(logits)
     return b.build(), "0", logits

@@ -497,6 +497,18 @@ def lower_rotary_attention(op, cfg):
     # qwen3 per-head q/k RMSNorm (over head_dim, applied before RoPE)
     qk_eps = (op.params["qk_norm_eps"].f
               if op.has_param("qk_norm_eps", PARAM_FLOAT) else 1e-6)
+    # gemma2: attention scale decoupled from head_dim
+    # (query_pre_attn_scalar**-0.5) and tanh softcapping of the attn
+    # logits BEFORE masking (HF Gemma2Attention order: scale ->
+    # softcap -> mask -> softmax)
+    attn_scale = (op.params["attn_scale"].f
+                  if op.has_param("attn_scale", PARAM_FLOAT)
+                  else 1.0 / math.sqrt(d))
+    softcap = (op.params["logit_softcap"].f
+               if op.has_param("logit_softcap", PARAM_FLOAT) else None)
+    if softcap is not None and softcap <= 0:
+        raise ValueError(f"RotaryAttention {op.name}: logit_softcap "
+                         f"must be > 0, got {softcap}")
     for key, wkey in (("q_norm.weight", "wqn"), ("k_norm.weight",
                                                  "wkn")):
         if op.has_attr(key):
@@ -535,18 +547,20 @@ def lower_rotary_attention(op, cfg):
         cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
-        if sw is not None:
+        if sw is not None and softcap is None:
             # banded flash kernel past the measured crossover (1.17x at
             # L=1536/sw256, 1.57x at 2048, 201x at 8192 — the XLA path
             # materializes all L^2 scores regardless of the band;
-            # kernels/attention.flash_band_profitable)
+            # kernels/attention.flash_band_profitable). Softcapped ops
+            # (gemma2) stay on XLA: the kernel's online softmax has no
+            # tanh hook.
             from ..kernels.attention import (flash_attention,
                                              flash_band_profitable)
 
             if flash_band_profitable(l, l, sw) and _pallas_ok():
                 ctx = flash_attention(
                     qh, repeat_kv(kh, group), repeat_kv(vh, group),
-                    causal=True, scale=1.0 / math.sqrt(d),
+                    causal=True, scale=attn_scale,
                     sliding_window=sw)
                 ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
                     n, l, num_heads * d)
@@ -561,7 +575,9 @@ def lower_rotary_attention(op, cfg):
                 return out.astype(dt)
         s = jnp.einsum("nhqd,nhkd->nhqk", qh, repeat_kv(kh, group),
                        preferred_element_type=jnp.float32)
-        s = s * (1.0 / math.sqrt(d))
+        s = s * attn_scale
+        if softcap is not None:
+            s = jnp.tanh(s / softcap) * softcap
         qi = lax.broadcasted_iota(jnp.int32, s.shape, 2)
         ki = lax.broadcasted_iota(jnp.int32, s.shape, 3)
         keep = ki <= qi
@@ -596,5 +612,7 @@ def lower_rotary_attention(op, cfg):
                      "num_kv_heads": num_kv, "head_dim": d,
                      "rope_theta": theta, "rotary": True,
                      "batch_first": True, "sliding_window": sw,
-                     "qk_norm_eps": qk_eps},
+                     "qk_norm_eps": qk_eps,
+                     "attn_scale": attn_scale,
+                     "logit_softcap": softcap},
     )

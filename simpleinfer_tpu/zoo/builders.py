@@ -374,7 +374,9 @@ class GraphBuilder:
                          sliding_window: int | None = None,
                          head_dim: int | None = None,
                          qk_norm: bool = False,
-                         qk_norm_eps: float = 1e-6) -> str:
+                         qk_norm_eps: float = 1e-6,
+                         attn_scale: float | None = None,
+                         logit_softcap: float | None = None) -> str:
         """Llama-style causal self-attention (si.RotaryAttention
         composite, ops/attention.py): RoPE + GQA, intrinsic causal
         mask, llama checkpoint weight layout. sliding_window=W bands
@@ -409,6 +411,10 @@ class GraphBuilder:
             params["head_dim"] = int(head_dim)
         if qk_norm:
             params["qk_norm_eps"] = float(qk_norm_eps)
+        if attn_scale is not None:       # gemma2 query_pre_attn_scalar
+            params["attn_scale"] = float(attn_scale)
+        if logit_softcap is not None:    # gemma2 tanh logit capping
+            params["logit_softcap"] = float(logit_softcap)
         if sliding_window is not None:
             params["sliding_window"] = int(sliding_window)
         (out,) = self._op("si.RotaryAttention", name, [x], params=params,

@@ -35,7 +35,8 @@ def _kv_quantize(x):
     return q, s
 
 
-def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None):
+def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
+                scale=None, softcap=None):
     """Aligned-causal attention context [N, H, L, D] for prefill.
 
     XLA's fused sdpa by default; the Pallas flash kernel when the
@@ -56,7 +57,11 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None):
     import jax.numpy as jnp
 
     l = qh.shape[2]
-    if sliding_window is not None:
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    # softcapped ops (gemma2 tanh logit capping) always take the XLA
+    # path — the flash kernels' online softmax has no tanh hook
+    if sliding_window is not None and softcap is None:
         from ..kernels.attention import (flash_attention,
                                          flash_band_profitable)
         from ..kernels.matmul import pallas_supported
@@ -64,18 +69,20 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None):
         if (flash_band_profitable(l, l, sliding_window)
                 and pallas_supported()):
             return flash_attention(qh, kh, vh, causal=True,
-                                   scale=1.0 / (d ** 0.5),
+                                   scale=scale,
                                    sliding_window=sliding_window)
-    if use_pallas and sliding_window is None:
+    if use_pallas and sliding_window is None and softcap is None:
         from ..kernels.attention import flash_attention, flash_profitable
         from ..kernels.matmul import pallas_supported
 
         if flash_profitable(l, l) and pallas_supported():
             return flash_attention(qh, kh, vh, causal=True,
-                                   scale=1.0 / (d ** 0.5))
+                                   scale=scale)
     s = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
                    preferred_element_type=jnp.float32)
-    s = s * (1.0 / (d ** 0.5))
+    s = s * scale
+    if softcap is not None:
+        s = jnp.tanh(s / softcap) * softcap
     qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
     keep = ki <= qi
@@ -685,7 +692,10 @@ class CachedDecoder:
             k_leaf = self._kv_slice(k_leaf, kv_prefix)
             v_leaf = self._kv_slice(v_leaf, kv_prefix)
         s = self._attn_scores(qh, k_leaf, group, dt)
-        s = s * (1.0 / (d ** 0.5))
+        s = s * (info.get("attn_scale") or 1.0 / (d ** 0.5))
+        softcap = info.get("logit_softcap")
+        if softcap is not None:          # gemma2 tanh logit capping
+            s = jnp.tanh(s / softcap) * softcap
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
         pe = pos[:, None, None, None]
         if ring is not None:
@@ -750,13 +760,19 @@ class CachedDecoder:
                                                       frozen[3])
         else:
             k_leaf, v_leaf = frozen
-        scale = 1.0 / (d ** 0.5)
+        scale = info.get("attn_scale") or 1.0 / (d ** 0.5)
+        softcap = info.get("logit_softcap")
+
+        def cap(t):                      # gemma2 tanh logit capping
+            return (jnp.tanh(t / softcap) * softcap
+                    if softcap is not None else t)
         neg = jnp.finfo(jnp.float32).min
         sw = info.get("sliding_window")
         ring = self._op_ring(info)
         s_new = jnp.einsum("nhqd,nhkd->nhqk", qh,
                            repeat_kv(k_scr.astype(dt), group),
                            preferred_element_type=jnp.float32) * scale
+        s_new = cap(s_new)
         sidx = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 3)
         keep_new = sidx <= step_i
         if sw is not None:
@@ -798,7 +814,8 @@ class CachedDecoder:
             if ring is None:
                 k_leaf = self._kv_slice(k_leaf, kv_prefix)
                 v_leaf = self._kv_slice(v_leaf, kv_prefix)
-            s_old = self._attn_scores(qh, k_leaf, group, dt) * scale
+            s_old = cap(self._attn_scores(qh, k_leaf, group, dt)
+                        * scale)
             idx = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 3)
             if ring is not None:
                 # frozen ring slot s holds the latest position < pos0
@@ -928,7 +945,9 @@ class CachedDecoder:
         kh = apply_rope(kh, cos[None, None], sin[None, None])
         ctx = _causal_ctx(qh, repeat_kv(kh, group), repeat_kv(vh, group),
                           d, self._use_pallas,
-                          sliding_window=info.get("sliding_window"))
+                          sliding_window=info.get("sliding_window"),
+                          scale=info.get("attn_scale"),
+                          softcap=info.get("logit_softcap"))
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, heads * d)
         out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (kh, vh)
@@ -1359,7 +1378,10 @@ class CachedDecoder:
             new_cache = (k_leaf, v_leaf)
 
         s = self._attn_scores(qh, k_leaf, group, dt)     # [N, H, K, L]
-        s = s * (1.0 / (d ** 0.5))
+        s = s * (info.get("attn_scale") or 1.0 / (d ** 0.5))
+        softcap = info.get("logit_softcap")
+        if softcap is not None:          # gemma2 tanh logit capping
+            s = jnp.tanh(s / softcap) * softcap
         l_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
         sw = info.get("sliding_window")
         if ring is not None:
@@ -1513,10 +1535,12 @@ class CachedDecoder:
     def kernel_ok(self) -> bool:
         """True when the per-row flash-decoding kernel path is usable
         on this decoder (scratch mode, single device, no sliding
-        windows) — the serving loop's auto attention policy checks
-        this before dispatching a kernel block."""
+        windows, no logit softcapping — the kernel's online softmax
+        has no tanh hook) — the serving loop's auto attention policy
+        checks this before dispatching a kernel block."""
         return (self._scratch_blocks and self._mesh is None
                 and not any((info or {}).get("sliding_window")
+                            or (info or {}).get("logit_softcap")
                             for _, info in self._mha_ops))
 
     def decode_block(self, tokens, pos, caches, key, step0, temperature,

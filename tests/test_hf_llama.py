@@ -386,3 +386,57 @@ def test_hf_qwen3_greedy_decode_matches_hf():
     dec = CachedDecoder(eng)
     got = dec.generate([prompt], steps=10, temperature=0.0)[0].tolist()
     assert got == hf_out
+
+
+def test_hf_gemma2_logits_parity():
+    """Gemma-2: sandwich norms (post-attn + pre/post-ffw), (1+w)
+    RMSNorm, sqrt(e) embedding scaling, query_pre_attn_scalar scale,
+    attn + final tanh softcapping, alternating sliding layers — all
+    against the HF forward."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(31)
+    cfg = Gemma2Config(
+        vocab_size=48, hidden_size=32, intermediate_size=40,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=16, rope_theta=1e4,
+        query_pre_attn_scalar=12, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, sliding_window=4)
+    model = Gemma2ForCausalLM(cfg).eval()
+    assert ("model.layers.0.pre_feedforward_layernorm.weight"
+            in model.state_dict())
+    eng, in_name, out_name = _engine_for(model)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 43, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_gemma2_greedy_decode_matches_hf():
+    """KV-cache decode through the scale/softcap-aware step paths
+    (plus the mixed ring/full caches of alternating sliding layers)
+    reproduces HF's greedy continuation."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+    torch.manual_seed(32)
+    cfg = Gemma2Config(
+        vocab_size=48, hidden_size=32, intermediate_size=40,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=32, rope_theta=1e4,
+        query_pre_attn_scalar=16, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, sliding_window=6)
+    model = Gemma2ForCausalLM(cfg).eval()
+    eng, in_name, out_name = _engine_for(model)
+    prompt = [3, 7, 11, 2, 40]
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=10, do_sample=False,
+            use_cache=True)[0].tolist()
+    dec = CachedDecoder(eng)
+    got = dec.generate([prompt], steps=10, temperature=0.0)[0].tolist()
+    assert got == hf_out
