@@ -1173,7 +1173,9 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
                 sliding_window: int | None = None,
                 sliding_pattern: str = "all",
                 qk_norm: bool = False,
-                head_dim: int | None = None) -> tuple:
+                head_dim: int | None = None,
+                attn_scale: float | None = None,
+                logit_softcap: float | None = None) -> tuple:
     """Llama-family causal decoder LM (superset family — the reference
     has no autoregressive workload, and the GPT builder covers the
     learned-position/LayerNorm/packed-MHA lineage).
@@ -1211,7 +1213,9 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
         y = b.rotary_attention(y, heads, num_kv_heads=kv,
                                rope_theta=rope_theta,
                                sliding_window=sw_i,
-                               head_dim=head_dim, qk_norm=qk_norm)
+                               head_dim=head_dim, qk_norm=qk_norm,
+                               attn_scale=attn_scale,
+                               logit_softcap=logit_softcap)
         x = b.add(x, y)
         y = b.rms_norm(x)
         gate = b.silu_act(b.linear(y, inter, bias=False))

@@ -1252,3 +1252,43 @@ def test_build_llama_qk_norm_decode_matches_forward():
     want = greedy_generate(eng, prompt, steps=10)
     got = CachedDecoder(eng).generate(prompt, steps=10, block=5)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(qk_norm=True, head_dim=24),                       # qwen3-style
+    dict(attn_scale=0.35, logit_softcap=20.0),             # gemma2-style
+    dict(attn_scale=0.35, logit_softcap=20.0,
+         sliding_window=6, sliding_pattern="alternate"),   # gemma2 full
+])
+def test_new_family_scratch_blocks_and_speculative(kw):
+    """The qwen3/gemma2 attention features flow through EVERY decode
+    machinery path: scratch-block decode, chunk verify (speculative
+    self-draft, acceptance 1.0), token-equal to the plain forward."""
+    from simpleinfer_tpu.zoo.speculative import SpeculativeDecoder
+
+    graph, _, _ = build_llama("nano", batch=1, seq_len=32, vocab_size=50,
+                              seed=12, **kw)
+    eng = Engine(EngineConfig(compute_dtype="float32")).load_model(
+        None, graph=graph)
+    prompt = np.asarray([[5, 1, 8, 2]])
+    want = greedy_generate(eng, prompt, steps=10)
+    plain = CachedDecoder(eng).generate(prompt, steps=10)
+    np.testing.assert_array_equal(plain, want)
+    scratch = CachedDecoder(eng, scratch_blocks=True).generate(
+        prompt, steps=10, block=5)
+    np.testing.assert_array_equal(scratch, want)
+    spec = SpeculativeDecoder(eng, eng, k=3)
+    got = spec.generate(prompt, steps=10)
+    np.testing.assert_array_equal(got, want)
+    assert spec.acceptance == 1.0
+
+
+def test_softcap_model_blocks_pallas_decode_kernel():
+    """kernel_ok must exclude softcapped (gemma2) models — the per-row
+    flash-decoding kernel has no tanh hook; dispatching it would
+    silently change the math."""
+    graph, _, _ = build_llama("nano", batch=1, seq_len=24, vocab_size=40,
+                              logit_softcap=30.0, seed=3)
+    eng = Engine().load_model(None, graph=graph)
+    dec = CachedDecoder(eng, scratch_blocks=True)
+    assert not dec.kernel_ok
