@@ -26,6 +26,7 @@ def _cases():
     from simpleinfer_tpu.zoo import (
         build_bert,
         build_densenet,
+        build_llama,
         build_mobilenet_like,
         build_resnet18,
         build_resnet50,
@@ -35,6 +36,18 @@ def _cases():
     )
 
     return {
+        # the qwen3/gemma2 attention features frozen as fp32 goldens
+        # (round-4): qk-norm + decoupled head_dim; sandwich-free zoo
+        # form of attn-scale + tanh softcapping + alternating sliding
+        "llama_qwen3ish": (build_llama,
+                           dict(variant="nano", batch=1, seq_len=16,
+                                vocab_size=32, qk_norm=True,
+                                head_dim=24, seed=4)),
+        "llama_gemma2ish": (build_llama,
+                            dict(variant="nano", batch=1, seq_len=16,
+                                 vocab_size=32, attn_scale=0.3,
+                                 logit_softcap=25.0, sliding_window=5,
+                                 sliding_pattern="alternate", seed=4)),
         "resnet18": (build_resnet18,
                      dict(batch=2, image_size=32, num_classes=7, width=8)),
         "resnet50": (build_resnet50,
