@@ -558,10 +558,12 @@ def lower_rotary_attention(op, cfg):
                                              flash_band_profitable)
 
             if flash_band_profitable(l, l, sw) and _pallas_ok():
+                # 256x256 blocks: 1.44x over the 128 defaults here
+                # (docs/PERF.md round-4 block sweep)
                 ctx = flash_attention(
                     qh, repeat_kv(kh, group), repeat_kv(vh, group),
                     causal=True, scale=attn_scale,
-                    sliding_window=sw)
+                    sliding_window=sw, block_q=256, block_k=256)
                 ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
                     n, l, num_heads * d)
                 if ring_proj is not None:

@@ -68,9 +68,13 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
 
         if (flash_band_profitable(l, l, sliding_window)
                 and pallas_supported()):
+            # 256x256 blocks: 1.44x over the 128 defaults at the
+            # banded shape class (measured both L=2048 and 4096,
+            # sw256; docs/PERF.md round-4 block sweep)
             return flash_attention(qh, kh, vh, causal=True,
                                    scale=scale,
-                                   sliding_window=sliding_window)
+                                   sliding_window=sliding_window,
+                                   block_q=256, block_k=256)
     if use_pallas and sliding_window is None and softcap is None:
         from ..kernels.attention import flash_attention, flash_profitable
         from ..kernels.matmul import pallas_supported
