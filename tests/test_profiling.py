@@ -116,3 +116,37 @@ def test_device_profile_cpu_trace_roundtrip(tmp_path):
         assert set(r) == set(
             __import__("simpleinfer_tpu.profiling",
                        fromlist=["_HLO_STAT_KEYS"])._HLO_STAT_KEYS)
+
+
+def test_attribute_slices_segments_cover_program():
+    """Prefix-slicing attribution (round-4): segments partition the
+    plan in order, every op lands in exactly one segment, flops match
+    the roofline estimator's totals, and each prefix survives XLA DCE
+    (a dead-code-eliminated op would show as a zero-flop segment
+    mismatch)."""
+    import jax.numpy as jnp
+
+    from simpleinfer_tpu import Engine
+    from simpleinfer_tpu.profiling import attribute_slices
+    from simpleinfer_tpu.zoo import build_resnet18
+
+    graph, in_name, out_name = build_resnet18(batch=1, image_size=32,
+                                              num_classes=4, width=8)
+    eng = Engine().load_model(None, graph=graph)
+    x = np.random.default_rng(0).standard_normal(
+        (1, 32, 32, 3)).astype(np.float32)
+    xs = eng.program.pack_input(in_name, jnp.asarray(x))
+    rows = attribute_slices(eng.program, eng._device_weights,
+                            {in_name: xs}, n_slices=4, iters=3,
+                            verbose=False)
+    assert len(rows) >= 2
+    all_ops = [impl.name for impl, _, _ in eng.program.plan]
+    seen = [op for _, ops, _, _ in rows for op in ops]
+    assert seen == all_ops                    # ordered exact partition
+    assert all(t >= 0 for _, _, t, _ in rows)
+    from simpleinfer_tpu.executor import _estimate_flops
+
+    want_flops = sum(_estimate_flops(
+        impl, eng.program.op_output_shapes.get(impl.name, []))
+        for impl, _, _ in eng.program.plan)
+    assert sum(f for _, _, _, f in rows) == want_flops
