@@ -1292,3 +1292,30 @@ def test_softcap_model_blocks_pallas_decode_kernel():
     eng = Engine().load_model(None, graph=graph)
     dec = CachedDecoder(eng, scratch_blocks=True)
     assert not dec.kernel_ok
+
+
+def test_new_family_params_survive_pnnx_roundtrip(tmp_path):
+    """The qwen3/gemma2 attention params (head_dim, qk_norm_eps,
+    attn_scale, logit_softcap) and the q/k-norm weight attrs survive
+    Graph.save -> Graph.load -> Engine, bit-identical logits — the
+    .pnnx file surface stays complete as ops grow (ir.cpp:709-815
+    grammar parity)."""
+    from simpleinfer_tpu.ir.graph import Graph
+
+    for kw in (dict(qk_norm=True, head_dim=24),
+               dict(attn_scale=0.3, logit_softcap=25.0,
+                    sliding_window=5)):
+        graph, in_name, out_name = build_llama(
+            "nano", batch=1, seq_len=12, vocab_size=32, seed=7, **kw)
+        param = str(tmp_path / "m.pnnx.param")
+        binp = str(tmp_path / "m.pnnx.bin")
+        graph.save(param, binp)
+        eng_a = Engine(EngineConfig(compute_dtype="float32")).load_model(
+            None, graph=graph)
+        eng_b = Engine(EngineConfig(compute_dtype="float32")).load_model(
+            param, binp)
+        ids = np.arange(12, dtype=np.float32)[None, :] % 31 + 1
+        a = eng_a.run({in_name: ids})[out_name]
+        b = eng_b.run({eng_b.input_names[0]: ids})[
+            eng_b.output_names[0]]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
