@@ -87,7 +87,7 @@ def main():
     deadline_s = float(os.environ.get("SI_BENCH_DEADLINE_S", "3000"))
     import threading
 
-    state = {"results": {}, "emitted": False,
+    state = {"results": {}, "emitted": False, "meta": {},
              "lock": threading.Lock(), "factor": float("nan")}
 
     def _emit(results, factor, note=None):
@@ -107,6 +107,12 @@ def main():
                 if headline and "fp32" in results and headline != "fp32"
                 else 1.0, 3),
         }
+        # the north-star metric is throughput + GFLOP/s vs roofline
+        # (BASELINE.json): carry the roofline half in the artifact
+        meta = state["meta"].get(headline)
+        if meta:
+            out["tflops"] = meta["tflops"]
+            out["pct_floor"] = meta["pct_floor"]
         if factor == factor:  # not NaN
             out["chip_speed_factor"] = round(factor, 3)
             if headline in results and factor > 0:
@@ -182,9 +188,27 @@ def main():
         # can silently book a 10% chip-state swing as a code change.
         import statistics
 
-        from simpleinfer_tpu.profiling import measure_device_time
+        from simpleinfer_tpu.profiling import (ChipSpec,
+                                               measure_device_time,
+                                               roofline_report)
+
+        def _floor_ms(program, label):
+            """Speed-of-light ms for this config: per-op max(compute,
+            bandwidth) floors summed, with peaks anchored to the chip's
+            MEASURED healthy rates (4096^3 bf16 = 193.7 TFLOP/s at
+            factor 1.0, docs/PERF.md; s8-static convs get the 2x int8
+            MXU; fp32 pays the halves-ish 3-pass emulation)."""
+            peak_bf16 = 387.4 if label == "int8" else 193.7
+            spec = ChipSpec(peak_bf16_tflops=peak_bf16,
+                            peak_fp32_tflops=96.9)
+            dtype = "float32" if label == "fp32" else "bfloat16"
+            costs = roofline_report(
+                program, batch, dtype_bytes=4 if dtype == "float32" else 2)
+            return sum(c.min_time_us(spec, dtype) for c in costs) / 1e3
 
         prepared = {}
+        gflops = {}
+        floors = {}
         engines = []
         for label, cfg in configs:
             try:
@@ -198,26 +222,54 @@ def main():
                     eng.calibrate([{in_name: calib}])
                 prepared[label] = _prepare(eng, in_name, out_name,
                                            batch, image_size)
+                gflops[label] = eng.program.flops_per_item * batch / 1e9
+                floors[label] = _floor_ms(eng.program, label)
                 engines.append(eng)
             except Exception as e:  # noqa: BLE001
                 print(f"{label}: prepare failed "
                       f"({type(e).__name__}: {e})", file=sys.stderr)
         times = {label: [] for label in prepared}
-        for r in range(interleaved):
-            for label, (fwd, x, opts) in prepared.items():
-                dt = measure_device_time(fwd, x, iters=12,
-                                         compiler_options=opts)
-                times[label].append(dt)
-            print("round %d: %s" % (r, "  ".join(
-                f"{la} {times[la][-1] * 1e3:.3f}ms" for la in prepared)),
-                file=sys.stderr, flush=True)
+        # One DISCARDED warmup round before the scored rounds: BENCH_r04
+        # showed the first interleaved fp32 reading still warming (11.7
+        # vs 8.9-9.6 ms in later rounds) — a median-of-3 with a
+        # warmup-contaminated round 0 biases the parity column high.
+        for r in range(-1, interleaved):
+            for label in [la for la in prepared]:
+                fwd, x, opts = prepared[label]
+                try:
+                    dt = measure_device_time(fwd, x, iters=12,
+                                             compiler_options=opts)
+                except Exception as e:  # noqa: BLE001 — keep the other
+                    # configs' rounds; a transient relay failure in one
+                    # config must not abort the whole bench
+                    print(f"{label}: round {r} failed "
+                          f"({type(e).__name__}: {e}) — dropping config",
+                          file=sys.stderr, flush=True)
+                    del prepared[label]
+                    continue
+                if r >= 0:
+                    times[label].append(dt)
+            if r < 0:
+                print("warmup round (discarded) done", file=sys.stderr,
+                      flush=True)
+            else:
+                print("round %d: %s" % (r, "  ".join(
+                    f"{la} {times[la][-1] * 1e3:.3f}ms"
+                    for la in prepared if times[la])),
+                    file=sys.stderr, flush=True)
         for label, ts in times.items():
             if not ts:
                 continue
             med = statistics.median(ts)
             results[label] = batch / med
+            tflops = gflops.get(label, 0.0) / med / 1e3
+            pct = 100.0 * floors.get(label, 0.0) / (med * 1e3)
+            state["meta"][label] = {"tflops": round(tflops, 1),
+                                    "pct_floor": round(pct, 1)}
             print(f"{label:6s} {batch / med:9.1f} img/s  "
-                  f"{med * 1e3:7.2f} ms/batch{batch} (median of "
+                  f"{med * 1e3:7.2f} ms/batch{batch}  {tflops:6.1f} "
+                  f"TFLOP/s  {pct:5.1f}% of floor "
+                  f"({floors.get(label, 0.0):.2f} ms SoL; median of "
                   f"{len(ts)}, spread {min(ts) * 1e3:.3f}.."
                   f"{max(ts) * 1e3:.3f})", file=sys.stderr)
         for eng in engines:

@@ -480,6 +480,11 @@ def lower_rotary_attention(op, cfg):
                          f"be even for RoPE")
     group = num_heads // num_kv
     ring_proj = ring_out_proj(cfg, num_heads)
+    # a pallas_call inside a GSPMD-partitioned program cannot be
+    # partitioned (the banded kernel would force a replicate/gather or
+    # fail to compile); mirror the MHA/decoder gates: meshes fall back
+    # to the XLA banded path
+    mesh_free = getattr(cfg, "mesh", None) is None
 
     weights: dict[str, np.ndarray] = {}
     for key, out_dim in (("q", num_heads * d), ("k", num_kv * d),
@@ -557,7 +562,8 @@ def lower_rotary_attention(op, cfg):
             from ..kernels.attention import (flash_attention,
                                              flash_band_profitable)
 
-            if flash_band_profitable(l, l, sw) and _pallas_ok():
+            if (mesh_free and flash_band_profitable(l, l, sw)
+                    and _pallas_ok()):
                 # 256x256 blocks: 1.44x over the 128 defaults here
                 # (docs/PERF.md round-4 block sweep)
                 ctx = flash_attention(

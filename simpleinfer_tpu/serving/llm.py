@@ -924,12 +924,9 @@ class TieredGenerationService:
 
     def cache_bytes(self) -> int:
         """Total KV-pool bytes across tiers (the slots-at-fixed-HBM
-        receipt: compare against a uniform full-window pool)."""
-        import jax
-
-        total = 0
-        for svc in self.services:
-            caches = svc._dec.init_cache(svc._slots)
-            total += sum(leaf.nbytes
-                         for leaf in jax.tree_util.tree_leaves(caches))
-        return total
+        receipt: compare against a uniform full-window pool). Computed
+        analytically (CachedDecoder.cache_nbytes) — materializing a
+        second copy of every tier's pool just to count bytes could OOM
+        a live service near HBM capacity."""
+        return sum(svc._dec.cache_nbytes(svc._slots)
+                   for svc in self.services)

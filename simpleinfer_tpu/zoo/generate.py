@@ -36,7 +36,7 @@ def _kv_quantize(x):
 
 
 def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
-                scale=None, softcap=None):
+                scale=None, softcap=None, mesh=None):
     """Aligned-causal attention context [N, H, L, D] for prefill.
 
     XLA's fused sdpa by default; the Pallas flash kernel when the
@@ -60,8 +60,10 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     # softcapped ops (gemma2 tanh logit capping) always take the XLA
-    # path — the flash kernels' online softmax has no tanh hook
-    if sliding_window is not None and softcap is None:
+    # path — the flash kernels' online softmax has no tanh hook; a
+    # live mesh does too (pallas_call can't be GSPMD-partitioned,
+    # same gate as CachedDecoder.kernel_ok)
+    if sliding_window is not None and softcap is None and mesh is None:
         from ..kernels.attention import (flash_attention,
                                          flash_band_profitable)
         from ..kernels.matmul import pallas_supported
@@ -75,7 +77,8 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
                                    scale=scale,
                                    sliding_window=sliding_window,
                                    block_q=256, block_k=256)
-    if use_pallas and sliding_window is None and softcap is None:
+    if (use_pallas and sliding_window is None and softcap is None
+            and mesh is None):
         from ..kernels.attention import flash_attention, flash_profitable
         from ..kernels.matmul import pallas_supported
 
@@ -535,6 +538,29 @@ class CachedDecoder:
                                 place(jnp.zeros(shape, dtype)))
         return caches
 
+    def cache_nbytes(self, batch: int, dtype=None) -> int:
+        """Bytes init_cache(batch, dtype) would allocate, computed from
+        the leaf shapes WITHOUT materializing a pool — accounting on a
+        live service must not transiently double KV HBM (a full second
+        pool near capacity OOMs the chip)."""
+        import numpy as np
+
+        dtype = dtype or self._kv_store
+        item = np.dtype(dtype).itemsize
+        total = 0
+        for _name, info in self._mha_ops:
+            h = info["num_heads"]
+            kv = info.get("num_kv_heads", h)
+            d = info.get("head_dim", info["embed_dim"] // h)
+            length = self._op_ring(info) or self._window
+            vec = batch * kv * length
+            if self._kv_int8:
+                # two int8 value planes + two f32 scale planes
+                total += 2 * vec * d * 1 + 2 * vec * 1 * 4
+            else:
+                total += 2 * vec * d * item
+        return total
+
     def _cache_append(self, cache, kh, vh, pos, ring=None):
         """Write the new token's k/v ([N, KV, 1, D]) at each row's
         position (slot position % ring for ring-stored sliding ops);
@@ -951,7 +977,8 @@ class CachedDecoder:
                           d, self._use_pallas,
                           sliding_window=info.get("sliding_window"),
                           scale=info.get("attn_scale"),
-                          softcap=info.get("logit_softcap"))
+                          softcap=info.get("logit_softcap"),
+                          mesh=self._mesh)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, heads * d)
         out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (kh, vh)
@@ -983,7 +1010,8 @@ class CachedDecoder:
                 y.astype(dt).reshape(n, l, heads, d), (0, 2, 1, 3))
 
         qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
-        ctx = _causal_ctx(qh, kh, vh, d, self._use_pallas)
+        ctx = _causal_ctx(qh, kh, vh, d, self._use_pallas,
+                          mesh=self._mesh)
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, e)
         out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (kh, vh)

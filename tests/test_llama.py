@@ -953,6 +953,87 @@ def test_sliding_window_rejects_pallas_decode():
         CachedDecoder(eng, scratch_blocks=True, decode_attn="pallas")
 
 
+def test_banded_kernel_gated_off_under_mesh(monkeypatch):
+    """Round-4 advisor (medium): a pallas_call inside a
+    GSPMD-partitioned program cannot be partitioned, so the banded
+    flash auto-dispatch must fall back to the XLA banded path whenever
+    the engine has a mesh — even past the profitability crossover with
+    the kernel available. Proven by making the kernel entry raise: the
+    mesh config must never reach it, the mesh-free config must."""
+    import simpleinfer_tpu.kernels.attention as KA
+    import simpleinfer_tpu.ops.attention as A
+    from simpleinfer_tpu.config import MeshConfig
+    from simpleinfer_tpu.ir.graph import Parameter
+
+    def boom(*a, **k):
+        raise RuntimeError("banded kernel dispatched")
+
+    monkeypatch.setattr(A, "_pallas_ok", lambda: True)
+    monkeypatch.setattr(KA, "flash_attention", boom)
+    e, heads, l, sw = 16, 2, 1536, 256   # past the L=1536 crossover
+    x = RNG.standard_normal((1, l, e)).astype(np.float32)
+
+    op, _ = _rotary_op(e, heads, heads, seed=21)
+    op.params["sliding_window"] = Parameter.from_value(sw)
+    impl = lower_operator(op, EngineConfig(mesh=MeshConfig(model=2)))
+    weights = {k: jnp.asarray(v) for k, v in impl.weights.items()}
+    out = np.asarray(impl.apply(weights, jnp.asarray(x)))  # no raise
+    assert out.shape == (1, l, e)
+
+    op, _ = _rotary_op(e, heads, heads, seed=21)
+    op.params["sliding_window"] = Parameter.from_value(sw)
+    impl = lower_operator(op, EngineConfig())
+    weights = {k: jnp.asarray(v) for k, v in impl.weights.items()}
+    with pytest.raises(RuntimeError, match="banded kernel dispatched"):
+        impl.apply(weights, jnp.asarray(x))
+
+
+def test_causal_ctx_banded_gated_off_under_mesh(monkeypatch):
+    """Same gate at the decoder-prefill site (zoo/generate._causal_ctx,
+    the other round-4 advisor dispatch): mesh -> XLA banded path."""
+    import importlib
+
+    import simpleinfer_tpu.kernels.attention as KA
+    from simpleinfer_tpu.zoo.generate import _causal_ctx
+
+    # kernels/__init__ re-exports a `matmul` FUNCTION shadowing the
+    # module attribute; importlib reaches the module itself
+    KM = importlib.import_module("simpleinfer_tpu.kernels.matmul")
+
+    def boom(*a, **k):
+        raise RuntimeError("banded kernel dispatched")
+
+    monkeypatch.setattr(KM, "pallas_supported", lambda: True)
+    monkeypatch.setattr(KA, "flash_attention", boom)
+    n, h, l, d, sw = 1, 2, 1536, 8, 256
+    qh = jnp.asarray(RNG.standard_normal((n, h, l, d)), jnp.float32)
+    kh = jnp.asarray(RNG.standard_normal((n, h, l, d)), jnp.float32)
+    vh = jnp.asarray(RNG.standard_normal((n, h, l, d)), jnp.float32)
+    out = _causal_ctx(qh, kh, vh, d, False, sliding_window=sw,
+                      mesh=object())          # any live mesh: XLA path
+    assert out.shape == (n, h, l, d)
+    with pytest.raises(RuntimeError, match="banded kernel dispatched"):
+        _causal_ctx(qh, kh, vh, d, False, sliding_window=sw, mesh=None)
+
+
+@pytest.mark.parametrize("kv_dtype", [None, "bfloat16", "int8"])
+def test_cache_nbytes_matches_materialized(kv_dtype):
+    """cache_nbytes (analytic accounting, round-4 advisor: counting
+    bytes must not allocate a second pool) equals the materialized
+    pool's bytes exactly, for every KV storage layout."""
+    import jax
+
+    graph, _, _ = build_llama("nano", batch=1, seq_len=24, vocab_size=50,
+                              sliding_window=6, seed=3)
+    eng = Engine().load_model(None, graph=graph)
+    dec = CachedDecoder(eng, kv_dtype=kv_dtype)
+    for batch in (1, 3):
+        caches = dec.init_cache(batch)
+        want = sum(leaf.nbytes
+                   for leaf in jax.tree_util.tree_leaves(caches))
+        assert dec.cache_nbytes(batch) == want
+
+
 def test_generation_service_auto_attn_policy():
     """decode_attn='auto': rung blocks while a rung covers the pool,
     the per-row kernel once rows age past every rung (slots >=
