@@ -35,7 +35,22 @@ import tempfile
 
 import numpy as np
 
-TASKS = ("cnn", "llm_tp")
+TASKS = ("cnn", "llm_tp", "cnn_serving")
+
+# cnn_serving stream shape (shared with tests/test_multiproc.py's
+# single-process reference): each process serves REQS_PER_RANK requests
+# in two admission waves — 4 together (a full bucket-4 batch) then 3
+# (bucket-4 with one padded row) — so bucket stats are deterministic.
+REQS_PER_RANK = 7
+SERVING_WAVES = ((0, 1, 2, 3), (4, 5, 6))
+
+
+def serving_request(g: int) -> np.ndarray:
+    """Deterministic HWC image for GLOBAL request index g (rank r's
+    host-local stream is indices [r*REQS_PER_RANK, (r+1)*REQS_PER_RANK))
+    — the single-process reference regenerates the identical stream."""
+    return ((np.arange(64 * 64 * 3, dtype=np.float32) * (g + 3)) % 23
+            ).reshape(64, 64, 3) / 23.0
 
 
 # --------------------------------------------------------------- launcher
@@ -162,6 +177,58 @@ def _worker_llm_tp(mesh, rank: int, nprocs: int) -> dict:
     return {"tokens": np.asarray(toks, np.int64)}
 
 
+def _worker_cnn_serving(rank: int, nprocs: int) -> dict:
+    """BASELINE config-5's actual shape: a CONTINUOUS-BATCHED image
+    stream across a multi-process slice. Each process runs a
+    BatchingService whose DP engine pool is pinned to its OWN local
+    devices (serving/batcher.py engine-list mode) and feeds only its
+    host-local request slice; the global result stream is assembled
+    with process_allgather in global request order. Serving itself runs
+    NO collectives — DP pools serve independent batches per device, the
+    throughput direction — the distributed runtime provides the process
+    topology and the final assembly. Reference: none (north star;
+    SURVEY §2.5 DP row + §7.6)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from simpleinfer_tpu import Engine, EngineConfig
+    from simpleinfer_tpu.serving.batcher import BatchingService
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    # one engine per process-LOCAL device, addressed by its GLOBAL
+    # device index (EngineConfig.device_index indexes jax.devices())
+    local_idx = [i for i, dev in enumerate(jax.devices())
+                 if dev.process_index == jax.process_index()]
+    engines = []
+    for gi in local_idx:
+        graph, _in, _out = build_yolov5("n", batch=1, image_size=64,
+                                        seed=0)
+        engines.append(Engine(EngineConfig(
+            compute_dtype="float32", device_index=gi)).load_model(
+                None, graph=graph))
+    svc = BatchingService(engines, max_batch=4, buckets=[1, 2, 4],
+                          max_wait_ms=250.0).start()
+    outs = []
+    for wave in SERVING_WAVES:
+        futs = [svc.submit(serving_request(rank * REQS_PER_RANK + i))
+                for i in wave]
+        outs += [f.result(timeout=300) for f in futs]
+    svc.stop()
+    st = svc.stats
+    local = np.stack(outs)                        # [REQS_PER_RANK, ...]
+    gathered = np.asarray(
+        multihost_utils.process_allgather(local, tiled=True))
+    return {
+        "out": gathered,
+        "bucket_stats": np.asarray(sorted(
+            (b, s.batches, s.items) for b, s in st.per_bucket.items()),
+            np.int64),
+        "padded": np.asarray(st.padded_items),
+        "requests": np.asarray(st.requests),
+        "engines_used": np.asarray(sorted(st.batches_per_engine)),
+    }
+
+
 def worker_main() -> int:
     """Subprocess entry (env-configured): initialize the distributed
     runtime through parallel.multihost — the REAL code path — run the
@@ -192,6 +259,10 @@ def worker_main() -> int:
         model = 2 if len(jax.local_devices()) >= 2 else 1
         mesh = multihost.make_mesh(model=model)
         res = _worker_cnn(mesh, rank, nprocs)
+    elif task == "cnn_serving":
+        # no mesh: DP-pool serving is per-device independent batches;
+        # the distributed runtime supplies topology + final gather
+        res = _worker_cnn_serving(rank, nprocs)
     else:
         mesh = multihost.make_mesh(model=n_global)
         res = _worker_llm_tp(mesh, rank, nprocs)
