@@ -48,11 +48,23 @@ def xla_fn(q, k, v):
     return flash_attention_ref(q, k, v, causal=True)
 
 
-def pallas_fn(q, k, v):
-    return flash_attention(q, k, v, causal=True)
+def make_pallas_fn(bq, bk):
+    def pallas_fn(q, k, v):
+        return flash_attention(q, k, v, causal=True, block_q=bq,
+                               block_k=bk)
+    return pallas_fn
 
 
-res = {(L, n): [] for L in LENGTHS for n in ("xla", "flash")}
+# SI_SWEEP_BLOCKS="128x128,256x256": flash block variants to interleave
+# against XLA (round-4 banded sweep won 1.44x at 256x256; this re-runs
+# the FULL-CAUSAL crossover at those blocks — verdict item 3)
+BLOCKS = [tuple(int(x) for x in spec.split("x"))
+          for spec in os.environ.get("SI_SWEEP_BLOCKS",
+                                     "128x128").split(",")]
+variants = [("xla", xla_fn)] + [
+    (f"fl{bq}x{bk}", make_pallas_fn(bq, bk)) for bq, bk in BLOCKS]
+
+res = {(L, n): [] for L in LENGTHS for n, _ in variants}
 for rnd in range(ROUNDS):
     cf = chip_speed_factor()
     print(f"-- round {rnd} chip factor {cf:.2f}", file=sys.stderr,
@@ -61,17 +73,19 @@ for rnd in range(ROUNDS):
         q, k, v = cases[L]
         # causal workload: ~half the full-matrix 2*2*BH*L*L*D flops
         flops = 2 * BH * L * L * D
-        for name, fn in (("xla", xla_fn), ("flash", pallas_fn)):
+        for name, fn in variants:
             it = max(4, min(40, (1 << 22) // L))
             dt = measure_device_time(fn, q, k, v, iters=it)
             res[(L, name)].append(dt)
-            print(f"  L={L:5d} {name:5s}: {dt*1e3:7.3f} ms "
+            print(f"  L={L:5d} {name:10s}: {dt*1e3:7.3f} ms "
                   f"({flops/dt/1e12:6.1f} TFLOP/s)",
                   file=sys.stderr, flush=True)
 
-print("medians (xla / flash / ratio):", file=sys.stderr)
+print("medians (vs xla):", file=sys.stderr)
 for L in LENGTHS:
     tx = sorted(res[(L, "xla")])[len(res[(L, "xla")]) // 2]
-    tf = sorted(res[(L, "flash")])[len(res[(L, "flash")]) // 2]
-    print(f"  L={L:5d}: {tx*1e3:7.3f} / {tf*1e3:7.3f} ms -> "
-          f"flash is {tx/tf:.2f}x", file=sys.stderr)
+    row = [f"xla {tx*1e3:7.3f} ms"]
+    for name, _ in variants[1:]:
+        tf = sorted(res[(L, name)])[len(res[(L, name)]) // 2]
+        row.append(f"{name} {tf*1e3:7.3f} ms ({tx/tf:.2f}x)")
+    print(f"  L={L:5d}: " + "  ".join(row), file=sys.stderr)

@@ -190,17 +190,19 @@ def flash_profitable(lq: int, lk: int) -> bool:
     """Sequence-length dispatch gate for the flash kernel.
 
     Measured (docs/PERF.md): at ViT's L=197 d=64 the flash kernel LOSES
-    2x e2e to XLA's fused sdpa, and the interleaved causal sweep
-    (scripts/flash_seq_sweep.py, 2026-08-19, bh=16 d=128 bf16) put the
-    crossover far higher than first assumed: flash is 0.42x/0.54x/0.47x
-    at L=512/1024/2048 and only wins (1.12x, both rounds) at L=4096,
-    where XLA's fused sdpa finally spills the scores tensor. Default
-    thresholds Lk >= 4096 and Lq >= 256 (decode's Lq = 1 always stays
-    on XLA); override with SI_FLASH_MIN_LK / SI_FLASH_MIN_LQ for
-    per-chip retuning (read at call time — trace time only — so a
-    long-lived process can retune).
+    2x e2e to XLA's fused sdpa. The original causal sweep
+    (scripts/flash_seq_sweep.py, 2026-08-19, bh=16 d=128 bf16, 128x128
+    blocks) put the crossover at 4096; the round-5 re-sweep at the
+    256x256 blocks the banded kernel's block sweep won with moved it
+    DOWN to 2048: vs XLA's fused sdpa the kernel is 0.28x at L=1024,
+    0.86x at 1536, then 1.16x at 2048, 2.44x at 3072, 2.35x at 4096
+    (XLA spills the scores tensor past ~2k and collapses to ~8.6
+    TFLOP/s while the kernel holds ~20). Default thresholds Lk >= 2048
+    and Lq >= 256 (decode's Lq = 1 always stays on XLA); override with
+    SI_FLASH_MIN_LK / SI_FLASH_MIN_LQ for per-chip retuning (read at
+    call time — trace time only — so a long-lived process can retune).
     """
-    min_lk = int(os.environ.get("SI_FLASH_MIN_LK", "4096"))
+    min_lk = int(os.environ.get("SI_FLASH_MIN_LK", "2048"))
     min_lq = int(os.environ.get("SI_FLASH_MIN_LQ", "256"))
     return lk >= min_lk and lq >= min_lq
 
@@ -232,8 +234,8 @@ def flash_band_profitable(lq: int, lk: int,
 
 
 def flash_attention(q, k, v, *, causal: bool = False,
-                    scale: float | None = None, block_q: int = 128,
-                    block_k: int = 128,
+                    scale: float | None = None, block_q: int = 256,
+                    block_k: int = 256,
                     sliding_window: int | None = None,
                     interpret: bool = False):
     """Online-softmax attention over [B, H, L, D] (or [BH, L, D]) inputs.

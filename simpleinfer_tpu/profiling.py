@@ -362,7 +362,7 @@ def timed_run(program, weights, inputs, sync: bool = True) -> list:
 
 def attribute_slices(program, weights, inputs, n_slices: int = 12,
                      iters: int = 12, compiler_options=None,
-                     verbose: bool = True) -> list:
+                     verbose: bool = True, cuts: list | None = None) -> list:
     """Per-SEGMENT on-chip attribution via prefix-program slicing —
     the profiler-independent answer to "where do the milliseconds go"
     (the external hlo_stats service is unreliable, docs/PERF.md).
@@ -405,13 +405,19 @@ def attribute_slices(program, weights, inputs, n_slices: int = 12,
         impl, program.op_output_shapes.get(impl.name, [])), 0)
         for impl, _, _ in plan]
     total = sum(flops) or 1
-    cuts, acc, step = [], 0, total / n_slices
-    next_mark = step
-    for i, f in enumerate(flops):
-        acc += f
-        if acc >= next_mark and (i + 1) not in cuts:
-            cuts.append(i + 1)
-            next_mark += step
+    if cuts is None:
+        # cut points evenly in cumulative FLOPs (default)
+        cuts, acc, step = [], 0, total / n_slices
+        next_mark = step
+        for i, f in enumerate(flops):
+            acc += f
+            if acc >= next_mark and (i + 1) not in cuts:
+                cuts.append(i + 1)
+                next_mark += step
+    else:
+        # explicit cut indices (per-op attribution of a region): each
+        # value is a plan prefix length; clipped, deduped, sorted
+        cuts = sorted({min(max(int(c), 1), len(plan)) for c in cuts})
     if not cuts or cuts[-1] != len(plan):
         cuts.append(len(plan))
 

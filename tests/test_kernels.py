@@ -186,7 +186,10 @@ def test_flash_attention_fp32(bh, lq, lk, d):
 
 
 @pytest.mark.parametrize("bh,lq,lk,d", [(2, 128, 128, 64),
-                                        (1, 100, 100, 32)])
+                                        (1, 100, 100, 32),
+                                        # unaligned multi-block at the
+                                        # round-5 256x256 defaults
+                                        (1, 700, 700, 64)])
 def test_flash_attention_causal(bh, lq, lk, d):
     q = RNG.standard_normal((bh, lq, d), dtype=np.float32)
     k = RNG.standard_normal((bh, lk, d), dtype=np.float32)
@@ -265,9 +268,11 @@ def test_flash_profitable_gate():
     assert not flash_profitable(197, 197)     # ViT-base: measured loss
     assert not flash_profitable(1, 4096)      # decode: single query row
     assert not flash_profitable(512, 512)     # short-KV prefill
-    assert not flash_profitable(2048, 2048)   # measured 0.47x: XLA wins
-    assert flash_profitable(4096, 4096)       # measured 1.12x crossover
-    assert flash_profitable(256, 4096)        # threshold boundary
+    assert not flash_profitable(1536, 1536)   # measured 0.86x: XLA wins
+    assert flash_profitable(2048, 2048)       # measured 1.16x (round-5
+    #                                           256x256-block re-sweep)
+    assert flash_profitable(4096, 4096)       # measured 2.35x
+    assert flash_profitable(256, 2048)        # threshold boundary
 
 
 def test_flash_band_profitable_gate():

@@ -150,3 +150,14 @@ def test_attribute_slices_segments_cover_program():
         impl, eng.program.op_output_shapes.get(impl.name, []))
         for impl, _, _ in eng.program.plan)
     assert sum(f for _, _, _, f in rows) == want_flops
+
+    # explicit cuts (round-5 per-op attribution): one segment per op
+    # over the first 3 plan entries, then the remainder; still an
+    # ordered exact partition
+    rows = attribute_slices(eng.program, eng._device_weights,
+                            {in_name: xs}, cuts=[1, 2, 3], iters=3,
+                            verbose=False)
+    assert [len(ops) for _, ops, _, _ in rows[:3]] == [1, 1, 1]
+    seen = [op for _, ops, _, _ in rows for op in ops]
+    assert seen == all_ops
+    assert sum(f for _, _, _, f in rows) == want_flops
