@@ -96,6 +96,11 @@ class EngineConfig:
     # run load-time graph fusions (conv+bn fold, conv+activation tagging;
     # ir/passes.py). Off = every op runs standalone like the reference.
     fuse: bool = True
+    # collapse eligible YOLOv5-style C3 blocks into the fused
+    # whole-block VMEM kernel (ir/passes.fuse_c3_blocks +
+    # kernels/c3block.py). Requires fuse=True; the kernel itself
+    # dispatches only single-device on TPU (reference chain elsewhere).
+    c3_fusion: bool = True
     # use Pallas kernels for eligible ops (1x1 int8 convs, int8 linear).
     # None = auto, currently OFF: measured on v5e, XLA's implicit-GEMM
     # convs + fusion beat the standalone int8 kernel end-to-end

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     activation,
     attention,
     binary,
+    c3,
     conv,
     extra,
     functional,

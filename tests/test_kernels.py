@@ -478,3 +478,82 @@ def test_decode_attention_max_len_bound():
     for x, y in zip(a, b):
         tol = 1e-6 if not ON_TPU else 5e-2
         np.testing.assert_allclose(x, y, rtol=tol, atol=tol)
+
+
+# ---- fused C3 block (round-5 cross-conv VMEM fusion) -----------------------
+
+C3_CASES = [
+    # (n, h, w, c, hid, oc, n_btl)
+    (2, 32, 24, 16, 8, 16, 2),      # small, unaligned W
+    (1, 16, 16, 128, 64, 128, 3),   # yolov5l C3_1 channel geometry
+    (1, 20, 20, 64, 32, 48, 1),     # single bottleneck, oc != c
+]
+
+
+@pytest.mark.parametrize("n,h,w,c,hid,oc,t", C3_CASES)
+@pytest.mark.parametrize("activation", ["silu", None])
+def test_c3_block_matches_reference(n, h, w, c, hid, oc, t, activation):
+    """Whole-C3 fused kernel vs the lax conv-chain oracle (cv1 ->
+    bottlenecks with residuals -> cat(cv2) -> cv3, zoo/builders.py c3
+    structure). The cat never materializes in the kernel (split cv3
+    weight), so this also pins the weight-half convention."""
+    from simpleinfer_tpu.kernels.c3block import (c3_block,
+                                                 c3_block_reference)
+
+    def r(*s):
+        return RNG.standard_normal(s).astype(np.float32) * 0.2
+
+    ws = (r(c, hid), r(hid), r(c, hid), r(hid), r(hid, oc), r(hid, oc),
+          r(oc), r(t, hid, hid), r(t, hid), r(t, 9, hid, hid), r(t, hid))
+    x = jnp.asarray(r(n, h, w, c))
+    if ON_TPU:
+        x = x.astype(jnp.bfloat16)
+    got = run_kernel(c3_block, x, *map(jnp.asarray, ws),
+                     activation=activation)
+    want = np.asarray(c3_block_reference(x, *ws, activation=activation),
+                      np.float32)
+    tol = 5e-5 if not ON_TPU else 0.05
+    np.testing.assert_allclose(got.astype(np.float32), want,
+                               atol=tol * np.sqrt(c + 9 * hid), rtol=0.02)
+
+
+def test_c3_supported_gate():
+    """Eligibility: hid >= 64 (MXU occupancy floor — the stem-kernel
+    lesson), channel alignment, VMEM fit at yolov5l shapes."""
+    from simpleinfer_tpu.kernels.c3block import c3_supported
+
+    assert c3_supported(160, 160, 128, 64, 128)    # yolov5l C3_1
+    assert c3_supported(80, 80, 256, 128, 256)     # yolov5l C3_2
+    assert not c3_supported(160, 160, 64, 32, 64)  # yolov5s C3_1: narrow
+    assert not c3_supported(320, 320, 128, 64, 128)  # 320^2: VMEM
+
+
+@pytest.mark.parametrize("n,h,w,c,hid,oc,t", [(2, 16, 16, 128, 64, 128, 2)])
+def test_c3_block_s8_taps_match_reference(n, h, w, c, hid, oc, t):
+    """int8-static tap path: per-image dynamic s8 activations x
+    per-channel s8 weights, int32-exact conv, f32 dequant — the kernel
+    must match the lax oracle that mirrors the same quantization math
+    near-exactly (both use round-half-even + the same scales)."""
+    from simpleinfer_tpu.kernels.c3block import (c3_block,
+                                                 c3_block_reference,
+                                                 quantize_taps)
+
+    def r(*s):
+        return RNG.standard_normal(s).astype(np.float32) * 0.2
+
+    ws = [r(c, hid), r(hid), r(c, hid), r(hid), r(hid, oc), r(hid, oc),
+          r(oc), r(t, hid, hid), r(t, hid), r(t, 9, hid, hid),
+          r(t, hid)]
+    wq, wsc = quantize_taps(ws[9])
+    args = [jnp.asarray(a) for a in ws]
+    args[9] = jnp.asarray(wq)
+    x = jnp.asarray(r(n, h, w, c))
+    if ON_TPU:
+        x = x.astype(jnp.bfloat16)
+    got = run_kernel(c3_block, x, *args, btl_b_scale=jnp.asarray(wsc))
+    want = np.asarray(c3_block_reference(x, *args,
+                                         btl_b_scale=jnp.asarray(wsc)),
+                      np.float32)
+    tol = 5e-4 if not ON_TPU else 0.05
+    np.testing.assert_allclose(got.astype(np.float32), want,
+                               atol=tol * np.sqrt(c + 9 * hid), rtol=0.02)

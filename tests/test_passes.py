@@ -134,3 +134,94 @@ def test_fuse_extended_activations():
             want = m(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(got, want, atol=tol, rtol=1e-4,
                                    err_msg=type(act).__name__)
+
+
+# ---- fused C3 blocks (round-5 cross-conv VMEM fusion) ----------------------
+
+def _c3_graph(c=128, hid=64, n=2, img=16, shortcut=True, batch=1,
+              seed=3):
+    """input -> pre-conv(3->c) -> C3(c, hid*2, n) -> graph output."""
+    b = GraphBuilder(seed)
+    x = b.input([batch, 3, img, img], name="0")
+    x = b.silu(b.conv(x, c, 1))
+    y1 = b.silu(b.conv(x, hid, 1))
+    for _ in range(n):
+        t = b.silu(b.conv(y1, hid, 1))
+        t = b.silu(b.conv(t, hid, 3))
+        y1 = b.add(t, y1) if shortcut else t
+    y2 = b.silu(b.conv(x, hid, 1))
+    out = b.silu(b.conv(b.cat([y1, y2], 1), 2 * hid, 1))
+    b.output(out)
+    return b.build(), "0", out
+
+
+def test_fuse_c3_blocks_structure_and_parity():
+    """The C3 pattern collapses to ONE si.FusedC3 op; outputs match the
+    unfused engine bit-for-bit-ish (same fp32 convs, different op
+    grouping) for both shortcut forms."""
+    for shortcut in (True, False):
+        graph, in_name, out_name = _c3_graph(shortcut=shortcut)
+        e1 = Engine(EngineConfig(c3_fusion=False)).load_model(
+            None, graph=graph)
+        graph2, _, _ = _c3_graph(shortcut=shortcut)
+        e2 = Engine(EngineConfig()).load_model(None, graph=graph2)
+        types = [i.type for i in e2.program.impls]
+        assert types.count("si.FusedC3") == 1, types
+        assert "torch.cat" not in types
+        fused = next(i for i in e2.program.impls
+                     if i.type == "si.FusedC3")
+        assert fused.weights["btl_a_w"].shape == (2, 64, 64)
+        x = np.random.default_rng(0).standard_normal(
+            (1, 16, 16, 3)).astype(np.float32)
+        a = e1.run({in_name: x})[out_name]
+        b_ = e2.run({in_name: x})[out_name]
+        np.testing.assert_allclose(a, b_, atol=2e-4, rtol=2e-4)
+
+
+def test_fuse_c3_blocks_respects_gates():
+    """Narrow blocks (hid < 64 — yolov5n/s first C3) and blocks whose
+    intermediates escape stay unfused."""
+    from simpleinfer_tpu.ir.expression import expand_expression
+    from simpleinfer_tpu.ir.passes import (fuse_c3_blocks,
+                                           fuse_conv_activation)
+
+    graph, _, _ = _c3_graph(c=64, hid=32)
+    expand_expression(graph)
+    fuse_conv_activation(graph)
+    assert fuse_c3_blocks(graph) == 0
+
+    # external consumer of an internal operand blocks the fusion
+    b = GraphBuilder(7)
+    x = b.input([1, 3, 8, 8], name="0")
+    x = b.silu(b.conv(x, 128, 1))
+    y1 = b.silu(b.conv(x, 64, 1))
+    t = b.silu(b.conv(y1, 64, 1))
+    t = b.silu(b.conv(t, 64, 3))
+    y1b = b.add(t, y1)
+    y2 = b.silu(b.conv(x, 64, 1))
+    out = b.silu(b.conv(b.cat([y1b, y2], 1), 128, 1))
+    b.output(out)
+    b.output(y2)            # y2 escapes the block
+    graph = b.build()
+    expand_expression(graph)
+    fuse_conv_activation(graph)
+    assert fuse_c3_blocks(graph) == 0
+
+
+def test_fused_c3_yolov5l_whole_model_parity():
+    """All 8 yolov5l C3 blocks fuse; whole-model outputs match the
+    unfused engine (fp32 CPU)."""
+    from simpleinfer_tpu.zoo import build_yolov5
+
+    graph, in_name, out_name = build_yolov5("l", batch=1,
+                                            image_size=64, seed=0)
+    e1 = Engine(EngineConfig(c3_fusion=False)).load_model(None,
+                                                          graph=graph)
+    graph2, _, _ = build_yolov5("l", batch=1, image_size=64, seed=0)
+    e2 = Engine(EngineConfig()).load_model(None, graph=graph2)
+    assert [i.type for i in e2.program.impls].count("si.FusedC3") == 8
+    x = (np.random.default_rng(0).standard_normal((1, 64, 64, 3))
+         .astype(np.float32) / 4)
+    a = e1.run({in_name: x})[out_name]
+    b_ = e2.run({in_name: x})[out_name]
+    np.testing.assert_allclose(a, b_, atol=2e-3, rtol=2e-3)
