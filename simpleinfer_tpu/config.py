@@ -98,9 +98,14 @@ class EngineConfig:
     fuse: bool = True
     # collapse eligible YOLOv5-style C3 blocks into the fused
     # whole-block VMEM kernel (ir/passes.fuse_c3_blocks +
-    # kernels/c3block.py). Requires fuse=True; the kernel itself
-    # dispatches only single-device on TPU (reference chain elsewhere).
-    c3_fusion: bool = True
+    # kernels/c3block.py). Default OFF: measured e2e NEGATIVE on
+    # yolov5l-640-b16 (int8 0.796x, bf16 0.871x — docs/PERF.md round-5:
+    # XLA's conv emitter contracts all 9 taps at full K-depth while the
+    # kernel's shifted-matmul taps cap at K=hid, and the MXU efficiency
+    # forfeited exceeds the inter-conv HBM traffic saved). Kept as a
+    # correct, tested, opt-in exploration (the kernels/stem.py
+    # precedent); requires fuse=True; single-device TPU only.
+    c3_fusion: bool = False
     # use Pallas kernels for eligible ops (1x1 int8 convs, int8 linear).
     # None = auto, currently OFF: measured on v5e, XLA's implicit-GEMM
     # convs + fusion beat the standalone int8 kernel end-to-end

@@ -611,7 +611,9 @@ def run_inference_fusions(graph: Graph, cfg=None) -> dict:
     # partitioning edge on 1-row spatial shards (measured: H=2 maps at
     # spatial=2 x another axis diverge by O(1); the unfused conv path
     # partitions correctly) — so meshes keep the per-conv ops.
-    if ((cfg is None or getattr(cfg, "c3_fusion", True))
+    # opt-in only (EngineConfig.c3_fusion, default False: measured e2e
+    # negative — docs/PERF.md round-5)
+    if (cfg is not None and getattr(cfg, "c3_fusion", False)
             and getattr(cfg, "mesh", None) is None):
         stats["c3"] = fuse_c3_blocks(graph, cfg)
     stats["cat_conv"] = fuse_cat_conv1x1(graph)

@@ -41,6 +41,7 @@ discipline, SURVEY.md §4.1).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -70,6 +71,25 @@ def c3_vmem_bytes(h: int, w: int, c: int, hid: int, oc: int) -> int:
             + (1 << 20))            # slack
 
 
+def c3_profitable(h: int, w: int, hid: int, n_btl: int) -> bool:
+    """Work-size dispatch gate (measured, scripts/c3_fusion_ab.py
+    2026-08-20): the kernel wins 1.73-1.94x at yolov5l C3_1
+    (hw*hid*T = 4.9M) and 1.42x at yolov5l C3_2 (4.9M), but LOSES
+    (0.90x) at the yolov5s C3_2 class (0.8M) — small blocks can't
+    amortize the per-invocation overhead and XLA's chain is already
+    sub-0.3 ms there. Threshold between the measured win/loss points;
+    SI_C3_MIN_WORK overrides for per-chip retune (read at trace time)."""
+    min_work = int(os.environ.get("SI_C3_MIN_WORK", "2000000"))
+    return h * w * hid * n_btl >= min_work
+
+
+def c3_taps_s8_profitable(hid: int) -> bool:
+    """s8 taps beat bf16 taps only at narrow hid (measured: 1.94x vs
+    1.73x at hid=64, but 1.06x vs 1.42x at hid=128 — full-K bf16
+    matmuls leave no MXU headroom for the dynamic-quant overhead)."""
+    return hid < 128
+
+
 def c3_supported(h: int, w: int, c: int, hid: int, oc: int) -> bool:
     """Dispatch eligibility: VMEM fit + MXU-sane channel widths.
     hid >= 64 keeps every matmul at >= 1/4 MXU occupancy; narrower
@@ -97,18 +117,18 @@ def _conv3x3_taps(a3, w9_t, acc_dtype=jnp.float32):
     zero = jnp.zeros((1, w, c), a3.dtype)
     xpad = jnp.concatenate([zero, a3, zero], axis=0)      # [B+2, W, C]
     wi = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    # hoist the W shifts: 2 masked sublane rolls shared by all 3 H taps
+    # (the stem kernel's v2 lesson — per-tap rolls were 6 full-image
+    # materializations; out[w] reads in[w+dx], zero off the image)
+    shifted = {0: xpad}
+    for dx in (-1, 1):
+        shifted[dx] = jnp.where(
+            (wi + dx >= 0) & (wi + dx < w),
+            jnp.roll(xpad, -dx, axis=1), jnp.zeros((), a3.dtype))
     acc = None
     for dy in (-1, 0, 1):
-        xs = xpad[1 + dy:1 + dy + b]                      # [B, W, C]
         for dx in (-1, 0, 1):
-            if dx == 0:
-                xr = xs
-            else:
-                # out[w] reads in[w+dx]: roll so source lands at w,
-                # zero where w+dx falls off the image
-                xr = jnp.where((wi + dx >= 0) & (wi + dx < w),
-                               jnp.roll(xs, -dx, axis=1),
-                               jnp.zeros((), a3.dtype))
+            xr = shifted[dx][1 + dy:1 + dy + b]           # [B, W, C]
             y = jax.lax.dot_general(
                 xr.reshape(b * w, c), w9_t[3 * (dy + 1) + dx + 1],
                 (((1,), (0,)), ((), ())),
@@ -137,53 +157,88 @@ def _quant_dyn(a_f32):
     return q, scale
 
 
-def _c3_kernel(*refs, act, n_btl, shortcut, taps_s8):
+def _c3_kernel(*refs, act, n_btl, shortcut, taps_s8, rh, halo):
+    """One H-BAND of one image per grid step (grid = (N, H/rh)): the
+    whole [H, W, C] input block stays VMEM-resident across the image's
+    band steps (its index map is constant in the band dim, so Pallas
+    fetches it once per image), while compute walks rh-row bands with
+    `halo` extra rows each side (one per sequential 3x3). Band-edge
+    rows inside the halo margin compute garbage (the zero-row padding
+    in _conv3x3_taps pretends the band edge is the image edge) and are
+    discarded; the clamped band start makes the margin real image rows
+    except exactly at the true image edges, where zero-padding is the
+    correct 'same'-conv semantics. Banding exists because the
+    whole-image variant measured SLOWER e2e (docs/PERF.md round-5):
+    ~35 sequential ops over 25k-row tensors pipeline poorly."""
     if taps_s8:
         (x_ref, cv1w, cv1b, cv2w, cv2b, cv3w1, cv3w2, cv3b,
-         aw, ab, bw, bb, bw_scale_ref, o_ref) = refs
+         aw, ab, bw, bb, bw_scale_ref, o_ref, *scr) = refs
     else:
         (x_ref, cv1w, cv1b, cv2w, cv2b, cv3w1, cv3w2, cv3b,
-         aw, ab, bw, bb, o_ref) = refs
+         aw, ab, bw, bb, o_ref, *scr) = refs
         bw_scale_ref = None
     h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     hid = cv1w.shape[1]
-    xf = x_ref[0].reshape(h * w, c)
+    if rh == h:
+        b_rows = h                       # single band: whole image
+        bstart = 0
+        off = 0
+    else:
+        b_rows = rh + 2 * halo
+        i = pl.program_id(1)
+        bstart = jnp.clip(i * rh - halo, 0, h - b_rows)
+        off = i * rh - bstart            # in {0..2*halo}
+    xb = x_ref[0, pl.ds(bstart, b_rows)]                 # [B, W, C]
+    xf = xb.reshape(b_rows * w, c)
     dt = xf.dtype
     y1 = _act(jnp.dot(xf, cv1w[:], preferred_element_type=jnp.float32)
-              + cv1b[:], act, dt)                        # [HW, hid]
+              + cv1b[:], act, dt)                        # [B*W, hid]
     for t in range(n_btl):
         af = (jnp.dot(y1, aw[t], preferred_element_type=jnp.float32)
               + ab[t])
         if act is not None:
             af = resolve_activation(act, kernel=True)(af)
         if bw_scale_ref is not None:
-            # int8-static path: dynamic per-image s8 activation quant
+            # int8-static path: dynamic per-BAND s8 activation quant
             # feeding native s8xs8 MXU taps (2x bf16 peak) + per-
             # channel weight dequant in the f32 epilogue
             aq, ascale = _quant_dyn(af)
-            zi = _conv3x3_taps(aq.reshape(h, w, hid), bw[t],
+            zi = _conv3x3_taps(aq.reshape(b_rows, w, hid), bw[t],
                                acc_dtype=jnp.int32)
             z = (zi.astype(jnp.float32)
                  * (ascale * bw_scale_ref[t]))
         else:
             a = af.astype(dt)
-            z = _conv3x3_taps(a.reshape(h, w, hid), bw[t])
+            z = _conv3x3_taps(a.reshape(b_rows, w, hid), bw[t])
         z = _act(z + bb[t], act, dt)
         y1 = y1 + z if shortcut else z                   # residual
-    y2 = _act(jnp.dot(xf, cv2w[:], preferred_element_type=jnp.float32)
+    # cv2/cv3 only need the band's CENTRAL rh rows. Mosaic cannot lower
+    # dynamic_slice on VALUES, so the y1 band round-trips through a
+    # VMEM scratch ref (pl.ds on refs is supported); xc reads the image
+    # ref directly at the band's global start i*rh.
+    if rh == h:
+        y1c = y1
+        xc = xf
+    else:
+        y1_scr = scr[0]
+        y1_scr[:] = y1.reshape(b_rows, w, hid)
+        y1c = y1_scr[pl.ds(off, rh)].reshape(rh * w, hid)
+        xc = x_ref[0, pl.ds(pl.program_id(1) * rh, rh)].reshape(
+            rh * w, c)
+    y2 = _act(jnp.dot(xc, cv2w[:], preferred_element_type=jnp.float32)
               + cv2b[:], act, dt)
-    out = (jnp.dot(y1, cv3w1[:], preferred_element_type=jnp.float32)
+    out = (jnp.dot(y1c, cv3w1[:], preferred_element_type=jnp.float32)
            + jnp.dot(y2, cv3w2[:], preferred_element_type=jnp.float32)
            + cv3b[:])
-    o_ref[0] = _act(out, act, o_ref.dtype).reshape(h, w, -1)
+    o_ref[0] = _act(out, act, o_ref.dtype).reshape(rh, w, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("activation", "shortcut",
-                                             "interpret"))
+                                             "band_rows", "interpret"))
 def c3_block(x, cv1_w, cv1_b, cv2_w, cv2_b, cv3_w1, cv3_w2, cv3_b,
              btl_a_w, btl_a_b, btl_b_w, btl_b_b, btl_b_scale=None,
              activation: str | None = "silu", shortcut: bool = True,
-             interpret: bool = False):
+             band_rows: int = 32, interpret: bool = False):
     """Fused C3 block over NHWC input.
 
     x:        [N, H, W, C] (bf16 on TPU)
@@ -217,6 +272,16 @@ def c3_block(x, cv1_w, cv1_b, cv2_w, cv2_b, cv3_w1, cv3_w2, cv3_b,
     if taps_s8 and np.dtype(btl_b_w.dtype) != np.int8:
         raise ValueError("btl_b_scale given but btl_b_w is not int8")
 
+    # band-size selection: largest divisor of H at most `band_rows`
+    # that still leaves room for the halo (one row per sequential 3x3);
+    # no such divisor -> single whole-image band
+    halo = n_btl
+    rh = h
+    for cand in range(min(band_rows, h), 0, -1):
+        if h % cand == 0 and (cand == h or h >= cand + 2 * halo):
+            rh = cand
+            break
+
     def pw(a):
         return jnp.asarray(a, dt)
 
@@ -230,32 +295,40 @@ def c3_block(x, cv1_w, cv1_b, cv2_w, cv2_b, cv3_w1, cv3_w2, cv3_b,
             btl_b_w if taps_s8 else pw(btl_b_w),
             jnp.asarray(btl_b_b, jnp.float32).reshape(n_btl, 1, hid)]
 
-    def rep(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
     kernel = functools.partial(_c3_kernel, act=activation, n_btl=n_btl,
-                               shortcut=shortcut, taps_s8=taps_s8)
+                               shortcut=shortcut, taps_s8=taps_s8,
+                               rh=rh, halo=halo)
     flops = 2 * h * w * (2 * c * hid + n_btl * (hid * hid * 10)
                          + 2 * hid * oc)
+
+    def rep2(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
     in_specs = [
-        pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+        # whole image per batch index; constant in the band dim, so
+        # Pallas DMAs it once per image and bands revisit it in VMEM
+        pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        rep((c, hid)), rep((1, hid)),
-        rep((c, hid)), rep((1, hid)),
-        rep((hid, oc)), rep((hid, oc)), rep((1, oc)),
-        rep((n_btl, hid, hid)), rep((n_btl, 1, hid)),
-        rep((n_btl, 9, hid, hid)), rep((n_btl, 1, hid)),
+        rep2((c, hid)), rep2((1, hid)),
+        rep2((c, hid)), rep2((1, hid)),
+        rep2((hid, oc)), rep2((hid, oc)), rep2((1, oc)),
+        rep2((n_btl, hid, hid)), rep2((n_btl, 1, hid)),
+        rep2((n_btl, 9, hid, hid)), rep2((n_btl, 1, hid)),
     ]
     if taps_s8:
         args.append(jnp.asarray(btl_b_scale, jnp.float32)
                     .reshape(n_btl, 1, hid))
-        in_specs.append(rep((n_btl, 1, hid)))
+        in_specs.append(rep2((n_btl, 1, hid)))
+    scratch = ([] if rh == h else
+               [pltpu.VMEM((rh + 2 * halo, w, hid), dt)])
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, h // rh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, w, oc), lambda i: (i, 0, 0, 0),
+        scratch_shapes=scratch,
+        out_specs=pl.BlockSpec((1, rh, w, oc),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, oc), dt),
         compiler_params=pltpu.CompilerParams(

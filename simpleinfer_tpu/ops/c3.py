@@ -69,20 +69,27 @@ def lower_fused_c3(op, cfg):
 
     def apply(w, x):
         from ..kernels.c3block import (c3_block, c3_block_reference,
-                                       c3_supported)
+                                       c3_profitable, c3_supported,
+                                       c3_taps_s8_profitable)
         from ..kernels.matmul import pallas_supported
 
         dt = x.dtype
+        h, ww = x.shape[1], x.shape[2]
+        kernel_ok = (mesh_free and pallas_supported()
+                     and c3_supported(h, ww, c_in, hid, oc)
+                     and c3_profitable(h, ww, hid, n_btl))
+        # s8 taps only where measured profitable AND the int8-static
+        # contract applies; the fallback reference chain always runs
+        # the fp taps (its conv chain IS the unfused engine's math)
+        s8 = taps_s8 and kernel_ok and c3_taps_s8_profitable(hid)
         args = (x, w["cv1_w"].astype(dt), w["cv1_b"],
                 w["cv2_w"].astype(dt), w["cv2_b"],
                 w["cv3_w"][:hid].astype(dt), w["cv3_w"][hid:].astype(dt),
                 w["cv3_b"], w["btl_a_w"].astype(dt), w["btl_a_b"],
-                w["btl_b_wq"] if taps_s8 else w["btl_b_w"].astype(dt),
+                w["btl_b_wq"] if s8 else w["btl_b_w"].astype(dt),
                 w["btl_b_b"])
-        scale = w["btl_b_wsc"] if taps_s8 else None
-        h, ww = x.shape[1], x.shape[2]
-        if (mesh_free and pallas_supported()
-                and c3_supported(h, ww, c_in, hid, oc)):
+        scale = w["btl_b_wsc"] if s8 else None
+        if kernel_ok:
             return c3_block(*args, btl_b_scale=scale, activation=act,
                             shortcut=shortcut)
         return c3_block_reference(*args, btl_b_scale=scale,

@@ -557,3 +557,32 @@ def test_c3_block_s8_taps_match_reference(n, h, w, c, hid, oc, t):
     tol = 5e-4 if not ON_TPU else 0.05
     np.testing.assert_allclose(got.astype(np.float32), want,
                                atol=tol * np.sqrt(c + 9 * hid), rtol=0.02)
+
+
+def test_c3_block_banded_grid_matches_reference():
+    """Multi-band grid (band_rows < H): clamped halo bands + discarded
+    garbage margins reproduce the whole-image result exactly, including
+    uneven band layouts and both shortcut forms."""
+    from simpleinfer_tpu.kernels.c3block import (c3_block,
+                                                 c3_block_reference)
+
+    def r(*s):
+        return RNG.standard_normal(s).astype(np.float32) * 0.2
+
+    for (n, h, w, c, hid, oc, t, br, sc) in [
+            (2, 32, 24, 16, 8, 16, 2, 8, True),     # 4 bands
+            (1, 40, 20, 16, 8, 16, 3, 16, False)]:  # rh=10, 4 bands
+        ws = (r(c, hid), r(hid), r(c, hid), r(hid), r(hid, oc),
+              r(hid, oc), r(oc), r(t, hid, hid), r(t, hid),
+              r(t, 9, hid, hid), r(t, hid))
+        x = jnp.asarray(r(n, h, w, c))
+        if ON_TPU:
+            x = x.astype(jnp.bfloat16)
+        got = run_kernel(c3_block, x, *map(jnp.asarray, ws),
+                         shortcut=sc, band_rows=br)
+        want = np.asarray(c3_block_reference(x, *ws, shortcut=sc),
+                          np.float32)
+        tol = 5e-4 if not ON_TPU else 0.05
+        np.testing.assert_allclose(got.astype(np.float32), want,
+                                   atol=tol * np.sqrt(c + 9 * hid),
+                                   rtol=0.02)

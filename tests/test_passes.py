@@ -164,7 +164,8 @@ def test_fuse_c3_blocks_structure_and_parity():
         e1 = Engine(EngineConfig(c3_fusion=False)).load_model(
             None, graph=graph)
         graph2, _, _ = _c3_graph(shortcut=shortcut)
-        e2 = Engine(EngineConfig()).load_model(None, graph=graph2)
+        e2 = Engine(EngineConfig(c3_fusion=True)).load_model(
+            None, graph=graph2)
         types = [i.type for i in e2.program.impls]
         assert types.count("si.FusedC3") == 1, types
         assert "torch.cat" not in types
@@ -218,7 +219,8 @@ def test_fused_c3_yolov5l_whole_model_parity():
     e1 = Engine(EngineConfig(c3_fusion=False)).load_model(None,
                                                           graph=graph)
     graph2, _, _ = build_yolov5("l", batch=1, image_size=64, seed=0)
-    e2 = Engine(EngineConfig()).load_model(None, graph=graph2)
+    e2 = Engine(EngineConfig(c3_fusion=True)).load_model(None,
+                                                         graph=graph2)
     assert [i.type for i in e2.program.impls].count("si.FusedC3") == 8
     x = (np.random.default_rng(0).standard_normal((1, 64, 64, 3))
          .astype(np.float32) / 4)
