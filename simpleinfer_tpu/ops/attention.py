@@ -121,8 +121,12 @@ def lower_sdpa(op, cfg):
     scale = (op.params["scale"].f
              if op.has_param("scale", PARAM_FLOAT) else None)
 
-    allow_pallas = bool(getattr(cfg, "use_pallas", False)) \
-        and getattr(cfg, "mesh", None) is None
+    # AUTO past the measured crossover since the round-5 256x256-block
+    # re-sweep (flash_profitable: 1.16x at L=2048, 2.44x at 3072 vs
+    # XLA's fused sdpa, which spills its scores tensor there) — the
+    # old use_pallas opt-in predates the crossover moving to 2048.
+    # Mesh engines stay on XLA (pallas can't be GSPMD-partitioned).
+    allow_pallas = getattr(cfg, "mesh", None) is None
 
     def apply(weights, *inputs):
         # [N, h, L, d] inputs are rank 4, hence physically NHWC-permuted
@@ -232,8 +236,11 @@ def lower_multihead_attention(op, cfg):
                          f"{embed_dim} not divisible by {num_heads} heads")
     kdim = op.params["kdim"].i if op.has_param("kdim", PARAM_INT) else embed_dim
     vdim = op.params["vdim"].i if op.has_param("vdim", PARAM_INT) else embed_dim
-    # opt-in, like conv/linear (see EngineConfig.use_pallas)
-    allow_pallas = bool(cfg.use_pallas) and cfg.mesh is None
+    # AUTO past the measured crossover (round-5 re-sweep at 256x256
+    # blocks moved it to Lk=2048; flash_profitable gates the short
+    # sequences where flash measured a 2x loss); mesh engines stay on
+    # XLA — pallas can't be GSPMD-partitioned
+    allow_pallas = cfg.mesh is None
     ring_proj = ring_out_proj(cfg, num_heads)
 
     weights: dict[str, np.ndarray] = {}
@@ -552,20 +559,25 @@ def lower_rotary_attention(op, cfg):
         cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
-        if sw is not None and softcap is None:
-            # banded flash kernel past the measured crossover (1.17x at
-            # L=1536/sw256, 1.57x at 2048, 201x at 8192 — the XLA path
-            # materializes all L^2 scores regardless of the band;
-            # kernels/attention.flash_band_profitable). Softcapped ops
-            # (gemma2) stay on XLA: the kernel's online softmax has no
-            # tanh hook.
+        if softcap is None:
+            # flash kernels past the measured crossovers: the BANDED
+            # grid for sliding-window ops (flash_band_profitable —
+            # 1.17x at L=1536/sw256, 201x at 8192; the XLA path
+            # materializes all L^2 scores regardless of the band) and,
+            # since the round-5 256x256-block re-sweep, the FULL-CAUSAL
+            # grid AUTO at Lk >= 2048 (flash_profitable — 1.16x at
+            # 2048, 2.44x at 3072; XLA's fused sdpa spills its scores
+            # tensor there). Softcapped ops (gemma2) stay on XLA: the
+            # kernels' online softmax has no tanh hook.
             from ..kernels.attention import (flash_attention,
-                                             flash_band_profitable)
+                                             flash_band_profitable,
+                                             flash_profitable)
 
-            if (mesh_free and flash_band_profitable(l, l, sw)
-                    and _pallas_ok()):
+            profitable = (flash_band_profitable(l, l, sw)
+                          if sw is not None else flash_profitable(l, l))
+            if mesh_free and profitable and _pallas_ok():
                 # 256x256 blocks: 1.44x over the 128 defaults here
-                # (docs/PERF.md round-4 block sweep)
+                # (docs/PERF.md round-4 block sweep; round-5 defaults)
                 ctx = flash_attention(
                     qh, repeat_kv(kh, group), repeat_kv(vh, group),
                     causal=True, scale=attn_scale,

@@ -77,8 +77,11 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
                                    scale=scale,
                                    sliding_window=sliding_window,
                                    block_q=256, block_k=256)
-    if (use_pallas and sliding_window is None and softcap is None
-            and mesh is None):
+    # full-causal flash is AUTO past the crossover since the round-5
+    # 256x256 re-sweep moved it to 2048 (1.16x there, 2.44x at 3072 —
+    # XLA's fused sdpa spills its scores tensor); use_pallas no longer
+    # required. flash_profitable keeps short prefills on XLA.
+    if sliding_window is None and softcap is None and mesh is None:
         from ..kernels.attention import flash_attention, flash_profitable
         from ..kernels.matmul import pallas_supported
 
