@@ -47,8 +47,11 @@ k_arr = np.zeros(SLOTS, np.int32)
 p_arr = np.ones(SLOTS, np.float32)
 key = jax.random.PRNGKey(0)
 
+QUANTS = [q.strip() for q in os.environ.get(
+    "SI_LLM_QUANTS", "bf16,int8w").split(",") if q.strip()]
 decs, caches = {}, {}
-for label, quant in (("bf16", None), ("int8w", "int8w")):
+for label in QUANTS:
+    quant = None if label == "bf16" else label
     t0 = time.perf_counter()
     eng = Engine(EngineConfig(compute_dtype="bfloat16",
                               quant=quant)).load_model(None, graph=graph)
@@ -93,9 +96,11 @@ for rnd in range(ROUNDS):
 factor = chip_speed_factor()
 print(f"chip_speed_factor {factor:.3f}", file=sys.stderr)
 med = {k: float(np.median(v)) for k, v in results.items()}
-print(f"medians: {med}  int8w/bf16 = "
-      f"{med['int8w'] / med['bf16']:.2f}x", file=sys.stderr)
+base = med.get("bf16") or next(iter(med.values()))
+print("medians: " + "  ".join(
+    f"{k} {v:.0f} tok/s ({v / base:.2f}x vs bf16)"
+    for k, v in med.items()), file=sys.stderr)
 print(f'{{"metric": "llama_base_decode_toks_per_s", '
       f'"value": {max(med.values()):.1f}, "unit": "tok/s", '
-      f'"int8w_speedup": {med["int8w"] / med["bf16"]:.2f}, '
+      f'"int8w_speedup": {med.get("int8w", 0) / base:.2f}, '
       f'"chip_speed_factor": {factor:.3f}}}')

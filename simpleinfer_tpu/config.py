@@ -43,11 +43,19 @@ class EngineConfig:
     # "float32" (bit-parity with the CPU reference) or "bfloat16" (MXU native)
     compute_dtype: str = "float32"
     # None (keep weights at compute dtype), "int8w" (weight-only int8,
-    # per-output-channel scales), or "int8" (static full int8: weights
+    # per-output-channel scales), "int8" (static full int8: weights
     # per-channel + activations per-tensor; requires Engine.calibrate()
-    # with sample batches, until which convs run the weight-only path).
-    # s8 x s8 -> s32 convs hit the v5e MXU int8 path (2x bf16 MACs).
+    # with sample batches, until which convs run the weight-only path),
+    # or "int4w" (weight-only group-wise int4 of 2-D weights — the LLM
+    # decode serving dtype: half the weight HBM per decode step via the
+    # nibble-packed Pallas matmul, kernels/matmul.matmul_int4w; 4-D
+    # conv weights fall back to int8; single-device only in this
+    # version). s8 x s8 -> s32 convs hit the v5e MXU int8 path.
     quant: Optional[str] = None
+    # int4w quantization group size along the weight's K dim (one scale
+    # row per group; the kernel's K-blocks are multiples of it). 128 =
+    # the literature-standard W4 g128 accuracy/size point
+    int4_group: int = 128
     # activation calibration observer: None = abs-max, or a percentile
     # in (0, 100) — e.g. 99.99 clips outliers (quantize_act saturates
     # them), trading saturation error for finer resolution everywhere else
@@ -147,8 +155,14 @@ class EngineConfig:
     def __post_init__(self):
         if self.compute_dtype not in _DTYPES:
             raise ValueError(f"compute_dtype must be one of {list(_DTYPES)}")
-        if self.quant not in (None, "int8w", "int8"):
-            raise ValueError("quant must be None, 'int8w' or 'int8'")
+        if self.quant not in (None, "int8w", "int8", "int4w"):
+            raise ValueError(
+                "quant must be None, 'int8w', 'int8' or 'int4w'")
+        if self.quant == "int4w" and self.mesh is not None:
+            raise ValueError(
+                "int4w is single-device in this version (Quantized4Tensor"
+                " carries no shard layout yet) — drop the mesh or use"
+                " int8w")
         if self.act_clip_percentile is not None and not (
                 0.0 < self.act_clip_percentile < 100.0):
             raise ValueError("act_clip_percentile must be in (0, 100)")

@@ -37,7 +37,7 @@ from .config import EngineConfig
 from .executor import Program, build_program
 from .ir.graph import Graph
 from .parallel.mesh import build_mesh, input_sharding, weight_shardings
-from .quant.tensor import QuantizedTensor
+from .quant.tensor import Quantized4Tensor, QuantizedTensor
 
 logger = logging.getLogger("simpleinfer_tpu")
 
@@ -768,7 +768,7 @@ class Engine:
         """Store float weights at the compute dtype so forward passes
         read half the HBM bytes and skip per-call converts; fp32_keys
         (e.g. YOLO grids) and quantized tensors are left alone."""
-        if isinstance(w, QuantizedTensor):
+        if isinstance(w, (QuantizedTensor, Quantized4Tensor)):
             return w
         w = jnp.asarray(w)
         dtype = self.config.compute_jnp_dtype
@@ -810,6 +810,11 @@ class Engine:
                 data=jax.device_put(jnp.asarray(w.data), dev),
                 scale=jax.device_put(jnp.asarray(w.scale), dev),
                 axis=w.axis)
+        if isinstance(w, Quantized4Tensor):
+            return Quantized4Tensor(
+                packed=jax.device_put(jnp.asarray(w.packed), dev),
+                scale=jax.device_put(jnp.asarray(w.scale), dev),
+                group=w.group, k=w.k)
         return jax.device_put(jnp.asarray(w), dev)
 
     def _put(self, w, sharding):

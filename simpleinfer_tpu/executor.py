@@ -280,7 +280,7 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
         if op.type in ("pnnx.Input", "pnnx.Output"):
             continue
         impl = lower_operator(op, cfg)
-        if cfg.quant in ("int8w", "int8") and impl.quantizable:
+        if cfg.quant in ("int8w", "int8", "int4w") and impl.quantizable:
             for key, axis in impl.quantizable.items():
                 if key in impl.weights:
                     # host-only fp copy for per-channel fold targets —
@@ -290,8 +290,19 @@ def build_program(graph: Graph, cfg: Optional[EngineConfig] = None) -> Program:
                     if (key == "weight" and cfg.quant == "int8"
                             and impl.act_fold):
                         fp_weights[impl.name] = impl.weights[key]
-                    impl.weights[key] = quantize_per_channel(
-                        impl.weights[key], axis)
+                    w = impl.weights[key]
+                    if (cfg.quant == "int4w"
+                            and getattr(w, "ndim", 0) == 2
+                            and axis == 1):
+                        # the W4 serving dtype: 2-D [in, out] weights
+                        # group-quantized + nibble-packed; conv (4-D)
+                        # weights below keep per-channel int8
+                        from .quant.tensor import quantize_int4_grouped
+
+                        impl.weights[key] = quantize_int4_grouped(
+                            w, group=cfg.int4_group)
+                    else:
+                        impl.weights[key] = quantize_per_channel(w, axis)
         impls.append(impl)
         weights[impl.name] = impl.weights
         in_names = [r.name for r in op.inputs]

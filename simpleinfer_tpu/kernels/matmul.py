@@ -237,6 +237,148 @@ def matmul_int8w(x, w_q, scale, bias=None, activation: Optional[str] = None,
                         out_dtype=out_dtype or x.dtype)
 
 
+def _matmul_int4w_kernel(x_ref, p_ref, s_ref, b_ref, o_ref, acc_ref, *,
+                         n_k: int, act: Callable, has_bias: bool,
+                         out_dtype, half: int):
+    """W4 group-wise matmul step: one K-group per grid step. The packed
+    [G/2, bn] nibble block is read from HBM ONCE and unpacked in VMEM
+    (arithmetic shifts on the VPU) into hi/lo int4 halves; the group's
+    scale row dequantizes them to bf16 and two half-K MXU dots
+    accumulate — no interleave, no second read (the XLA-level unpack
+    measured 15x slower: the stack/reshape interleave materializes,
+    and a two-dot XLA form reads the packed bytes twice —
+    docs/PERF.md round-5)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[:]
+    if xb.dtype == jnp.float32:
+        xb = xb.astype(jnp.bfloat16)
+    # unpack in i32: Mosaic cannot legalize arith.shrsi on i8 vectors
+    # (measured: 'failed to legalize' on the chip); i32 shifts lower
+    # fine and the convert is a cheap VPU pass on the VMEM block.
+    # `gpb` quant groups stream per grid step (unrolled): one-group
+    # blocks were 64 KB DMAs and the kernel pipeline capped at ~160
+    # GB/s — far below the chip's ~640 GB/s weight streaming.
+    gpb = p_ref.shape[0] // half
+    acc = acc_ref[:]
+    for gi in range(gpb):
+        p32 = p_ref[gi * half:(gi + 1) * half].astype(jnp.int32)
+        s = s_ref[gi].astype(jnp.bfloat16)         # [1, bn] (rank-3 in)
+        hi = (p32 >> 4).astype(jnp.bfloat16) * s
+        lo = ((p32 << 28) >> 28).astype(jnp.bfloat16) * s
+        x0 = gi * 2 * half
+        acc = (acc
+               + jnp.dot(xb[:, x0:x0 + half], hi,
+                         preferred_element_type=jnp.float32)
+               + jnp.dot(xb[:, x0 + half:x0 + 2 * half], lo,
+                         preferred_element_type=jnp.float32))
+    acc_ref[:] = acc
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        out = acc_ref[:]
+        if has_bias:
+            out = out + b_ref[:].astype(jnp.float32)
+        o_ref[:] = act(out).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "k_logical", "activation", "block_m",
+                     "block_n", "groups_per_block", "out_dtype"))
+def _matmul_int4w_impl(x, packed, gscale, bias, *, group, k_logical,
+                       activation, block_m, block_n, groups_per_block,
+                       out_dtype):
+    m, k = x.shape
+    n = packed.shape[1]
+    kp = packed.shape[0] * 2                       # group-padded K
+    n_groups = kp // group
+    gpb = min(groups_per_block, n_groups)
+    while n_groups % gpb:
+        gpb -= 1
+    block_k = gpb * group
+    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if np_ != n:
+        packed = jnp.pad(packed, ((0, 0), (0, np_ - n)))
+        gscale = jnp.pad(gscale, ((0, 0), (0, np_ - n)))
+    has_bias = bias is not None
+    bias2d = jnp.pad(bias, (0, np_ - n)).reshape(1, np_) if has_bias \
+        else jnp.zeros((1, np_), jnp.float32)
+
+    n_k = kp // block_k
+    grid = (mp // block_m, np_ // block_n, n_k)
+    kernel = functools.partial(
+        _matmul_int4w_kernel, n_k=n_k,
+        act=resolve_activation(activation, kernel=True),
+        has_bias=has_bias, out_dtype=out_dtype, half=group // 2)
+    # scale rows as rank-3 [n_groups, 1, N]: Mosaic requires the last
+    # two block dims divisible by (8, 128) OR equal to the array dims —
+    # a [gpb, bn] block of a [n_groups, N] array violates that; of a
+    # [n_groups, 1, N] array the (gpb, 1, bn) block matches dim -2
+    gscale3 = gscale.reshape(n_groups, 1, np_)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k // 2, block_n),
+                         lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((gpb, 1, block_n),
+                         lambda i, j, kk: (kk, 0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n),
+                               lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(mp * kp * 2 + kp * np_ // 2
+                            + kp // group * np_ * 4 + mp * np_ * 4),
+            transcendentals=0),
+    )(x, packed, gscale3, bias2d)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def matmul_int4w(x, wq4, bias=None, activation: Optional[str] = None, *,
+                 block_m: int = 128, block_n: int = 1024,
+                 groups_per_block: int = 8, out_dtype=None):
+    """out = act(x[M,K] @ dequant(wq4) + bias[N]) with wq4 a
+    Quantized4Tensor (group-wise nibble-packed int4 — see
+    quant/tensor.py for the layout contract this kernel shares). Each
+    grid step streams `groups_per_block` quant groups (bigger DMAs —
+    one-group blocks capped the pipeline at ~160 GB/s)."""
+    bm = min(block_m, _round_up(x.shape[0], 8))
+    bn = min(block_n, _round_up(wq4.packed.shape[1], 128))
+    return _matmul_int4w_impl(
+        x, wq4.packed, wq4.scale, bias, group=wq4.group, k_logical=wq4.k,
+        activation=activation, block_m=bm, block_n=bn,
+        groups_per_block=groups_per_block,
+        out_dtype=out_dtype or x.dtype)
+
+
+def matmul_int4w_ref(x, wq4, bias=None, activation: Optional[str] = None,
+                     out_dtype=None):
+    """XLA reference: dense-dequant then dot (CPU parity oracle)."""
+    w = wq4.dequantize(jnp.float32)
+    out = jnp.dot(x.astype(jnp.float32), w,
+                  preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    out = resolve_activation(activation)(out)
+    return out.astype(out_dtype or x.dtype)
+
+
 def _matmul_s8s8_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref,
                         *, n_k: int, act: Callable, has_bias: bool,
                         out_dtype):

@@ -120,6 +120,19 @@ def lower_linear(op, cfg):
                              preferred_element_type=jnp.int32)
             return back(int8_epilogue(acc, act_scale, w.scale, bias,
                                       fused_act, x.dtype))
+        from ..quant.tensor import Quantized4Tensor
+
+        if isinstance(w, Quantized4Tensor) and pallas_supported():
+            # int4w is AUTO (no use_pallas opt-in): the whole point of
+            # the format is the packed-nibble streaming kernel — the
+            # XLA fallback would dense-dequantize per call (measured
+            # 15x slower than the kernel at decode shapes)
+            from ..kernels.matmul import matmul_int4w
+
+            lead = x.shape[:-1]
+            out = matmul_int4w(x.reshape(-1, in_features), w, bias,
+                               fused_act, out_dtype=x.dtype)
+            return back(out.reshape(*lead, out_features))
         if (allow_pallas and isinstance(w, QuantizedTensor)
                 and pallas_supported()):
             from ..kernels.matmul import matmul_int8w

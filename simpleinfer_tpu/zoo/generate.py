@@ -387,7 +387,7 @@ class CachedDecoder:
         stay (prefill uses them)."""
         import jax.numpy as jnp
 
-        from ..quant.tensor import QuantizedTensor
+        from ..quant.tensor import Quantized4Tensor, QuantizedTensor
 
         out = dict(weights)
         for name, _info in self._mha_ops:
@@ -396,6 +396,7 @@ class CachedDecoder:
                 continue
             parts = [w["wq"], w["wk"], w["wv"]]
             quant = [isinstance(p, QuantizedTensor) for p in parts]
+            q4 = [isinstance(p, Quantized4Tensor) for p in parts]
             if all(quant) and all(p.axis == 1 for p in parts):
                 w["wqkv"] = QuantizedTensor(
                     data=jnp.concatenate([p.data for p in parts],
@@ -403,7 +404,16 @@ class CachedDecoder:
                     scale=jnp.concatenate([p.scale for p in parts],
                                           axis=0),
                     axis=1)
-            elif not any(quant):
+            elif all(q4) and len({(p.group, p.k) for p in parts}) == 1:
+                # int4w: packing is along K, so an out-channel concat
+                # of packed payloads + scale rows preserves the layout
+                w["wqkv"] = Quantized4Tensor(
+                    packed=jnp.concatenate([p.packed for p in parts],
+                                           axis=1),
+                    scale=jnp.concatenate([p.scale for p in parts],
+                                          axis=1),
+                    group=parts[0].group, k=parts[0].k)
+            elif not any(quant) and not any(q4):
                 w["wqkv"] = jnp.concatenate(parts, axis=1)
             else:
                 continue
@@ -427,7 +437,7 @@ class CachedDecoder:
         parity tests."""
         import jax.numpy as jnp
 
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo, resolve_weight
 
         if self._ring_msize and heads % self._ring_msize == 0:
             from ..parallel.mesh import AXIS_MODEL
@@ -436,8 +446,7 @@ class CachedDecoder:
             return tp_linear_row(
                 ctx, resolve_weight(w["wo"], dt), w.get("bo"),
                 mesh=self._mesh, axis=AXIS_MODEL).astype(dt)
-        out = jnp.einsum("nli,io->nlo", ctx, resolve_weight(w["wo"], dt),
-                         preferred_element_type=jnp.float32)
+        out = proj_nlo(ctx, w["wo"], dt)
         if "bo" in w:
             out = out + w["bo"]
         return out
@@ -450,7 +459,7 @@ class CachedDecoder:
         import jax.numpy as jnp
 
         from ..ops.attention import apply_qk_norm
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo, resolve_weight
 
         n = x.shape[0]
 
@@ -459,9 +468,7 @@ class CachedDecoder:
                                  (0, 2, 1, 3))
 
         if "wqkv" in w:
-            y = jnp.einsum("nli,io->nlo", x,
-                           resolve_weight(w["wqkv"], dt),
-                           preferred_element_type=jnp.float32)
+            y = proj_nlo(x, w["wqkv"], dt)
             if "bqkv" in w:
                 y = y + w["bqkv"]
             qd, kd = heads * d, kvh * d
@@ -472,9 +479,7 @@ class CachedDecoder:
             return qh, kh, vh
 
         def proj(key, h):
-            y = jnp.einsum("nli,io->nlo", x,
-                           resolve_weight(w[f"w{key}"], dt),
-                           preferred_element_type=jnp.float32)
+            y = proj_nlo(x, w[f"w{key}"], dt)
             if f"b{key}" in w:
                 y = y + w[f"b{key}"]
             return heads_of(y, h)
@@ -669,7 +674,7 @@ class CachedDecoder:
         import jax
         import jax.numpy as jnp
 
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo, resolve_weight
 
         heads = info["num_heads"]
         e = info["embed_dim"]
@@ -701,7 +706,7 @@ class CachedDecoder:
         import jax.numpy as jnp
 
         from ..ops.attention import apply_rope, repeat_kv, rope_cos_sin
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo, resolve_weight
 
         heads = info["num_heads"]
         kvh = info["num_kv_heads"]
@@ -763,7 +768,7 @@ class CachedDecoder:
         import jax.numpy as jnp
 
         from ..ops.attention import apply_rope, repeat_kv, rope_cos_sin
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo, resolve_weight
 
         heads = info["num_heads"]
         kvh = info.get("num_kv_heads", heads)
@@ -949,7 +954,7 @@ class CachedDecoder:
         import jax.numpy as jnp
 
         from ..ops.attention import apply_rope, repeat_kv, rope_cos_sin
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo, resolve_weight
 
         heads = info["num_heads"]
         kvh = info["num_kv_heads"]
@@ -960,9 +965,7 @@ class CachedDecoder:
         n, l = x.shape[0], x.shape[1]
 
         def proj(key, h):
-            y = jnp.einsum("nli,io->nlo", x,
-                           resolve_weight(w[f"w{key}"], dt),
-                           preferred_element_type=jnp.float32)
+            y = proj_nlo(x, w[f"w{key}"], dt)
             if f"b{key}" in w:
                 y = y + w[f"b{key}"]
             return jnp.transpose(y.astype(dt).reshape(n, l, h, d),
@@ -995,7 +998,7 @@ class CachedDecoder:
         position mask (idx <= pos) never reads them."""
         import jax.numpy as jnp
 
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo, resolve_weight
 
         heads = info["num_heads"]
         e = info["embed_dim"]
@@ -1004,8 +1007,7 @@ class CachedDecoder:
         n, l = x.shape[0], x.shape[1]
 
         def proj(wkey, bkey):
-            y = jnp.einsum("nli,io->nlo", x, resolve_weight(w[wkey], dt),
-                           preferred_element_type=jnp.float32)
+            y = proj_nlo(x, w[wkey], dt)
             if bkey in w:
                 y = y + w[bkey]
             # [N,L,E] -> [N,H,L,D]
@@ -1347,7 +1349,7 @@ class CachedDecoder:
         import jax.numpy as jnp
 
         from ..ops.attention import apply_rope, rope_cos_sin
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo, resolve_weight
 
         heads = info["num_heads"]
         kvh = info.get("num_kv_heads", heads)
@@ -1357,9 +1359,7 @@ class CachedDecoder:
         n, k = x.shape[0], x.shape[1]
 
         def proj(key, h):
-            y = jnp.einsum("nli,io->nlo", x,
-                           resolve_weight(w[f"w{key}"], dt),
-                           preferred_element_type=jnp.float32)
+            y = proj_nlo(x, w[f"w{key}"], dt)
             if f"b{key}" in w:
                 y = y + w[f"b{key}"]
             return jnp.transpose(y.astype(dt).reshape(n, k, h, d),

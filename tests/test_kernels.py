@@ -586,3 +586,48 @@ def test_c3_block_banded_grid_matches_reference():
         np.testing.assert_allclose(got.astype(np.float32), want,
                                    atol=tol * np.sqrt(c + 9 * hid),
                                    rtol=0.02)
+
+
+# ---- int4 weight-only matmul (round-5 W4 serving dtype) --------------------
+
+@pytest.mark.parametrize("m,k,n,g,gpb", [
+    (8, 2048, 512, 256, 8),     # decode-like: tiny M, big K
+    (8, 1024, 384, 128, 8),     # g128 default, gpb clamps to n_groups
+    (3, 300, 130, 128, 4),      # unaligned everything (K pads to 384)
+    (16, 512, 256, 256, 3),     # gpb not dividing n_groups (3 -> 2)
+])
+def test_matmul_int4w_matches_reference(m, k, n, g, gpb):
+    """Group-wise nibble-packed W4 GEMM vs the dense-dequant oracle.
+    bf16-compute tolerance (the kernel multiplies in bf16; the oracle
+    in f32)."""
+    from simpleinfer_tpu.kernels.matmul import (matmul_int4w,
+                                                matmul_int4w_ref)
+    from simpleinfer_tpu.quant.tensor import quantize_int4_grouped
+
+    w = RNG.standard_normal((k, n)).astype(np.float32) * 0.1
+    x = jnp.asarray(RNG.standard_normal((m, k)), np.float32)
+    b = jnp.asarray(RNG.standard_normal(n), np.float32)
+    q = quantize_int4_grouped(w, group=g)
+    got = run_kernel(matmul_int4w, x, q, b, "silu",
+                     groups_per_block=gpb)
+    want = np.asarray(matmul_int4w_ref(x, q, b, "silu"))
+    np.testing.assert_allclose(
+        got.astype(np.float32), want.astype(np.float32),
+        atol=3e-2 * np.sqrt(k) * 0.1, rtol=3e-2)
+
+
+def test_quantize_int4_roundtrip_bound():
+    """dequant(quantize_int4(w)) is within one group quantization step
+    everywhere, including K-pad handling; packed payload is half the
+    int8 bytes."""
+    from simpleinfer_tpu.quant.tensor import quantize_int4_grouped
+
+    w = RNG.standard_normal((300, 96)).astype(np.float32)
+    q = quantize_int4_grouped(w, group=128)
+    assert q.shape == (300, 96)
+    assert q.packed.shape == (384 // 2, 96)      # K padded to 384
+    wd = np.asarray(q.dequantize())
+    step = np.abs(w.reshape(3 if False else -1)).max() / 7.0
+    assert wd.shape == w.shape
+    # per-group bound: |err| <= group_absmax/7 (<= global absmax/7)
+    assert np.abs(wd - w).max() <= step + 1e-6

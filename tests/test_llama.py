@@ -1400,3 +1400,55 @@ def test_new_family_params_survive_pnnx_roundtrip(tmp_path):
         b = eng_b.run({eng_b.input_names[0]: ids})[
             eng_b.output_names[0]]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---- int4w weight-only quantization (round-5 W4 serving dtype) -------------
+
+def test_int4w_engine_decode_token_equal_to_forward():
+    """quant='int4w': 2-D weights become group-wise nibble-packed
+    Quantized4Tensor; KV-cache decode streams the same tokens as the
+    whole-window forward ON THE SAME quantized engine (the internal
+    consistency contract — absolute accuracy is checkpoint-dependent,
+    the standard W4 tradeoff)."""
+    from simpleinfer_tpu.quant.tensor import Quantized4Tensor
+
+    graph, i, o = build_llama("nano", batch=1, seq_len=32,
+                              vocab_size=64, depth=2, width=256,
+                              num_heads=4, seed=0)
+    eng = Engine(EngineConfig(compute_dtype="bfloat16",
+                              quant="int4w")).load_model(None,
+                                                         graph=graph)
+    n4 = sum(isinstance(w, Quantized4Tensor)
+             for d in eng._device_weights.values() for w in d.values())
+    assert n4 > 0
+    prompt = np.asarray([[5, 1, 8]])
+    want = greedy_generate(eng, prompt, steps=10)
+    for scratch in (False, True):
+        got = CachedDecoder(eng, scratch_blocks=scratch).generate(
+            prompt, steps=10, block=5)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_int4w_qkv_fusion_preserves_tokens():
+    """The decode-step wqkv concat has a Quantized4Tensor branch
+    (out-channel concat of packed payloads + scale rows): fused and
+    per-key projections must stream identical tokens."""
+    graph, _, _ = build_llama("nano", batch=1, seq_len=24,
+                              vocab_size=50, seed=4)
+    eng = Engine(EngineConfig(compute_dtype="bfloat16",
+                              quant="int4w")).load_model(None,
+                                                         graph=graph)
+    dec = CachedDecoder(eng, fuse_qkv=True)
+    fused = any("wqkv" in d for d in dec._weights.values())
+    assert fused, "int4w qkv fusion did not engage"
+    prompt = np.asarray([[7, 2, 4]])
+    want = greedy_generate(eng, prompt, steps=8)
+    got = dec.generate(prompt, steps=8, block=4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int4w_rejects_mesh():
+    with pytest.raises(ValueError, match="int4w"):
+        from simpleinfer_tpu import MeshConfig
+
+        EngineConfig(quant="int4w", mesh=MeshConfig(model=2))
