@@ -382,7 +382,7 @@ def main(argv=None) -> int:
                        choices=["float32", "bfloat16"])
         p.add_argument("--int8", action="store_true",
                        help="shorthand for --quant int8w")
-        p.add_argument("--quant", choices=["int8w", "int8"],
+        p.add_argument("--quant", choices=["int8w", "int8", "int4w"],
                        help="int8w = weight-only; int8 = static "
                             "activation quant (calibrates on the input "
                             "batch)")
@@ -411,7 +411,7 @@ def main(argv=None) -> int:
                    help="substituted for ?-dims in the declared shape")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--quant", choices=["int8w", "int8"])
+    p.add_argument("--quant", choices=["int8w", "int8", "int4w"])
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--logdir", default="/tmp/si_device_profile")
@@ -428,7 +428,7 @@ def main(argv=None) -> int:
                    choices=["float32", "bfloat16"])
     p.add_argument("--int8", action="store_true",
                    help="shorthand for --quant int8w")
-    p.add_argument("--quant", choices=["int8w", "int8"])
+    p.add_argument("--quant", choices=["int8w", "int8", "int4w"])
     p.add_argument("--out", help="directory for overlay images")
     p.set_defaults(fn=cmd_segment)
 
@@ -442,7 +442,7 @@ def main(argv=None) -> int:
                    choices=["float32", "bfloat16"])
     p.add_argument("--int8", action="store_true",
                    help="shorthand for --quant int8w")
-    p.add_argument("--quant", choices=["int8w", "int8"])
+    p.add_argument("--quant", choices=["int8w", "int8", "int4w"])
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--warmup", action="store_true",
@@ -564,7 +564,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--quant", choices=["int8w", "int8"])
+    p.add_argument("--quant", choices=["int8w", "int8", "int4w"])
     p.add_argument("--calibration",
                    help="scales npz (from the calibrate command) for "
                         "--quant int8")
