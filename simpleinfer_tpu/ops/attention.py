@@ -280,7 +280,7 @@ def lower_multihead_attention(op, cfg):
         flops = Lq * (proj + attn)
 
     def apply(weights, *inputs):
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo
 
         xs = list(inputs)
         mask = None
@@ -298,11 +298,9 @@ def lower_multihead_attention(op, cfg):
         if not batch_first:  # [L, N, E] -> [N, L, E]
             q, k, v = (jnp.transpose(t, (1, 0, 2)) for t in (q, k, v))
         dt = q.dtype
-        cast = lambda w: resolve_weight(w, dt)
 
         def proj(x, wkey, bkey):
-            y = jnp.einsum("nli,io->nlo", x, cast(weights[wkey]),
-                           preferred_element_type=jnp.float32)
+            y = proj_nlo(x, weights[wkey], dt)
             if bkey in weights:
                 y = y + weights[bkey]
             return y.astype(dt)
@@ -330,8 +328,7 @@ def lower_multihead_attention(op, cfg):
             if ring_proj is not None:
                 out = ring_proj(ctx, weights["wo"], weights.get("bo"), dt)
             else:
-                out = jnp.einsum("nli,io->nlo", ctx, cast(weights["wo"]),
-                                 preferred_element_type=jnp.float32)
+                out = proj_nlo(ctx, weights["wo"], dt)
                 if "bo" in weights:
                     out = out + weights["bo"]
                 out = out.astype(dt)
@@ -355,8 +352,7 @@ def lower_multihead_attention(op, cfg):
         if ring_proj is not None:
             out = ring_proj(ctx, weights["wo"], weights.get("bo"), dt)
         else:
-            out = jnp.einsum("nli,io->nlo", ctx, cast(weights["wo"]),
-                             preferred_element_type=jnp.float32)
+            out = proj_nlo(ctx, weights["wo"], dt)
             if "bo" in weights:
                 out = out + weights["bo"]
             out = out.astype(dt)
@@ -539,15 +535,13 @@ def lower_rotary_attention(op, cfg):
         flops = Lq * (proj + attn)
 
     def apply(weights, x):
-        from ..quant.tensor import resolve_weight
+        from ..quant.tensor import proj_nlo
 
         dt = x.dtype
         n, l = x.shape[0], x.shape[1]
 
         def proj(key, heads):
-            y = jnp.einsum("nli,io->nlo", x,
-                           resolve_weight(weights[f"w{key}"], dt),
-                           preferred_element_type=jnp.float32)
+            y = proj_nlo(x, weights[f"w{key}"], dt)
             if f"b{key}" in weights:
                 y = y + weights[f"b{key}"]
             return jnp.transpose(y.astype(dt).reshape(n, l, heads, d),
@@ -587,9 +581,7 @@ def lower_rotary_attention(op, cfg):
                 if ring_proj is not None:
                     return ring_proj(ctx, weights["wo"],
                                      weights.get("bo"), dt)
-                out = jnp.einsum("nli,io->nlo", ctx,
-                                 resolve_weight(weights["wo"], dt),
-                                 preferred_element_type=jnp.float32)
+                out = proj_nlo(ctx, weights["wo"], dt)
                 if "bo" in weights:
                     out = out + weights["bo"]
                 return out.astype(dt)
@@ -610,9 +602,7 @@ def lower_rotary_attention(op, cfg):
                                                        num_heads * d)
         if ring_proj is not None:
             return ring_proj(ctx, weights["wo"], weights.get("bo"), dt)
-        out = jnp.einsum("nli,io->nlo", ctx,
-                         resolve_weight(weights["wo"], dt),
-                         preferred_element_type=jnp.float32)
+        out = proj_nlo(ctx, weights["wo"], dt)
         if "bo" in weights:
             out = out + weights["bo"]
         return out.astype(dt)

@@ -1452,3 +1452,51 @@ def test_int4w_rejects_mesh():
         from simpleinfer_tpu import MeshConfig
 
         EngineConfig(quant="int4w", mesh=MeshConfig(model=2))
+
+
+def test_proj_nlo_dispatches_int4_kernel(monkeypatch):
+    """proj_nlo is THE int4w chokepoint: with a (mocked) TPU backend it
+    must route Quantized4Tensor weights through matmul_int4w; in
+    interpret mode the kernel result matches the dense-dequant einsum
+    at bf16 tolerance."""
+    import importlib
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simpleinfer_tpu.quant.tensor import (proj_nlo,
+                                              quantize_int4_grouped)
+
+    KM = importlib.import_module("simpleinfer_tpu.kernels.matmul")
+    w = RNG.standard_normal((256, 192)).astype(np.float32) * 0.1
+    q = quantize_int4_grouped(w, group=128)
+    x = jnp.asarray(RNG.standard_normal((2, 5, 256)), jnp.float32)
+
+    dense = np.asarray(proj_nlo(x, q, jnp.float32))  # CPU: einsum path
+
+    monkeypatch.setattr(KM, "pallas_supported", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        kern = np.asarray(proj_nlo(x, q, jnp.float32))
+    assert kern.shape == (2, 5, 192)
+    np.testing.assert_allclose(kern, dense, atol=3e-2, rtol=3e-2)
+
+
+def test_int4w_generation_service_smoke():
+    """GenerationService over an int4w engine: full serving loop
+    (admission, decode blocks, eos) streams tokens identical to the
+    same engine's CachedDecoder."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    graph, _, _ = build_llama("nano", batch=1, seq_len=32,
+                              vocab_size=64, depth=2, width=256,
+                              num_heads=4, seed=0)
+    eng = Engine(EngineConfig(compute_dtype="bfloat16",
+                              quant="int4w")).load_model(None,
+                                                         graph=graph)
+    want = CachedDecoder(eng).generate(np.asarray([[5, 1, 8]]), steps=8)
+    svc = GenerationService(eng, slots=2, decode_horizon=4).start()
+    try:
+        got = svc.submit([5, 1, 8], max_new=8).result(timeout=120)
+    finally:
+        svc.stop()
+    np.testing.assert_array_equal(got, want[0])
