@@ -186,7 +186,7 @@ def _flash_impl(q, k, v, *, causal, scale, block_q, block_k,
     return out
 
 
-def flash_profitable(lq: int, lk: int) -> bool:
+def flash_profitable(lq: int, lk: int, causal: bool = True) -> bool:
     """Sequence-length dispatch gate for the flash kernel.
 
     Measured (docs/PERF.md): at ViT's L=197 d=64 the flash kernel LOSES
@@ -197,12 +197,19 @@ def flash_profitable(lq: int, lk: int) -> bool:
     DOWN to 2048: vs XLA's fused sdpa the kernel is 0.28x at L=1024,
     0.86x at 1536, then 1.16x at 2048, 2.44x at 3072, 2.35x at 4096
     (XLA spills the scores tensor past ~2k and collapses to ~8.6
-    TFLOP/s while the kernel holds ~20). Default thresholds Lk >= 2048
-    and Lq >= 256 (decode's Lq = 1 always stays on XLA); override with
-    SI_FLASH_MIN_LK / SI_FLASH_MIN_LQ for per-chip retuning (read at
-    call time — trace time only — so a long-lived process can retune).
+    TFLOP/s while the kernel holds ~20). NON-causal attention crosses
+    LATER (0.87x at 2048, 1.62x at 4096 — same-day measurement; XLA's
+    non-causal sdpa wastes no half-matrix work), so it keeps the 4096
+    threshold. Defaults: causal Lk >= 2048, non-causal Lk >= 4096,
+    Lq >= 256 (decode's Lq = 1 always stays on XLA); override with
+    SI_FLASH_MIN_LK / SI_FLASH_MIN_LK_NC / SI_FLASH_MIN_LQ for
+    per-chip retuning (read at call time — trace time only — so a
+    long-lived process can retune).
     """
-    min_lk = int(os.environ.get("SI_FLASH_MIN_LK", "2048"))
+    if causal:
+        min_lk = int(os.environ.get("SI_FLASH_MIN_LK", "2048"))
+    else:
+        min_lk = int(os.environ.get("SI_FLASH_MIN_LK_NC", "4096"))
     min_lq = int(os.environ.get("SI_FLASH_MIN_LQ", "256"))
     return lk >= min_lk and lq >= min_lq
 

@@ -143,7 +143,8 @@ def lower_sdpa(op, cfg):
                 from ..kernels.attention import (flash_attention,
                                                  flash_profitable)
 
-                if flash_profitable(q.shape[-2], k.shape[-2]):
+                if flash_profitable(q.shape[-2], k.shape[-2],
+                                    causal=is_causal):
                     return _to_physical(flash_attention(
                         q, k, v, causal=is_causal, scale=scale))
         return _to_physical(_sdpa(q, k, v, mask=mask, is_causal=is_causal,
@@ -315,7 +316,8 @@ def lower_multihead_attention(op, cfg):
         if mask is None and n_declared == 1 and allow_pallas:
             from ..kernels.attention import flash_profitable
 
-            flash = (flash_profitable(qh.shape[-2], kh.shape[-2])
+            flash = (flash_profitable(qh.shape[-2], kh.shape[-2],
+                                      causal=False)
                      and _pallas_ok())
         if flash:
             # opt-in flash path: O(L*d) HBM traffic instead of O(L^2);

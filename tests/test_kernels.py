@@ -273,6 +273,9 @@ def test_flash_profitable_gate():
     #                                           256x256-block re-sweep)
     assert flash_profitable(4096, 4096)       # measured 2.35x
     assert flash_profitable(256, 2048)        # threshold boundary
+    # NON-causal crosses later (0.87x at 2048, 1.62x at 4096)
+    assert not flash_profitable(2048, 2048, causal=False)
+    assert flash_profitable(4096, 4096, causal=False)
 
 
 def test_flash_band_profitable_gate():
