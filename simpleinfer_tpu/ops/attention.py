@@ -137,14 +137,19 @@ def lower_sdpa(op, cfg):
         # so the gate must only ever change speed, never semantics
         if (mask is None and allow_pallas
                 and (not is_causal or q.shape[-2] == k.shape[-2])):
-            from ..kernels.matmul import pallas_supported
-
-            if pallas_supported():
+            # auto dispatch must DEGRADE to XLA if the pallas modules
+            # fail to import (jax version skew) — a speed path can
+            # never be the reason an engine fails to trace
+            try:
                 from ..kernels.attention import (flash_attention,
                                                  flash_profitable)
-
-                if flash_profitable(q.shape[-2], k.shape[-2],
-                                    causal=is_causal):
+                from ..kernels.matmul import pallas_supported
+            except ImportError:
+                pass
+            else:
+                if (pallas_supported()
+                        and flash_profitable(q.shape[-2], k.shape[-2],
+                                             causal=is_causal)):
                     return _to_physical(flash_attention(
                         q, k, v, causal=is_causal, scale=scale))
         return _to_physical(_sdpa(q, k, v, mask=mask, is_causal=is_causal,
@@ -309,16 +314,19 @@ def lower_multihead_attention(op, cfg):
         qh = _split_heads(proj(q, "wq", "bq"), num_heads)
         kh = _split_heads(proj(k, "wk", "bk"), num_heads)
         vh = _split_heads(proj(v, "wv", "bv"), num_heads)
-        # the kernel-module import stays behind the pallas opt-in so a
-        # pallas import failure (jax version skew) can never break
-        # engines that did not ask for it
+        # auto dispatch must DEGRADE to XLA if the pallas modules fail
+        # to import (jax version skew) — a speed path can never be the
+        # reason an engine fails to trace
         flash = False
         if mask is None and n_declared == 1 and allow_pallas:
-            from ..kernels.attention import flash_profitable
+            try:
+                from ..kernels.attention import flash_profitable
 
-            flash = (flash_profitable(qh.shape[-2], kh.shape[-2],
-                                      causal=False)
-                     and _pallas_ok())
+                flash = (flash_profitable(qh.shape[-2], kh.shape[-2],
+                                          causal=False)
+                         and _pallas_ok())
+            except ImportError:
+                flash = False
         if flash:
             # opt-in flash path: O(L*d) HBM traffic instead of O(L^2);
             # flash_profitable gates out the short sequences where the

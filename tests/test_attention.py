@@ -263,7 +263,8 @@ def test_mha_flash_path_matches(monkeypatch):
     # the profitability gate would route L=33 to XLA (correctly — flash
     # loses at short seq, docs/PERF.md); force it open to test the path
     import simpleinfer_tpu.kernels.attention as KA
-    monkeypatch.setattr(KA, "flash_profitable", lambda lq, lk: True)
+    monkeypatch.setattr(KA, "flash_profitable",
+                        lambda lq, lk, causal=True: True)
     with pltpu.force_tpu_interpret_mode():
         got = run(impl, x)
     np.testing.assert_allclose(got, ref.detach().numpy(),
