@@ -16,6 +16,9 @@ The reference has no model importer at all (models arrive as pnnx
 files, SURVEY.md §1.6); frontends/torch_export.py covers torch.fx
 module export, and this module covers the HF transformer lineage whose
 attention would otherwise be captured as an opaque python callable.
+`neox_graph_from_hf` (round-5) extends the reach to the LayerNorm +
+parallel-residual + partial-rotary lineage (phi-2, GPT-NeoX/Pythia,
+stablelm-class).
 """
 from __future__ import annotations
 
@@ -259,5 +262,156 @@ def llama_graph_from_hf(model, batch: int = 1,
             return out
 
         logits = bmul(b.tanh(bmul(logits, inv)), capc)
+    b.output(logits)
+    return b.build(), "0", logits
+
+
+_SUPPORTED_NEOX = ("phi", "gpt_neox")
+
+
+def neox_graph_from_hf(model, batch: int = 1,
+                       seq_len: int | None = None) -> tuple:
+    """Convert a transformers PhiForCausalLM / GPTNeoXForCausalLM
+    (Pythia) model — the LayerNorm + PARALLEL-residual + partial-rotary
+    + GELU-MLP lineage `llama_graph_from_hf` cannot express:
+
+        x + attn(ln1(x)) + mlp(ln2(x))        (neox; phi shares ln1)
+
+    GPT-NeoX's fused query_key_value projection stores per-head
+    [q(d), k(d), v(d)] row blocks (GPTNeoXAttention's view(heads, 3*d)
+    split) and is de-interleaved here; rotary_pct /
+    partial_rotary_factor flows to si.RotaryAttention's rotary_dim.
+    use_parallel_residual=False (some Pythia sizes) takes the
+    sequential wiring. Returns (graph, input_name, output_name);
+    drop-in for greedy_generate / CachedDecoder / GenerationService.
+    """
+    cfg = model.config
+    mt = getattr(cfg, "model_type", None)
+    if mt not in _SUPPORTED_NEOX:
+        raise ValueError(f"unsupported model_type {mt!r}; expected one "
+                         f"of {_SUPPORTED_NEOX} (LayerNorm + parallel "
+                         f"residual lineage — llama-family goes through "
+                         f"llama_graph_from_hf)")
+    if mt == "phi" and getattr(cfg, "qk_layernorm", False):
+        raise ValueError("phi qk_layernorm=True not supported")
+    heads = cfg.num_attention_heads
+    kv = getattr(cfg, "num_key_value_heads", heads) or heads
+    e = cfg.hidden_size
+    if e % heads:
+        raise ValueError(f"hidden {e} not divisible by heads {heads}")
+    d = e // heads
+    pct = float(getattr(cfg, "partial_rotary_factor", None)
+                or getattr(cfg, "rotary_pct", None) or 1.0)
+    rot = max(2, int(d * pct) // 2 * 2)
+    theta = float(getattr(cfg, "rope_theta", None)
+                  or getattr(cfg, "rotary_emb_base", None) or 10000.0)
+    eps = float(getattr(cfg, "layer_norm_eps", 1e-5))
+    seq_len = int(seq_len or cfg.max_position_embeddings)
+    parallel = (bool(getattr(cfg, "use_parallel_residual", True))
+                if mt == "gpt_neox" else True)
+    inter = cfg.intermediate_size
+    act = getattr(cfg, "hidden_act", "gelu_new" if mt == "phi"
+                  else "gelu")
+    if act not in ("gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_fast"):
+        raise ValueError(f"unsupported hidden_act {act!r}")
+    tanh_gelu = act != "gelu"
+
+    sd = {k: v.detach().cpu().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+
+    if mt == "phi":
+        emb_key = "model.embed_tokens.weight"
+        pre = "model.layers.{}."
+        attn_out = "self_attn.dense"
+        fc1, fc2 = "mlp.fc1", "mlp.fc2"
+        final_ln = "model.final_layernorm"
+        head_key, head_bias_key = "lm_head.weight", "lm_head.bias"
+    else:
+        emb_key = "gpt_neox.embed_in.weight"
+        pre = "gpt_neox.layers.{}."
+        attn_out = "attention.dense"
+        fc1, fc2 = "mlp.dense_h_to_4h", "mlp.dense_4h_to_h"
+        final_ln = "gpt_neox.final_layer_norm"
+        head_key, head_bias_key = "embed_out.weight", "embed_out.bias"
+        # de-interleave the fused qkv: rows are per-head [q, k, v]
+        for i in range(cfg.num_hidden_layers):
+            p = pre.format(i)
+            w = sd.pop(f"{p}attention.query_key_value.weight")
+            bq = sd.pop(f"{p}attention.query_key_value.bias", None)
+            w = w.reshape(heads, 3, d, e)
+            for j, name in enumerate(("q", "k", "v")):
+                sd[f"{p}self_attn.{name}_proj.weight"] = \
+                    np.ascontiguousarray(w[:, j].reshape(heads * d, e))
+                if bq is not None:
+                    sd[f"{p}self_attn.{name}_proj.bias"] = \
+                        np.ascontiguousarray(
+                            bq.reshape(heads, 3, d)[:, j].reshape(-1))
+
+    def attr(b, op_out, key, array):
+        op = b.g.get_operand(op_out).producer
+        op.attrs[key] = Attribute.from_array(np.ascontiguousarray(array))
+
+    def ln(b, x, wkey):
+        y = b.layer_norm(x)
+        op = b.g.get_operand(y).producer
+        op.attrs["weight"] = Attribute.from_array(sd[wkey + ".weight"])
+        op.attrs["bias"] = Attribute.from_array(sd[wkey + ".bias"])
+        op.params["eps"] = Parameter.from_value(eps)
+        return y
+
+    b = GraphBuilder()
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, cfg.vocab_size, e)
+    attr(b, x, "weight", sd[emb_key])
+
+    for i in range(cfg.num_hidden_layers):
+        p = pre.format(i)
+        qp = f"{p}self_attn."      # neox keys were normalized above
+        ln1 = ln(b, x, f"{p}input_layernorm")
+        attn = b.rotary_attention(ln1, heads, num_kv_heads=kv,
+                                  rope_theta=theta, bias=True,
+                                  rotary_dim=rot)
+        aop = b.g.get_operand(attn).producer
+        for key in ("q", "k", "v"):
+            aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
+                np.ascontiguousarray(sd[f"{qp}{key}_proj.weight"]))
+            bkey = f"{qp}{key}_proj.bias"
+            if bkey in sd:
+                aop.attrs[f"{key}_proj.bias"] = Attribute.from_array(
+                    sd[bkey])
+        aop.attrs["o_proj.weight"] = Attribute.from_array(
+            np.ascontiguousarray(sd[f"{p}{attn_out}.weight"]))
+        if f"{p}{attn_out}.bias" in sd:
+            aop.attrs["o_proj.bias"] = Attribute.from_array(
+                sd[f"{p}{attn_out}.bias"])
+
+        def mlp_from(src):
+            h = b.linear(src, inter, bias=True)
+            attr(b, h, "weight", sd[f"{p}{fc1}.weight"])
+            attr(b, h, "bias", sd[f"{p}{fc1}.bias"])
+            h = b.gelu(h)
+            if tanh_gelu:
+                b.g.get_operand(h).producer.params["approximate"] = \
+                    Parameter.from_value("tanh")
+            h = b.linear(h, e, bias=True)
+            attr(b, h, "weight", sd[f"{p}{fc2}.weight"])
+            attr(b, h, "bias", sd[f"{p}{fc2}.bias"])
+            return h
+
+        if parallel:
+            ln2 = (ln1 if mt == "phi"
+                   else ln(b, x, f"{p}post_attention_layernorm"))
+            x = b.add(b.add(x, attn), mlp_from(ln2))
+        else:
+            x = b.add(x, attn)
+            ln2 = ln(b, x, f"{p}post_attention_layernorm")
+            x = b.add(x, mlp_from(ln2))
+
+    x = ln(b, x, final_ln)
+    logits = b.linear(x, cfg.vocab_size,
+                      bias=head_bias_key in sd)
+    attr(b, logits, "weight", sd.get(head_key, sd[emb_key]))
+    if head_bias_key in sd:
+        attr(b, logits, "bias", sd[head_bias_key])
     b.output(logits)
     return b.build(), "0", logits

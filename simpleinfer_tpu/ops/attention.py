@@ -402,13 +402,25 @@ def rope_cos_sin(positions, dim, theta):
 
 def apply_rope(x, cos, sin):
     """Rotate the last dim of x [..., D] by (cos, sin) broadcastable to
-    x's shape (HF rotate_half convention: [x1, x2] -> [-x2, x1])."""
-    half = x.shape[-1] // 2
-    x1, x2 = x[..., :half], x[..., half:]
+    [..., R] (HF rotate_half convention: [x1, x2] -> [-x2, x1]).
+
+    R < D is PARTIAL rotary (phi/GPT-NeoX/stablelm lineage,
+    HF partial_rotary_factor / rotary_pct): only dims [:R] rotate, the
+    pass-through dims [R:] carry no positional signal — shape-driven,
+    so every call site (forward, prefill, decode step, chunk verify)
+    supports it by just building R-sized tables."""
+    d = x.shape[-1]
+    r = cos.shape[-1]
+    xr = x[..., :r] if r != d else x
+    half = r // 2
+    x1, x2 = xr[..., :half], xr[..., half:]
     rot = jnp.concatenate([-x2, x1], axis=-1)
     dt = x.dtype
-    return (x.astype(jnp.float32) * cos
-            + rot.astype(jnp.float32) * sin).astype(dt)
+    out = (xr.astype(jnp.float32) * cos
+           + rot.astype(jnp.float32) * sin).astype(dt)
+    if r != d:
+        out = jnp.concatenate([out, x[..., r:]], axis=-1)
+    return out
 
 
 def apply_qk_norm(qh, kh, w, eps: float = 1e-6):
@@ -491,6 +503,13 @@ def lower_rotary_attention(op, cfg):
     if d % 2:
         raise ValueError(f"RotaryAttention {op.name}: head_dim {d} must "
                          f"be even for RoPE")
+    # partial rotary (phi/GPT-NeoX/stablelm: HF partial_rotary_factor /
+    # rotary_pct): only the first rotary_dim of each head rotates
+    rot_dim = (op.params["rotary_dim"].i
+               if op.has_param("rotary_dim", PARAM_INT) else d)
+    if rot_dim % 2 or not (2 <= rot_dim <= d):
+        raise ValueError(f"RotaryAttention {op.name}: rotary_dim "
+                         f"{rot_dim} must be even and in [2, {d}]")
     group = num_heads // num_kv
     ring_proj = ring_out_proj(cfg, num_heads)
     # a pallas_call inside a GSPMD-partitioned program cannot be
@@ -560,7 +579,7 @@ def lower_rotary_attention(op, cfg):
         qh, kh, vh = proj("q", num_heads), proj("k", num_kv), proj(
             "v", num_kv)
         qh, kh = apply_qk_norm(qh, kh, weights, qk_eps)
-        cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
+        cos, sin = rope_cos_sin(jnp.arange(l), rot_dim, theta)  # [L, R]
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
         if softcap is None:
@@ -631,6 +650,7 @@ def lower_rotary_attention(op, cfg):
         decode_info={"embed_dim": embed_dim, "num_heads": num_heads,
                      "num_kv_heads": num_kv, "head_dim": d,
                      "rope_theta": theta, "rotary": True,
+                     "rotary_dim": rot_dim,
                      "batch_first": True, "sliding_window": sw,
                      "qk_norm_eps": qk_eps,
                      "attn_scale": attn_scale,

@@ -11,6 +11,7 @@ from .builders import (
     build_bert,
     build_gpt,
     build_llama,
+    build_neox,
     build_convnext,
     build_densenet,
     build_mobilenet_like,
@@ -25,6 +26,6 @@ from .builders import (
 )
 from .generate import greedy_generate
 
-__all__ = ["build_bert", "build_gpt", "build_llama", "greedy_generate", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
+__all__ = ["build_bert", "build_gpt", "build_llama", "build_neox", "greedy_generate", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
            "build_resnet18", "build_resnet50", "build_squeezenet", "build_unet", "build_vit",
            "build_yolov5", "build_yolov8"]

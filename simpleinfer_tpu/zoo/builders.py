@@ -376,7 +376,8 @@ class GraphBuilder:
                          qk_norm: bool = False,
                          qk_norm_eps: float = 1e-6,
                          attn_scale: float | None = None,
-                         logit_softcap: float | None = None) -> str:
+                         logit_softcap: float | None = None,
+                         rotary_dim: int | None = None) -> str:
         """Llama-style causal self-attention (si.RotaryAttention
         composite, ops/attention.py): RoPE + GQA, intrinsic causal
         mask, llama checkpoint weight layout. sliding_window=W bands
@@ -417,6 +418,8 @@ class GraphBuilder:
             params["logit_softcap"] = float(logit_softcap)
         if sliding_window is not None:
             params["sliding_window"] = int(sliding_window)
+        if rotary_dim is not None:       # phi/neox partial rotary
+            params["rotary_dim"] = int(rotary_dim)
         (out,) = self._op("si.RotaryAttention", name, [x], params=params,
                           attrs=attrs)
         self.shape[out] = list(self.shape[x])
@@ -641,6 +644,56 @@ def _yolo_channels(width_mult: float):
     def cw(ch):
         return max(int(round(ch * width_mult / 8)) * 8, 8)
     return cw
+
+
+NEOX_PRESETS = {
+    # (depth, width, heads)
+    "nano": (2, 64, 4),
+    "micro": (4, 128, 4),
+    "small": (6, 256, 8),
+}
+
+
+def build_neox(variant: str = "nano", batch: int = 1, seq_len: int = 64,
+               vocab_size: int = 128, depth: int | None = None,
+               width: int | None = None, num_heads: int | None = None,
+               rotary_pct: float = 0.25, rope_theta: float = 10000.0,
+               shared_ln: bool = False, head_bias: bool = False,
+               seed: int = 0) -> tuple:
+    """GPT-NeoX/Pythia-style causal LM; with shared_ln=True,
+    head_bias=True, rotary_pct=0.5 it is the phi-2 block. The lineage
+    the llama builder cannot express: LayerNorm (not RMSNorm), PARALLEL
+    attention+MLP residual (x + attn(ln1(x)) + mlp(ln2(x)); phi shares
+    one ln), PARTIAL rotary (HF rotary_pct / partial_rotary_factor —
+    only the first rotary_dim of each head rotates), biased q/k/v/o,
+    GELU MLP. Superset family: the CPU reference has no autoregressive
+    workload at all; drivable by greedy_generate and CachedDecoder
+    unchanged (the decode step is plan-driven, and rotary_dim flows
+    through decode_info)."""
+    if variant not in NEOX_PRESETS:
+        raise ValueError(f"variant must be one of {list(NEOX_PRESETS)}")
+    d0, w0, h0 = NEOX_PRESETS[variant]
+    depth = d0 if depth is None else depth
+    w = w0 if width is None else width
+    heads = h0 if num_heads is None else num_heads
+    d = w // heads
+    rot = max(2, int(d * rotary_pct) // 2 * 2)
+
+    b = GraphBuilder(seed)
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, vocab_size, w)
+    for _ in range(depth):
+        ln1 = b.layer_norm(x)
+        attn = b.rotary_attention(ln1, heads, rope_theta=rope_theta,
+                                  bias=True, rotary_dim=rot)
+        ln2 = ln1 if shared_ln else b.layer_norm(x)
+        h = b.gelu(b.linear(ln2, 4 * w))
+        mlp = b.linear(h, w)
+        x = b.add(b.add(x, attn), mlp)
+    x = b.layer_norm(x)
+    logits = b.linear(x, vocab_size, bias=head_bias)
+    b.output(logits)
+    return b.build(), "0", logits
 
 
 def build_yolov5(variant: str = "n", batch: int = 1, image_size: int = 640,
@@ -1175,7 +1228,8 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
                 qk_norm: bool = False,
                 head_dim: int | None = None,
                 attn_scale: float | None = None,
-                logit_softcap: float | None = None) -> tuple:
+                logit_softcap: float | None = None,
+                rotary_dim: int | None = None) -> tuple:
     """Llama-family causal decoder LM (superset family — the reference
     has no autoregressive workload, and the GPT builder covers the
     learned-position/LayerNorm/packed-MHA lineage).
@@ -1215,7 +1269,8 @@ def build_llama(variant: str = "nano", batch: int = 1, seq_len: int = 64,
                                sliding_window=sw_i,
                                head_dim=head_dim, qk_norm=qk_norm,
                                attn_scale=attn_scale,
-                               logit_softcap=logit_softcap)
+                               logit_softcap=logit_softcap,
+                               rotary_dim=rotary_dim)
         x = b.add(x, y)
         y = b.rms_norm(x)
         gate = b.silu_act(b.linear(y, inter, bias=False))

@@ -721,7 +721,8 @@ class CachedDecoder:
         qh, kh, vh = self._proj_qkv(
             w, q, heads, kvh, d, dt,
             qk_eps=info.get("qk_norm_eps", 1e-6))
-        cos, sin = rope_cos_sin(pos, d, theta)          # [N, D]
+        cos, sin = rope_cos_sin(pos, info.get("rotary_dim") or d,
+                                theta)                  # [N, R]
         qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
         kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
         new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh,
@@ -781,7 +782,8 @@ class CachedDecoder:
             w, x, heads, kvh, d, dt,
             qk_eps=info.get("qk_norm_eps", 1e-6))
         if info.get("rotary"):
-            cos, sin = rope_cos_sin(pos, d, info["rope_theta"])
+            cos, sin = rope_cos_sin(pos, info.get("rotary_dim") or d,
+                                    info["rope_theta"])
             qh = apply_rope(qh, cos[:, None, None, :],
                             sin[:, None, None, :])
             kh = apply_rope(kh, cos[:, None, None, :],
@@ -976,7 +978,9 @@ class CachedDecoder:
 
         qh, kh = apply_qk_norm(qh, kh, w,
                                info.get("qk_norm_eps", 1e-6))
-        cos, sin = rope_cos_sin(jnp.arange(l), d, theta)  # [L, D]
+        cos, sin = rope_cos_sin(jnp.arange(l),
+                                info.get("rotary_dim") or d,
+                                theta)                    # [L, R]
         qh = apply_rope(qh, cos[None, None], sin[None, None])
         kh = apply_rope(kh, cos[None, None], sin[None, None])
         ctx = _causal_ctx(qh, repeat_kv(kh, group), repeat_kv(vh, group),
@@ -1374,8 +1378,9 @@ class CachedDecoder:
             pos[:, None] + jnp.arange(k, dtype=jnp.int32),
             self._window - 1)                            # [N, K]
         if info.get("rotary"):
-            cos, sin = rope_cos_sin(positions, d,
-                                    info["rope_theta"])  # [N, K, D]
+            cos, sin = rope_cos_sin(positions,
+                                    info.get("rotary_dim") or d,
+                                    info["rope_theta"])  # [N, K, R]
             qh = apply_rope(qh, cos[:, None], sin[:, None])
             kh = apply_rope(kh, cos[:, None], sin[:, None])
 

@@ -440,3 +440,66 @@ def test_hf_gemma2_greedy_decode_matches_hf():
     dec = CachedDecoder(eng)
     got = dec.generate([prompt], steps=10, temperature=0.0)[0].tolist()
     assert got == hf_out
+
+
+# ---- phi / GPT-NeoX lineage (round-5: partial rotary + parallel residual) --
+
+from simpleinfer_tpu.frontends.hf_llama import neox_graph_from_hf
+
+
+def _phi():
+    from transformers import PhiConfig, PhiForCausalLM
+
+    torch.manual_seed(11)
+    cfg = PhiConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, max_position_embeddings=16,
+        partial_rotary_factor=0.5, rope_theta=10000.0)
+    return PhiForCausalLM(cfg).eval()
+
+
+def _neox(parallel=True):
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    torch.manual_seed(13)
+    cfg = GPTNeoXConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, rotary_pct=0.25,
+        use_parallel_residual=parallel)
+    return GPTNeoXForCausalLM(cfg).eval()
+
+
+@pytest.mark.parametrize("make", [_phi, _neox,
+                                  lambda: _neox(parallel=False)])
+def test_hf_neox_lineage_logits_parity(make):
+    """phi-2 (shared-ln parallel residual, partial_rotary_factor 0.5,
+    biased head) and GPT-NeoX/Pythia (two-ln parallel residual,
+    rotary_pct 0.25, fused qkv de-interleave) — logits parity vs the
+    transformers forward, fp32 both sides, both residual wirings."""
+    model = make()
+    graph, in_name, out_name = neox_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_hf_neox_greedy_decode_token_parity():
+    """KV-cache decode on the converted phi model streams the same
+    greedy tokens as the HF forward loop (partial rotary through the
+    decode_info path)."""
+    model = _phi()
+    graph, in_name, out_name = neox_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = [3, 7, 11]
+    ids = list(prompt)
+    for _ in range(8):
+        logits = _hf_logits(model, np.asarray([ids], np.int64))
+        ids.append(int(logits[0, -1].argmax()))
+    got = CachedDecoder(eng).generate(np.asarray([prompt]), steps=8,
+                                      block=4)
+    np.testing.assert_array_equal(got[0], np.asarray(ids))

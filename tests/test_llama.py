@@ -1500,3 +1500,66 @@ def test_int4w_generation_service_smoke():
     finally:
         svc.stop()
     np.testing.assert_array_equal(got, want[0])
+
+
+# ---- neox/phi lineage (round-5: partial rotary + parallel residual) --------
+
+def test_build_neox_decode_matches_forward():
+    """build_neox (GPT-NeoX parallel-residual + partial rotary; phi-2
+    form via shared_ln): KV-cache decode streams the same tokens as
+    the whole-window forward — the plan-driven decode step handles the
+    parallel wiring and rotary_dim flows through decode_info."""
+    from simpleinfer_tpu.zoo import build_neox
+
+    for shared, pct in ((False, 0.25), (True, 0.5)):
+        graph, i, o = build_neox("nano", batch=1, seq_len=24,
+                                 vocab_size=50, shared_ln=shared,
+                                 head_bias=shared, rotary_pct=pct,
+                                 seed=3)
+        eng = Engine().load_model(None, graph=graph)
+        prompt = np.asarray([[7, 2, 4]])
+        want = greedy_generate(eng, prompt, steps=8)
+        got = CachedDecoder(eng).generate(prompt, steps=8, block=4)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_partial_rotary_param_roundtrip(tmp_path):
+    """rotary_dim survives the .pnnx save/load surface bit-identically
+    (the qwen3/gemma2 round-trip discipline) and actually changes the
+    computation (partial != full rotary on the same weights)."""
+    from simpleinfer_tpu.ir.graph import Graph  # noqa: F401
+
+    graph, in_name, out_name = build_llama(
+        "nano", batch=1, seq_len=12, vocab_size=32, seed=7,
+        rotary_dim=8)
+    param = str(tmp_path / "m.pnnx.param")
+    binp = str(tmp_path / "m.pnnx.bin")
+    graph.save(param, binp)
+    eng_a = Engine(EngineConfig(compute_dtype="float32")).load_model(
+        None, graph=graph)
+    eng_b = Engine(EngineConfig(compute_dtype="float32")).load_model(
+        param, binp)
+    ids = np.arange(12, dtype=np.float32)[None, :] % 31 + 1
+    a = eng_a.run({in_name: ids})[out_name]
+    b = eng_b.run({eng_b.input_names[0]: ids})[eng_b.output_names[0]]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    full_graph, _, _ = build_llama("nano", batch=1, seq_len=12,
+                                   vocab_size=32, seed=7)
+    eng_f = Engine(EngineConfig(compute_dtype="float32")).load_model(
+        None, graph=full_graph)
+    f = eng_f.run({in_name: ids})[out_name]
+    assert np.abs(np.asarray(a) - np.asarray(f)).max() > 1e-3
+
+
+def test_rotary_dim_validation():
+    from simpleinfer_tpu.ir.graph import Parameter
+
+    op, _ = _rotary_op(32, 4, 4)
+    op.params["rotary_dim"] = Parameter.from_value(3)   # odd
+    with pytest.raises(ValueError, match="rotary_dim"):
+        lower_operator(op, EngineConfig())
+    op, _ = _rotary_op(32, 4, 4)
+    op.params["rotary_dim"] = Parameter.from_value(10)  # > head_dim 8
+    with pytest.raises(ValueError, match="rotary_dim"):
+        lower_operator(op, EngineConfig())
