@@ -1,7 +1,8 @@
 """HuggingFace llama-family -> ir.Graph converter.
 
 Real-model import for the LLM serving path: takes an in-memory
-`transformers` causal-LM (llama / qwen2 / mistral / gemma / phi3 —
+`transformers` causal-LM (llama / qwen2 / mistral / gemma / phi3 /
+stablelm (LayerNorm + partial rotary) —
 the RMSNorm + RoPE + GQA + gated-MLP lineage; gemma's (1+w) RMSNorm
 convention and sqrt(hidden) embedding scaling fold into the imported
 weights, phi3's fused qkv/gate_up projections are split) and emits the
@@ -27,7 +28,8 @@ import numpy as np
 from ..ir.graph import Attribute, Parameter
 from ..zoo.builders import GraphBuilder
 
-_SUPPORTED = ("llama", "qwen2", "mistral", "gemma", "phi3", "qwen3", "gemma2")
+_SUPPORTED = ("llama", "qwen2", "mistral", "gemma", "phi3", "qwen3",
+              "gemma2", "stablelm")
 
 
 def llama_graph_from_hf(model, batch: int = 1,
@@ -56,7 +58,20 @@ def llama_graph_from_hf(model, batch: int = 1,
                          f"(unsupported projection geometry for {mt})")
     seq_len = int(seq_len or cfg.max_position_embeddings)
     theta = float(getattr(cfg, "rope_theta", 10000.0))
-    eps = float(getattr(cfg, "rms_norm_eps", 1e-6))
+    # stablelm: llama wiring but LayerNorm (w+b) and PARTIAL rotary
+    layer_norms = mt == "stablelm"
+    if layer_norms:
+        if getattr(cfg, "qk_layernorm", False):
+            raise ValueError("stablelm qk_layernorm=True not supported")
+        if getattr(cfg, "use_parallel_residual", False):
+            raise ValueError("stablelm use_parallel_residual=True: use "
+                             "neox_graph_from_hf-style wiring (not "
+                             "supported here)")
+    eps = float(getattr(cfg, "layer_norm_eps", 1e-5) if layer_norms
+                else getattr(cfg, "rms_norm_eps", 1e-6))
+    rot_pct = float(getattr(cfg, "partial_rotary_factor", 1.0) or 1.0)
+    rot_dim = (max(2, int(d * rot_pct) // 2 * 2)
+               if rot_pct < 1.0 else None)
     scaling = getattr(cfg, "rope_scaling", None)
     if scaling and scaling.get("rope_type", scaling.get("type")) not in (
             None, "default"):
@@ -157,6 +172,17 @@ def llama_graph_from_hf(model, batch: int = 1,
         op = b.g.get_operand(op_out).producer
         op.attrs[key] = Attribute.from_array(np.ascontiguousarray(array))
 
+    def mknorm(b, x, wkey):
+        # one helper for every pre/post norm site: rms (llama lineage)
+        # or affine LayerNorm with bias (stablelm)
+        y = b.layer_norm(x) if layer_norms else b.rms_norm(x)
+        op = b.g.get_operand(y).producer
+        op.attrs["weight"] = Attribute.from_array(sd[wkey + ".weight"])
+        if layer_norms:
+            op.attrs["bias"] = Attribute.from_array(sd[wkey + ".bias"])
+        op.params["eps"] = Parameter.from_value(eps)
+        return y
+
     b = GraphBuilder()
     ids = b.input([batch, seq_len], name="0")
     x = b.embedding(ids, cfg.vocab_size, e)
@@ -164,10 +190,7 @@ def llama_graph_from_hf(model, batch: int = 1,
 
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}"
-        y = b.rms_norm(x)
-        attr(b, y, "weight", sd[f"{p}.input_layernorm.weight"])
-        b.g.get_operand(y).producer.params["eps"] = \
-            Parameter.from_value(eps)
+        y = mknorm(b, x, f"{p}.input_layernorm")
 
         bias = f"{p}.self_attn.q_proj.bias" in sd  # qwen2-style
         y = b.rotary_attention(y, heads, num_kv_heads=kv,
@@ -175,7 +198,8 @@ def llama_graph_from_hf(model, batch: int = 1,
                                sliding_window=layer_sliding(i),
                                head_dim=d if decoupled else None,
                                attn_scale=attn_scale,
-                               logit_softcap=attn_softcap)
+                               logit_softcap=attn_softcap,
+                               rotary_dim=rot_dim)
         aop = b.g.get_operand(y).producer
         for key in ("q", "k", "v", "o"):
             aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
@@ -205,13 +229,9 @@ def llama_graph_from_hf(model, batch: int = 1,
                 Parameter.from_value(eps)
         x = b.add(x, y)
 
-        y = b.rms_norm(x)
-        attr(b, y, "weight",
-             sd[f"{p}.pre_feedforward_layernorm.weight"]
-             if mt == "gemma2"
-             else sd[f"{p}.post_attention_layernorm.weight"])
-        b.g.get_operand(y).producer.params["eps"] = \
-            Parameter.from_value(eps)
+        y = mknorm(b, x, f"{p}.pre_feedforward_layernorm"
+                   if mt == "gemma2"
+                   else f"{p}.post_attention_layernorm")
         gate = b.linear(y, cfg.intermediate_size, bias=False)
         attr(b, gate, "weight", sd[f"{p}.mlp.gate_proj.weight"])
         if gated_act == "silu":
@@ -234,10 +254,7 @@ def llama_graph_from_hf(model, batch: int = 1,
                 Parameter.from_value(eps)
         x = b.add(x, y)
 
-    x = b.rms_norm(x)
-    attr(b, x, "weight", sd["model.norm.weight"])
-    b.g.get_operand(x).producer.params["eps"] = \
-        Parameter.from_value(eps)
+    x = mknorm(b, x, "model.norm")
     logits = b.linear(x, cfg.vocab_size, bias=False)
     head = ("__lm_head__" if "__lm_head__" in sd  # gemma: pre-scaling tie
             else "lm_head.weight" if "lm_head.weight" in sd

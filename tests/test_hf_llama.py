@@ -503,3 +503,36 @@ def test_hf_neox_greedy_decode_token_parity():
     got = CachedDecoder(eng).generate(np.asarray([prompt]), steps=8,
                                       block=4)
     np.testing.assert_array_equal(got[0], np.asarray(ids))
+
+
+def test_hf_stablelm_logits_and_decode_parity():
+    """StableLM (round-5): llama wiring but LayerNorm (w+b) and PARTIAL
+    rotary (partial_rotary_factor) — through llama_graph_from_hf's
+    norm/rotary_dim switches. Logits + greedy-decode parity vs the
+    transformers forward."""
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    torch.manual_seed(17)
+    cfg = StableLmConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=16,
+        partial_rotary_factor=0.25, rope_theta=10000.0)
+    model = StableLmForCausalLM(cfg).eval()
+    graph, in_name, out_name = llama_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[out_name])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    prompt = [3, 7, 11]
+    ref = list(prompt)
+    for _ in range(8):
+        ref.append(int(_hf_logits(model,
+                                  np.asarray([ref], np.int64))[0, -1]
+                       .argmax()))
+    dec = CachedDecoder(eng).generate(np.asarray([prompt]), steps=8,
+                                      block=4)
+    np.testing.assert_array_equal(dec[0], np.asarray(ref))
