@@ -19,7 +19,9 @@ module export, and this module covers the HF transformer lineage whose
 attention would otherwise be captured as an opaque python callable.
 `neox_graph_from_hf` (round-5) extends the reach to the LayerNorm +
 parallel-residual + partial-rotary lineage (phi-2, GPT-NeoX/Pythia,
-stablelm-class).
+stablelm-class), and `bloom_graph_from_hf` to the ALiBi lineage
+(BLOOM: no position embeddings, per-head linear key-position logit
+bias — ops/attention.alibi_slopes).
 """
 from __future__ import annotations
 
@@ -430,5 +432,103 @@ def neox_graph_from_hf(model, batch: int = 1,
     attr(b, logits, "weight", sd.get(head_key, sd[emb_key]))
     if head_bias_key in sd:
         attr(b, logits, "bias", sd[head_bias_key])
+    b.output(logits)
+    return b.build(), "0", logits
+
+
+def bloom_graph_from_hf(model, batch: int = 1,
+                        seq_len: int = 64) -> tuple:
+    """Convert a transformers BloomForCausalLM — the ALiBi lineage:
+    no position embeddings at all; si.RotaryAttention's alibi=1 adds
+    the per-head slopes[h] * key_position logit bias instead
+    (ops/attention.alibi_slopes == transformers build_alibi_tensor).
+
+    BloomAttention's fused query_key_value stores per-head [q, k, v]
+    row blocks (its _split_heads view(heads, 3, d) — the same
+    interleave GPT-NeoX uses) and is de-interleaved here; the
+    embedding LayerNorm (word_embeddings_layernorm) and tanh-GELU MLP
+    map to existing ops. seq_len must be given (ALiBi has no
+    max_position_embeddings). Returns (graph, input_name,
+    output_name); drop-in for greedy_generate / CachedDecoder /
+    GenerationService.
+    """
+    cfg = model.config
+    mt = getattr(cfg, "model_type", None)
+    if mt != "bloom":
+        raise ValueError(f"unsupported model_type {mt!r}; expected "
+                         f"'bloom' (the ALiBi lineage)")
+    heads = cfg.n_head
+    e = cfg.hidden_size
+    if e % heads:
+        raise ValueError(f"hidden {e} not divisible by heads {heads}")
+    d = e // heads
+    eps = float(getattr(cfg, "layer_norm_epsilon", 1e-5))
+
+    sd = {k: v.detach().cpu().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    pre = "transformer.h.{}."
+    for i in range(cfg.n_layer):        # de-interleave fused qkv
+        p = pre.format(i)
+        w = sd.pop(f"{p}self_attention.query_key_value.weight")
+        bq = sd.pop(f"{p}self_attention.query_key_value.bias", None)
+        w = w.reshape(heads, 3, d, e)
+        for j, name in enumerate(("q", "k", "v")):
+            sd[f"{p}{name}_proj.weight"] = \
+                np.ascontiguousarray(w[:, j].reshape(heads * d, e))
+            if bq is not None:
+                sd[f"{p}{name}_proj.bias"] = np.ascontiguousarray(
+                    bq.reshape(heads, 3, d)[:, j].reshape(-1))
+
+    def attr(b, op_out, key, array):
+        op = b.g.get_operand(op_out).producer
+        op.attrs[key] = Attribute.from_array(np.ascontiguousarray(array))
+
+    def ln(b, x, wkey):
+        y = b.layer_norm(x)
+        op = b.g.get_operand(y).producer
+        op.attrs["weight"] = Attribute.from_array(sd[wkey + ".weight"])
+        op.attrs["bias"] = Attribute.from_array(sd[wkey + ".bias"])
+        op.params["eps"] = Parameter.from_value(eps)
+        return y
+
+    b = GraphBuilder()
+    ids = b.input([batch, int(seq_len)], name="0")
+    x = b.embedding(ids, cfg.vocab_size, e)
+    attr(b, x, "weight", sd["transformer.word_embeddings.weight"])
+    x = ln(b, x, "transformer.word_embeddings_layernorm")
+
+    for i in range(cfg.n_layer):
+        p = pre.format(i)
+        y = ln(b, x, f"{p}input_layernorm")
+        attn = b.rotary_attention(y, heads, bias=True, o_bias=True,
+                                  alibi=True)
+        aop = b.g.get_operand(attn).producer
+        for key in ("q", "k", "v"):
+            aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
+                sd[f"{p}{key}_proj.weight"])
+            bkey = f"{p}{key}_proj.bias"
+            if bkey in sd:
+                aop.attrs[f"{key}_proj.bias"] = Attribute.from_array(
+                    sd[bkey])
+        aop.attrs["o_proj.weight"] = Attribute.from_array(
+            np.ascontiguousarray(sd[f"{p}self_attention.dense.weight"]))
+        aop.attrs["o_proj.bias"] = Attribute.from_array(
+            sd[f"{p}self_attention.dense.bias"])
+
+        y = ln(b, x := b.add(x, attn), f"{p}post_attention_layernorm")
+        h = b.linear(y, 4 * e, bias=True)
+        attr(b, h, "weight", sd[f"{p}mlp.dense_h_to_4h.weight"])
+        attr(b, h, "bias", sd[f"{p}mlp.dense_h_to_4h.bias"])
+        h = b.gelu(h, approximate="tanh")   # BloomGelu == tanh GELU
+        h = b.linear(h, e, bias=True)
+        attr(b, h, "weight", sd[f"{p}mlp.dense_4h_to_h.weight"])
+        attr(b, h, "bias", sd[f"{p}mlp.dense_4h_to_h.bias"])
+        x = b.add(x, h)
+
+    x = ln(b, x, "transformer.ln_f")
+    logits = b.linear(x, cfg.vocab_size, bias=False)
+    attr(b, logits, "weight",
+         sd.get("lm_head.weight",
+                sd["transformer.word_embeddings.weight"]))
     b.output(logits)
     return b.build(), "0", logits

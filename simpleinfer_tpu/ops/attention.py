@@ -450,6 +450,32 @@ def repeat_kv(x, group):
     return jnp.repeat(x, group, axis=1)
 
 
+def alibi_slopes(num_heads: int) -> np.ndarray:
+    """Train-free ALiBi head slopes (Press et al.), [H] float32: the
+    geometric ladder 2^(-8i/n) for the largest power-of-two n <= H,
+    plus (for non-power-of-two H) every other step of the 2n ladder —
+    the same closed form transformers' build_alibi_tensor uses, so
+    converted BLOOM/MPT checkpoints bias identically.
+
+    The bias added to attention logits is slopes[h] * key_position:
+    per query row that differs from the paper's -slopes[h] * (q - k)
+    by the constant slopes[h] * q, which softmax's row-wise shift
+    invariance cancels exactly — using absolute key positions makes
+    every KV-cache decode path's bias independent of the query
+    position, so cached keys never need re-biasing (the same argument
+    that lets rotated keys be cached under RoPE)."""
+    n = 1 << (num_heads.bit_length() - 1)   # largest power of 2 <= H
+
+    def ladder(n):
+        start = 2.0 ** (-8.0 / n)
+        return [start ** (i + 1) for i in range(n)]
+
+    slopes = ladder(n)
+    if n < num_heads:
+        slopes += ladder(2 * n)[0::2][:num_heads - n]
+    return np.asarray(slopes, np.float32)
+
+
 @register_op("si.RotaryAttention")
 def lower_rotary_attention(op, cfg):
     """Llama-style decoder self-attention as ONE composite op: q/k/v/o
@@ -466,8 +492,10 @@ def lower_rotary_attention(op, cfg):
 
     Params: embed_dim, num_heads, num_kv_heads (default = num_heads),
     rope_theta (default 1e4), bias (default False, qwen2-style q/k/v
-    biases when True). Attrs: {q,k,v,o}_proj.weight ([out, in], llama
-    checkpoint layout) + optional {q,k,v}_proj.bias.
+    biases when True), alibi (default 0: BLOOM/MPT-family positions —
+    RoPE replaced by a per-head slopes[h] * key_position logit bias).
+    Attrs: {q,k,v,o}_proj.weight ([out, in], llama checkpoint layout)
+    + optional {q,k,v,o}_proj.bias.
     Input x [N, L, E] batch-first; output [N, L, E].
     """
     embed_dim = require_param(op, "embed_dim", PARAM_INT).i
@@ -483,6 +511,15 @@ def lower_rotary_attention(op, cfg):
     if sw is not None and sw < 1:
         raise ValueError(f"RotaryAttention {op.name}: sliding_window "
                          f"must be >= 1, got {sw}")
+    # BLOOM/MPT-family ALiBi positions: NO rotary embedding; instead a
+    # per-head linear bias slopes[h] * key_position on the attention
+    # logits (see alibi_slopes for why absolute key position suffices)
+    alibi = bool(op.params["alibi"].i
+                 if op.has_param("alibi", PARAM_INT) else 0)
+    if alibi and sw is not None:
+        raise ValueError(f"RotaryAttention {op.name}: alibi and "
+                         f"sliding_window are mutually exclusive (no "
+                         f"model family combines them)")
     if num_heads % num_kv:
         raise ValueError(f"RotaryAttention {op.name}: num_heads "
                          f"{num_heads} not divisible by num_kv_heads "
@@ -500,14 +537,14 @@ def lower_rotary_attention(op, cfg):
                              f"{embed_dim} not divisible by "
                              f"{num_heads} heads (declare head_dim)")
         d = embed_dim // num_heads
-    if d % 2:
+    if d % 2 and not alibi:
         raise ValueError(f"RotaryAttention {op.name}: head_dim {d} must "
                          f"be even for RoPE")
     # partial rotary (phi/GPT-NeoX/stablelm: HF partial_rotary_factor /
     # rotary_pct): only the first rotary_dim of each head rotates
     rot_dim = (op.params["rotary_dim"].i
                if op.has_param("rotary_dim", PARAM_INT) else d)
-    if rot_dim % 2 or not (2 <= rot_dim <= d):
+    if not alibi and (rot_dim % 2 or not (2 <= rot_dim <= d)):
         raise ValueError(f"RotaryAttention {op.name}: rotary_dim "
                          f"{rot_dim} must be even and in [2, {d}]")
     group = num_heads // num_kv
@@ -579,10 +616,12 @@ def lower_rotary_attention(op, cfg):
         qh, kh, vh = proj("q", num_heads), proj("k", num_kv), proj(
             "v", num_kv)
         qh, kh = apply_qk_norm(qh, kh, weights, qk_eps)
-        cos, sin = rope_cos_sin(jnp.arange(l), rot_dim, theta)  # [L, R]
-        qh = apply_rope(qh, cos[None, None], sin[None, None])
-        kh = apply_rope(kh, cos[None, None], sin[None, None])
-        if softcap is None:
+        if not alibi:
+            cos, sin = rope_cos_sin(jnp.arange(l), rot_dim,
+                                    theta)              # [L, R]
+            qh = apply_rope(qh, cos[None, None], sin[None, None])
+            kh = apply_rope(kh, cos[None, None], sin[None, None])
+        if softcap is None and not alibi:
             # flash kernels past the measured crossovers: the BANDED
             # grid for sliding-window ops (flash_band_profitable —
             # 1.17x at L=1536/sw256, 201x at 8192; the XLA path
@@ -621,6 +660,12 @@ def lower_rotary_attention(op, cfg):
             s = jnp.tanh(s / softcap) * softcap
         qi = lax.broadcasted_iota(jnp.int32, s.shape, 2)
         ki = lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        if alibi:       # per-head linear key-position bias (no flash
+            # hook for it — ALiBi ops stay on the XLA path, where the
+            # bias fuses into the scores elementwise chain)
+            s = s + (jnp.asarray(alibi_slopes(num_heads))[None, :,
+                                                          None, None]
+                     * ki.astype(jnp.float32))
         keep = ki <= qi
         if sw is not None:
             keep &= ki > qi - sw      # banded: last sw positions only
@@ -649,8 +694,8 @@ def lower_rotary_attention(op, cfg):
         fp32_keys=("wqn", "wkn"),
         decode_info={"embed_dim": embed_dim, "num_heads": num_heads,
                      "num_kv_heads": num_kv, "head_dim": d,
-                     "rope_theta": theta, "rotary": True,
-                     "rotary_dim": rot_dim,
+                     "rope_theta": theta, "rotary": not alibi,
+                     "alibi": alibi, "rotary_dim": rot_dim,
                      "batch_first": True, "sliding_window": sw,
                      "qk_norm_eps": qk_eps,
                      "attn_scale": attn_scale,

@@ -9,6 +9,7 @@ to real .pnnx.param/.bin files when on-disk fixtures are wanted.
 """
 from .builders import (
     build_bert,
+    build_bloom,
     build_gpt,
     build_llama,
     build_neox,
@@ -26,6 +27,6 @@ from .builders import (
 )
 from .generate import greedy_generate
 
-__all__ = ["build_bert", "build_gpt", "build_llama", "build_neox", "greedy_generate", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
+__all__ = ["build_bert", "build_bloom", "build_gpt", "build_llama", "build_neox", "greedy_generate", "build_convnext", "build_densenet", "build_mobilenet_like", "build_mobilenet_v3_like",
            "build_resnet18", "build_resnet50", "build_squeezenet", "build_unet", "build_vit",
            "build_yolov5", "build_yolov8"]

@@ -155,8 +155,12 @@ class GraphBuilder:
     def hardsigmoid(self, x: str) -> str:
         return self._act("nn.Hardsigmoid", x)
 
-    def gelu(self, x: str) -> str:
-        return self._act("nn.GELU", x)
+    def gelu(self, x: str, approximate: str | None = None) -> str:
+        out = self._act("nn.GELU", x)
+        if approximate is not None:     # pnnx/torch "tanh" variant
+            self.g.get_operand(out).producer.params["approximate"] = \
+                Parameter.from_value(approximate)
+        return out
 
     def permute(self, x: str, dims: list) -> str:
         (out,) = self._op("torch.permute", self._name("perm"), [x],
@@ -377,7 +381,9 @@ class GraphBuilder:
                          qk_norm_eps: float = 1e-6,
                          attn_scale: float | None = None,
                          logit_softcap: float | None = None,
-                         rotary_dim: int | None = None) -> str:
+                         rotary_dim: int | None = None,
+                         alibi: bool = False,
+                         o_bias: bool = False) -> str:
         """Llama-style causal self-attention (si.RotaryAttention
         composite, ops/attention.py): RoPE + GQA, intrinsic causal
         mask, llama checkpoint weight layout. sliding_window=W bands
@@ -401,6 +407,10 @@ class GraphBuilder:
                 attrs[f"{k}_proj.bias"] = (
                     self.rng.standard_normal(heads * d)
                     .astype(np.float32) * 0.02)
+        if o_bias:      # BLOOM/neox dense bias (separate flag: the
+            # frozen goldens of bias=True families predate it)
+            attrs["o_proj.bias"] = (self.rng.standard_normal(e)
+                                    .astype(np.float32) * 0.02)
         if qk_norm:
             attrs["q_norm.weight"] = 1.0 + (
                 self.rng.standard_normal(d).astype(np.float32) * 0.1)
@@ -420,6 +430,8 @@ class GraphBuilder:
             params["sliding_window"] = int(sliding_window)
         if rotary_dim is not None:       # phi/neox partial rotary
             params["rotary_dim"] = int(rotary_dim)
+        if alibi:                        # BLOOM/MPT linear positions
+            params["alibi"] = 1
         (out,) = self._op("si.RotaryAttention", name, [x], params=params,
                           attrs=attrs)
         self.shape[out] = list(self.shape[x])
@@ -692,6 +704,54 @@ def build_neox(variant: str = "nano", batch: int = 1, seq_len: int = 64,
         x = b.add(b.add(x, attn), mlp)
     x = b.layer_norm(x)
     logits = b.linear(x, vocab_size, bias=head_bias)
+    b.output(logits)
+    return b.build(), "0", logits
+
+
+BLOOM_PRESETS = {
+    # (depth, width, heads)
+    "nano": (2, 64, 4),
+    "micro": (4, 128, 8),
+    "small": (6, 256, 8),
+}
+
+
+def build_bloom(variant: str = "nano", batch: int = 1, seq_len: int = 64,
+                vocab_size: int = 128, depth: int | None = None,
+                width: int | None = None, num_heads: int | None = None,
+                seed: int = 0) -> tuple:
+    """BLOOM-style causal LM — the ALiBi lineage: NO position
+    embeddings of any kind; attention logits carry a per-head linear
+    key-position bias instead (si.RotaryAttention alibi=1,
+    ops/attention.alibi_slopes). Block wiring per HF BloomModel:
+    embedding -> embedding LayerNorm -> sequential pre-LN blocks
+    (biased fused-qkv attention with dense bias, tanh-GELU 4x MLP) ->
+    final LayerNorm -> tied-style vocab head. Superset family: the CPU
+    reference has no autoregressive workload at all; drivable by
+    greedy_generate / CachedDecoder / GenerationService unchanged
+    (alibi flows through decode_info to the non-rotary decode paths).
+    """
+    if variant not in BLOOM_PRESETS:
+        raise ValueError(f"variant must be one of {list(BLOOM_PRESETS)}")
+    d0, w0, h0 = BLOOM_PRESETS[variant]
+    depth = d0 if depth is None else depth
+    w = w0 if width is None else width
+    heads = h0 if num_heads is None else num_heads
+
+    b = GraphBuilder(seed)
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, vocab_size, w)
+    x = b.layer_norm(x)          # word_embeddings_layernorm
+    for _ in range(depth):
+        y = b.layer_norm(x)
+        attn = b.rotary_attention(y, heads, bias=True, o_bias=True,
+                                  alibi=True)
+        x = b.add(x, attn)
+        y = b.layer_norm(x)
+        h = b.gelu(b.linear(y, 4 * w), approximate="tanh")
+        x = b.add(x, b.linear(h, w))
+    x = b.layer_norm(x)
+    logits = b.linear(x, vocab_size, bias=False)
     b.output(logits)
     return b.build(), "0", logits
 

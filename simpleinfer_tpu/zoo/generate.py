@@ -36,7 +36,7 @@ def _kv_quantize(x):
 
 
 def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
-                scale=None, softcap=None, mesh=None):
+                scale=None, softcap=None, mesh=None, alibi=None):
     """Aligned-causal attention context [N, H, L, D] for prefill.
 
     XLA's fused sdpa by default; the Pallas flash kernel when the
@@ -63,7 +63,8 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
     # path — the flash kernels' online softmax has no tanh hook; a
     # live mesh does too (pallas_call can't be GSPMD-partitioned,
     # same gate as CachedDecoder.kernel_ok)
-    if sliding_window is not None and softcap is None and mesh is None:
+    if (sliding_window is not None and softcap is None and mesh is None
+            and alibi is None):
         from ..kernels.attention import (flash_attention,
                                          flash_band_profitable)
         from ..kernels.matmul import pallas_supported
@@ -81,7 +82,8 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
     # 256x256 re-sweep moved it to 2048 (1.16x there, 2.44x at 3072 —
     # XLA's fused sdpa spills its scores tensor); use_pallas no longer
     # required. flash_profitable keeps short prefills on XLA.
-    if sliding_window is None and softcap is None and mesh is None:
+    if (sliding_window is None and softcap is None and mesh is None
+            and alibi is None):
         from ..kernels.attention import flash_attention, flash_profitable
         from ..kernels.matmul import pallas_supported
 
@@ -95,6 +97,11 @@ def _causal_ctx(qh, kh, vh, d, use_pallas: bool, sliding_window=None,
         s = jnp.tanh(s / softcap) * softcap
     qi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     ki = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    if alibi is not None:   # BLOOM/MPT slopes[h] * key_position bias
+        # (ops/attention.alibi_slopes: shift-invariance makes absolute
+        # key positions exact)
+        s = s + (jnp.asarray(alibi)[None, :, None, None]
+                 * ki.astype(jnp.float32))
     keep = ki <= qi
     if sliding_window is not None:
         keep &= ki > qi - sliding_window
@@ -678,22 +685,32 @@ class CachedDecoder:
 
         heads = info["num_heads"]
         e = info["embed_dim"]
-        d = e // heads
+        kvh = info.get("num_kv_heads", heads) or heads
+        d = info.get("head_dim") or e // heads
+        group = heads // kvh
         dt = q.dtype
         n = q.shape[0]
 
-        qh, kh, vh = self._proj_qkv(w, q, heads, heads, d, dt)
+        qh, kh, vh = self._proj_qkv(w, q, heads, kvh, d, dt)
         new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh, pos)
         k_leaf = self._kv_slice(k_leaf, kv_prefix)
         v_leaf = self._kv_slice(v_leaf, kv_prefix)
-        s = self._attn_scores(qh, k_leaf, 1, dt)
-        s = s * (1.0 / (d ** 0.5))
+        s = self._attn_scores(qh, k_leaf, group, dt)
+        s = s * (info.get("attn_scale") or 1.0 / (d ** 0.5))
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        if info.get("alibi"):   # cache slot index IS the absolute key
+            # position on this (non-ring) path; masked slots are
+            # overwritten by the -inf fill regardless of bias
+            from ..ops.attention import alibi_slopes
+
+            s = s + (jnp.asarray(alibi_slopes(heads))[None, :, None,
+                                                      None]
+                     * idx.astype(jnp.float32))
         s = jnp.where(idx <= pos[:, None, None, None], s,
                       jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
-        ctx = self._attn_ctx(p, v_leaf, 1, dt)
-        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, e)
+        ctx = self._attn_ctx(p, v_leaf, group, dt)
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, 1, heads * d)
         out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), new_cache
 
@@ -809,11 +826,23 @@ class CachedDecoder:
         neg = jnp.finfo(jnp.float32).min
         sw = info.get("sliding_window")
         ring = self._op_ring(info)
+        slopes = None
+        if info.get("alibi"):
+            from ..ops.attention import alibi_slopes
+
+            slopes = jnp.asarray(alibi_slopes(heads))[None, :, None,
+                                                      None]
+            pallas_attn = False  # the flash-decoding kernel has no
+            # bias hook (kernel_ok already excludes alibi ops; this
+            # guards direct attn_impl="pallas" forcing)
         s_new = jnp.einsum("nhqd,nhkd->nhqk", qh,
                            repeat_kv(k_scr.astype(dt), group),
                            preferred_element_type=jnp.float32) * scale
         s_new = cap(s_new)
         sidx = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 3)
+        if slopes is not None:  # scratch slot j sits at pos0 + j
+            s_new = s_new + slopes * (pos0[:, None, None, None]
+                                      + sidx).astype(jnp.float32)
         keep_new = sidx <= step_i
         if sw is not None:
             # scratch key j sits at pos0 + j, the query at pos0 + step_i
@@ -857,6 +886,9 @@ class CachedDecoder:
             s_old = cap(self._attn_scores(qh, k_leaf, group, dt)
                         * scale)
             idx = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 3)
+            if slopes is not None:  # frozen slot index = absolute key
+                # position (alibi excludes sliding, so ring is None)
+                s_old = s_old + slopes * idx.astype(jnp.float32)
             if ring is not None:
                 # frozen ring slot s holds the latest position < pos0
                 # mapping to s: (pos0-1) - ((pos0-1-s) % R); band it
@@ -1006,22 +1038,35 @@ class CachedDecoder:
 
         heads = info["num_heads"]
         e = info["embed_dim"]
-        d = e // heads
+        kvh = info.get("num_kv_heads", heads) or heads
+        d = info.get("head_dim") or e // heads
+        group = heads // kvh
         dt = x.dtype
         n, l = x.shape[0], x.shape[1]
 
-        def proj(wkey, bkey):
+        def proj(wkey, bkey, h):
             y = proj_nlo(x, w[wkey], dt)
             if bkey in w:
                 y = y + w[bkey]
-            # [N,L,E] -> [N,H,L,D]
+            # [N,L,H*D] -> [N,H,L,D]
             return jnp.transpose(
-                y.astype(dt).reshape(n, l, heads, d), (0, 2, 1, 3))
+                y.astype(dt).reshape(n, l, h, d), (0, 2, 1, 3))
 
-        qh, kh, vh = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
-        ctx = _causal_ctx(qh, kh, vh, d, self._use_pallas,
-                          mesh=self._mesh)
-        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, e)
+        qh = proj("wq", "bq", heads)
+        kh = proj("wk", "bk", kvh)
+        vh = proj("wv", "bv", kvh)
+        slopes = None
+        if info.get("alibi"):
+            from ..ops.attention import alibi_slopes
+
+            slopes = alibi_slopes(heads)
+        from ..ops.attention import repeat_kv
+
+        ctx = _causal_ctx(qh, repeat_kv(kh, group),
+                          repeat_kv(vh, group), d, self._use_pallas,
+                          scale=info.get("attn_scale"),
+                          mesh=self._mesh, alibi=slopes)
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(n, l, heads * d)
         out = self._proj_out(w, ctx, dt, heads)
         return out.astype(dt), (kh, vh)
 
@@ -1423,6 +1468,13 @@ class CachedDecoder:
         if softcap is not None:          # gemma2 tanh logit capping
             s = jnp.tanh(s / softcap) * softcap
         l_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        if info.get("alibi"):   # window position IS the absolute key
+            # position (alibi excludes sliding, so ring is None here)
+            from ..ops.attention import alibi_slopes
+
+            s = s + (jnp.asarray(alibi_slopes(heads))[None, :, None,
+                                                      None]
+                     * l_idx.astype(jnp.float32))
         sw = info.get("sliding_window")
         if ring is not None:
             # after the chunk append, ring slot s holds the latest
@@ -1575,12 +1627,14 @@ class CachedDecoder:
     def kernel_ok(self) -> bool:
         """True when the per-row flash-decoding kernel path is usable
         on this decoder (scratch mode, single device, no sliding
-        windows, no logit softcapping — the kernel's online softmax
-        has no tanh hook) — the serving loop's auto attention policy
-        checks this before dispatching a kernel block."""
+        windows, no logit softcapping, no ALiBi — the kernel's online
+        softmax has no tanh or position-bias hook) — the serving
+        loop's auto attention policy checks this before dispatching a
+        kernel block."""
         return (self._scratch_blocks and self._mesh is None
                 and not any((info or {}).get("sliding_window")
                             or (info or {}).get("logit_softcap")
+                            or (info or {}).get("alibi")
                             for _, info in self._mha_ops))
 
     def decode_block(self, tokens, pos, caches, key, step0, temperature,

@@ -1,0 +1,225 @@
+"""BLOOM/ALiBi-family tests: the alibi=1 switch on si.RotaryAttention,
+build_bloom, the non-rotary KV-cache decode paths, and the HF converter.
+
+Oracle discipline (SURVEY.md §4.1): the closed-form slopes are checked
+against transformers' own build_alibi_tensor (the independent oracle);
+decode paths are checked token-for-token against the full-window
+re-forward; the converter is checked against the transformers forward.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from simpleinfer_tpu import Engine
+from simpleinfer_tpu.ops.attention import alibi_slopes
+from simpleinfer_tpu.zoo import build_bloom, greedy_generate
+from simpleinfer_tpu.zoo.generate import CachedDecoder
+
+
+@pytest.mark.parametrize("heads", [1, 2, 4, 6, 8, 12, 16])
+def test_alibi_slopes_match_transformers(heads):
+    """Closed-form ladder == transformers build_alibi_tensor (the HF
+    implementation BLOOM checkpoints were trained with), including the
+    non-power-of-two interpolated heads (6, 12)."""
+    import torch
+    from transformers.models.bloom.modeling_bloom import (
+        build_alibi_tensor)
+
+    mask = torch.ones(1, 5)
+    # HF returns slopes * cumulative key index: [N*H, 1, L]
+    hf = build_alibi_tensor(mask, heads, torch.float32)
+    hf_slopes = hf[:, 0, 1].reshape(heads).numpy()   # bias at k=1
+    np.testing.assert_allclose(alibi_slopes(heads), hf_slopes,
+                               rtol=1e-6)
+
+
+def test_alibi_bias_changes_scores():
+    """alibi=1 must actually bias the logits: same weights with and
+    without the flag disagree beyond noise (the bias is position-
+    dependent, so later positions diverge most)."""
+    g1, in_name, out1 = build_bloom("nano", seq_len=12, vocab_size=32,
+                                    seed=5)
+    e1 = Engine().load_model(None, graph=g1)
+    # strip the alibi param from every attention op -> plain no-rope
+    # attention with identical weights
+    g2, _, out2 = build_bloom("nano", seq_len=12, vocab_size=32, seed=5)
+    for op in g2.ops:
+        if op.type == "si.RotaryAttention":
+            del op.params["alibi"]
+    e2 = Engine().load_model(None, graph=g2)
+    ids = np.arange(12, dtype=np.float32)[None, :] % 32
+    a = np.asarray(e1.run({in_name: ids})[out1])
+    b = np.asarray(e2.run({in_name: ids})[out2])
+    assert np.abs(a - b)[0, -1].max() > 1e-3
+
+
+def test_bloom_alibi_rejects_sliding_window():
+    from simpleinfer_tpu.ir.graph import Parameter
+
+    g, in_name, _ = build_bloom("nano", seq_len=8, vocab_size=32)
+    for op in g.ops:
+        if op.type == "si.RotaryAttention":
+            op.params["sliding_window"] = Parameter.from_value(4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Engine().load_model(None, graph=g)
+
+
+def _bloom_engine(seq_len=24, vocab=48):
+    graph, _, _ = build_bloom("nano", seq_len=seq_len, vocab_size=vocab,
+                              seed=9)
+    return Engine().load_model(None, graph=graph)
+
+
+def test_bloom_decode_matches_full_forward():
+    """Per-step KV-cache decode (the _mha_decode alibi path: cache
+    slot index = absolute key position) streams the same greedy tokens
+    as re-running the full forward each step."""
+    eng = _bloom_engine()
+    prompt = np.array([[5, 1, 8], [2, 9, 3]])
+    want = greedy_generate(eng, prompt, steps=10)
+    got = CachedDecoder(eng).generate(prompt, steps=10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bloom_blocked_and_scratch_decode_match():
+    """Blocked decode and scratch_blocks mode (frozen + scratch score
+    pieces each biased by their own absolute key positions) both
+    reproduce the per-step tokens."""
+    eng = _bloom_engine()
+    prompt = np.array([[5, 1, 8], [2, 9, 3]])
+    ref = CachedDecoder(eng)
+    want = ref.generate(prompt, steps=9, block=1)
+    np.testing.assert_array_equal(
+        ref.generate(prompt, steps=9, block=3), want)
+    scr = CachedDecoder(eng, scratch_blocks=True)
+    np.testing.assert_array_equal(
+        scr.generate(prompt, steps=9, block=3), want)
+
+
+def test_bloom_kernel_ok_false():
+    """The flash-decoding kernel has no position-bias hook: the auto
+    attention policy must never dispatch it on an ALiBi model."""
+    eng = _bloom_engine()
+    dec = CachedDecoder(eng, scratch_blocks=True)
+    assert dec.kernel_ok is False
+
+
+def test_bloom_chunk_verify_matches_stepwise():
+    """decode_chunk_verify (the _attn_chunk alibi path — speculative
+    verification / chunked prefill substrate) matches the stepwise
+    greedy tokens."""
+    eng = _bloom_engine()
+    dec = CachedDecoder(eng)
+    n, p = 2, 4
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, 48, size=(n, p))
+    window = np.zeros((n, dec._window), np.float32)
+    window[:, :p] = prompt
+    key = jax.random.PRNGKey(0)
+    z = np.zeros(n, np.float32)
+    iz = np.zeros(n, np.int32)
+    o = np.ones(n, np.float32)
+    feed = rng.integers(1, 48, size=(n, 4))
+
+    _, caches = dec.prefill_sample(window, np.full(n, p), key, 0, z,
+                                   iz, o)
+    g, _ = dec.decode_chunk_verify(feed, np.full(n, p, np.int32),
+                                   caches)
+    _, c2 = dec.prefill_sample(window, np.full(n, p), key, 0, z, iz, o)
+    want = []
+    for j in range(4):
+        logits, c2 = dec.step(feed[:, j:j + 1],
+                              np.full(n, p + j, np.int32), c2)
+        want.append(np.argmax(np.asarray(logits)[:, 0, :], axis=-1))
+    np.testing.assert_array_equal(np.asarray(g),
+                                  np.stack(want, axis=1))
+
+
+def test_bloom_pnnx_roundtrip(tmp_path):
+    """alibi param + o_proj.bias attr survive .pnnx.param/.bin
+    save/load; the reloaded engine's logits are bit-identical."""
+    from simpleinfer_tpu.ir.graph import Graph
+
+    graph, in_name, out_name = build_bloom("nano", seq_len=8,
+                                           vocab_size=32, seed=7)
+    base = str(tmp_path / "bloom")
+    graph.save(base + ".pnnx.param", base + ".pnnx.bin")
+    g2 = Graph.load(base + ".pnnx.param", base + ".pnnx.bin")
+    ops = [op for op in g2.ops if op.type == "si.RotaryAttention"]
+    assert ops and all(op.params["alibi"].i == 1 for op in ops)
+    assert all(op.has_attr("o_proj.bias") for op in ops)
+    ids = np.arange(8, dtype=np.float32)[None, :] % 32
+    a = Engine().load_model(None, graph=graph)
+    b = Engine().load_model(None, graph=g2)
+    np.testing.assert_array_equal(
+        np.asarray(a.run({in_name: ids})[out_name]),
+        np.asarray(b.run({in_name: ids})[out_name]))
+
+
+# ---- HF converter parity (transformers as the independent oracle) ------
+
+def _hf_bloom():
+    import torch
+    from transformers import BloomConfig, BloomForCausalLM
+
+    torch.manual_seed(19)
+    cfg = BloomConfig(vocab_size=64, hidden_size=48, n_layer=2,
+                      n_head=6, initializer_range=0.2)
+    return BloomForCausalLM(cfg).eval()
+
+
+def test_hf_bloom_logits_parity():
+    """Converted BLOOM (fused-qkv de-interleave, embedding LayerNorm,
+    tanh-GELU, 6 = non-power-of-two alibi heads) matches the
+    transformers forward, fp32 both sides."""
+    import torch
+
+    model = _hf_bloom()
+    from simpleinfer_tpu.frontends.hf_llama import bloom_graph_from_hf
+
+    graph, in_name, out_name = bloom_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[
+        out_name])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_hf_bloom_greedy_decode_token_parity():
+    """KV-cache decode on the converted model streams the same greedy
+    tokens as the HF forward loop (alibi through the decode_info
+    path; init range 0.2 makes the stream position-varying rather
+    than a fixed point)."""
+    import torch
+
+    model = _hf_bloom()
+    from simpleinfer_tpu.frontends.hf_llama import bloom_graph_from_hf
+
+    graph, in_name, out_name = bloom_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = [3, 7, 11]
+    ids = list(prompt)
+    for _ in range(8):
+        with torch.no_grad():
+            logits = model(torch.tensor([ids])).logits.numpy()
+        ids.append(int(logits[0, -1].argmax()))
+    assert len(set(ids[3:])) > 1      # guard: stream actually varies
+    got = CachedDecoder(eng).generate(np.asarray([prompt]), steps=8,
+                                      block=4)
+    np.testing.assert_array_equal(got[0], np.asarray(ids))
+
+
+def test_hf_bloom_rejects_other_families():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from simpleinfer_tpu.frontends.hf_llama import bloom_graph_from_hf
+
+    cfg = LlamaConfig(vocab_size=32, hidden_size=16,
+                      intermediate_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, num_key_value_heads=2)
+    with pytest.raises(ValueError, match="bloom"):
+        bloom_graph_from_hf(LlamaForCausalLM(cfg).eval())
