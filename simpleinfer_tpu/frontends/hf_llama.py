@@ -532,3 +532,170 @@ def bloom_graph_from_hf(model, batch: int = 1,
                 sd["transformer.word_embeddings.weight"]))
     b.output(logits)
     return b.build(), "0", logits
+
+
+def falcon_graph_from_hf(model, batch: int = 1,
+                         seq_len: int | None = None) -> tuple:
+    """Convert a transformers FalconForCausalLM — all three block
+    wirings the family shipped:
+
+      new_decoder_architecture (40B/180B class):
+          x + attn(ln_attn(x)) + mlp(ln_mlp(x)), GQA (num_kv_heads)
+      old + parallel_attn (7B class):
+          x + attn(ln(x)) + mlp(ln(x)), MQA (multi_query -> 1 kv head)
+      old + parallel_attn=False (falcon-rw class):
+          sequential pre-LN blocks, optionally ALiBi positions
+
+    FalconAttention's fused query_key_value layout differs per arch
+    (its _split_heads): grouped [kv, group q.. k v, d] rows for the
+    new arch, contiguous [all-q, k, v] for multi_query, per-head
+    [q, k, v] interleave otherwise — each de-fused here. cfg.alibi
+    maps to si.RotaryAttention alibi=1 (rotary off), cfg.bias to the
+    q/k/v/o biases. Returns (graph, input_name, output_name).
+    """
+    cfg = model.config
+    mt = getattr(cfg, "model_type", None)
+    if mt != "falcon":
+        raise ValueError(f"unsupported model_type {mt!r}; expected "
+                         f"'falcon'")
+    heads = cfg.num_attention_heads
+    e = cfg.hidden_size
+    if e % heads:
+        raise ValueError(f"hidden {e} not divisible by heads {heads}")
+    d = e // heads
+    new_arch = bool(cfg.new_decoder_architecture)
+    if new_arch:
+        kv = int(getattr(cfg, "num_kv_heads", None) or heads)
+    else:
+        kv = 1 if cfg.multi_query else heads
+    alibi = bool(cfg.alibi)
+    parallel = bool(cfg.parallel_attn) or new_arch
+    if alibi and parallel:
+        raise ValueError("falcon alibi + parallel_attn not shipped by "
+                         "any checkpoint; unsupported")
+    theta = float(getattr(cfg, "rope_theta", None) or 10000.0)
+    eps = float(getattr(cfg, "layer_norm_epsilon", 1e-5))
+    seq_len = int(seq_len or 64)
+
+    sd = {k: v.detach().cpu().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    pre = "transformer.h.{}."
+    for i in range(cfg.num_hidden_layers):      # de-fuse qkv
+        p = pre.format(i)
+        w = sd.pop(f"{p}self_attention.query_key_value.weight")
+        bq = sd.pop(f"{p}self_attention.query_key_value.bias", None)
+        if new_arch:        # [kv, group+2, d, e]: q block then k, v
+            g = heads // kv
+            w = w.reshape(kv, g + 2, d, e)
+            qw = w[:, :g].reshape(heads * d, e)
+            kw, vw = w[:, g].reshape(kv * d, e), w[:, g + 1].reshape(
+                kv * d, e)
+            if bq is not None:
+                bq = bq.reshape(kv, g + 2, d)
+                bs = (bq[:, :g].reshape(-1), bq[:, g].reshape(-1),
+                      bq[:, g + 1].reshape(-1))
+        elif cfg.multi_query:   # contiguous [heads*d | d | d]
+            qw, kw, vw = (w[:heads * d], w[heads * d:heads * d + d],
+                          w[heads * d + d:])
+            if bq is not None:
+                bs = (bq[:heads * d], bq[heads * d:heads * d + d],
+                      bq[heads * d + d:])
+        else:                   # per-head [q, k, v] interleave
+            w = w.reshape(heads, 3, d, e)
+            qw, kw, vw = (w[:, 0].reshape(heads * d, e),
+                          w[:, 1].reshape(heads * d, e),
+                          w[:, 2].reshape(heads * d, e))
+            if bq is not None:
+                bq = bq.reshape(heads, 3, d)
+                bs = (bq[:, 0].reshape(-1), bq[:, 1].reshape(-1),
+                      bq[:, 2].reshape(-1))
+        for name, arr in (("q", qw), ("k", kw), ("v", vw)):
+            sd[f"{p}{name}_proj.weight"] = np.ascontiguousarray(arr)
+        if bq is not None:
+            for name, arr in zip(("q", "k", "v"), bs):
+                sd[f"{p}{name}_proj.bias"] = np.ascontiguousarray(arr)
+
+    def attr(b, op_out, key, array):
+        op = b.g.get_operand(op_out).producer
+        op.attrs[key] = Attribute.from_array(np.ascontiguousarray(array))
+
+    def ln(b, x, wkey):
+        y = b.layer_norm(x)
+        op = b.g.get_operand(y).producer
+        op.attrs["weight"] = Attribute.from_array(sd[wkey + ".weight"])
+        op.attrs["bias"] = Attribute.from_array(sd[wkey + ".bias"])
+        op.params["eps"] = Parameter.from_value(eps)
+        return y
+
+    b = GraphBuilder()
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, cfg.vocab_size, e)
+    attr(b, x, "weight", sd["transformer.word_embeddings.weight"])
+
+    has_bias = any(f"{pre.format(0)}{k}_proj.bias" in sd
+                   for k in ("q", "k", "v"))
+    for i in range(cfg.num_hidden_layers):
+        p = pre.format(i)
+
+        def fill_attn(src):
+            a = b.rotary_attention(
+                src, heads, num_kv_heads=kv, rope_theta=theta,
+                bias=has_bias,
+                o_bias=f"{p}self_attention.dense.bias" in sd,
+                alibi=alibi,
+                # falcon-rw semantics: (scores + alibi) scaled
+                # together, so the bias carries 1/sqrt(d) (original RW
+                # code and transformers' sdpa path; HF's eager falcon
+                # path double-adds alibi — a known-divergent path we
+                # deliberately don't match)
+                alibi_scale=(d ** -0.5 if alibi else None))
+            aop = b.g.get_operand(a).producer
+            for key in ("q", "k", "v"):
+                aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
+                    sd[f"{p}{key}_proj.weight"])
+                bkey = f"{p}{key}_proj.bias"
+                if bkey in sd:
+                    aop.attrs[f"{key}_proj.bias"] = \
+                        Attribute.from_array(sd[bkey])
+            aop.attrs["o_proj.weight"] = Attribute.from_array(
+                np.ascontiguousarray(
+                    sd[f"{p}self_attention.dense.weight"]))
+            if f"{p}self_attention.dense.bias" in sd:
+                aop.attrs["o_proj.bias"] = Attribute.from_array(
+                    sd[f"{p}self_attention.dense.bias"])
+            return a
+
+        def mlp_from(src):
+            h = b.linear(src, sd[f"{p}mlp.dense_h_to_4h.weight"]
+                         .shape[0],
+                         bias=f"{p}mlp.dense_h_to_4h.bias" in sd)
+            attr(b, h, "weight", sd[f"{p}mlp.dense_h_to_4h.weight"])
+            if f"{p}mlp.dense_h_to_4h.bias" in sd:
+                attr(b, h, "bias", sd[f"{p}mlp.dense_h_to_4h.bias"])
+            h = b.gelu(h)       # falcon hidden act: exact gelu
+            h = b.linear(h, e,
+                         bias=f"{p}mlp.dense_4h_to_h.bias" in sd)
+            attr(b, h, "weight", sd[f"{p}mlp.dense_4h_to_h.weight"])
+            if f"{p}mlp.dense_4h_to_h.bias" in sd:
+                attr(b, h, "bias", sd[f"{p}mlp.dense_4h_to_h.bias"])
+            return h
+
+        if parallel:
+            if new_arch and f"{p}ln_attn.weight" in sd:
+                ln1 = ln(b, x, f"{p}ln_attn")
+                ln2 = ln(b, x, f"{p}ln_mlp")
+            else:               # 7B class: one shared ln
+                ln1 = ln2 = ln(b, x, f"{p}input_layernorm")
+            x = b.add(b.add(x, fill_attn(ln1)), mlp_from(ln2))
+        else:                   # falcon-rw sequential wiring
+            x = b.add(x, fill_attn(ln(b, x, f"{p}input_layernorm")))
+            x = b.add(x, mlp_from(
+                ln(b, x, f"{p}post_attention_layernorm")))
+
+    x = ln(b, x, "transformer.ln_f")
+    logits = b.linear(x, cfg.vocab_size, bias=False)
+    attr(b, logits, "weight",
+         sd.get("lm_head.weight",
+                sd["transformer.word_embeddings.weight"]))
+    b.output(logits)
+    return b.build(), "0", logits

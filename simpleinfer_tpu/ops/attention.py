@@ -520,6 +520,15 @@ def lower_rotary_attention(op, cfg):
         raise ValueError(f"RotaryAttention {op.name}: alibi and "
                          f"sliding_window are mutually exclusive (no "
                          f"model family combines them)")
+    # bias convention knob: BLOOM adds the slopes bias AFTER the
+    # 1/sqrt(d) score scaling (alibi_scale=1, default); falcon-rw
+    # scales (scores + alibi) TOGETHER, i.e. the bias carries an
+    # extra 1/sqrt(d) (original RW training code; transformers folds
+    # alibi/sqrt(d) into the causal mask — note its eager falcon path
+    # then adds alibi AGAIN, a double-count its own sdpa path doesn't
+    # have; we match the scaled-once semantics = sdpa)
+    alibi_scale = (op.params["alibi_scale"].f
+                   if op.has_param("alibi_scale", PARAM_FLOAT) else 1.0)
     if num_heads % num_kv:
         raise ValueError(f"RotaryAttention {op.name}: num_heads "
                          f"{num_heads} not divisible by num_kv_heads "
@@ -663,8 +672,8 @@ def lower_rotary_attention(op, cfg):
         if alibi:       # per-head linear key-position bias (no flash
             # hook for it — ALiBi ops stay on the XLA path, where the
             # bias fuses into the scores elementwise chain)
-            s = s + (jnp.asarray(alibi_slopes(num_heads))[None, :,
-                                                          None, None]
+            s = s + (jnp.asarray(alibi_slopes(num_heads)
+                                 * alibi_scale)[None, :, None, None]
                      * ki.astype(jnp.float32))
         keep = ki <= qi
         if sw is not None:
@@ -695,7 +704,8 @@ def lower_rotary_attention(op, cfg):
         decode_info={"embed_dim": embed_dim, "num_heads": num_heads,
                      "num_kv_heads": num_kv, "head_dim": d,
                      "rope_theta": theta, "rotary": not alibi,
-                     "alibi": alibi, "rotary_dim": rot_dim,
+                     "alibi": alibi, "alibi_scale": alibi_scale,
+                     "rotary_dim": rot_dim,
                      "batch_first": True, "sliding_window": sw,
                      "qk_norm_eps": qk_eps,
                      "attn_scale": attn_scale,

@@ -383,6 +383,7 @@ class GraphBuilder:
                          logit_softcap: float | None = None,
                          rotary_dim: int | None = None,
                          alibi: bool = False,
+                         alibi_scale: float | None = None,
                          o_bias: bool = False) -> str:
         """Llama-style causal self-attention (si.RotaryAttention
         composite, ops/attention.py): RoPE + GQA, intrinsic causal
@@ -432,6 +433,9 @@ class GraphBuilder:
             params["rotary_dim"] = int(rotary_dim)
         if alibi:                        # BLOOM/MPT linear positions
             params["alibi"] = 1
+            if alibi_scale is not None:  # falcon-rw: bias shares the
+                # 1/sqrt(d) score scaling (ops/attention.py note)
+                params["alibi_scale"] = float(alibi_scale)
         (out,) = self._op("si.RotaryAttention", name, [x], params=params,
                           attrs=attrs)
         self.shape[out] = list(self.shape[x])

@@ -703,9 +703,9 @@ class CachedDecoder:
             # overwritten by the -inf fill regardless of bias
             from ..ops.attention import alibi_slopes
 
-            s = s + (jnp.asarray(alibi_slopes(heads))[None, :, None,
-                                                      None]
-                     * idx.astype(jnp.float32))
+            s = s + (jnp.asarray(alibi_slopes(heads)
+                                 * info.get("alibi_scale", 1.0))[
+                None, :, None, None] * idx.astype(jnp.float32))
         s = jnp.where(idx <= pos[:, None, None, None], s,
                       jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(s, axis=-1).astype(dt)
@@ -830,8 +830,9 @@ class CachedDecoder:
         if info.get("alibi"):
             from ..ops.attention import alibi_slopes
 
-            slopes = jnp.asarray(alibi_slopes(heads))[None, :, None,
-                                                      None]
+            slopes = jnp.asarray(
+                alibi_slopes(heads)
+                * info.get("alibi_scale", 1.0))[None, :, None, None]
             pallas_attn = False  # the flash-decoding kernel has no
             # bias hook (kernel_ok already excludes alibi ops; this
             # guards direct attn_impl="pallas" forcing)
@@ -1059,7 +1060,8 @@ class CachedDecoder:
         if info.get("alibi"):
             from ..ops.attention import alibi_slopes
 
-            slopes = alibi_slopes(heads)
+            slopes = alibi_slopes(heads) * info.get(
+                "alibi_scale", 1.0)
         from ..ops.attention import repeat_kv
 
         ctx = _causal_ctx(qh, repeat_kv(kh, group),
@@ -1472,9 +1474,9 @@ class CachedDecoder:
             # position (alibi excludes sliding, so ring is None here)
             from ..ops.attention import alibi_slopes
 
-            s = s + (jnp.asarray(alibi_slopes(heads))[None, :, None,
-                                                      None]
-                     * l_idx.astype(jnp.float32))
+            s = s + (jnp.asarray(alibi_slopes(heads)
+                                 * info.get("alibi_scale", 1.0))[
+                None, :, None, None] * l_idx.astype(jnp.float32))
         sw = info.get("sliding_window")
         if ring is not None:
             # after the chunk append, ring slot s holds the latest

@@ -223,3 +223,89 @@ def test_hf_bloom_rejects_other_families():
                       num_attention_heads=2, num_key_value_heads=2)
     with pytest.raises(ValueError, match="bloom"):
         bloom_graph_from_hf(LlamaForCausalLM(cfg).eval())
+
+
+# ---- Falcon (all three block wirings) ----------------------------------
+
+def _hf_falcon(**kw):
+    import torch
+    from transformers import FalconConfig, FalconForCausalLM
+
+    torch.manual_seed(31)
+    cfg = FalconConfig(vocab_size=64, hidden_size=32,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       initializer_range=0.2, **kw)
+    return FalconForCausalLM(cfg).eval()
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("7b-mqa-parallel", {}),        # multi_query + shared-ln parallel
+    ("40b-gqa-newarch", dict(new_decoder_architecture=True,
+                             num_kv_heads=2)),
+    ("rw-alibi-sequential", dict(alibi=True, parallel_attn=False,
+                                 multi_query=False, bias=True)),
+])
+def test_hf_falcon_logits_and_decode_parity(name, kw):
+    """Falcon's three shipped wirings: MQA + single-ln parallel
+    residual (7B class), GQA + two-ln parallel (40B new arch, grouped
+    fused-qkv de-interleave), and the sequential ALiBi falcon-rw class
+    (alibi_scale=1/sqrt(d): the bias shares the score scaling —
+    transformers' sdpa/mask-integration semantics; its eager falcon
+    path double-adds alibi and is deliberately not matched). Logits +
+    greedy-decode parity vs the transformers forward."""
+    import torch
+
+    from simpleinfer_tpu.frontends.hf_llama import falcon_graph_from_hf
+
+    model = _hf_falcon(**kw)
+    graph, in_name, out_name = falcon_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[
+        out_name])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    prompt = [3, 7, 11]
+    ref = list(prompt)
+    for _ in range(6):
+        with torch.no_grad():
+            lg = model(torch.tensor([ref])).logits.numpy()
+        ref.append(int(lg[0, -1].argmax()))
+    dec = CachedDecoder(eng).generate(np.asarray([prompt]), steps=6,
+                                      block=3)
+    np.testing.assert_array_equal(dec[0], np.asarray(ref))
+
+
+def test_alibi_scale_param_roundtrip_and_effect():
+    """alibi_scale flows through pnnx save/load and decode_info; a
+    scale != 1 changes logits (the knob is live)."""
+    from simpleinfer_tpu.ir.graph import Graph, Parameter
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    def make(scale):
+        b = GraphBuilder(3)
+        ids = b.input([1, 8], name="0")
+        x = b.embedding(ids, 32, 64)
+        a = b.rotary_attention(x, 4, alibi=True, alibi_scale=scale)
+        b.output(a)
+        return b.build()
+
+    g = make(0.25)
+    op = next(o for o in g.ops if o.type == "si.RotaryAttention")
+    assert op.params["alibi_scale"].f == 0.25
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        g.save(td + "/m.pnnx.param", td + "/m.pnnx.bin")
+        g2 = Graph.load(td + "/m.pnnx.param", td + "/m.pnnx.bin")
+    op2 = next(o for o in g2.ops if o.type == "si.RotaryAttention")
+    assert abs(op2.params["alibi_scale"].f - 0.25) < 1e-7
+
+    e1 = Engine().load_model(None, graph=make(0.25))
+    e2 = Engine().load_model(None, graph=make(1.0))
+    ids = (np.arange(8, dtype=np.float32) % 32)[None, :]
+    o1 = np.asarray(e1.run({"0": ids})[e1.output_names[0]])
+    o2 = np.asarray(e2.run({"0": ids})[e2.output_names[0]])
+    assert np.abs(o1 - o2)[0, 1:].max() > 1e-4
