@@ -699,3 +699,111 @@ def falcon_graph_from_hf(model, batch: int = 1,
                 sd["transformer.word_embeddings.weight"]))
     b.output(logits)
     return b.build(), "0", logits
+
+
+def mpt_slopes(num_heads: int, alibi_bias_max: float = 8.0):
+    """MPT's ALiBi slope ladder (transformers build_mpt_alibi_tensor /
+    mosaicml attention.py): the 2^ceil(log2(H)) ladder with odd-index-
+    first selection for non-power-of-two H — a DIFFERENT interpolation
+    than BLOOM's (ops/attention.alibi_slopes), hence shipped as the
+    explicit alibi_slopes attr."""
+    import math
+
+    n = 2 ** math.ceil(math.log2(num_heads))
+    base = np.arange(1, n + 1, dtype=np.float64) * (alibi_bias_max / n)
+    slopes = (1.0 / np.power(2.0, base)).astype(np.float32)
+    if n != num_heads:
+        slopes = np.concatenate([slopes[1::2],
+                                 slopes[0::2]])[:num_heads]
+    return slopes
+
+
+def mpt_graph_from_hf(model, batch: int = 1,
+                      seq_len: int | None = None) -> tuple:
+    """Convert a transformers MptForCausalLM — MosaicML's ALiBi
+    lineage: bias-free Linears throughout (no_bias), weight-only
+    LayerNorms (zero beta supplied), contiguous-thirds fused Wqkv
+    split (MptAttention's chunk(3) — NOT the per-head interleave
+    BLOOM/NeoX use), exact GELU MLP, and MPT's own slope ladder via
+    the explicit alibi_slopes attr. Returns (graph, input_name,
+    output_name); drop-in for greedy_generate / CachedDecoder /
+    GenerationService.
+    """
+    cfg = model.config
+    mt = getattr(cfg, "model_type", None)
+    if mt != "mpt":
+        raise ValueError(f"unsupported model_type {mt!r}; expected "
+                         f"'mpt'")
+    if getattr(cfg.attn_config, "clip_qkv", None):
+        raise ValueError("mpt clip_qkv not supported")
+    heads = cfg.n_heads
+    e = cfg.hidden_size
+    if e % heads:
+        raise ValueError(f"hidden {e} not divisible by heads {heads}")
+    d = e // heads
+    eps = float(getattr(cfg, "layer_norm_epsilon", 1e-5))
+    seq_len = int(seq_len or cfg.max_seq_len)
+    slopes = mpt_slopes(
+        heads, float(getattr(cfg.attn_config, "alibi_bias_max", 8.0)))
+    # MPT softmax_scale (default 1/sqrt(d)) scales ONLY the scores;
+    # the bias is added unscaled (alibi_scale stays 1)
+    if getattr(cfg.attn_config, "softmax_scale", None):
+        raise ValueError("mpt custom softmax_scale not supported")
+
+    sd = {k: v.detach().cpu().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    pre = "transformer.blocks.{}."
+    for i in range(cfg.n_layers):   # contiguous-thirds Wqkv split
+        p = pre.format(i)
+        w = sd.pop(f"{p}attn.Wqkv.weight")
+        for j, name in enumerate(("q", "k", "v")):
+            sd[f"{p}{name}_proj.weight"] = \
+                np.ascontiguousarray(w[j * e:(j + 1) * e])
+
+    def attr(b, op_out, key, array):
+        op = b.g.get_operand(op_out).producer
+        op.attrs[key] = Attribute.from_array(np.ascontiguousarray(array))
+
+    def ln(b, x, wkey):
+        y = b.layer_norm(x)
+        op = b.g.get_operand(y).producer
+        w = sd[wkey + ".weight"]
+        op.attrs["weight"] = Attribute.from_array(w)
+        # no_bias checkpoints carry weight-only norms: zero beta
+        op.attrs["bias"] = Attribute.from_array(
+            sd.get(wkey + ".bias", np.zeros_like(w)))
+        op.params["eps"] = Parameter.from_value(eps)
+        return y
+
+    b = GraphBuilder()
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, cfg.vocab_size, e)
+    attr(b, x, "weight", sd["transformer.wte.weight"])
+
+    for i in range(cfg.n_layers):
+        p = pre.format(i)
+        y = ln(b, x, f"{p}norm_1")
+        a = b.rotary_attention(y, heads, alibi=True,
+                               alibi_slopes=slopes)
+        aop = b.g.get_operand(a).producer
+        for key in ("q", "k", "v"):
+            aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
+                sd[f"{p}{key}_proj.weight"])
+        aop.attrs["o_proj.weight"] = Attribute.from_array(
+            np.ascontiguousarray(sd[f"{p}attn.out_proj.weight"]))
+        x = b.add(x, a)
+        y = ln(b, x, f"{p}norm_2")
+        h = b.linear(y, sd[f"{p}ffn.up_proj.weight"].shape[0],
+                     bias=False)
+        attr(b, h, "weight", sd[f"{p}ffn.up_proj.weight"])
+        h = b.gelu(h)               # MptMLP: exact GELU
+        h = b.linear(h, e, bias=False)
+        attr(b, h, "weight", sd[f"{p}ffn.down_proj.weight"])
+        x = b.add(x, h)
+
+    x = ln(b, x, "transformer.norm_f")
+    logits = b.linear(x, cfg.vocab_size, bias=False)
+    attr(b, logits, "weight",
+         sd.get("lm_head.weight", sd["transformer.wte.weight"]))
+    b.output(logits)
+    return b.build(), "0", logits

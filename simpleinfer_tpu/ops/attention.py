@@ -476,6 +476,19 @@ def alibi_slopes(num_heads: int) -> np.ndarray:
     return np.asarray(slopes, np.float32)
 
 
+def resolve_alibi_slopes(info) -> np.ndarray:
+    """[H] f32 effective slopes for an ALiBi op: the op's explicit
+    alibi_slopes attr when present (MPT interpolates non-power-of-two
+    head counts differently from BLOOM — ship the exact trained
+    values rather than guessing the formula), else the closed form;
+    times alibi_scale (falcon-rw's shared 1/sqrt(d)). Single source
+    for the op lowering and every KV-cache decode path."""
+    sl = info.get("alibi_slopes")
+    s = (np.asarray(sl, np.float32) if sl is not None
+         else alibi_slopes(info["num_heads"]))
+    return s * np.float32(info.get("alibi_scale") or 1.0)
+
+
 @register_op("si.RotaryAttention")
 def lower_rotary_attention(op, cfg):
     """Llama-style decoder self-attention as ONE composite op: q/k/v/o
@@ -529,6 +542,14 @@ def lower_rotary_attention(op, cfg):
     # have; we match the scaled-once semantics = sdpa)
     alibi_scale = (op.params["alibi_scale"].f
                    if op.has_param("alibi_scale", PARAM_FLOAT) else 1.0)
+    # explicit per-head slopes attr (MPT non-power-of-two heads etc.)
+    alibi_sl = None
+    if op.has_attr("alibi_slopes"):
+        alibi_sl = require_attr(op, "alibi_slopes").array().astype(
+            np.float32)
+        if list(alibi_sl.shape) != [num_heads]:
+            raise ValueError(f"RotaryAttention {op.name}: alibi_slopes "
+                             f"shape {alibi_sl.shape} != [{num_heads}]")
     if num_heads % num_kv:
         raise ValueError(f"RotaryAttention {op.name}: num_heads "
                          f"{num_heads} not divisible by num_kv_heads "
@@ -672,8 +693,9 @@ def lower_rotary_attention(op, cfg):
         if alibi:       # per-head linear key-position bias (no flash
             # hook for it — ALiBi ops stay on the XLA path, where the
             # bias fuses into the scores elementwise chain)
-            s = s + (jnp.asarray(alibi_slopes(num_heads)
-                                 * alibi_scale)[None, :, None, None]
+            s = s + (jnp.asarray(resolve_alibi_slopes(
+                {"num_heads": num_heads, "alibi_slopes": alibi_sl,
+                 "alibi_scale": alibi_scale}))[None, :, None, None]
                      * ki.astype(jnp.float32))
         keep = ki <= qi
         if sw is not None:
@@ -705,7 +727,7 @@ def lower_rotary_attention(op, cfg):
                      "num_kv_heads": num_kv, "head_dim": d,
                      "rope_theta": theta, "rotary": not alibi,
                      "alibi": alibi, "alibi_scale": alibi_scale,
-                     "rotary_dim": rot_dim,
+                     "alibi_slopes": alibi_sl, "rotary_dim": rot_dim,
                      "batch_first": True, "sliding_window": sw,
                      "qk_norm_eps": qk_eps,
                      "attn_scale": attn_scale,

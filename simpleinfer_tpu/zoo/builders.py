@@ -384,6 +384,7 @@ class GraphBuilder:
                          rotary_dim: int | None = None,
                          alibi: bool = False,
                          alibi_scale: float | None = None,
+                         alibi_slopes=None,
                          o_bias: bool = False) -> str:
         """Llama-style causal self-attention (si.RotaryAttention
         composite, ops/attention.py): RoPE + GQA, intrinsic causal
@@ -436,6 +437,10 @@ class GraphBuilder:
             if alibi_scale is not None:  # falcon-rw: bias shares the
                 # 1/sqrt(d) score scaling (ops/attention.py note)
                 params["alibi_scale"] = float(alibi_scale)
+            if alibi_slopes is not None:  # explicit per-head slopes
+                # (MPT's non-power-of-two interpolation)
+                attrs["alibi_slopes"] = np.asarray(alibi_slopes,
+                                                   np.float32)
         (out,) = self._op("si.RotaryAttention", name, [x], params=params,
                           attrs=attrs)
         self.shape[out] = list(self.shape[x])

@@ -701,10 +701,9 @@ class CachedDecoder:
         if info.get("alibi"):   # cache slot index IS the absolute key
             # position on this (non-ring) path; masked slots are
             # overwritten by the -inf fill regardless of bias
-            from ..ops.attention import alibi_slopes
+            from ..ops.attention import resolve_alibi_slopes
 
-            s = s + (jnp.asarray(alibi_slopes(heads)
-                                 * info.get("alibi_scale", 1.0))[
+            s = s + (jnp.asarray(resolve_alibi_slopes(info))[
                 None, :, None, None] * idx.astype(jnp.float32))
         s = jnp.where(idx <= pos[:, None, None, None], s,
                       jnp.finfo(jnp.float32).min)
@@ -828,11 +827,10 @@ class CachedDecoder:
         ring = self._op_ring(info)
         slopes = None
         if info.get("alibi"):
-            from ..ops.attention import alibi_slopes
+            from ..ops.attention import resolve_alibi_slopes
 
             slopes = jnp.asarray(
-                alibi_slopes(heads)
-                * info.get("alibi_scale", 1.0))[None, :, None, None]
+                resolve_alibi_slopes(info))[None, :, None, None]
             pallas_attn = False  # the flash-decoding kernel has no
             # bias hook (kernel_ok already excludes alibi ops; this
             # guards direct attn_impl="pallas" forcing)
@@ -1058,10 +1056,9 @@ class CachedDecoder:
         vh = proj("wv", "bv", kvh)
         slopes = None
         if info.get("alibi"):
-            from ..ops.attention import alibi_slopes
+            from ..ops.attention import resolve_alibi_slopes
 
-            slopes = alibi_slopes(heads) * info.get(
-                "alibi_scale", 1.0)
+            slopes = resolve_alibi_slopes(info)
         from ..ops.attention import repeat_kv
 
         ctx = _causal_ctx(qh, repeat_kv(kh, group),
@@ -1472,10 +1469,9 @@ class CachedDecoder:
         l_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
         if info.get("alibi"):   # window position IS the absolute key
             # position (alibi excludes sliding, so ring is None here)
-            from ..ops.attention import alibi_slopes
+            from ..ops.attention import resolve_alibi_slopes
 
-            s = s + (jnp.asarray(alibi_slopes(heads)
-                                 * info.get("alibi_scale", 1.0))[
+            s = s + (jnp.asarray(resolve_alibi_slopes(info))[
                 None, :, None, None] * l_idx.astype(jnp.float32))
         sw = info.get("sliding_window")
         if ring is not None:

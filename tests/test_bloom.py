@@ -309,3 +309,96 @@ def test_alibi_scale_param_roundtrip_and_effect():
     o1 = np.asarray(e1.run({"0": ids})[e1.output_names[0]])
     o2 = np.asarray(e2.run({"0": ids})[e2.output_names[0]])
     assert np.abs(o1 - o2)[0, 1:].max() > 1e-4
+
+
+# ---- MPT (explicit-slopes ALiBi) ---------------------------------------
+
+def test_mpt_slopes_match_transformers():
+    """MPT's slope ladder (odd-first non-power-of-two interpolation —
+    different from BLOOM's) == transformers build_mpt_alibi_tensor,
+    shipped via the explicit alibi_slopes attr."""
+    from transformers.models.mpt.modeling_mpt import (
+        build_mpt_alibi_tensor)
+
+    from simpleinfer_tpu.frontends.hf_llama import mpt_slopes
+
+    for h in (1, 2, 4, 6, 8, 12):
+        t = build_mpt_alibi_tensor(h, 5).numpy()     # [H, 1, L]
+        hf = t[:, 0, -1] - t[:, 0, -2]               # per-key slope
+        np.testing.assert_allclose(mpt_slopes(h), hf, rtol=1e-6)
+    # at the default alibi_bias_max=8 the two derivations coincide;
+    # a non-default bias_max is where the explicit attr matters
+    np.testing.assert_allclose(mpt_slopes(6), alibi_slopes(6),
+                               rtol=1e-6)
+    assert np.abs(mpt_slopes(4, alibi_bias_max=4)
+                  - alibi_slopes(4)).max() > 1e-2
+
+
+def test_hf_mpt_logits_and_decode_parity():
+    """Converted MPT (bias-free Linears, weight-only LayerNorms,
+    contiguous-thirds Wqkv split, explicit slopes attr through
+    decode_info) — logits + greedy-decode parity vs the transformers
+    forward."""
+    import torch
+    from transformers import MptConfig, MptForCausalLM
+
+    from simpleinfer_tpu.frontends.hf_llama import mpt_graph_from_hf
+
+    torch.manual_seed(37)
+    cfg = MptConfig(vocab_size=64, d_model=48, n_heads=6, n_layers=2,
+                    max_seq_len=32, initializer_range=0.2)
+    model = MptForCausalLM(cfg).eval()
+    graph, in_name, out_name = mpt_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[
+        out_name])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    prompt = [3, 7, 11]
+    ref = list(prompt)
+    for _ in range(6):
+        with torch.no_grad():
+            lg = model(torch.tensor([ref])).logits.numpy()
+        ref.append(int(lg[0, -1].argmax()))
+    dec = CachedDecoder(eng).generate(np.asarray([prompt]), steps=6,
+                                      block=3)
+    np.testing.assert_array_equal(dec[0], np.asarray(ref))
+
+
+def test_alibi_slopes_attr_roundtrip():
+    """The explicit alibi_slopes attr survives pnnx save/load and the
+    scratch/chunk decode paths consume it (token-equal streams)."""
+    from simpleinfer_tpu.ir.graph import Graph
+    from simpleinfer_tpu.zoo.builders import GraphBuilder
+
+    sl = np.asarray([0.5, 0.2, 0.1, 0.05], np.float32)
+
+    def make():
+        b = GraphBuilder(7)
+        ids = b.input([2, 16], name="0")
+        x = b.embedding(ids, 32, 64)
+        a = b.rotary_attention(x, 4, alibi=True, alibi_slopes=sl)
+        h = b.linear(a, 32, bias=False)
+        b.output(h)
+        return b.build()
+
+    import tempfile
+    g = make()
+    with tempfile.TemporaryDirectory() as td:
+        g.save(td + "/m.pnnx.param", td + "/m.pnnx.bin")
+        g2 = Graph.load(td + "/m.pnnx.param", td + "/m.pnnx.bin")
+    op2 = next(o for o in g2.ops if o.type == "si.RotaryAttention")
+    np.testing.assert_array_equal(
+        op2.attrs["alibi_slopes"].array(), sl)
+
+    eng = Engine().load_model(None, graph=g2)
+    prompt = np.array([[5, 1, 8], [2, 9, 3]])
+    ref = CachedDecoder(eng)
+    want = ref.generate(prompt, steps=8, block=1)
+    scr = CachedDecoder(eng, scratch_blocks=True)
+    np.testing.assert_array_equal(
+        scr.generate(prompt, steps=8, block=4), want)
