@@ -285,7 +285,7 @@ def llama_graph_from_hf(model, batch: int = 1,
     return b.build(), "0", logits
 
 
-_SUPPORTED_NEOX = ("phi", "gpt_neox")
+_SUPPORTED_NEOX = ("phi", "gpt_neox", "gptj")
 
 
 def neox_graph_from_hf(model, batch: int = 1,
@@ -319,18 +319,26 @@ def neox_graph_from_hf(model, batch: int = 1,
     if e % heads:
         raise ValueError(f"hidden {e} not divisible by heads {heads}")
     d = e // heads
-    pct = float(getattr(cfg, "partial_rotary_factor", None)
-                or getattr(cfg, "rotary_pct", None) or 1.0)
-    rot = max(2, int(d * pct) // 2 * 2)
+    if mt == "gptj":        # absolute rotary_dim, not a fraction
+        rot = int(getattr(cfg, "rotary_dim", None) or d)
+    else:
+        pct = float(getattr(cfg, "partial_rotary_factor", None)
+                    or getattr(cfg, "rotary_pct", None) or 1.0)
+        rot = max(2, int(d * pct) // 2 * 2)
     theta = float(getattr(cfg, "rope_theta", None)
                   or getattr(cfg, "rotary_emb_base", None) or 10000.0)
-    eps = float(getattr(cfg, "layer_norm_eps", 1e-5))
+    eps = float(getattr(cfg, "layer_norm_eps", None)
+                or getattr(cfg, "layer_norm_epsilon", None)
+                or 1e-5)
     seq_len = int(seq_len or cfg.max_position_embeddings)
     parallel = (bool(getattr(cfg, "use_parallel_residual", True))
                 if mt == "gpt_neox" else True)
-    inter = cfg.intermediate_size
-    act = getattr(cfg, "hidden_act", "gelu_new" if mt == "phi"
-                  else "gelu")
+    inter = (4 * e if mt == "gptj" and cfg.n_inner is None
+             else (cfg.n_inner if mt == "gptj"
+                   else cfg.intermediate_size))
+    act = (cfg.activation_function if mt == "gptj"
+           else getattr(cfg, "hidden_act", "gelu_new" if mt == "phi"
+                        else "gelu"))
     if act not in ("gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_fast"):
         raise ValueError(f"unsupported hidden_act {act!r}")
     tanh_gelu = act != "gelu"
@@ -345,6 +353,25 @@ def neox_graph_from_hf(model, batch: int = 1,
         fc1, fc2 = "mlp.fc1", "mlp.fc2"
         final_ln = "model.final_layernorm"
         head_key, head_bias_key = "lm_head.weight", "lm_head.bias"
+    elif mt == "gptj":
+        emb_key = "transformer.wte.weight"
+        pre = "transformer.h.{}."
+        attn_out = "attn.out_proj"
+        fc1, fc2 = "mlp.fc_in", "mlp.fc_out"
+        final_ln = "transformer.ln_f"
+        head_key, head_bias_key = "lm_head.weight", "lm_head.bias"
+        for i in range(cfg.num_hidden_layers):   # bias-free separate
+            pp = pre.format(i)                   # q/k/v under attn.
+            for nm in ("q", "k", "v"):
+                sd[f"{pp}self_attn.{nm}_proj.weight"] = \
+                    sd.pop(f"{pp}attn.{nm}_proj.weight")
+        # GPT-J blocks use ONE LayerNorm (ln_1) for both branches and
+        # name it ln_1, not input_layernorm
+        for i in range(cfg.num_hidden_layers):
+            pp = pre.format(i)
+            sd[f"{pp}input_layernorm.weight"] = sd.pop(
+                f"{pp}ln_1.weight")
+            sd[f"{pp}input_layernorm.bias"] = sd.pop(f"{pp}ln_1.bias")
     else:
         emb_key = "gpt_neox.embed_in.weight"
         pre = "gpt_neox.layers.{}."
@@ -388,8 +415,10 @@ def neox_graph_from_hf(model, batch: int = 1,
         qp = f"{p}self_attn."      # neox keys were normalized above
         ln1 = ln(b, x, f"{p}input_layernorm")
         attn = b.rotary_attention(ln1, heads, num_kv_heads=kv,
-                                  rope_theta=theta, bias=True,
-                                  rotary_dim=rot)
+                                  rope_theta=theta,
+                                  bias=f"{qp}q_proj.bias" in sd,
+                                  rotary_dim=rot,
+                                  rope_interleaved=(mt == "gptj"))
         aop = b.g.get_operand(attn).producer
         for key in ("q", "k", "v"):
             aop.attrs[f"{key}_proj.weight"] = Attribute.from_array(
@@ -418,7 +447,7 @@ def neox_graph_from_hf(model, batch: int = 1,
             return h
 
         if parallel:
-            ln2 = (ln1 if mt == "phi"
+            ln2 = (ln1 if mt in ("phi", "gptj")
                    else ln(b, x, f"{p}post_attention_layernorm"))
             x = b.add(b.add(x, attn), mlp_from(ln2))
         else:

@@ -400,7 +400,7 @@ def rope_cos_sin(positions, dim, theta):
     return jnp.cos(emb), jnp.sin(emb)
 
 
-def apply_rope(x, cos, sin):
+def apply_rope(x, cos, sin, interleaved: bool = False):
     """Rotate the last dim of x [..., D] by (cos, sin) broadcastable to
     [..., R] (HF rotate_half convention: [x1, x2] -> [-x2, x1]).
 
@@ -408,16 +408,32 @@ def apply_rope(x, cos, sin):
     HF partial_rotary_factor / rotary_pct): only dims [:R] rotate, the
     pass-through dims [R:] carry no positional signal — shape-driven,
     so every call site (forward, prefill, decode step, chunk verify)
-    supports it by just building R-sized tables."""
+    supports it by just building R-sized tables.
+
+    interleaved=True is the GPT-J/CodeGen rotate_every_two convention:
+    frequency f rotates the ADJACENT pair (x[2f], x[2f+1]) rather than
+    the half-split pair (x[f], x[f+half]). Tables stay the
+    rope_cos_sin duplicated-halves layout — the first half holds the
+    per-frequency values, read off directly (same mathematical
+    rotation, different lane wiring, so the two conventions' caches
+    are not interchangeable)."""
     d = x.shape[-1]
     r = cos.shape[-1]
     xr = x[..., :r] if r != d else x
     half = r // 2
-    x1, x2 = xr[..., :half], xr[..., half:]
-    rot = jnp.concatenate([-x2, x1], axis=-1)
     dt = x.dtype
-    out = (xr.astype(jnp.float32) * cos
-           + rot.astype(jnp.float32) * sin).astype(dt)
+    if interleaved:
+        ch, sh = cos[..., :half, None], sin[..., :half, None]
+        xp = xr.astype(jnp.float32).reshape(*xr.shape[:-1], half, 2)
+        x0, x1 = xp[..., 0:1], xp[..., 1:2]
+        out = jnp.concatenate([x0 * ch - x1 * sh,
+                               x0 * sh + x1 * ch], axis=-1)
+        out = out.reshape(*xr.shape).astype(dt)
+    else:
+        x1, x2 = xr[..., :half], xr[..., half:]
+        rot = jnp.concatenate([-x2, x1], axis=-1)
+        out = (xr.astype(jnp.float32) * cos
+               + rot.astype(jnp.float32) * sin).astype(dt)
     if r != d:
         out = jnp.concatenate([out, x[..., r:]], axis=-1)
     return out
@@ -577,6 +593,10 @@ def lower_rotary_attention(op, cfg):
     if not alibi and (rot_dim % 2 or not (2 <= rot_dim <= d)):
         raise ValueError(f"RotaryAttention {op.name}: rotary_dim "
                          f"{rot_dim} must be even and in [2, {d}]")
+    # GPT-J/CodeGen rotate_every_two lane wiring (see apply_rope)
+    rope_il = bool(op.params["rope_interleaved"].i
+                   if op.has_param("rope_interleaved", PARAM_INT)
+                   else 0)
     group = num_heads // num_kv
     ring_proj = ring_out_proj(cfg, num_heads)
     # a pallas_call inside a GSPMD-partitioned program cannot be
@@ -649,8 +669,10 @@ def lower_rotary_attention(op, cfg):
         if not alibi:
             cos, sin = rope_cos_sin(jnp.arange(l), rot_dim,
                                     theta)              # [L, R]
-            qh = apply_rope(qh, cos[None, None], sin[None, None])
-            kh = apply_rope(kh, cos[None, None], sin[None, None])
+            qh = apply_rope(qh, cos[None, None], sin[None, None],
+                            interleaved=rope_il)
+            kh = apply_rope(kh, cos[None, None], sin[None, None],
+                            interleaved=rope_il)
         if softcap is None and not alibi:
             # flash kernels past the measured crossovers: the BANDED
             # grid for sliding-window ops (flash_band_profitable —
@@ -728,6 +750,7 @@ def lower_rotary_attention(op, cfg):
                      "rope_theta": theta, "rotary": not alibi,
                      "alibi": alibi, "alibi_scale": alibi_scale,
                      "alibi_slopes": alibi_sl, "rotary_dim": rot_dim,
+                     "rope_interleaved": rope_il,
                      "batch_first": True, "sliding_window": sw,
                      "qk_norm_eps": qk_eps,
                      "attn_scale": attn_scale,

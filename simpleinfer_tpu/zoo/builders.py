@@ -382,6 +382,7 @@ class GraphBuilder:
                          attn_scale: float | None = None,
                          logit_softcap: float | None = None,
                          rotary_dim: int | None = None,
+                         rope_interleaved: bool = False,
                          alibi: bool = False,
                          alibi_scale: float | None = None,
                          alibi_slopes=None,
@@ -432,6 +433,8 @@ class GraphBuilder:
             params["sliding_window"] = int(sliding_window)
         if rotary_dim is not None:       # phi/neox partial rotary
             params["rotary_dim"] = int(rotary_dim)
+        if rope_interleaved:             # GPT-J rotate_every_two
+            params["rope_interleaved"] = 1
         if alibi:                        # BLOOM/MPT linear positions
             params["alibi"] = 1
             if alibi_scale is not None:  # falcon-rw: bias shares the

@@ -739,8 +739,11 @@ class CachedDecoder:
             qk_eps=info.get("qk_norm_eps", 1e-6))
         cos, sin = rope_cos_sin(pos, info.get("rotary_dim") or d,
                                 theta)                  # [N, R]
-        qh = apply_rope(qh, cos[:, None, None, :], sin[:, None, None, :])
-        kh = apply_rope(kh, cos[:, None, None, :], sin[:, None, None, :])
+        il = bool(info.get("rope_interleaved"))
+        qh = apply_rope(qh, cos[:, None, None, :],
+                        sin[:, None, None, :], interleaved=il)
+        kh = apply_rope(kh, cos[:, None, None, :],
+                        sin[:, None, None, :], interleaved=il)
         new_cache, k_leaf, v_leaf = self._cache_append(cache, kh, vh,
                                                        pos, ring)
         if ring is None:            # ring slots are not position-sliced
@@ -800,10 +803,11 @@ class CachedDecoder:
         if info.get("rotary"):
             cos, sin = rope_cos_sin(pos, info.get("rotary_dim") or d,
                                     info["rope_theta"])
+            il = bool(info.get("rope_interleaved"))
             qh = apply_rope(qh, cos[:, None, None, :],
-                            sin[:, None, None, :])
+                            sin[:, None, None, :], interleaved=il)
             kh = apply_rope(kh, cos[:, None, None, :],
-                            sin[:, None, None, :])
+                            sin[:, None, None, :], interleaved=il)
 
         k_scr, v_scr = scratch                    # [N, KVh, K, D]
         kk = k_scr.shape[2]
@@ -1012,8 +1016,11 @@ class CachedDecoder:
         cos, sin = rope_cos_sin(jnp.arange(l),
                                 info.get("rotary_dim") or d,
                                 theta)                    # [L, R]
-        qh = apply_rope(qh, cos[None, None], sin[None, None])
-        kh = apply_rope(kh, cos[None, None], sin[None, None])
+        il = bool(info.get("rope_interleaved"))
+        qh = apply_rope(qh, cos[None, None], sin[None, None],
+                        interleaved=il)
+        kh = apply_rope(kh, cos[None, None], sin[None, None],
+                        interleaved=il)
         ctx = _causal_ctx(qh, repeat_kv(kh, group), repeat_kv(vh, group),
                           d, self._use_pallas,
                           sliding_window=info.get("sliding_window"),
@@ -1425,8 +1432,11 @@ class CachedDecoder:
             cos, sin = rope_cos_sin(positions,
                                     info.get("rotary_dim") or d,
                                     info["rope_theta"])  # [N, K, R]
-            qh = apply_rope(qh, cos[:, None], sin[:, None])
-            kh = apply_rope(kh, cos[:, None], sin[:, None])
+            il = bool(info.get("rope_interleaved"))
+            qh = apply_rope(qh, cos[:, None], sin[:, None],
+                            interleaved=il)
+            kh = apply_rope(kh, cos[:, None], sin[:, None],
+                            interleaved=il)
 
         # append the chunk: window position p takes chunk slot p - pos
         # (the _scratch_merge gather, applied immediately); ring ops

@@ -536,3 +536,85 @@ def test_hf_stablelm_logits_and_decode_parity():
     dec = CachedDecoder(eng).generate(np.asarray([prompt]), steps=8,
                                       block=4)
     np.testing.assert_array_equal(dec[0], np.asarray(ref))
+
+
+def _gptj():
+    from transformers import GPTJConfig, GPTJForCausalLM
+
+    torch.manual_seed(41)
+    cfg = GPTJConfig(vocab_size=64, n_embd=32, n_layer=2, n_head=4,
+                     rotary_dim=4, n_positions=32,
+                     initializer_range=0.2)
+    return GPTJForCausalLM(cfg).eval()
+
+
+def test_hf_gptj_logits_parity():
+    """GPT-J (round-5): shared-ln parallel residual like phi, but the
+    INTERLEAVED rotate_every_two RoPE convention (rope_interleaved=1
+    — frequency f rotates the adjacent pair (2f, 2f+1)) with an
+    absolute rotary_dim, bias-free separate q/k/v, biased fc/head.
+    Logits parity vs the transformers forward."""
+    model = _gptj()
+    graph, in_name, out_name = neox_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[
+        out_name])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_hf_gptj_decode_token_parity_all_paths():
+    """Interleaved RoPE flows through decode_info to the per-step,
+    blocked, and scratch-block decode paths — token-equal to the HF
+    forward loop on each."""
+    model = _gptj()
+    graph, in_name, out_name = neox_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    prompt = [3, 7, 11]
+    ids = list(prompt)
+    for _ in range(8):
+        logits = _hf_logits(model, np.asarray([ids], np.int64))
+        ids.append(int(logits[0, -1].argmax()))
+    per_step = CachedDecoder(eng).generate(np.asarray([prompt]),
+                                           steps=8, block=1)
+    np.testing.assert_array_equal(per_step[0], np.asarray(ids))
+    blocked = CachedDecoder(eng).generate(np.asarray([prompt]),
+                                          steps=8, block=4)
+    np.testing.assert_array_equal(blocked[0], np.asarray(ids))
+    scratch = CachedDecoder(eng, scratch_blocks=True).generate(
+        np.asarray([prompt]), steps=8, block=4)
+    np.testing.assert_array_equal(scratch[0], np.asarray(ids))
+
+
+def test_apply_rope_interleaved_vs_oracle():
+    """rotate_every_two lane wiring vs a float64 numpy loop oracle:
+    pair (2f, 2f+1) rotates by angle pos * theta^(-2f/R); the
+    half-split convention at the same tables must NOT match (the
+    conventions' caches are not interchangeable)."""
+    import jax.numpy as jnp
+
+    from simpleinfer_tpu.ops.attention import apply_rope, rope_cos_sin
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 1, 3, 8)).astype(np.float32)
+    pos = np.arange(3)
+    r = 6
+    cos, sin = rope_cos_sin(jnp.asarray(pos), r, 10000.0)
+    got = np.asarray(apply_rope(jnp.asarray(x), cos[None, None],
+                                sin[None, None], interleaved=True))
+
+    want = x.astype(np.float64).copy()
+    for t in range(3):
+        for f in range(r // 2):
+            ang = pos[t] / (10000.0 ** (f / (r // 2)))
+            c, s = np.cos(ang), np.sin(ang)
+            x0, x1 = want[0, 0, t, 2 * f], want[0, 0, t, 2 * f + 1]
+            want[0, 0, t, 2 * f] = x0 * c - x1 * s
+            want[0, 0, t, 2 * f + 1] = x0 * s + x1 * c
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=1e-5, atol=1e-6)
+    half = np.asarray(apply_rope(jnp.asarray(x), cos[None, None],
+                                 sin[None, None]))
+    assert np.abs(half - got).max() > 1e-3
