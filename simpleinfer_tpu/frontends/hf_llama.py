@@ -836,3 +836,96 @@ def mpt_graph_from_hf(model, batch: int = 1,
          sd.get("lm_head.weight", sd["transformer.wte.weight"]))
     b.output(logits)
     return b.build(), "0", logits
+
+
+def opt_graph_from_hf(model, batch: int = 1,
+                      seq_len: int | None = None) -> tuple:
+    """Convert a transformers OPTForCausalLM — the learned-positions
+    lineage (no rotary, no alibi): token embedding + learned position
+    embedding (OPT's famous +2 offset baked in by slicing
+    embed_positions[2:2+L]), pre-LN blocks of nn.MultiheadAttention
+    (separate q/k/v packed into the op's in_proj layout) + ReLU MLP,
+    final LayerNorm, tied head. The decode paths treat the position
+    table as a window-spanning graph constant (_slice_seq), exactly
+    like zoo.build_gpt. do_layer_norm_before=False (the post-LN 350m)
+    and word_embed_proj_dim != hidden_size are rejected.
+    Returns (graph, input_name, output_name)."""
+    cfg = model.config
+    mt = getattr(cfg, "model_type", None)
+    if mt != "opt":
+        raise ValueError(f"unsupported model_type {mt!r}; expected "
+                         f"'opt'")
+    if not getattr(cfg, "do_layer_norm_before", True):
+        raise ValueError("opt do_layer_norm_before=False (350m-class "
+                         "post-LN) not supported")
+    e = cfg.hidden_size
+    if getattr(cfg, "word_embed_proj_dim", e) != e:
+        raise ValueError("opt word_embed_proj_dim != hidden_size not "
+                         "supported")
+    if getattr(cfg, "activation_function", "relu") != "relu":
+        raise ValueError("opt non-relu activation not supported")
+    heads = cfg.num_attention_heads
+    seq_len = int(seq_len or 64)
+
+    sd = {k: v.detach().cpu().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    pre = "model.decoder.layers.{}."
+
+    def attr(b, op_out, key, array):
+        op = b.g.get_operand(op_out).producer
+        op.attrs[key] = Attribute.from_array(np.ascontiguousarray(array))
+
+    def ln(b, x, wkey):
+        y = b.layer_norm(x)
+        op = b.g.get_operand(y).producer
+        op.attrs["weight"] = Attribute.from_array(sd[wkey + ".weight"])
+        op.attrs["bias"] = Attribute.from_array(sd[wkey + ".bias"])
+        op.params["eps"] = Parameter.from_value(1e-5)
+        return y
+
+    b = GraphBuilder()
+    ids = b.input([batch, seq_len], name="0")
+    x = b.embedding(ids, cfg.vocab_size, e)
+    attr(b, x, "weight", sd["model.decoder.embed_tokens.weight"])
+    # learned positions with the +2 offset baked in
+    pos_tab = sd["model.decoder.embed_positions.weight"][
+        2:2 + seq_len][None]
+    x = b.add(x, b.attr_const(pos_tab))
+
+    causal = np.triu(np.full((seq_len, seq_len), -1e9, np.float32), k=1)
+    mask = b.attr_const(causal)
+
+    for i in range(cfg.num_hidden_layers):
+        p = pre.format(i)
+        y = ln(b, x, f"{p}self_attn_layer_norm")
+        a = b.mha(y, heads, mask=mask)
+        aop = b.g.get_operand(a).producer
+        aop.attrs["in_proj_weight"] = Attribute.from_array(
+            np.ascontiguousarray(np.concatenate(
+                [sd[f"{p}self_attn.{k}_proj.weight"]
+                 for k in ("q", "k", "v")], axis=0)))
+        aop.attrs["in_proj_bias"] = Attribute.from_array(
+            np.concatenate([sd[f"{p}self_attn.{k}_proj.bias"]
+                            for k in ("q", "k", "v")]))
+        aop.attrs["out_proj.weight"] = Attribute.from_array(
+            np.ascontiguousarray(sd[f"{p}self_attn.out_proj.weight"]))
+        aop.attrs["out_proj.bias"] = Attribute.from_array(
+            sd[f"{p}self_attn.out_proj.bias"])
+        x = b.add(x, a)
+        y = ln(b, x, f"{p}final_layer_norm")
+        h = b.linear(y, cfg.ffn_dim, bias=True)
+        attr(b, h, "weight", sd[f"{p}fc1.weight"])
+        attr(b, h, "bias", sd[f"{p}fc1.bias"])
+        h = b.relu(h)
+        h = b.linear(h, e, bias=True)
+        attr(b, h, "weight", sd[f"{p}fc2.weight"])
+        attr(b, h, "bias", sd[f"{p}fc2.bias"])
+        x = b.add(x, h)
+
+    x = ln(b, x, "model.decoder.final_layer_norm")
+    logits = b.linear(x, cfg.vocab_size, bias=False)
+    attr(b, logits, "weight",
+         sd.get("lm_head.weight",
+                sd["model.decoder.embed_tokens.weight"]))
+    b.output(logits)
+    return b.build(), "0", logits

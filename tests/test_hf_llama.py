@@ -618,3 +618,53 @@ def test_apply_rope_interleaved_vs_oracle():
     half = np.asarray(apply_rope(jnp.asarray(x), cos[None, None],
                                  sin[None, None]))
     assert np.abs(half - got).max() > 1e-3
+
+
+def test_hf_opt_logits_and_decode_parity():
+    """OPT (round-5): the learned-positions lineage — token + position
+    embeddings (the +2 offset baked in by slicing embed_positions),
+    pre-LN nn.MultiheadAttention blocks (separate q/k/v packed into
+    the op's in_proj layout), ReLU MLP. Logits parity vs the
+    transformers forward; decode token-equal on the per-step, blocked,
+    and scratch paths (the position table rides _slice_seq as a graph
+    constant, like zoo.build_gpt)."""
+    from transformers import OPTConfig, OPTForCausalLM
+
+    from simpleinfer_tpu.frontends.hf_llama import opt_graph_from_hf
+
+    torch.manual_seed(43)
+    cfg = OPTConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, ffn_dim=64,
+                    max_position_embeddings=32, init_std=0.2)
+    model = OPTForCausalLM(cfg).eval()
+    graph, in_name, out_name = opt_graph_from_hf(model, seq_len=16)
+    eng = Engine().load_model(None, graph=graph)
+    ids = np.array([[3, 7, 11, 2, 40, 9, 1, 0, 5, 63, 30, 12, 8, 4,
+                     2, 6]], np.int64)
+    want = _hf_logits(model, ids)
+    got = np.asarray(eng.run({in_name: ids.astype(np.float32)})[
+        out_name])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    prompt = [3, 7, 11]
+    ref = list(prompt)
+    for _ in range(8):
+        lg = _hf_logits(model, np.asarray([ref], np.int64))
+        ref.append(int(lg[0, -1].argmax()))
+    for scratch in (False, True):
+        dec = CachedDecoder(eng, scratch_blocks=scratch).generate(
+            np.asarray([prompt]), steps=8, block=4)
+        np.testing.assert_array_equal(dec[0], np.asarray(ref))
+
+
+def test_hf_opt_rejects_unsupported():
+    from transformers import OPTConfig, OPTForCausalLM
+
+    from simpleinfer_tpu.frontends.hf_llama import opt_graph_from_hf
+
+    cfg = OPTConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                    num_attention_heads=2, ffn_dim=32,
+                    max_position_embeddings=16,
+                    do_layer_norm_before=False)
+    with pytest.raises(ValueError, match="do_layer_norm_before"):
+        opt_graph_from_hf(OPTForCausalLM(cfg).eval())
