@@ -402,3 +402,24 @@ def test_alibi_slopes_attr_roundtrip():
     scr = CachedDecoder(eng, scratch_blocks=True)
     np.testing.assert_array_equal(
         scr.generate(prompt, steps=8, block=4), want)
+
+
+def test_bloom_generation_service_token_equal():
+    """The continuous-batching GenerationService (auto attention
+    policy, which must avoid the kernel on ALiBi models — kernel_ok
+    False) streams the same greedy completions as the solo decoder
+    for the BLOOM family."""
+    from simpleinfer_tpu.serving.llm import GenerationService
+
+    eng = _bloom_engine()
+    dec = CachedDecoder(eng)
+    prompts = [[4, 8, 2], [7, 1]]
+    want = [dec.generate(np.asarray([p]), steps=6)[0] for p in prompts]
+    svc = GenerationService(eng, slots=2, decode_horizon=3).start()
+    try:
+        futs = [svc.submit(p, max_new=6) for p in prompts]
+        got = [f.result(timeout=60) for f in futs]
+    finally:
+        svc.stop()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
